@@ -1,0 +1,235 @@
+"""CDC envelope + deterministic change-stream fixtures (D3).
+
+The reference's CDC envelope is produced by DMS transformation rules
+(``templates/aws-dms-to-hudi.yaml:490-522``):
+
+- ``trx_seq`` — ``$AR_H_CHANGE_SEQ``: a fixed-width, zero-padded, strictly
+  increasing change-sequence *string*; lexicographic order == change order.
+- ``_hoodie_is_deleted`` — true iff the operation is DELETE.
+
+For differential testing the stream must be reproducible bit-for-bit in
+BOTH engines (PySpark and the DuckDB oracle), so the generator is pure SQL
+text shared verbatim by both sides: batches are SELECTs over the base
+table with key-modulo predicates and arithmetic perturbations only —
+no RNG, no floating-point order dependence.
+
+Batch recipe (FIXTURES.md §2 contract):
+
+- batch 0: full load — every base row, ``trx_seq = lpad(key_num, 50, '0')``.
+- batch 1: updates for ``key_num % 10 = 3`` (perturb one numeric column),
+  PLUS a second, later change for ``key_num % 100 = 3`` — ≥2 changes to one
+  key within a single batch (precombine test, D4).
+- batch 2: deletes for ``key_num % 10 = 7``.
+- batch 3: re-inserts for ``key_num % 20 = 7`` — delete followed by
+  re-insert in a later batch (D5/D6 ordering test).
+
+``key_num`` is a deterministic integer over the record key (used only for
+the modulo batch predicates). ``trx_seq`` itself must be unique per ROW —
+the synthetic base tables contain duplicate record keys (e.g. repeated
+``(l_orderkey, l_linenumber)`` pairs), and a per-key sequence would tie,
+making the precombine winner nondeterministic across engines. So every row
+gets ``__rid = row_number() OVER (ORDER BY <all columns> NULLS FIRST)`` —
+a total order both Spark and DuckDB compute identically (NULLS FIRST is
+pinned because the engines' default null ordering differs) — and
+``trx_seq = lpad(batch_block + __rid, 50, '0')``. Per-batch sequence
+blocks (b·10^12) keep ``trx_seq`` globally increasing across batches while
+zero-padding keeps string order == numeric order (SURVEY.md §7.3: never
+cast trx_seq to numeric).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+SEQ_WIDTH = 50
+_BLOCK = 10**12
+
+
+@dataclass(frozen=True)
+class CdcRecipe:
+    """Deterministic CDC stream definition for one base table."""
+
+    table: str
+    columns: tuple[str, ...]  # base column order (stable)
+    key_cols: tuple[str, ...]  # record key
+    key_num_sql: str  # integer-valued SQL expr identifying a key
+    perturb_col: str  # numeric column mutated by updates
+
+
+# Fixture tables per FIXTURES.md §2 (cdc_supplier is the MOR table).
+RECIPES: dict[str, CdcRecipe] = {
+    "orders": CdcRecipe(
+        table="orders",
+        columns=(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderdate",
+            "o_orderpriority",
+        ),
+        key_cols=("o_orderkey",),
+        key_num_sql="o_orderkey",
+        perturb_col="o_totalprice",
+    ),
+    "customer": CdcRecipe(
+        table="customer",
+        columns=("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+        key_cols=("c_custkey",),
+        key_num_sql="c_custkey",
+        perturb_col="c_acctbal",
+    ),
+    "lineitem": CdcRecipe(
+        table="lineitem",
+        columns=(
+            "l_orderkey",
+            "l_partkey",
+            "l_suppkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_returnflag",
+            "l_linestatus",
+            "l_shipdate",
+        ),
+        # composite key (ComplexKeyGenerator branch, handler.py:105-106);
+        # l_linenumber is 1..7 so one decimal digit suffices.
+        key_cols=("l_orderkey", "l_linenumber"),
+        key_num_sql="l_orderkey * 10 + l_linenumber",
+        perturb_col="l_quantity",
+    ),
+    "supplier": CdcRecipe(
+        table="supplier",
+        columns=("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+        key_cols=("s_suppkey",),
+        key_num_sql="s_suppkey",
+        perturb_col="s_acctbal",
+    ),
+}
+
+N_BATCHES = 4  # batch ids 0..3
+
+
+def _seq(expr_block: int) -> str:
+    return f"lpad(cast({expr_block} + __rid as string), {SEQ_WIDTH}, '0')"
+
+
+def _cols(recipe: CdcRecipe, perturb_delta: float | None) -> str:
+    out = []
+    for c in recipe.columns:
+        if perturb_delta is not None and c == recipe.perturb_col:
+            out.append(f"{c} + {perturb_delta:.1f} AS {c}")
+        else:
+            out.append(c)
+    return ", ".join(out)
+
+
+def _src_cte(recipe: CdcRecipe, t: str) -> str:
+    """Base relation with a deterministic per-row id (see module doc)."""
+    order = ", ".join(f"{c} NULLS FIRST" for c in recipe.columns)
+    return (
+        f"WITH src AS (SELECT *, row_number() OVER (ORDER BY {order}) "
+        f"AS __rid FROM {t})"
+    )
+
+
+def batch_sql(recipe: CdcRecipe, batch_id: int, src: str | None = None) -> str:
+    """SQL producing CDC batch ``batch_id`` from the base table.
+
+    Identical text runs on Spark (base table as temp view) and DuckDB
+    (base table as registered view). ``src`` overrides the FROM relation
+    (used when the base table is registered under a scratch view name).
+    """
+    t, k = src or recipe.table, recipe.key_num_sql
+    cte = _src_cte(recipe, t)
+    if batch_id == 0:
+        return (
+            f"{cte} SELECT {_cols(recipe, None)}, {_seq(0)} AS trx_seq, "
+            f"false AS _hoodie_is_deleted FROM src"
+        )
+    if batch_id == 1:
+        first = (
+            f"SELECT {_cols(recipe, 1000.0)}, {_seq(1 * _BLOCK)} AS trx_seq, "
+            f"false AS _hoodie_is_deleted FROM src WHERE ({k}) % 10 = 3"
+        )
+        second = (
+            f"SELECT {_cols(recipe, 2222.0)}, "
+            f"{_seq(1 * _BLOCK + _BLOCK // 2)} AS trx_seq, "
+            f"false AS _hoodie_is_deleted FROM src WHERE ({k}) % 100 = 3"
+        )
+        return f"{cte} {first} UNION ALL {second}"
+    if batch_id == 2:
+        return (
+            f"{cte} SELECT {_cols(recipe, None)}, {_seq(2 * _BLOCK)} AS trx_seq, "
+            f"true AS _hoodie_is_deleted FROM src WHERE ({k}) % 10 = 7"
+        )
+    if batch_id == 3:
+        return (
+            f"{cte} SELECT {_cols(recipe, 5000.0)}, {_seq(3 * _BLOCK)} AS trx_seq, "
+            f"false AS _hoodie_is_deleted FROM src WHERE ({k}) % 20 = 7"
+        )
+    raise ValueError(f"batch_id must be 0..{N_BATCHES - 1}")
+
+
+def stream_sql(recipe: CdcRecipe, upto_batch: int = N_BATCHES - 1) -> str:
+    """UNION ALL of batches 0..upto_batch — the full change log."""
+    return " UNION ALL ".join(
+        f"({batch_sql(recipe, b)})" for b in range(upto_batch + 1)
+    )
+
+
+def replay_sql(recipe: CdcRecipe, upto_batch: int = N_BATCHES - 1) -> str:
+    """Ground-truth state after replaying batches 0..upto_batch.
+
+    Naive replay per FIXTURES.md §3: per record key keep the row with the
+    lexicographically max ``trx_seq``, then drop deleted rows. This is the
+    oracle for the engine's D4+D5+D6 merge.
+    """
+    keys = ", ".join(recipe.key_cols)
+    cols = ", ".join(recipe.columns)
+    return (
+        f"SELECT {cols}, trx_seq FROM ("
+        f"  SELECT *, row_number() OVER ("
+        f"    PARTITION BY {keys} ORDER BY trx_seq DESC) AS rn"
+        f"  FROM ({stream_sql(recipe, upto_batch)}) AS cdc_stream"
+        f") AS ranked WHERE rn = 1 AND NOT _hoodie_is_deleted"
+    )
+
+
+def generate_batch(
+    spark: "SparkSession", sf_dir: str | Path, recipe: CdcRecipe, batch_id: int
+) -> "DataFrame":
+    """Materialize one CDC batch from the base parquet table."""
+    base = spark.read.parquet(str(Path(sf_dir) / f"{recipe.table}.parquet"))
+    view = f"__cdc_base_{recipe.table}"
+    base.createOrReplaceTempView(view)
+    return spark.sql(batch_sql(recipe, batch_id, src=view))
+
+
+def write_raw_batch(
+    spark: "SparkSession",
+    sf_dir: str | Path,
+    recipe: CdcRecipe,
+    batch_id: int,
+    raw_root: str | Path,
+    identifier: str,
+    schema: str = "public",
+) -> Path:
+    """Land one CDC batch in the DMS raw layout (D3 -> D1 input).
+
+    Layout ``<raw>/<identifier>/<schema>/<table>/<batch-dir>/*.parquet``
+    (reference landing tree, ``templates/aws-dms-to-hudi.yaml:266``);
+    batch dirs are zero-padded so the source watermark (lexicographic
+    path order, see sources.parquet_dfs) equals arrival order.
+    """
+    df = generate_batch(spark, sf_dir, recipe, batch_id)
+    out = Path(raw_root) / identifier / schema / recipe.table / f"batch-{batch_id:05d}"
+    df.write.mode("overwrite").parquet(str(out))
+    return out

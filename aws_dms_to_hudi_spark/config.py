@@ -1,0 +1,168 @@
+"""Config model: pipeline + table configs and validation.
+
+Mirrors the reference's config-table semantics (C1/C2/C5 in SURVEY.md §2.2):
+
+- config items keyed ``(identifier, config)`` with two kinds:
+  ``pipeline::<type>`` and ``table::<schema.table>``
+  (reference ``docs/config_table.md:9-18,44-97``);
+- pipeline-type whitelist {hudi_bulk_insert, hudi_delta,
+  hudi_delta_continuous} with a ValueError on anything else
+  (``src/lambdas/launch_hudi/handler.py:28``);
+- int coercion of step_parallelism / worker count (``handler.py:34-35``);
+- table field names as the *code* reads them — ``record_key`` /
+  ``source_ordering_field`` (``handler.py:67-68``), not the doc's
+  ``primary_key``/``watermark``;
+- disabled tables are skipped at plan time (``handler.py:175-177``);
+- an empty plan raises (``handler.py:185-186``).
+
+Storage here is a plain JSON document (list of items, same shapes as
+``example-configs.json``) instead of DynamoDB.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+SUPPORTED_PIPELINE_TYPES = (
+    "hudi_bulk_insert",
+    "hudi_delta",
+    "hudi_delta_continuous",
+)
+
+COPY_ON_WRITE = "COPY_ON_WRITE"
+MERGE_ON_READ = "MERGE_ON_READ"
+
+
+@dataclass
+class TableConfig:
+    """One ``table::<schema.table>`` item (docs/config_table.md:74-97)."""
+
+    name: str  # "<schema>.<table>"
+    record_key: list[str]  # 1..n key columns (handler.py:67, comma-separated)
+    source_ordering_field: str = "trx_seq"  # precombine field (handler.py:68)
+    is_partitioned: bool = False
+    partition_path: str | None = None  # handler.py:103
+    table_type: str = COPY_ON_WRITE  # handler.py:112-113
+    transformer_sql: str | None = None  # handler.py:115-116
+    enabled: bool = True  # handler.py:130,175-177
+    spark_conf: dict[str, dict[str, str]] = field(default_factory=dict)
+    # `op` override mirrors handler.py:159-160
+    op: str | None = None
+
+    def __post_init__(self) -> None:
+        if not self.record_key:
+            raise ValueError(f"table {self.name}: record_key must be non-empty")
+        if self.is_partitioned and not self.partition_path:
+            raise ValueError(
+                f"table {self.name}: is_partitioned requires partition_path"
+            )
+        if self.table_type not in (COPY_ON_WRITE, MERGE_ON_READ):
+            raise ValueError(
+                f"table {self.name}: unsupported table_type {self.table_type}"
+            )
+
+    @property
+    def is_complex_key(self) -> bool:
+        """ComplexKeyGenerator iff arity > 1 (handler.py:105-108)."""
+        return len(self.record_key) > 1
+
+    @classmethod
+    def from_item(cls, item: dict[str, Any]) -> "TableConfig":
+        """Parse one raw ``table::...`` config item (example-configs.json shape)."""
+        name = item["config"].split("::", 1)[-1]
+        hudi = item["hudi_config"]
+        record_key = [c.strip() for c in str(hudi["record_key"]).split(",") if c.strip()]
+        return cls(
+            name=name,
+            record_key=record_key,
+            source_ordering_field=hudi.get("source_ordering_field", "trx_seq"),
+            is_partitioned=bool(hudi.get("is_partitioned", False)),
+            partition_path=hudi.get("partition_path"),
+            table_type=hudi.get("table_type", COPY_ON_WRITE),
+            transformer_sql=hudi.get("transformer_sql"),
+            enabled=bool(item.get("enabled", False)),
+            spark_conf=item.get("spark_conf", {}),
+            op=hudi.get("op"),
+        )
+
+
+@dataclass
+class PipelineConfig:
+    """One ``pipeline::<type>`` item (docs/config_table.md:44-63).
+
+    EMR fleet shape collapses to driver-side knobs in the Spark-native
+    engine; ``step_parallelism`` survives as the merge-job thread-pool width
+    (emr1.json:28 StepConcurrencyLevel).
+    """
+
+    pipeline_type: str
+    step_parallelism: int = 1
+    worker_count: int = 0  # informational (cluster sizing lives outside local mode)
+    maximize_resource_allocation: bool = False
+    next_pipeline: str | None = None  # chaining, emr1.json:256-296
+    raw: dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_item(cls, item: dict[str, Any]) -> "PipelineConfig":
+        emr = item.get("emr_config", {})
+        nxt = item.get("next_pipeline", {})
+        return cls(
+            pipeline_type=item["config"].split("::", 1)[-1],
+            # int coercion mirrors handler.py:34-35
+            step_parallelism=int(emr.get("step_parallelism", 1)),
+            worker_count=int(emr.get("worker", {}).get("count", 0)),
+            maximize_resource_allocation=str(
+                emr.get("maximize_resource_allocation", "false")
+            ).lower()
+            == "true",
+            next_pipeline=(nxt.get("pipeline_type") if nxt.get("enabled") else None),
+            raw=item,
+        )
+
+
+@dataclass
+class EngineConfigs:
+    """munge_configs output: {PipelineConfig, StepConfigs} (handler.py:21-42)."""
+
+    pipeline: PipelineConfig
+    tables: dict[str, TableConfig]
+
+
+def munge_configs(items: list[dict[str, Any]], pipeline_type: str) -> EngineConfigs:
+    """Split raw config items into pipeline vs table configs.
+
+    Behavior-parity port of ``handler.py:21-42``: unsupported pipeline type
+    raises ValueError; ``pipeline::<other-type>`` items are ignored; every
+    ``table::*`` item becomes a step config.
+    """
+    if pipeline_type not in SUPPORTED_PIPELINE_TYPES:
+        raise ValueError(f"Operation {pipeline_type} not yet supported.")
+
+    pipeline: PipelineConfig | None = None
+    tables: dict[str, TableConfig] = {}
+    for item in items:
+        kind = item.get("config", "")
+        if kind == f"pipeline::{pipeline_type}":
+            pipeline = PipelineConfig.from_item(item)
+        elif kind.startswith("table::"):
+            tc = TableConfig.from_item(item)
+            tables[tc.name] = tc
+    if pipeline is None:
+        pipeline = PipelineConfig(pipeline_type=pipeline_type)
+    else:
+        pipeline.pipeline_type = pipeline_type
+    return EngineConfigs(pipeline=pipeline, tables=tables)
+
+
+def load_configs(path: str | Path, pipeline_type: str) -> EngineConfigs:
+    """Read config items from a JSON file (the engine's 'DynamoDB')."""
+    items = json.loads(Path(path).read_text())
+    return munge_configs(items, pipeline_type)
+
+
+def write_configs(items: list[dict[str, Any]], path: str | Path) -> None:
+    """Config writer (C12, ``deploy_pipeline_configs/handler.py:13-21``)."""
+    Path(path).write_text(json.dumps(items, indent=2))

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the engine.
+
+The reference pins Kryo serialization (``src/stepfunctions/emr1.json:96``)
+and per-table spark_conf passthrough
+(``src/lambdas/launch_hudi/handler.py:134-136``). We additionally enable AQE
+(adaptive re-planning, skew-join handling, partition coalescing) which at
+100 TB replaces most hand-tuned shuffle sizing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] test harness; on a real cluster the
+# caller overrides master/memory and the AQE settings still apply.
+_DEFAULTS = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.parquet.compression.codec": "snappy",
+    # CDC envelope timestamps are millisecond precision
+    # (templates/aws-dms-to-hudi.yaml:48); keep parquet physical type stable.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+}
+
+
+def get_spark(
+    app_name: str = "aws_dms_to_hudi_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``extra_conf`` mirrors the reference's per-pipeline ``spark_conf``
+    passthrough (handler.py:134-136) — caller-supplied keys win.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

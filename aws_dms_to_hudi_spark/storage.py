@@ -1,0 +1,477 @@
+"""Curated table storage: multi-versioned keyed parquet tables.
+
+This is the engine's stand-in for a Hudi table (SURVEY.md §1.1 Layer B):
+row-keyed, columnar-stored, multi-versioned, with a commit timeline.
+
+Layout under ``<lake_root>/<table_name>/``::
+
+    _commits/00000001.json      commit manifest (written LAST, atomically)
+    _commits/_archived.json     trimmed timeline entries (D14)
+    v00000001/                  snapshot data (hive-partitioned if configured)
+    v00000002/l_returnflag=A/   COW: only touched partitions are rewritten;
+                                the manifest maps partition -> newest dir
+    v00000003_delta/            MOR: appended delta log (compacted later)
+
+Commit manifest fields::
+
+    {"version": 3, "operation": "upsert", "parent": 2,
+     "data": {"l_returnflag=A": "v00000003/l_returnflag=A", ...}
+              (unpartitioned: {"": "v00000003"}),
+     "deltas": ["v00000004_delta", ...],     # MOR only
+     "checkpoint": {...},                     # source position (D2)
+     "ts": "..."}
+
+Crash safety (SURVEY.md §7.3): data dirs are written first, the manifest
+rename is the commit point, and the manifest carries the source checkpoint —
+so table state and checkpoint commit atomically together; a re-run after a
+crash re-reads the same source files and the idempotent merge (see
+operators.merge) converges to the same state.
+
+Scale design:
+
+- **COW partitioned upsert rewrites only touched partitions.** The batch's
+  distinct partition values are collected (a few values, not data), the
+  current state is pruned to those partitions before the merge shuffle, and
+  unchanged partitions are carried forward by manifest reference — zero
+  data movement. This mirrors Hudi's partition-scoped (non-global) index:
+  a record key is resolved within its partition path.
+- **MOR** (``hoodie.compact.inline`` for MERGE_ON_READ tables,
+  ``handler.py:112-113``): writes append a precombined delta dir (cheap,
+  no table-size-dependent work) and reads merge base ∪ deltas on the fly;
+  inline compaction folds deltas back into base snapshots.
+- Version GC (D13, ``cleaner.commits.retained=5`` ``handler.py:90-91``) and
+  timeline archival (D14, keep 10..15 ``handler.py:92-93``) bound storage
+  and metadata growth.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from aws_dms_to_hudi_spark.config import MERGE_ON_READ, TableConfig
+from aws_dms_to_hudi_spark.operators.merge import precombine, upsert_merge
+
+COMMITS_DIR = "_commits"
+ARCHIVE_FILE = "_archived.json"
+
+
+@dataclass
+class Commit:
+    version: int
+    operation: str
+    data: dict[str, str]  # partition rel-path ("" for unpartitioned) -> data dir
+    deltas: list[str] = field(default_factory=list)
+    checkpoint: dict[str, Any] = field(default_factory=dict)
+    parent: int | None = None
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "operation": self.operation,
+                "data": self.data,
+                "deltas": self.deltas,
+                "checkpoint": self.checkpoint,
+                "parent": self.parent,
+            },
+            indent=1,
+        )
+
+    @classmethod
+    def from_json(cls, text: str) -> "Commit":
+        d = json.loads(text)
+        return cls(
+            version=d["version"],
+            operation=d["operation"],
+            data=d["data"],
+            deltas=d.get("deltas", []),
+            checkpoint=d.get("checkpoint", {}),
+            parent=d.get("parent"),
+        )
+
+
+class CuratedTable:
+    """One keyed, versioned table in the curated lake."""
+
+    def __init__(self, spark: SparkSession, root: str | Path, config: TableConfig):
+        self.spark = spark
+        self.root = Path(root)
+        self.config = config
+        (self.root / COMMITS_DIR).mkdir(parents=True, exist_ok=True)
+
+    # ---------- timeline ----------
+
+    def commits(self) -> list[Commit]:
+        cdir = self.root / COMMITS_DIR
+        out = []
+        for p in sorted(cdir.glob("[0-9]*.json")):
+            out.append(Commit.from_json(p.read_text()))
+        return out
+
+    def latest_commit(self) -> Commit | None:
+        commits = self.commits()
+        return commits[-1] if commits else None
+
+    def checkpoint(self) -> dict[str, Any]:
+        c = self.latest_commit()
+        return c.checkpoint if c else {}
+
+    def _write_commit(self, commit: Commit) -> None:
+        """Atomic commit point: temp file + rename within _commits/."""
+        cdir = self.root / COMMITS_DIR
+        fd, tmp = tempfile.mkstemp(dir=cdir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(commit.to_json())
+        os.replace(tmp, cdir / f"{commit.version:08d}.json")
+
+    # ---------- read path ----------
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Current (or historical) state as a DataFrame.
+
+        COW: union of the manifest's partition dirs. MOR: base ∪ deltas with
+        merge-on-read precombine so readers always see merged state.
+        """
+        commit = self._commit_at(version)
+        if commit is None:
+            return None
+        base = self._read_dirs(list(commit.data.values()))
+        if not commit.deltas:
+            return base
+        deltas = self._read_dirs(commit.deltas)
+        merged = upsert_merge(
+            base,
+            deltas,
+            self.config.record_key,
+            self.config.source_ordering_field,
+        )
+        return merged
+
+    def _commit_at(self, version: int | None) -> Commit | None:
+        commits = self.commits()
+        if not commits:
+            return None
+        if version is None:
+            return commits[-1]
+        for c in commits:
+            if c.version == version:
+                return c
+        raise ValueError(f"version {version} not on timeline (cleaned?)")
+
+    def _read_dirs(self, rel_dirs: list[str]) -> DataFrame | None:
+        if not rel_dirs:
+            return None
+        paths = [str(self.root / d) for d in rel_dirs]
+        reader = self.spark.read
+        if self.config.is_partitioned:
+            # basePath keeps hive-style partition columns when reading
+            # individual partition dirs.
+            reader = reader.option("basePath", str(self.root / _version_of(rel_dirs[0])))
+            # Partition dirs from different versions need per-version reads.
+            by_version: dict[str, list[str]] = {}
+            for d in rel_dirs:
+                by_version.setdefault(_version_of(d), []).append(str(self.root / d))
+            dfs = []
+            for ver, ps in by_version.items():
+                dfs.append(
+                    self.spark.read.option("basePath", str(self.root / ver)).parquet(*ps)
+                )
+            df = dfs[0]
+            for other in dfs[1:]:
+                df = df.unionByName(other, allowMissingColumns=True)
+            return df
+        return reader.parquet(*paths)
+
+    # ---------- write path ----------
+
+    def bulk_insert(
+        self, df: DataFrame, checkpoint: dict[str, Any] | None = None
+    ) -> Commit:
+        """Initial load (D7): partition-sorted bulk write.
+
+        ``PARTITION_SORT`` (``handler.py:87``): rows are clustered by
+        partition then sorted by record key within each output file —
+        repartition on the partition column + sortWithinPartitions(keys)
+        gives exactly that layout with one shuffle.
+        """
+        version = self._next_version()
+        vdir = f"v{version:08d}"
+        cfg = self.config
+        df = precombine(df, cfg.record_key, cfg.source_ordering_field)
+        from aws_dms_to_hudi_spark.operators.merge import apply_deletes
+
+        df = apply_deletes(df)
+        if cfg.is_partitioned:
+            out = df.repartition(F.col(cfg.partition_path)).sortWithinPartitions(
+                *cfg.record_key
+            )
+            out.write.mode("overwrite").partitionBy(cfg.partition_path).parquet(
+                str(self.root / vdir)
+            )
+            data = self._scan_partition_dirs(vdir)
+        else:
+            out = df.sortWithinPartitions(*cfg.record_key)
+            out.write.mode("overwrite").parquet(str(self.root / vdir))
+            data = {"": vdir}
+        commit = Commit(
+            version=version,
+            operation="bulk_insert",
+            data=data,
+            checkpoint=checkpoint or {},
+            parent=None,
+        )
+        self._write_commit(commit)
+        return commit
+
+    def upsert(
+        self, batch: DataFrame, checkpoint: dict[str, Any] | None = None
+    ) -> Commit:
+        """Merge one CDC batch (D4+D5+D6) into a new table version.
+
+        COW: partition-pruned rewrite (only partitions present in the batch
+        shuffle/rewrite; the rest carry forward by reference).
+        MOR: append a precombined delta dir; merge happens at read/compact.
+        """
+        cfg = self.config
+        prev = self.latest_commit()
+        if prev is None:
+            return self.bulk_insert(batch, checkpoint)
+        version = self._next_version()
+
+        if cfg.table_type == MERGE_ON_READ:
+            return self._append_delta(batch, version, prev, checkpoint)
+
+        vdir = f"v{version:08d}"
+        if cfg.is_partitioned:
+            # Prune both sides to the touched partitions: collect the
+            # batch's distinct partition values (small driver-side list of
+            # VALUES, not rows) and rewrite only those partitions.
+            pcol = cfg.partition_path
+            touched = [
+                r[0]
+                for r in batch.select(pcol).distinct().collect()
+            ]
+            prev_dirs = dict(prev.data)
+            touched_rels = [
+                prev_dirs[k]
+                for k in (_pdir(pcol, v) for v in touched)
+                if k in prev_dirs
+            ]
+            existing = self._read_dirs(touched_rels) if touched_rels else None
+            merged = upsert_merge(
+                existing, batch, cfg.record_key, cfg.source_ordering_field
+            )
+            (
+                merged.repartition(F.col(pcol))
+                .sortWithinPartitions(*cfg.record_key)
+                .write.mode("overwrite")
+                .partitionBy(pcol)
+                .parquet(str(self.root / vdir))
+            )
+            new_data = dict(prev_dirs)
+            # Drop carried-forward entries for touched partitions (a
+            # partition whose every key was deleted must disappear).
+            for v in touched:
+                new_data.pop(_pdir(pcol, v), None)
+            new_data.update(self._scan_partition_dirs(vdir))
+        else:
+            existing = self._read_dirs(list(prev.data.values()))
+            merged = upsert_merge(
+                existing, batch, cfg.record_key, cfg.source_ordering_field
+            )
+            merged.sortWithinPartitions(*cfg.record_key).write.mode(
+                "overwrite"
+            ).parquet(str(self.root / vdir))
+            new_data = {"": vdir}
+
+        commit = Commit(
+            version=version,
+            operation="upsert",
+            data=new_data,
+            checkpoint=checkpoint or {},
+            parent=prev.version,
+        )
+        self._write_commit(commit)
+        return commit
+
+    def _append_delta(
+        self,
+        batch: DataFrame,
+        version: int,
+        prev: Commit,
+        checkpoint: dict[str, Any] | None,
+    ) -> Commit:
+        """MOR write path (D12 counterpart): cheap append of a delta log."""
+        cfg = self.config
+        ddir = f"v{version:08d}_delta"
+        deduped = precombine(batch, cfg.record_key, cfg.source_ordering_field)
+        deduped.write.mode("overwrite").parquet(str(self.root / ddir))
+        commit = Commit(
+            version=version,
+            operation="delta_commit",
+            data=dict(prev.data),
+            deltas=[*prev.deltas, ddir],
+            checkpoint=checkpoint or {},
+            parent=prev.version,
+        )
+        self._write_commit(commit)
+        return commit
+
+    # ---------- table services ----------
+
+    def compact(self) -> Commit | None:
+        """MOR inline compaction (D12): fold deltas into a new base snapshot."""
+        prev = self.latest_commit()
+        if prev is None or not prev.deltas:
+            return None
+        merged = self.read()
+        version = self._next_version()
+        vdir = f"v{version:08d}"
+        cfg = self.config
+        if cfg.is_partitioned:
+            (
+                merged.repartition(F.col(cfg.partition_path))
+                .sortWithinPartitions(*cfg.record_key)
+                .write.mode("overwrite")
+                .partitionBy(cfg.partition_path)
+                .parquet(str(self.root / vdir))
+            )
+            data = self._scan_partition_dirs(vdir)
+        else:
+            merged.sortWithinPartitions(*cfg.record_key).write.mode(
+                "overwrite"
+            ).parquet(str(self.root / vdir))
+            data = {"": vdir}
+        commit = Commit(
+            version=version,
+            operation="compaction",
+            data=data,
+            deltas=[],
+            checkpoint=prev.checkpoint,
+            parent=prev.version,
+        )
+        self._write_commit(commit)
+        return commit
+
+    def clean(self, retained_commits: int = 5) -> list[str]:
+        """Version GC (D13, ``cleaner.commits.retained=5`` handler.py:90-91).
+
+        Deletes data dirs referenced ONLY by commits older than the newest
+        ``retained_commits``. Manifests stay (archival trims them).
+        """
+        commits = self.commits()
+        if len(commits) <= retained_commits:
+            return []
+        live, old = commits[-retained_commits:], commits[:-retained_commits]
+        live_dirs: set[str] = set()
+        for c in live:
+            live_dirs.update(_version_of(d) for d in c.data.values())
+            live_dirs.update(_version_of(d) for d in c.deltas)
+        removed = []
+        for c in old:
+            for d in [*c.data.values(), *c.deltas]:
+                ver = _version_of(d)
+                target = self.root / ver
+                if ver not in live_dirs and target.exists():
+                    shutil.rmtree(target)
+                    removed.append(ver)
+        return removed
+
+    def archive(self, keep_min: int = 10, keep_max: int = 15) -> int:
+        """Timeline trim (D14, ``keep.min/max.commits`` handler.py:92-93).
+
+        When the active timeline exceeds ``keep_max`` commits, move the
+        oldest entries into ``_archived.json`` until ``keep_min`` remain.
+        """
+        cdir = self.root / COMMITS_DIR
+        files = sorted(cdir.glob("[0-9]*.json"))
+        if len(files) <= keep_max:
+            return 0
+        to_archive = files[: len(files) - keep_min]
+        apath = cdir / ARCHIVE_FILE
+        archived = json.loads(apath.read_text()) if apath.exists() else []
+        for p in to_archive:
+            archived.append(json.loads(p.read_text()))
+            p.unlink()
+        apath.write_text(json.dumps(archived))
+        return len(to_archive)
+
+    def cluster(self, target_partitions: int | None = None) -> Commit | None:
+        """Clustering rewrite (D15, ``clustering.inline`` handler.py:73,81).
+
+        Rewrites the current snapshot coalesced + key-sorted to fix small
+        files from frequent delta commits. At 100 TB this is the service
+        that keeps scan parallelism aligned with file sizes.
+        """
+        prev = self.latest_commit()
+        if prev is None:
+            return None
+        df = self.read()
+        version = self._next_version()
+        vdir = f"v{version:08d}"
+        cfg = self.config
+        if cfg.is_partitioned:
+            out = df.repartition(F.col(cfg.partition_path)).sortWithinPartitions(
+                *cfg.record_key
+            )
+            out.write.mode("overwrite").partitionBy(cfg.partition_path).parquet(
+                str(self.root / vdir)
+            )
+            data = self._scan_partition_dirs(vdir)
+        else:
+            n = target_partitions or max(
+                1, self.spark.sparkContext.defaultParallelism // 4
+            )
+            out = df.repartitionByRange(n, *cfg.record_key).sortWithinPartitions(
+                *cfg.record_key
+            )
+            out.write.mode("overwrite").parquet(str(self.root / vdir))
+            data = {"": vdir}
+        commit = Commit(
+            version=version,
+            operation="clustering",
+            data=data,
+            deltas=list(prev.deltas),
+            checkpoint=prev.checkpoint,
+            parent=prev.version,
+        )
+        self._write_commit(commit)
+        return commit
+
+    # ---------- helpers ----------
+
+    def _next_version(self) -> int:
+        c = self.latest_commit()
+        return (c.version + 1) if c else 1
+
+    def _scan_partition_dirs(self, vdir: str) -> dict[str, str]:
+        """Map hive-style partition dirs written under a version dir."""
+        base = self.root / vdir
+        out = {}
+        for child in sorted(base.iterdir()):
+            if child.is_dir() and "=" in child.name:
+                out[child.name] = f"{vdir}/{child.name}"
+        if not out:
+            out[""] = vdir
+        return out
+
+
+def _version_of(rel_dir: str) -> str:
+    """'v00000002/l_returnflag=A' -> 'v00000002'."""
+    return rel_dir.split("/", 1)[0]
+
+
+def _pdir(pcol: str, value: Any) -> str:
+    """Hive-style partition dir name for a value (Spark's default escaping
+    is not replicated here; engine restricts partition columns to simple
+    string/number values, which covers the reference's usage)."""
+    return f"{pcol}={value}"

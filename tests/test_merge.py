@@ -1,0 +1,133 @@
+"""Merge-core semantics (D4-D6) on hand-built micro-batches."""
+
+from pyspark.sql import Row
+
+from aws_dms_to_hudi_spark.operators.merge import (
+    apply_deletes,
+    precombine,
+    upsert_merge,
+)
+
+
+SCHEMA = "k int, v string, trx_seq string, _hoodie_is_deleted boolean"
+
+
+def seq(n: int) -> str:
+    return str(n).zfill(50)
+
+
+def row(k, v, s, deleted=False):
+    return Row(k=k, v=v, trx_seq=seq(s), _hoodie_is_deleted=deleted)
+
+
+def mkdf(spark, rows):
+    return spark.createDataFrame(rows, schema=SCHEMA)
+
+
+def by_key(df):
+    return {r["k"]: r for r in df.collect()}
+
+
+def test_precombine_keeps_max_trx_seq(spark):
+    batch = mkdf(
+        spark,
+        [row(1, "a", 10), row(1, "b", 30), row(1, "c", 20), row(2, "x", 5)]
+    )
+    out = by_key(precombine(batch, ["k"], "trx_seq"))
+    assert out[1]["v"] == "b"
+    assert out[2]["v"] == "x"
+
+
+def test_precombine_is_lexicographic_not_numeric(spark):
+    # SURVEY.md §7.3: trx_seq compares as a string. With zero-padded
+    # fixtures string order == numeric order; an unpadded '9' would beat
+    # '10' — assert we use plain string order on the raw column.
+    batch = spark.createDataFrame(
+        [
+            Row(k=1, v="short", trx_seq="9", _hoodie_is_deleted=False),
+            Row(k=1, v="long", trx_seq="10", _hoodie_is_deleted=False),
+        ]
+    )
+    out = by_key(precombine(batch, ["k"], "trx_seq"))
+    assert out[1]["v"] == "short"
+
+
+def test_upsert_insert_update_delete(spark):
+    existing = mkdf(spark, [row(1, "old", 1), row(2, "keep", 2), row(3, "gone", 3)])
+    batch = mkdf(
+        spark,
+        [
+            row(1, "new", 10),  # update
+            row(3, None, 11, deleted=True),  # delete
+            row(4, "fresh", 12),  # insert
+        ],
+    )
+    out = by_key(upsert_merge(existing, batch, ["k"], "trx_seq"))
+    assert set(out) == {1, 2, 4}
+    assert out[1]["v"] == "new"
+    assert out[2]["v"] == "keep"
+    assert out[4]["v"] == "fresh"
+
+
+def test_stale_update_loses_to_stored_row(spark):
+    # A change arriving late (older trx_seq than stored) must not win.
+    existing = mkdf(spark, [row(1, "current", 20)])
+    batch = mkdf(spark, [row(1, "stale", 10)])
+    out = by_key(upsert_merge(existing, batch, ["k"], "trx_seq"))
+    assert out[1]["v"] == "current"
+
+
+def test_stale_delete_does_not_remove_newer_row(spark):
+    existing = mkdf(spark, [row(1, "current", 20)])
+    batch = mkdf(spark, [row(1, None, 10, deleted=True)])
+    out = by_key(upsert_merge(existing, batch, ["k"], "trx_seq"))
+    assert out[1]["v"] == "current"
+
+
+def test_delete_then_reinsert_in_one_batch(spark):
+    existing = mkdf(spark, [row(1, "v0", 1)])
+    batch = mkdf(
+        spark,
+        [row(1, None, 10, deleted=True), row(1, "v2", 11)]
+    )
+    out = by_key(upsert_merge(existing, batch, ["k"], "trx_seq"))
+    assert out[1]["v"] == "v2"
+
+
+def test_reinsert_then_late_delete_in_one_batch(spark):
+    existing = mkdf(spark, [row(1, "v0", 1)])
+    batch = mkdf(
+        spark,
+        [row(1, "v2", 10), row(1, None, 11, deleted=True)]
+    )
+    out = upsert_merge(existing, batch, ["k"], "trx_seq")
+    assert out.count() == 0
+
+
+def test_merge_is_idempotent_on_replay(spark):
+    existing = mkdf(spark, [row(1, "old", 1), row(2, "keep", 2)])
+    batch = mkdf(spark, [row(1, "new", 10), row(3, "ins", 11)])
+    once = upsert_merge(existing, batch, ["k"], "trx_seq")
+    twice = upsert_merge(once, batch, ["k"], "trx_seq")
+    assert sorted(by_key(once)) == sorted(by_key(twice))
+    assert by_key(twice)[1]["v"] == "new"
+
+
+def test_composite_key_merge(spark):
+    existing = spark.createDataFrame(
+        [Row(a=1, b=1, v="x", trx_seq=seq(1), _hoodie_is_deleted=False)]
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(a=1, b=1, v="y", trx_seq=seq(10), _hoodie_is_deleted=False),
+            Row(a=1, b=2, v="z", trx_seq=seq(11), _hoodie_is_deleted=False),
+        ]
+    )
+    out = {(r["a"], r["b"]): r for r in upsert_merge(existing, batch, ["a", "b"], "trx_seq").collect()}
+    assert out[(1, 1)]["v"] == "y"
+    assert out[(1, 2)]["v"] == "z"
+
+
+def test_apply_deletes_noop_without_column(spark):
+    df = spark.createDataFrame([Row(k=1, v="a")])
+    assert apply_deletes(df).count() == 1
