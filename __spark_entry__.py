@@ -1,38 +1,392 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship CDC merge on sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2 / §5.3).
+``oracle_sql()`` — DuckDB-equivalent SQL per query key.
+
+Determinism rules used throughout (so Spark and DuckDB hash-match):
+
+- floating-point SUMs go through per-row ``CAST(expr AS DECIMAL(18,4))``
+  then an exact decimal SUM, then one final cast to DOUBLE — decimal
+  addition is associative, so partial-aggregation order can't change the
+  result (raw double sums differ between engines by accumulation order);
+- every computed column is aliased identically on both sides;
+- LIMIT queries order by a unique key suffix so the cut is deterministic;
+- NULLS FIRST is pinned explicitly (Spark and DuckDB defaults differ).
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from aws_dms_to_hudi_spark import cdc
+from aws_dms_to_hudi_spark.config import TableConfig
+from aws_dms_to_hudi_spark.operators.merge import precombine, upsert_merge
+from aws_dms_to_hudi_spark.operators.transformer import apply_transformer_sql
+from aws_dms_to_hudi_spark.storage import CuratedTable
+
+DEC = "decimal(18,4)"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _events(spark, sf_dir)
+    return spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; read it as raw int64 nanos and integer-divide to
+    micros (float division would lose precision above 2^53)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(str(Path(sf_dir) / "events.parquet"))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _dsum(col, alias: str):
+    """Order-independent SUM: exact decimal accumulation, double result."""
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Q1-Q15 (SURVEY.md §5.3)
+# ---------------------------------------------------------------------------
+
+
+def q01_scan_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 scan + projection + pushed-down filter."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.05)
+        .select("l_orderkey", "l_quantity")
+    )
+
+
+def q02_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter + groupBy + multi-agg (partial agg is
+    map-side automatically; 2-col group key keeps the shuffle tiny)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "sum_revenue"
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q03_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with an explicitly broadcast dimension (25-row nation)."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("num_customers"))
+        .orderBy("n_name")
+    )
+
+
+def q04_multi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation ⋈ region; dims broadcast, fact streams."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(_dsum(F.col("o_totalprice"), "total_sales"))
+        .orderBy("r_name")
+    )
+
+
+def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers without orders (left_anti == NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count("*").alias("num_no_orders"))
+    )
+
+
+def q06_cdc_precombine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 window dedup over the full orders CDC stream."""
+    rec = cdc.RECIPES["orders"]
+    base = _t(spark, sf_dir, "orders")
+    base.createOrReplaceTempView("__q06_orders")
+    stream = spark.sql(cdc.stream_sql(rec, src="__q06_orders"))
+    winners = precombine(stream, list(rec.key_cols), "trx_seq")
+    return winners.select(
+        "o_orderkey", "o_totalprice", "trx_seq", "_hoodie_is_deleted"
+    )
+
+
+def q07_cdc_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4+D5+D6: sequential per-batch upsert merge of the orders CDC
+    stream; final state must equal the naive replay oracle."""
+    rec = cdc.RECIPES["orders"]
+    base = _t(spark, sf_dir, "orders")
+    base.createOrReplaceTempView("__q07_orders")
+    state: DataFrame | None = None
+    for b in range(cdc.N_BATCHES):
+        batch = spark.sql(cdc.batch_sql(rec, b, src="__q07_orders"))
+        state = upsert_merge(state, batch, list(rec.key_cols), "trx_seq")
+    return state.select(*rec.columns, "trx_seq")
+
+
+def q08_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... LIMIT k (Spark plans TakeOrderedAndProject — no full
+    sort, per-partition top-k then driver-side merge)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_totalprice", "o_orderkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q09_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o).orderBy("custkey").limit(100)
+
+
+def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("num_orders"))
+        .orderBy(
+            F.asc_nulls_first("o_orderpriority"),
+            F.asc_nulls_first("o_orderstatus"),
+            F.asc("num_orders"),
+        )
+    )
+
+
+def q11_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math/conditional scalar functions (§2.3); o_orderkey
+    appended to make the LIMIT cut deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.upper(F.substring("c_name", 1, 5)).alias("name_prefix"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.round("o_totalprice", 0).alias("price_rounded"),
+            F.when(F.col("o_totalprice") > 100000, "big")
+            .otherwise("small")
+            .alias("size_class"),
+            "o_orderkey",
+        )
+        .orderBy("name_prefix", "order_year", "price_rounded", "size_class", "o_orderkey")
+        .limit(500)
+    )
+
+
+def q12_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "orders").agg(
+        F.countDistinct("o_custkey").alias("num_customers")
+    )
+
+
+def q12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). No SQL oracle — DuckDB's approx HLL
+    gives a different estimate by construction; driver does rows-only."""
+    return _t(spark, sf_dir, "orders").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers")
+    )
+
+
+TRANSFORMER_Q13 = (
+    "SELECT *, CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS net "
+    "FROM <SRC> WHERE l_quantity < 50"
+)
+
+
+def q13_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: transformer SQL applied to the incoming batch pre-merge."""
+    rec = cdc.RECIPES["lineitem"]
+    base = _t(spark, sf_dir, "lineitem")
+    base.createOrReplaceTempView("__q13_lineitem")
+    batch = spark.sql(cdc.batch_sql(rec, 0, src="__q13_lineitem"))
+    transformed = apply_transformer_sql(spark, batch, TRANSFORMER_Q13)
+    merged = upsert_merge(None, transformed, list(rec.key_cols), "trx_seq")
+    return merged.select(*rec.columns, "net", "trx_seq")
+
+
+def q14_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events: time filter + JSON extraction + grouped agg."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        .withColumn(
+            "k", F.get_json_object("props", "$.k").cast("int")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("num_events"),
+            _dsum(F.col("value"), "sum_value"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q15_bulk_insert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7/D8: bulk insert the lineitem full load through the real write
+    path (partition-sorted, hive-partitioned) and read it back."""
+    rec = cdc.RECIPES["lineitem"]
+    base = _t(spark, sf_dir, "lineitem")
+    base.createOrReplaceTempView("__q15_lineitem")
+    batch = spark.sql(cdc.batch_sql(rec, 0, src="__q15_lineitem"))
+    cfg = TableConfig(
+        name="q15_lineitem",
+        record_key=list(rec.key_cols),
+        is_partitioned=True,
+        partition_path="l_returnflag",
+    )
+    # mkdtemp (not TemporaryDirectory): the returned DataFrame reads lazily
+    # from this path, so it must outlive this call.
+    tmp = tempfile.mkdtemp(prefix="q15_bulk_insert_")
+    table = CuratedTable(spark, Path(tmp) / "lineitem", cfg)
+    table.bulk_insert(batch)
+    return table.read().select(*rec.columns, "trx_seq")
+
+
+# ---------------------------------------------------------------------------
+# contract functions
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC merge replay of orders on sf0.001."""
+    return q07_cdc_merge_replay(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q01_scan_projection": q01_scan_projection,
+        "q02_agg_pricing_summary": q02_agg_pricing_summary,
+        "q03_join_broadcast_dim": q03_join_broadcast_dim,
+        "q04_multi_join": q04_multi_join,
+        "q05_anti_join": q05_anti_join,
+        "q06_cdc_precombine": q06_cdc_precombine,
+        "q07_cdc_merge_replay": q07_cdc_merge_replay,
+        "q08_topk": q08_topk,
+        "q09_intersect": q09_intersect,
+        "q10_rollup": q10_rollup,
+        "q11_scalar_functions": q11_scalar_functions,
+        "q12_exact_distinct": q12_exact_distinct,
+        "q12_approx_distinct": q12_approx_distinct,
+        "q13_transformer": q13_transformer,
+        "q14_events_json_agg": q14_events_json_agg,
+        "q15_bulk_insert_parity": q15_bulk_insert_parity,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    rec_o = cdc.RECIPES["orders"]
+    rec_l = cdc.RECIPES["lineitem"]
+    l_cols = ", ".join(rec_l.columns)
+    return {
+        "q01_scan_projection": (
+            "SELECT l_orderkey, l_quantity FROM lineitem WHERE l_discount > 0.05"
+        ),
+        "q02_agg_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty, "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_revenue, "
+            "COUNT(*) AS count_order "
+            "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+            "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"
+        ),
+        "q03_join_broadcast_dim": (
+            "SELECT n_name, COUNT(*) AS num_customers FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
+        "q04_multi_join": (
+            "SELECT r_name, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_sales "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name ORDER BY r_name"
+        ),
+        "q05_anti_join": (
+            "SELECT COUNT(*) AS num_no_orders FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "q06_cdc_precombine": (
+            "SELECT o_orderkey, o_totalprice, trx_seq, _hoodie_is_deleted FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY o_orderkey "
+            "    ORDER BY trx_seq DESC) AS rn "
+            f"  FROM ({cdc.stream_sql(rec_o)}) AS s"
+            ") AS r WHERE rn = 1"
+        ),
+        "q07_cdc_merge_replay": cdc.replay_sql(rec_o),
+        "q08_topk": (
+            "SELECT o_custkey, o_totalprice, o_orderkey FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "q09_intersect": (
+            "SELECT custkey FROM ("
+            "  SELECT c_custkey AS custkey FROM customer "
+            "  INTERSECT SELECT o_custkey AS custkey FROM orders"
+            ") AS t ORDER BY custkey LIMIT 100"
+        ),
+        "q10_rollup": (
+            "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS num_orders "
+            "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus) "
+            "ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST, "
+            "num_orders"
+        ),
+        "q11_scalar_functions": (
+            "SELECT UPPER(SUBSTR(c_name, 1, 5)) AS name_prefix, "
+            "YEAR(o_orderdate) AS order_year, "
+            "ROUND(o_totalprice, 0) AS price_rounded, "
+            "CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class, "
+            "o_orderkey "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "ORDER BY name_prefix, order_year, price_rounded, size_class, o_orderkey "
+            "LIMIT 500"
+        ),
+        "q12_exact_distinct": (
+            "SELECT COUNT(DISTINCT o_custkey) AS num_customers FROM orders"
+        ),
+        # q12_approx_distinct intentionally has no oracle (rows-only check):
+        # Spark HLL++ and DuckDB approx_count_distinct estimates differ.
+        "q13_transformer": (
+            f"WITH b0 AS ({cdc.batch_sql(rec_l, 0)}), "
+            "t AS (SELECT *, CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS net "
+            "      FROM b0 WHERE l_quantity < 50), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber "
+            "      ORDER BY trx_seq DESC) AS rn FROM t) "
+            f"SELECT {l_cols}, net, trx_seq FROM r "
+            "WHERE rn = 1 AND NOT _hoodie_is_deleted"
+        ),
+        "q14_events_json_agg": (
+            "SELECT event_type, COUNT(*) AS num_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value, "
+            "CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k "
+            "FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00' "
+            "GROUP BY event_type ORDER BY event_type"
+        ),
+        "q15_bulk_insert_parity": cdc.replay_sql(rec_l, upto_batch=0),
+    }

@@ -178,14 +178,18 @@ def batch_sql(recipe: CdcRecipe, batch_id: int, src: str | None = None) -> str:
     raise ValueError(f"batch_id must be 0..{N_BATCHES - 1}")
 
 
-def stream_sql(recipe: CdcRecipe, upto_batch: int = N_BATCHES - 1) -> str:
+def stream_sql(
+    recipe: CdcRecipe, upto_batch: int = N_BATCHES - 1, src: str | None = None
+) -> str:
     """UNION ALL of batches 0..upto_batch — the full change log."""
     return " UNION ALL ".join(
-        f"({batch_sql(recipe, b)})" for b in range(upto_batch + 1)
+        f"({batch_sql(recipe, b, src=src)})" for b in range(upto_batch + 1)
     )
 
 
-def replay_sql(recipe: CdcRecipe, upto_batch: int = N_BATCHES - 1) -> str:
+def replay_sql(
+    recipe: CdcRecipe, upto_batch: int = N_BATCHES - 1, src: str | None = None
+) -> str:
     """Ground-truth state after replaying batches 0..upto_batch.
 
     Naive replay per FIXTURES.md §3: per record key keep the row with the
@@ -198,7 +202,7 @@ def replay_sql(recipe: CdcRecipe, upto_batch: int = N_BATCHES - 1) -> str:
         f"SELECT {cols}, trx_seq FROM ("
         f"  SELECT *, row_number() OVER ("
         f"    PARTITION BY {keys} ORDER BY trx_seq DESC) AS rn"
-        f"  FROM ({stream_sql(recipe, upto_batch)}) AS cdc_stream"
+        f"  FROM ({stream_sql(recipe, upto_batch, src=src)}) AS cdc_stream"
         f") AS ranked WHERE rn = 1 AND NOT _hoodie_is_deleted"
     )
 
