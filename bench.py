@@ -18,8 +18,30 @@ import __spark_entry__ as entry_mod
 from aws_dms_to_hudi_spark.session import get_spark
 
 
-def force(df) -> None:
-    df.write.format("noop").mode("overwrite").save()
+# Queries whose result is a handful of rows (aggregates / LIMIT k): timing
+# ends at collect(), like a user fetching the answer. Large row-stream
+# queries are forced through the no-op sink instead, so the full plan runs
+# distributed without charging the bench for driver-side serialization.
+SMALL_OUTPUT = {
+    "q02_agg_pricing_summary",
+    "q03_join_broadcast_dim",
+    "q04_multi_join",
+    "q05_anti_join",
+    "q08_topk",
+    "q09_intersect",
+    "q10_rollup",
+    "q11_scalar_functions",
+    "q12_exact_distinct",
+    "q12_approx_distinct",
+    "q14_events_json_agg",
+}
+
+
+def force(df, name: str = "") -> None:
+    if name in SMALL_OUTPUT:
+        df.collect()
+    else:
+        df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -33,11 +55,18 @@ def main() -> None:
     # JVM/codegen warmup on the smallest query so q01 isn't charged for boot.
     force(queries["q01_scan_projection"](spark, sf_dir))
 
+    # min of N runs: first execution pays whole-stage-codegen compilation
+    # and classloading (~1-2 s/plan), which at a real scale factor is noise;
+    # min isolates steady-state query time.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name, fn in queries.items():
-        t0 = time.time()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.time()
+            force(fn(spark, sf_dir), name)
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
