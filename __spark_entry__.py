@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 
 from aws_dms_to_hudi_spark import cdc
 from aws_dms_to_hudi_spark.config import TableConfig
+from aws_dms_to_hudi_spark.functions import dedup as fn_dedup
+from aws_dms_to_hudi_spark.functions import multimodal as fn_mm
+from aws_dms_to_hudi_spark.functions import similarity as fn_sim
+from aws_dms_to_hudi_spark.functions import text as fn_text
 from aws_dms_to_hudi_spark.operators.merge import precombine, upsert_merge
 from aws_dms_to_hudi_spark.operators.transformer import apply_transformer_sql
 from aws_dms_to_hudi_spark.storage import CuratedTable
@@ -270,6 +274,95 @@ def q15_bulk_insert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q16-q26: training-data pipeline extensions (SURVEY.md §7 M6)
+# ---------------------------------------------------------------------------
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str, qtag: str) -> str:
+    """Register a base table as a per-query temp view (namespaced so
+    thread-pooled queries never collide — SURVEY.md §7.3)."""
+    vname = f"__{qtag}_{name}"
+    _t(spark, sf_dir, name).createOrReplaceTempView(vname)
+    return vname
+
+
+def q16_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (pure projection, no shuffle)."""
+    return fn_text.text_stats(_t(spark, sf_dir, "documents"))
+
+
+def q17_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + confusion-matrix aggregate."""
+    return fn_text.lang_confusion(_t(spark, sf_dir, "documents"))
+
+
+def q18_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: rolling-hash fingerprint + hash-groupBy."""
+    return fn_text.exact_dedup_groups(_t(spark, sf_dir, "documents"))
+
+
+def q19_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard near-dup pairs via inverted-index join."""
+    v = _view(spark, sf_dir, "documents", "q19")
+    return spark.sql(fn_dedup.ngram_jaccard_sql("spark", table=v))
+
+
+def q20_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures + banded LSH candidates + exact verify."""
+    v = _view(spark, sf_dir, "documents", "q20")
+    return spark.sql(fn_dedup.minhash_lsh_sql("spark", table=v))
+
+
+def q21_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-bit SimHash + chunk LSH + hamming-distance verify."""
+    v = _view(spark, sf_dir, "documents", "q21")
+    return spark.sql(fn_dedup.simhash_sql("spark", table=v))
+
+
+def q22_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (broadcast queries, streamed corpus)."""
+    v = _view(spark, sf_dir, "embeddings", "q22")
+    return spark.sql(fn_sim.cosine_topk_sql("spark", table=v))
+
+
+def q23_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: random-hyperplane LSH buckets + exact re-rank."""
+    v = _view(spark, sf_dir, "embeddings", "q23")
+    return spark.sql(fn_sim.ann_lsh_sql("spark", table=v))
+
+
+def q24_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via shared LSH buckets."""
+    v = _view(spark, sf_dir, "embeddings", "q24")
+    return spark.sql(fn_sim.embedding_neardup_sql("spark", table=v))
+
+
+def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column + Arrow-batched mapInPandas feature extract."""
+    return fn_mm.media_features(_t(spark, sf_dir, "documents"))
+
+
+def q26_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregate (batch form of the streaming
+    windowed agg; epoch-aligned hourly buckets in both engines)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("num_events"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "num_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
 
@@ -297,6 +390,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_transformer": q13_transformer,
         "q14_events_json_agg": q14_events_json_agg,
         "q15_bulk_insert_parity": q15_bulk_insert_parity,
+        "q16_text_stats": q16_text_stats,
+        "q17_lang_id_confusion": q17_lang_id_confusion,
+        "q18_exact_dedup": q18_exact_dedup,
+        "q19_ngram_jaccard_dedup": q19_ngram_jaccard_dedup,
+        "q20_minhash_lsh_dedup": q20_minhash_lsh_dedup,
+        "q21_simhash_dedup": q21_simhash_dedup,
+        "q22_cosine_topk": q22_cosine_topk,
+        "q23_ann_lsh": q23_ann_lsh,
+        "q24_embedding_neardup": q24_embedding_neardup,
+        "q25_multimodal_features": q25_multimodal_features,
+        "q26_events_window": q26_events_window,
     }
 
 
@@ -389,4 +493,20 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY event_type ORDER BY event_type"
         ),
         "q15_bulk_insert_parity": cdc.replay_sql(rec_l, upto_batch=0),
+        "q16_text_stats": fn_text.text_stats_oracle_sql(),
+        "q17_lang_id_confusion": fn_text.lang_confusion_oracle_sql(),
+        "q18_exact_dedup": fn_text.exact_dedup_oracle_sql(),
+        "q19_ngram_jaccard_dedup": fn_dedup.ngram_jaccard_sql("duckdb"),
+        "q20_minhash_lsh_dedup": fn_dedup.minhash_lsh_sql("duckdb"),
+        "q21_simhash_dedup": fn_dedup.simhash_sql("duckdb"),
+        "q22_cosine_topk": fn_sim.cosine_topk_sql("duckdb"),
+        "q23_ann_lsh": fn_sim.ann_lsh_sql("duckdb"),
+        "q24_embedding_neardup": fn_sim.embedding_neardup_sql("duckdb"),
+        "q25_multimodal_features": fn_mm.media_features_oracle_sql(),
+        "q26_events_window": (
+            "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
+            "event_type, COUNT(*) AS num_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
+            "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"
+        ),
     }

@@ -1,0 +1,197 @@
+"""Text analysis operators over the ``documents`` table.
+
+Beyond-reference training-data extensions (SURVEY.md §7 M6): token
+counting, quality scoring, language ID, document fingerprinting. Each
+operator is a plain DataFrame transform built from generated portable
+expressions (:mod:`.portable`), so:
+
+- everything runs JVM-side under whole-stage codegen (``F.expr`` over
+  builtin higher-order functions — no Python UDFs in the hot path);
+- the matching ``*_oracle_sql`` emits the *same* arithmetic in DuckDB
+  dialect, making every operator value-hash checkable.
+
+Scale notes (100 TB): all ops here are embarrassingly parallel per-row
+projections — no shuffle at all until the final small aggregate, which
+does a map-side partial agg first. Filters/projections push down to the
+parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import portable as P
+
+# Marker-token language model: a deterministic, vocabulary-derived n-gram
+# heuristic (real pipelines use fastText/CLD3; the *engine* contract is the
+# distributed scoring plumbing, which is identical). Score(lang) = number
+# of occurrences of that language's marker tokens; prediction = argmax,
+# ties broken by lang code order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("key", "value", "window"),
+    "en": ("the", "a", "of"),
+    "es": ("order", "part", "line"),
+    "fr": ("join", "merge", "group"),
+    "zh": ("spark", "data", "stream"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and")
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# ---------------------------------------------------------------------------
+# expression builders (dialect-parametric — single source of truth)
+# ---------------------------------------------------------------------------
+
+
+def token_count_expr(col: str, dialect: str) -> str:
+    return P.size(P.tokens(col, dialect), dialect)
+
+
+def stop_ratio_expr(col: str, dialect: str) -> str:
+    toks = P.tokens(col, dialect)
+    stops = P.filter_(toks, "t", f"t IN ({_sql_list(STOPWORDS)})", dialect)
+    return (
+        f"CAST({P.size(stops, dialect)} AS DOUBLE)"
+        f" / CAST({P.size(toks, dialect)} AS DOUBLE)"
+    )
+
+
+def quality_expr(col: str, dialect: str) -> str:
+    """Heuristic quality score in [0,1]: reward length (saturating at 100
+    tokens), penalize stopword share. Fixed evaluation order keeps the
+    DOUBLE result bit-identical across engines."""
+    ntok = f"CAST({token_count_expr(col, dialect)} AS DOUBLE)"
+    return (
+        f"round(least({ntok} / 100.0, 1.0) * 0.5"
+        f" + (1.0 - {stop_ratio_expr(col, dialect)}) * 0.5, 6)"
+    )
+
+
+def lang_score_expr(col: str, lang: str, dialect: str) -> str:
+    toks = P.tokens(col, dialect)
+    markers = _sql_list(LANG_MARKERS[lang])
+    return P.size(P.filter_(toks, "t", f"t IN ({markers})", dialect), dialect)
+
+
+def pred_lang_expr(col: str, dialect: str) -> str:
+    """argmax over language scores; ordered comparison chain breaks ties
+    by lang-code order deterministically in both engines."""
+    langs = sorted(LANG_MARKERS)
+    expr = f"'{langs[-1]}'"
+    # build right-to-left: lang_i wins if its score >= every later lang's
+    for i in range(len(langs) - 2, -1, -1):
+        li = langs[i]
+        conds = " AND ".join(
+            f"{lang_score_expr(col, li, dialect)} >= "
+            f"{lang_score_expr(col, lj, dialect)}"
+            for lj in langs[i + 1 :]
+        )
+        expr = f"CASE WHEN {conds} THEN '{li}' ELSE {expr} END"
+    return expr
+
+
+def fingerprint_expr(col: str, dialect: str) -> str:
+    """Content fingerprint: rolling hash of the whitespace-normalized,
+    lowercased text (rolling/polynomial construction so it extends to
+    windowed Rabin-Karp chunk fingerprints)."""
+    norm = f"regexp_replace(trim(lower({col})), '\\\\s+', ' ')"
+    return P.rolling_hash(norm, dialect)
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
+def text_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token count, stopword ratio, quality score."""
+    d = "spark"
+    return docs.select(
+        "doc_id",
+        F.expr(token_count_expr("text", d)).cast("long").alias("n_tokens"),
+        F.expr(f"round({stop_ratio_expr('text', d)}, 6)").alias("stop_ratio"),
+        F.expr(quality_expr("text", d)).alias("quality"),
+    )
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang × predicted lang.
+
+    The per-doc prediction is a pure projection (parallel, no shuffle);
+    the confusion matrix is a tiny 2-key aggregate with automatic
+    map-side partial aggregation.
+    """
+    d = "spark"
+    return (
+        docs.select("lang", F.expr(pred_lang_expr("text", d)).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Per-document content fingerprint (exact-dup canonical form)."""
+    return docs.select(
+        "doc_id",
+        F.expr(fingerprint_expr("text", "spark")).alias("fingerprint"),
+    )
+
+
+def exact_dedup_groups(docs: DataFrame) -> DataFrame:
+    """Exact dedup via hash-groupBy on the content fingerprint: one row
+    per distinct content, canonical doc = min doc_id, plus copy count.
+
+    Scale: groupBy on a 64-bit int key — a single hash-partitioned
+    shuffle with map-side combine; no text comparison after hashing
+    (the fixture has no hash collisions; a production run would verify
+    in-group equality with one extra first(text) compare).
+    """
+    return (
+        fingerprints(docs)
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count("*").alias("n_copies"),
+        )
+        .orderBy("canonical_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles (same generated expressions, duckdb dialect)
+# ---------------------------------------------------------------------------
+
+
+def text_stats_oracle_sql() -> str:
+    d = "duckdb"
+    return (
+        "SELECT doc_id, "
+        f"CAST({token_count_expr('text', d)} AS BIGINT) AS n_tokens, "
+        f"round({stop_ratio_expr('text', d)}, 6) AS stop_ratio, "
+        f"{quality_expr('text', d)} AS quality "
+        "FROM documents"
+    )
+
+
+def lang_confusion_oracle_sql() -> str:
+    d = "duckdb"
+    return (
+        f"SELECT lang, {pred_lang_expr('text', d)} AS pred_lang, "
+        "COUNT(*) AS n FROM documents "
+        "GROUP BY 1, 2 ORDER BY lang, pred_lang"
+    )
+
+
+def exact_dedup_oracle_sql() -> str:
+    d = "duckdb"
+    return (
+        f"SELECT {fingerprint_expr('text', d)} AS fingerprint, "
+        "MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies "
+        "FROM documents GROUP BY 1 ORDER BY canonical_id"
+    )

@@ -10,6 +10,7 @@ and per-table spark_conf passthrough
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -43,11 +44,23 @@ def get_spark(
     ``extra_conf`` mirrors the reference's per-pipeline ``spark_conf``
     passthrough (handler.py:134-136) — caller-supplied keys win.
     """
+    # Python workers (pandas UDFs / mapInPandas) must be able to import
+    # this package no matter the driver's cwd: export the repo root on
+    # PYTHONPATH before the JVM (and hence the workers) launches, and on
+    # executorEnv for cluster mode.
+    pkg_root = str(Path(__file__).resolve().parent.parent)
+    py_path = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in py_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_root + (os.pathsep + py_path if py_path else "")
+        )
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name).master(
         master or f"local[{cpus}]"
     )
     conf = dict(_DEFAULTS)
+    conf["spark.executorEnv.PYTHONPATH"] = os.environ["PYTHONPATH"]
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -1,0 +1,127 @@
+"""Unit tests for the training-data extension operators (functions/).
+
+Cross-engine parity is covered by test_entry_contract (q16-q26); these
+tests check operator *semantics*: planted near-dup recovery, LSH recall
+vs the exact baseline, the multimodal stub gate, and scale-shape
+assertions on the physical plan (no cartesian product in any dedup /
+similarity plan).
+"""
+
+import pytest
+
+from aws_dms_to_hudi_spark.functions import dedup as fn_dedup
+from aws_dms_to_hudi_spark.functions import multimodal as fn_mm
+from aws_dms_to_hudi_spark.functions import similarity as fn_sim
+from aws_dms_to_hudi_spark.functions import text as fn_text
+
+from tests.util import duck_con
+
+
+@pytest.fixture(scope="module")
+def docs_view(spark, sf_correct):
+    spark.read.parquet(f"{sf_correct}/documents.parquet").createOrReplaceTempView(
+        "t_documents"
+    )
+    return "t_documents"
+
+
+@pytest.fixture(scope="module")
+def emb_view(spark, sf_correct):
+    spark.read.parquet(f"{sf_correct}/embeddings.parquet").createOrReplaceTempView(
+        "t_embeddings"
+    )
+    return "t_embeddings"
+
+
+def test_minhash_recall_vs_exact(spark, docs_view):
+    """MinHash-LSH must recover ≥90% of the true Jaccard≥0.5 pairs (the
+    fixture plants 25 pairs at ~0.99, where 4×4 banding is near-certain)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in spark.sql(
+            fn_dedup.ngram_jaccard_sql("spark", table=docs_view)
+        ).collect()
+    }
+    approx = {
+        (r.doc_a, r.doc_b)
+        for r in spark.sql(
+            fn_dedup.minhash_lsh_sql("spark", table=docs_view)
+        ).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    assert approx <= exact, "verify stage must kill false positives"
+    assert len(approx) / len(exact) >= 0.9
+
+
+def test_simhash_finds_planted_neardups(spark, docs_view):
+    """The ~0.99-Jaccard planted pairs must land within hamming ≤ 2."""
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in spark.sql(
+            fn_dedup.ngram_jaccard_sql("spark", table=docs_view, threshold=0.9)
+        ).collect()
+    }
+    sim = {
+        (r.doc_a, r.doc_b)
+        for r in spark.sql(fn_dedup.simhash_sql("spark", table=docs_view)).collect()
+    }
+    assert jac and jac <= sim
+
+
+def test_ann_is_subset_with_recall(spark, emb_view):
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in spark.sql(fn_sim.cosine_topk_sql("spark", table=emb_view)).collect()
+    }
+    approx = {
+        (r.q_id, r.neighbor_id)
+        for r in spark.sql(fn_sim.ann_lsh_sql("spark", table=emb_view)).collect()
+    }
+    # ANN neighbors must be real vectors scored exactly; recall is best-
+    # effort on uniform-random fixtures but must be clearly above chance
+    # (chance ≈ k/corpus ≈ 0.6%).
+    assert len(exact & approx) / len(exact) >= 0.2
+
+
+def test_exact_dedup_no_collisions(spark, sf_correct):
+    """500 distinct fixture texts → 500 distinct fingerprints."""
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    groups = fn_text.exact_dedup_groups(docs)
+    assert groups.count() == docs.count()
+
+
+def test_multimodal_stub_gate():
+    with pytest.raises(NotImplementedError):
+        fn_mm.decode_media(b"\x00\x01", "jpeg")
+
+
+def test_multimodal_feature_determinism():
+    f1 = fn_mm.decode_media(b"hello world", "raw")
+    f2 = fn_mm.decode_media(b"hello world", "raw")
+    assert f1 == f2
+    assert f1["n_bytes"] == 11
+
+
+@pytest.mark.parametrize(
+    "sql_fn",
+    [
+        fn_dedup.ngram_jaccard_sql,
+        fn_dedup.minhash_lsh_sql,
+        fn_dedup.simhash_sql,
+    ],
+)
+def test_dedup_plans_have_no_cartesian(spark, docs_view, sql_fn):
+    """Scale guard: every candidate-generation join must be an equi-join
+    (hash key), never a cartesian/broadcast-nested-loop over the corpus."""
+    plan = spark.sql(sql_fn("spark", table=docs_view))._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lang_markers_disjoint():
+    """Marker sets must not overlap or argmax ties become vocabulary-
+    dependent in surprising ways."""
+    seen = set()
+    for words in fn_text.LANG_MARKERS.values():
+        assert not (seen & set(words))
+        seen |= set(words)
