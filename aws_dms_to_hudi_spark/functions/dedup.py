@@ -15,6 +15,11 @@ programs, not UDFs).
 
 Scale design (100 TB corpus):
 
+- **fully relational shingling**: tokens are exploded to rows and each
+  token/shingle is hashed exactly once as a row value. The array-lambda
+  alternative re-evaluates the token-split expression per element
+  (lambda bodies are not CSE'd), going quadratic on long docs — rows
+  keep every stage O(total tokens) and let Tungsten codegen the hash;
 - **no O(n²) stage anywhere** — candidate generation is always an
   equi-join on a hash key (shingle hash / band key / simhash chunk), so
   it shuffles on that key and only co-bucketed docs ever meet;
@@ -22,8 +27,9 @@ Scale design (100 TB corpus):
   the inverted-index join; ``max_df`` drops shingles above a document-
   frequency cap before the join (the standard stop-shingle cut, applied
   identically in engine and oracle);
-- **verify stage is cheap**: exact Jaccard runs only on candidate pairs
-  (band collisions), each carrying its two pre-hashed shingle sets;
+- **verify stage is cheap**: exact Jaccard / hamming runs only on
+  candidate pairs, via int-keyed joins (no array columns in any join or
+  DISTINCT key);
 - map-side partial aggregation applies to every GROUP BY here.
 """
 
@@ -46,6 +52,11 @@ MINHASH_AB: list[tuple[int, int]] = [
 NUM_BANDS = 4          # 4 bands × 4 rows: P(candidate) = 1-(1-j^4)^4
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 
+# 3-token shingle hash = (h1*SH_A + h2*SH_B + h3) mod P, each term
+# reduced mod P before summing (sum < 3·2^31 — exact in int64).
+SH_A = 1_000_003
+SH_B = 8_191
+
 SIMHASH_BITS = 30      # fits int64 with headroom; 3 chunks × 10 bits
 SIMHASH_CHUNKS = 3     # hamming ≤ 2 ⇒ pigeonhole: ≥1 chunk equal
 CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
@@ -61,35 +72,84 @@ def _explode(dialect: str, select: str, src: str, arr: str, alias: str) -> str:
     return f"SELECT {select}, unnest({arr}) AS {alias} FROM {src}"
 
 
+def _posexplode(
+    dialect: str, select: str, src: str, arr: str, pos: str, val: str
+) -> str:
+    """Explode with 0-based position (Spark posexplode /
+    DuckDB unnest + generate_subscripts, which zip element-wise)."""
+    if dialect == "spark":
+        return (
+            f"SELECT {select}, {pos}, {val} FROM {src} "
+            f"LATERAL VIEW posexplode({arr}) _pe AS {pos}, {val}"
+        )
+    return (
+        f"SELECT {select}, generate_subscripts({arr}, 1) - 1 AS {pos}, "
+        f"unnest({arr}) AS {val} FROM {src}"
+    )
+
+
 def _xor(a: str, b: str, dialect: str) -> str:
     return f"({a} ^ {b})" if dialect == "spark" else f"xor({a}, {b})"
 
 
-def _sets_cte(dialect: str, table: str, ngram: int, max_df: int | None) -> str:
-    """CTE chain producing ``sets(doc_id, sh)``: the distinct n-gram
-    shingle-hash set per doc, optionally stop-shingle-capped."""
-    sh = P.shingle_hashes("text", ngram, dialect)
-    base = (
-        f"raw_sets AS (SELECT doc_id, {sh} AS sh FROM {table}), "
-        f"nonempty AS (SELECT * FROM raw_sets WHERE {P.size('sh', dialect)} > 0)"
+def _inv_cte(dialect: str, table: str, max_df: int | None) -> str:
+    """CTE chain producing the inverted index ``inv(doc_id, g)`` (one row
+    per distinct 3-token-shingle hash per doc) and ``sizes(doc_id, n)``.
+
+    Pipeline: tokenize → posexplode → per-token rolling hash (each token
+    hashed once, as a row) → shingle hash from 3 consecutive token
+    hashes via window lead() → DISTINCT. Every stage is a projection,
+    window, or hash aggregate — linear in corpus size.
+    """
+    tok_rows = _posexplode(
+        dialect, "doc_id", "toked", "toks", "pos", "tok"
     )
+    g = (
+        f"((h * {SH_A}) % {P.HASH_P}"
+        f" + (lead(h, 1) OVER w * {SH_B}) % {P.HASH_P}"
+        f" + lead(h, 2) OVER w) % {P.HASH_P}"
+    )
+    base = f"""
+toked AS (SELECT doc_id, {P.tokens('text', dialect)} AS toks FROM {table}),
+tokrows AS ({tok_rows}),
+th AS (SELECT doc_id, pos, {P.rolling_hash('tok', dialect)} AS h FROM tokrows),
+shrows AS (
+  SELECT doc_id, {g} AS g FROM th
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+inv0 AS (SELECT DISTINCT doc_id, g FROM shrows WHERE g IS NOT NULL)"""
     if max_df is None:
-        return base + ", sets AS (SELECT * FROM nonempty)"
-    # document frequency per shingle -> keep shingles with df <= max_df;
-    # rebuilding the per-doc set via the inverted index keeps both
-    # dialects on the identical relational path.
-    inv = _explode(dialect, "doc_id", "nonempty", "sh", "g")
-    collect = (
-        "array_sort(collect_list(g))" if dialect == "spark" else "list_sort(list(g))"
-    )
+        inv = "inv AS (SELECT * FROM inv0)"
+    else:
+        inv = f"""df AS (SELECT g, COUNT(*) AS df FROM inv0 GROUP BY g),
+inv AS (SELECT i.doc_id, i.g FROM inv0 i JOIN df ON i.g = df.g
+        WHERE df.df <= {max_df})"""
     return (
         base
-        + f", inv AS ({inv})"
-        + f", df AS (SELECT g, COUNT(*) AS df FROM inv GROUP BY g)"
-        + f", kept AS (SELECT i.doc_id, i.g FROM inv i JOIN df ON i.g = df.g"
-        + f"           WHERE df.df <= {max_df})"
-        + f", sets AS (SELECT doc_id, {collect} AS sh FROM kept GROUP BY doc_id)"
+        + f",\n{inv},\n"
+        + "sizes AS (SELECT doc_id, COUNT(*) AS n FROM inv GROUP BY doc_id)"
     )
+
+
+_JACCARD = (
+    "round(CAST(co.inter AS DOUBLE)"
+    " / CAST(sa.n + sb.n - co.inter AS DOUBLE), 6)"
+)
+_JACCARD_PRED = (
+    "CAST(co.inter AS DOUBLE) / CAST(sa.n + sb.n - co.inter AS DOUBLE)"
+)
+
+
+def _pairs_select(threshold: float) -> str:
+    """Shared tail: co(doc_a, doc_b, inter) × sizes → thresholded pairs."""
+    return f"""
+SELECT co.doc_a, co.doc_b, {_JACCARD} AS jaccard
+FROM co
+JOIN sizes sa ON co.doc_a = sa.doc_id
+JOIN sizes sb ON co.doc_b = sb.doc_id
+WHERE {_JACCARD_PRED} >= {threshold}
+ORDER BY doc_a, doc_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -100,37 +160,24 @@ def _sets_cte(dialect: str, table: str, ngram: int, max_df: int | None) -> str:
 def ngram_jaccard_sql(
     dialect: str,
     table: str = "documents",
-    ngram: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
 ) -> str:
-    """Pairs (doc_a < doc_b) with n-gram-shingle Jaccard ≥ threshold.
+    """Pairs (doc_a < doc_b) with 3-gram-shingle Jaccard ≥ threshold.
 
-    Inverted-index formulation: explode shingle hashes, equi-join on the
-    hash (only docs sharing a shingle meet), count co-occurrences, then
-    |A∩B| / (|A| + |B| - |A∩B|). Integer counts divide in DOUBLE, so the
-    value is bit-identical across engines.
+    Inverted-index formulation: equi-join the index on the shingle hash
+    (only docs sharing a shingle meet), count co-occurrences, then
+    |A∩B| / (|A| + |B| - |A∩B|). Integer counts divide in DOUBLE, so
+    the value is bit-identical across engines.
     """
-    inv = _explode(dialect, "doc_id", "sets", "sh", "g")
     return f"""
-WITH {_sets_cte(dialect, table, ngram, max_df)},
-sizes AS (SELECT doc_id, {P.size('sh', dialect)} AS n FROM sets),
-inv AS ({inv}),
+WITH {_inv_cte(dialect, table, max_df)},
 co AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
   FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
-SELECT co.doc_a, co.doc_b,
-       round(CAST(co.inter AS DOUBLE)
-             / CAST(sa.n + sb.n - co.inter AS DOUBLE), 6) AS jaccard
-FROM co
-JOIN sizes sa ON co.doc_a = sa.doc_id
-JOIN sizes sb ON co.doc_b = sb.doc_id
-WHERE CAST(co.inter AS DOUBLE) / CAST(sa.n + sb.n - co.inter AS DOUBLE)
-      >= {threshold}
-ORDER BY doc_a, doc_b
-"""
+{_pairs_select(threshold)}"""
 
 
 # ---------------------------------------------------------------------------
@@ -138,30 +185,24 @@ ORDER BY doc_a, doc_b
 # ---------------------------------------------------------------------------
 
 
-def _minhash_col(j: int, dialect: str) -> str:
-    a, b = MINHASH_AB[j]
-    perm = P.transform("sh", "h", f"(({a} * h + {b}) % {P.HASH_P})", dialect)
-    fn = "array_min" if dialect == "spark" else "list_min"
-    return f"{fn}({perm})"
-
-
 def minhash_lsh_sql(
     dialect: str,
     table: str = "documents",
-    ngram: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
 ) -> str:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
-    shingle set → 16 minhashes → 4 bands of 4 → docs sharing any band
-    key become candidates (equi-join on the band key: the only shuffle
-    that touches every doc) → exact Jaccard on the candidate pairs only
-    → filter ≥ threshold. Emits the same columns as the exact operator,
-    so recall is directly measurable against :func:`ngram_jaccard_sql`.
+    inverted index → 16 min-aggregated permutation hashes per doc →
+    4 bands of 4 → docs sharing any band key become candidates
+    (equi-join on the band key) → exact Jaccard on candidate pairs only
+    (int-keyed joins back through the index) → filter ≥ threshold.
+    Emits the same columns as :func:`ngram_jaccard_sql`, so recall is
+    directly measurable.
     """
     sig_cols = ", ".join(
-        f"{_minhash_col(j, dialect)} AS m{j}" for j in range(NUM_HASHES)
+        f"MIN(({a} * g + {b}) % {P.HASH_P}) AS m{j}"
+        for j, (a, b) in enumerate(MINHASH_AB)
     )
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, concat_ws(',', "
@@ -169,34 +210,23 @@ def minhash_lsh_sql(
         + ") AS bkey FROM sig"
         for b in range(NUM_BANDS)
     )
-    inter = (
-        "size(array_intersect(sa.sh, sb.sh))"
-        if dialect == "spark"
-        else "len(list_intersect(sa.sh, sb.sh))"
-    )
     return f"""
-WITH {_sets_cte(dialect, table, ngram, max_df)},
-sig AS (SELECT doc_id, sh, {sig_cols} FROM sets),
+WITH {_inv_cte(dialect, table, max_df)},
+sig AS (SELECT doc_id, {sig_cols} FROM inv GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
-verified AS (
-  SELECT c.doc_a, c.doc_b, {inter} AS inter,
-         {P.size('sa.sh', dialect)} AS na, {P.size('sb.sh', dialect)} AS nb
+co AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
   FROM cand c
-  JOIN sets sa ON c.doc_a = sa.doc_id
-  JOIN sets sb ON c.doc_b = sb.doc_id
+  JOIN inv ia ON ia.doc_id = c.doc_a
+  JOIN inv ib ON ib.doc_id = c.doc_b AND ib.g = ia.g
+  GROUP BY c.doc_a, c.doc_b
 )
-SELECT doc_a, doc_b,
-       round(CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE), 6)
-         AS jaccard
-FROM verified
-WHERE CAST(inter AS DOUBLE) / CAST(na + nb - inter AS DOUBLE) >= {threshold}
-ORDER BY doc_a, doc_b
-"""
+{_pairs_select(threshold)}"""
 
 
 # ---------------------------------------------------------------------------
@@ -235,7 +265,7 @@ def simhash_sql(
         + f" % {1 << CHUNK_BITS} AS ckey FROM sh"
         for c in range(SIMHASH_CHUNKS)
     )
-    ham = f"bit_count({_xor('a.simhash', 'b.simhash', dialect)})"
+    ham = f"bit_count({_xor('sh_a', 'sh_b', dialect)})"
     return f"""
 WITH toked AS (SELECT doc_id, {toks} AS toks FROM {table}),
 tok AS ({tok_rows}),
@@ -250,8 +280,8 @@ cand AS (
   FROM chunks a JOIN chunks b
     ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b, CAST({ham.replace('a.simhash', 'sh_a').replace('b.simhash', 'sh_b')} AS BIGINT) AS hamming
+SELECT doc_a, doc_b, CAST({ham} AS BIGINT) AS hamming
 FROM cand
-WHERE {ham.replace('a.simhash', 'sh_a').replace('b.simhash', 'sh_b')} <= {max_hamming}
+WHERE {ham} <= {max_hamming}
 ORDER BY doc_a, doc_b
 """

@@ -109,12 +109,18 @@ def tokens(col: str, dialect: str) -> str:
 
 
 def char_codes(s: str, dialect: str) -> str:
-    """List of per-character code points of ``s`` (ascii() = code point of
-    the first char in both engines)."""
-    seq = sequence_1_to(f"length({s})", dialect)
-    return transform(
-        seq, "i", f"CAST(ascii(substr({s}, i, 1)) AS BIGINT)", dialect
-    )
+    """List of per-character code points of ``s``.
+
+    Char-array based (split on '') rather than indexed substr: substr(s,i)
+    is O(i) and — worse — any expression inside a lambda body is
+    re-evaluated per element, so an indexed loop re-ran ``s``'s whole
+    defining expression (regexes included) once per character, making
+    hashing O(len²). Splitting evaluates ``s`` once per row and walks
+    the string once.
+    """
+    _check(dialect)
+    split = f"split({s}, '')" if dialect == "spark" else f"string_split({s}, '')"
+    return transform(split, "c", "CAST(ascii(c) AS BIGINT)", dialect)
 
 
 def rolling_hash(s: str, dialect: str) -> str:

@@ -137,17 +137,21 @@ def ann_lsh_sql(
     recall is directly measurable."""
     return f"""
 WITH {_buckets_cte(dialect, table)},
-qb AS (SELECT vec_id AS q_id, embedding AS q_emb, tbl, bucket
+qb AS (SELECT vec_id AS q_id, tbl, bucket
        FROM buckets WHERE vec_id < {num_queries}),
 cand AS (
-  SELECT DISTINCT qb.q_id, qb.q_emb, e.vec_id AS neighbor_id, e.embedding
+  -- DISTINCT over int ids only (hashing embedding arrays in a DISTINCT
+  -- key is the slow path); embeddings re-join by id for scoring.
+  SELECT DISTINCT qb.q_id, e.vec_id AS neighbor_id
   FROM qb JOIN buckets e
     ON qb.tbl = e.tbl AND qb.bucket = e.bucket AND e.vec_id <> qb.q_id
 ),
 scored AS (
-  SELECT q_id, neighbor_id,
-         {_cos('q_emb', 'embedding', dialect)} AS cos_sim
-  FROM cand
+  SELECT c.q_id, c.neighbor_id,
+         {_cos('eq.embedding', 'en.embedding', dialect)} AS cos_sim
+  FROM cand c
+  JOIN {table} eq ON eq.vec_id = c.q_id
+  JOIN {table} en ON en.vec_id = c.neighbor_id
 ),
 ranked AS (
   SELECT q_id, neighbor_id, cos_sim,
@@ -177,14 +181,17 @@ def embedding_neardup_sql(
     return f"""
 WITH {_buckets_cte(dialect, table)},
 cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, a.embedding AS emb_a,
-                  b.vec_id AS vec_b, b.embedding AS emb_b
+  -- int-id-only DISTINCT; embeddings re-join by id for the exact score
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM buckets a JOIN buckets b
     ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ),
 scored AS (
-  SELECT vec_a, vec_b, {_cos('emb_a', 'emb_b', dialect)} AS cos_sim
-  FROM cand
+  SELECT c.vec_a, c.vec_b,
+         {_cos('ea.embedding', 'eb.embedding', dialect)} AS cos_sim
+  FROM cand c
+  JOIN {table} ea ON ea.vec_id = c.vec_a
+  JOIN {table} eb ON eb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim
 FROM scored WHERE cos_sim >= {threshold}

@@ -34,6 +34,11 @@ SMALL_OUTPUT = {
     "q12_exact_distinct",
     "q12_approx_distinct",
     "q14_events_json_agg",
+    "q17_lang_id_confusion",
+    "q22_cosine_topk",
+    "q23_ann_lsh",
+    "q24_embedding_neardup",
+    "q26_events_window",
 }
 
 
