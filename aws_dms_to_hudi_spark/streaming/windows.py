@@ -1,0 +1,157 @@
+"""Event-time streaming operators over the ``events`` stream.
+
+Beyond-reference extensions (SURVEY.md §2.3 note, §7 M6): the reference's
+only streaming mode is trx_seq-ordered CDC ingest (no event time), so
+these are additive capabilities for the training-data pipeline:
+
+- :func:`tumbling_counts` — watermarked tumbling-window aggregate;
+- :func:`sliding_counts` — overlapping windows (slide < size);
+- :func:`session_counts` — gap-based session windows;
+- :func:`running_totals` — custom stateful operator via
+  ``applyInPandasWithState`` (per-key running aggregate with state
+  timeout), the escape hatch for semantics windowed aggs can't express.
+
+All four take ANY DataFrame (batch or streaming): the logical plan is
+identical, which is the Structured Streaming unified-model contract —
+batch runs double as the oracle for the streaming runs in tests.
+
+Scale notes (streams at cluster scale):
+
+- the watermark bounds state: windows older than max(event_time) - delay
+  are finalized and evicted, so state size tracks the delay × key
+  cardinality, not stream length;
+- windowed aggregation shuffles by (window, key) with map-side partial
+  aggregation — the same partial/final split as batch groupBy;
+- ``applyInPandasWithState`` state lives in the state store (RocksDB on
+  a real cluster: set ``spark.sql.streaming.stateStore.providerClass``);
+  keep per-key state small (a few scalars here) and rely on timeouts to
+  evict idle keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _dsum(col: str, alias: str):
+    """Order-independent SUM (exact decimal accumulation, double out) —
+    same determinism rule as the batch contract queries."""
+    return F.sum(F.col(col).cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-(hour, event_type) counts/sums; late rows beyond the watermark
+    are dropped once the window finalizes (streaming) — in batch the
+    watermark is a no-op and results equal the q26 batch aggregate."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("num_events"), _dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "num_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Overlapping windows: each row lands in window/slide buckets."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("num_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "num_events",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based sessionization per event_type: a session extends while
+    successive events arrive within ``gap``; state is evicted when the
+    watermark passes the session end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "event_type")
+        .agg(F.count("*").alias("num_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "event_type",
+            "num_events",
+        )
+    )
+
+
+RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("num_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("num_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_running(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "num_events": [n], "total_value": [round(total, 4)]}
+    )
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-event_type running count/sum across
+    micro-batches (``applyInPandasWithState``). Emits the updated running
+    totals for every key seen in each micro-batch — semantics a windowed
+    agg can't express (unbounded, cross-batch, update-on-arrival).
+
+    Batch parity: on a batch DataFrame the same groupBy/agg collapses to
+    one "micro-batch", so a plain aggregate is its oracle (see tests).
+    """
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_running,
+        outputStructType=RUNNING_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,155 @@
+"""Event-time streaming operators (streaming/windows.py).
+
+Strategy: the unified model means the same plan runs batch and
+streaming. Each operator is checked two ways:
+
+1. batch-mode result vs a DuckDB oracle (exact semantics);
+2. streaming-mode (file source, availableNow, multiple micro-batches)
+   vs the batch-mode result — convergence under micro-batching.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from aws_dms_to_hudi_spark.streaming import windows as W
+
+from tests.util import assert_same, duck_con
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_smoke, tmp_path_factory):
+    """events re-landed as micros-timestamp parquet split into several
+    files so availableNow produces multiple micro-batches."""
+    out = tmp_path_factory.mktemp("events_src")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_smoke}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    df.repartition(4).write.mode("overwrite").parquet(str(out / "data"))
+    return out
+
+
+def _stream(spark, events_dir):
+    schema = spark.read.parquet(str(events_dir / "data")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(events_dir / "data"))
+    )
+
+
+def _run_stream(spark, sdf, tmp_path, name, output_mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_batch_matches_oracle(spark, sf_smoke, events_dir):
+    batch = spark.read.parquet(str(events_dir / "data"))
+    got = W.tumbling_counts(batch).orderBy("window_start", "event_type")
+    con = duck_con(sf_smoke)
+    oracle = con.execute(
+        "SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, "
+        "event_type, COUNT(*) AS num_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    assert_same(got, oracle)
+
+
+def test_tumbling_stream_converges_to_batch(spark, events_dir, tmp_path):
+    """Update-mode convergence: the fixture files are NOT time-ordered, so
+    a short watermark would (correctly) drop cross-file late rows; with a
+    watermark longer than the stream's time span nothing is late, and the
+    final update per window must equal the batch aggregate exactly."""
+    batch = spark.read.parquet(str(events_dir / "data"))
+    expected = {
+        (r.window_start, r.event_type): (r.num_events, r.sum_value)
+        for r in W.tumbling_counts(batch).collect()
+    }
+    got = _run_stream(
+        spark,
+        W.tumbling_counts(_stream(spark, events_dir), watermark="60 days"),
+        tmp_path,
+        "tumbling_sink",
+        "update",
+    )
+    final = {}
+    for r in got.collect():  # last emission per window wins (monotone count)
+        k = (r.window_start, r.event_type)
+        if k not in final or r.num_events > final[k][0]:
+            final[k] = (r.num_events, r.sum_value)
+    assert final == expected
+
+
+def test_tumbling_append_drops_late_rows(spark, events_dir, tmp_path):
+    """Append mode with a short watermark on unordered files: emitted
+    windows are finalized early and later arrivals are dropped, so every
+    emitted count is ≤ the batch count for that window — the documented
+    late-data contract."""
+    batch = spark.read.parquet(str(events_dir / "data"))
+    expected = {
+        (r.window_start, r.event_type): r.num_events
+        for r in W.tumbling_counts(batch).collect()
+    }
+    got = _run_stream(
+        spark, W.tumbling_counts(_stream(spark, events_dir)), tmp_path,
+        "tumbling_append_sink", "append",
+    )
+    rows = got.collect()
+    assert rows, "no windows finalized"
+    for r in rows:
+        assert r.num_events <= expected[(r.window_start, r.event_type)]
+
+
+def test_sliding_counts_overlap(spark, events_dir):
+    batch = spark.read.parquet(str(events_dir / "data"))
+    tumb = W.tumbling_counts(batch).agg(F.sum("num_events")).collect()[0][0]
+    slid = W.sliding_counts(batch).agg(F.sum("num_events")).collect()[0][0]
+    assert slid == 2 * tumb  # 1h window / 30m slide => every row in 2 windows
+
+
+def test_session_windows_batch(spark, events_dir):
+    batch = spark.read.parquet(str(events_dir / "data"))
+    sessions = W.session_counts(batch, gap="30 minutes").collect()
+    assert sessions
+    total = sum(r.num_events for r in sessions)
+    assert total == batch.count()
+    for r in sessions:
+        assert r.session_end > r.session_start
+
+
+def test_running_totals_stateful_stream(spark, events_dir, tmp_path):
+    """applyInPandasWithState across micro-batches: the LAST update per
+    key must equal the global batch aggregate."""
+    got = _run_stream(
+        spark, W.running_totals(_stream(spark, events_dir)), tmp_path,
+        "running_sink", "update",
+    )
+    batch = spark.read.parquet(str(events_dir / "data"))
+    expected = {
+        r.event_type: (r.n, round(r.s, 4))
+        for r in batch.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    # per key, keep the final (max num_events) update
+    final = {}
+    for r in got.collect():
+        cur = final.get(r.event_type)
+        if cur is None or r.num_events > cur[0]:
+            final[r.event_type] = (r.num_events, r.total_value)
+    assert set(final) == set(expected)
+    for k, (n, total) in expected.items():
+        assert final[k][0] == n
+        assert abs(final[k][1] - total) < 1e-3  # float accumulation order differs
