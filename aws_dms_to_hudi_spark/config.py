@@ -51,6 +51,11 @@ class TableConfig:
     spark_conf: dict[str, dict[str, str]] = field(default_factory=dict)
     # `op` override mirrors handler.py:159-160
     op: str | None = None
+    # Bucket index (beyond-reference; Hudi's bucket-index analog): hash
+    # record keys into N stable buckets so upserts rewrite only touched
+    # buckets instead of the whole table. For non-partitioned tables only
+    # (a partitioned table already prunes by partition).
+    num_buckets: int | None = None
 
     def __post_init__(self) -> None:
         if not self.record_key:
@@ -59,6 +64,14 @@ class TableConfig:
             raise ValueError(
                 f"table {self.name}: is_partitioned requires partition_path"
             )
+        if self.num_buckets is not None:
+            if self.is_partitioned:
+                raise ValueError(
+                    f"table {self.name}: num_buckets only applies to "
+                    "non-partitioned tables"
+                )
+            if int(self.num_buckets) < 1:
+                raise ValueError(f"table {self.name}: num_buckets must be >= 1")
         if self.table_type not in (COPY_ON_WRITE, MERGE_ON_READ):
             raise ValueError(
                 f"table {self.name}: unsupported table_type {self.table_type}"
@@ -86,6 +99,9 @@ class TableConfig:
             enabled=bool(item.get("enabled", False)),
             spark_conf=item.get("spark_conf", {}),
             op=hudi.get("op"),
+            num_buckets=(
+                int(hudi["num_buckets"]) if "num_buckets" in hudi else None
+            ),
         )
 
 

@@ -99,6 +99,9 @@ class Commit:
         )
 
 
+BUCKET_COL = "__bucket"
+
+
 class CuratedTable:
     """One keyed, versioned table in the curated lake."""
 
@@ -107,6 +110,36 @@ class CuratedTable:
         self.root = Path(root)
         self.config = config
         (self.root / COMMITS_DIR).mkdir(parents=True, exist_ok=True)
+
+    # ---------- physical layout ----------
+
+    @property
+    def _pcol(self) -> str | None:
+        """Effective partition column for the on-disk layout: the user's
+        partition column, or the synthetic bucket column when the table
+        uses a bucket index (Hudi bucket-index analog: hash the record
+        key into N stable buckets so upserts rewrite only the buckets a
+        batch touches, not the whole table)."""
+        cfg = self.config
+        if cfg.is_partitioned:
+            return cfg.partition_path
+        if cfg.num_buckets:
+            return BUCKET_COL
+        return None
+
+    def _bucketize(self, df: DataFrame) -> DataFrame:
+        """Attach the deterministic bucket id: pmod(xxhash64(keys), N).
+        A key's bucket never changes, so existing rows (bucket read back
+        from the dir name) and incoming rows (computed here) agree."""
+        cfg = self.config
+        if not cfg.num_buckets or BUCKET_COL in df.columns:
+            return df
+        return df.withColumn(
+            BUCKET_COL,
+            F.pmod(F.xxhash64(*cfg.record_key), F.lit(cfg.num_buckets)).cast(
+                "int"
+            ),
+        )
 
     # ---------- timeline ----------
 
@@ -145,16 +178,17 @@ class CuratedTable:
         if commit is None:
             return None
         base = self._read_dirs(list(commit.data.values()))
-        if not commit.deltas:
-            return base
-        deltas = self._read_dirs(commit.deltas)
-        merged = upsert_merge(
-            base,
-            deltas,
-            self.config.record_key,
-            self.config.source_ordering_field,
-        )
-        return merged
+        if commit.deltas:
+            deltas = self._read_dirs(commit.deltas)
+            base = upsert_merge(
+                base,
+                deltas,
+                self.config.record_key,
+                self.config.source_ordering_field,
+            )
+        if self.config.num_buckets and base is not None:
+            base = base.drop(BUCKET_COL)  # internal layout detail
+        return base
 
     def _commit_at(self, version: int | None) -> Commit | None:
         commits = self.commits()
@@ -172,7 +206,7 @@ class CuratedTable:
             return None
         paths = [str(self.root / d) for d in rel_dirs]
         reader = self.spark.read
-        if self.config.is_partitioned:
+        if self._pcol is not None:
             # basePath keeps hive-style partition columns when reading
             # individual partition dirs.
             reader = reader.option("basePath", str(self.root / _version_of(rel_dirs[0])))
@@ -210,11 +244,12 @@ class CuratedTable:
         from aws_dms_to_hudi_spark.operators.merge import apply_deletes
 
         df = apply_deletes(df)
-        if cfg.is_partitioned:
-            out = df.repartition(F.col(cfg.partition_path)).sortWithinPartitions(
+        pcol = self._pcol
+        if pcol is not None:
+            out = self._bucketize(df).repartition(F.col(pcol)).sortWithinPartitions(
                 *cfg.record_key
             )
-            out.write.mode("overwrite").partitionBy(cfg.partition_path).parquet(
+            out.write.mode("overwrite").partitionBy(pcol).parquet(
                 str(self.root / vdir)
             )
             data = self._scan_partition_dirs(vdir)
@@ -251,11 +286,13 @@ class CuratedTable:
             return self._append_delta(batch, version, prev, checkpoint)
 
         vdir = f"v{version:08d}"
-        if cfg.is_partitioned:
-            # Prune both sides to the touched partitions: collect the
-            # batch's distinct partition values (small driver-side list of
-            # VALUES, not rows) and rewrite only those partitions.
-            pcol = cfg.partition_path
+        pcol = self._pcol
+        if pcol is not None:
+            # Prune both sides to the touched partitions/buckets: collect
+            # the batch's distinct partition values (small driver-side list
+            # of VALUES, not rows) and rewrite only those dirs — the rest
+            # carry forward by reference in the new commit manifest.
+            batch = self._bucketize(batch)
             touched = [
                 r[0]
                 for r in batch.select(pcol).distinct().collect()
@@ -333,16 +370,18 @@ class CuratedTable:
         prev = self.latest_commit()
         if prev is None or not prev.deltas:
             return None
-        merged = self.read()
+        merged = self.read()  # drops any bucket col; recomputed on write
         version = self._next_version()
         vdir = f"v{version:08d}"
         cfg = self.config
-        if cfg.is_partitioned:
+        pcol = self._pcol
+        if pcol is not None:
             (
-                merged.repartition(F.col(cfg.partition_path))
+                self._bucketize(merged)
+                .repartition(F.col(pcol))
                 .sortWithinPartitions(*cfg.record_key)
                 .write.mode("overwrite")
-                .partitionBy(cfg.partition_path)
+                .partitionBy(pcol)
                 .parquet(str(self.root / vdir))
             )
             data = self._scan_partition_dirs(vdir)
@@ -415,15 +454,16 @@ class CuratedTable:
         prev = self.latest_commit()
         if prev is None:
             return None
-        df = self.read()
+        df = self.read()  # drops any bucket col; recomputed on write
         version = self._next_version()
         vdir = f"v{version:08d}"
         cfg = self.config
-        if cfg.is_partitioned:
-            out = df.repartition(F.col(cfg.partition_path)).sortWithinPartitions(
+        pcol = self._pcol
+        if pcol is not None:
+            out = self._bucketize(df).repartition(F.col(pcol)).sortWithinPartitions(
                 *cfg.record_key
             )
-            out.write.mode("overwrite").partitionBy(cfg.partition_path).parquet(
+            out.write.mode("overwrite").partitionBy(pcol).parquet(
                 str(self.root / vdir)
             )
             data = self._scan_partition_dirs(vdir)
