@@ -33,7 +33,6 @@ from __future__ import annotations
 import time
 import traceback
 from concurrent.futures import ThreadPoolExecutor
-from dataclasses import dataclass, field
 from datetime import datetime, timezone
 from pathlib import Path
 from typing import Any
@@ -47,6 +46,12 @@ from aws_dms_to_hudi_spark.config import (
     munge_configs,
 )
 from aws_dms_to_hudi_spark.operators.transformer import apply_transformer_sql
+from aws_dms_to_hudi_spark.plans import (
+    ConcurrentRunError,
+    MergePlan,
+    RunReport,
+    StepResult,
+)
 from aws_dms_to_hudi_spark.sources.parquet_dfs import ParquetDFSSource
 from aws_dms_to_hudi_spark.storage import CuratedTable
 
@@ -54,46 +59,13 @@ RETAINED_COMMITS = 5  # handler.py:90-91
 KEEP_MIN_COMMITS = 10  # handler.py:92-93
 KEEP_MAX_COMMITS = 15
 
-
-@dataclass
-class MergePlan:
-    """C3: everything one table merge job needs (the 'spark-submit argv')."""
-
-    step_name: str  # "<schema>.<table>" (handler.py:171)
-    table_name: str  # "<identifier>_<schema>_<table>" (handler.py:132)
-    config: TableConfig
-    source_root: Path  # raw change-log dir (D1)
-    target_root: Path  # curated table dir
-    operation: str  # "bulk_insert" | "upsert" (handler.py:85-89,157-160)
-    continuous: bool  # handler.py:166-167
-    spark_conf: dict[str, str] = field(default_factory=dict)
-
-
-@dataclass
-class StepResult:
-    step_name: str
-    status: str  # "SUCCEEDED" | "FAILED" | "SKIPPED_NO_DATA"
-    version: int | None = None
-    error: str | None = None
-    seconds: float = 0.0
-
-
-@dataclass
-class RunReport:
-    """C10: structured run outcome (the SNS notification equivalent)."""
-
-    execution_id: str
-    pipeline_type: str
-    steps: list[StepResult] = field(default_factory=list)
-    chained: list["RunReport"] = field(default_factory=list)
-
-    @property
-    def succeeded(self) -> bool:
-        return all(s.status != "FAILED" for s in self.steps)
-
-
-class ConcurrentRunError(RuntimeError):
-    """C6: a pipeline execution is already RUNNING (handler.py:211-213)."""
+__all__ = [
+    "ConcurrentRunError",
+    "Engine",
+    "MergePlan",
+    "RunReport",
+    "StepResult",
+]
 
 
 class Engine:
