@@ -130,15 +130,33 @@ def ann_lsh_sql(
     table: str = "embeddings",
     num_queries: int = 5,
     k: int = 3,
+    multiprobe: bool = True,
 ) -> str:
     """Approximate top-k: candidates = corpus vectors sharing an LSH
     bucket with the query in any table; exact cosine re-rank among
     candidates only. Same output shape as :func:`cosine_topk_sql`, so
-    recall is directly measurable."""
+    recall is directly measurable.
+
+    ``multiprobe`` also probes every hamming-1 neighbor bucket of the
+    query's bucket (flip one plane bit): near-misses on a single
+    hyperplane are the dominant LSH failure mode, and probing them
+    multiplies only the QUERY side (tiny) by planes+1 — the corpus-side
+    index is untouched. Standard multiprobe-LSH recall/cost trade.
+    """
+    def _x(a: str, b: str) -> str:
+        return f"({a} ^ {b})" if dialect == "spark" else f"xor({a}, {b})"
+
+    probe_rows = ["SELECT vec_id, tbl, bucket FROM qb0"]
+    if multiprobe:
+        probe_rows += [
+            f"SELECT vec_id, tbl, {_x('bucket', str(1 << j))} AS bucket FROM qb0"
+            for j in range(PLANES_PER_TABLE)
+        ]
+    probes = " UNION ALL ".join(probe_rows)
     return f"""
 WITH {_buckets_cte(dialect, table)},
-qb AS (SELECT vec_id AS q_id, tbl, bucket
-       FROM buckets WHERE vec_id < {num_queries}),
+qb0 AS (SELECT vec_id, tbl, bucket FROM buckets WHERE vec_id < {num_queries}),
+qb AS (SELECT vec_id AS q_id, tbl, bucket FROM ({probes}) AS p),
 cand AS (
   -- DISTINCT over int ids only (hashing embedding arrays in a DISTINCT
   -- key is the slow path); embeddings re-join by id for scoring.

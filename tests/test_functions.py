@@ -77,10 +77,10 @@ def test_ann_is_subset_with_recall(spark, emb_view):
         (r.q_id, r.neighbor_id)
         for r in spark.sql(fn_sim.ann_lsh_sql("spark", table=emb_view)).collect()
     }
-    # ANN neighbors must be real vectors scored exactly; recall is best-
-    # effort on uniform-random fixtures but must be clearly above chance
-    # (chance ≈ k/corpus ≈ 0.6%).
-    assert len(exact & approx) / len(exact) >= 0.2
+    # ANN neighbors must be real vectors scored exactly; with hamming-1
+    # multiprobe the fixture recall is ~0.93 — assert a safe floor far
+    # above chance (chance ≈ k/corpus ≈ 0.6%).
+    assert len(exact & approx) / len(exact) >= 0.6
 
 
 def test_exact_dedup_no_collisions(spark, sf_correct):
