@@ -362,6 +362,44 @@ def q26_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q27_part_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-many-dims star join over the remaining dims (part,
+    supplier): lineitem streams, all three dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("p_brand", "n_name")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_brand", "n_name")
+    )
+
+
+def q28_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window (TPC-H Q2's argmin shape)."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("n_name", "s_name", "s_acctbal", "rn")
+        .orderBy("n_name", "rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -401,6 +439,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_embedding_neardup": q24_embedding_neardup,
         "q25_multimodal_features": q25_multimodal_features,
         "q26_events_window": q26_events_window,
+        "q27_part_supplier_revenue": q27_part_supplier_revenue,
+        "q28_top_suppliers_per_nation": q28_top_suppliers_per_nation,
     }
 
 
@@ -508,5 +548,22 @@ def oracle_sql() -> dict[str, str]:
             "event_type, COUNT(*) AS num_events, "
             "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
             "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"
+        ),
+        "q27_part_supplier_revenue": (
+            "SELECT p_brand, n_name, "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) "
+            "AS DOUBLE) AS revenue, COUNT(*) AS n_lines "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY p_brand, n_name ORDER BY p_brand, n_name"
+        ),
+        "q28_top_suppliers_per_nation": (
+            "SELECT n_name, s_name, s_acctbal, rn FROM ("
+            "  SELECT n_name, s_name, s_acctbal, s_suppkey, "
+            "    row_number() OVER (PARTITION BY n_name "
+            "      ORDER BY s_acctbal DESC, s_suppkey) AS rn "
+            "  FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+            ") AS t WHERE rn <= 3 ORDER BY n_name, rn"
         ),
     }

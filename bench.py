@@ -39,6 +39,8 @@ SMALL_OUTPUT = {
     "q23_ann_lsh",
     "q24_embedding_neardup",
     "q26_events_window",
+    "q27_part_supplier_revenue",
+    "q28_top_suppliers_per_nation",
 }
 
 
