@@ -52,27 +52,74 @@ HYPERPLANES: list[list[list[float]]] = [
 ]
 
 
-def _plane_dot(vec: str, coeffs: list[float], dialect: str) -> str:
-    """Literal-coefficient dot product; `+` chains are left-associative
-    in both engines, so the DOUBLE accumulation order is identical."""
-    return " + ".join(
-        f"CAST({P.element(vec, str(i + 1), dialect)} AS DOUBLE) * ({c})"
-        for i, c in enumerate(coeffs)
-    )
+def _double_array_lit(vals: list[float], dialect: str) -> str:
+    """Literal DOUBLE array (one AST node per engine, not a +/* chain)."""
+    if dialect == "spark":
+        return "array(" + ", ".join(f"{v}D" for v in vals) + ")"
+    # plain numeric literals parse as DECIMAL in DuckDB — cast the array
+    return "CAST([" + ", ".join(str(v) for v in vals) + "] AS DOUBLE[])"
 
 
 def bucket_expr(vec: str, table_idx: int, dialect: str) -> str:
-    """Pack the sign bits of the plane dot products into one int bucket."""
-    bits = " + ".join(
-        f"(CASE WHEN {_plane_dot(vec, HYPERPLANES[table_idx][j], dialect)}"
-        f" > 0 THEN {1 << j} ELSE 0 END)"
-        for j in range(PLANES_PER_TABLE)
+    """Pack the sign bits of the plane dot products into one int bucket.
+
+    Nested-fold form over ONE flattened literal coefficient array: the
+    naive expansion (64 literal mult-adds × planes × tables, inlined per
+    CTE reference) built ~50k-node expression trees that cost Catalyst
+    ~40 s of optimize/codegen time at 1.4 s of actual execution. Folds
+    keep the tree ~constant-size per table; the per-plane dot is still a
+    left-to-right DOUBLE fold, so cross-engine bit-parity holds.
+    """
+    flat = [c for plane in HYPERPLANES[table_idx] for c in plane]
+    arr = _double_array_lit(flat, dialect)
+    dot_q = P.fold(
+        P.transform(
+            P.sequence_1_to(str(DIM), dialect),
+            "i",
+            f"{P.element(arr, f'(q - 1) * {DIM} + i', dialect)}"
+            f" * CAST({P.element(vec, 'i', dialect)} AS DOUBLE)",
+            dialect,
+        ),
+        "CAST(0.0 AS DOUBLE)",
+        "s",
+        "x",
+        "s + x",
+        dialect,
     )
-    return f"CAST({bits} AS BIGINT)"
+    bit_q = (
+        f"CASE WHEN {dot_q} > 0 THEN CAST(pow(2, q - 1) AS BIGINT) "
+        "ELSE CAST(0 AS BIGINT) END"
+    )
+    return P.fold(
+        P.transform(
+            P.sequence_1_to(str(PLANES_PER_TABLE), dialect), "q", bit_q, dialect
+        ),
+        "CAST(0 AS BIGINT)",
+        "s",
+        "x",
+        "s + x",
+        dialect,
+    )
 
 
 def _cos(a: str, b: str, dialect: str) -> str:
     return P.cosine(a, b, DIM, dialect)
+
+
+def _normed_cte(dialect: str, table: str, name: str = "normed") -> str:
+    """``(vec_id, embedding, nrm)`` — the L2 norm computed ONCE per
+    vector. Scoring stages divide the pair dot product by the two
+    pre-computed norms: per-pair cost drops from three 64-wide folds to
+    one, and the arithmetic (dot / (sqrt(a·a) * sqrt(b·b))) is the
+    identical expression tree either way, so results are bit-equal."""
+    return (
+        f"{name} AS (SELECT vec_id, embedding, "
+        f"{P.norm('embedding', DIM, dialect)} AS nrm FROM {table})"
+    )
+
+
+def _pair_cos(a_emb: str, a_nrm: str, b_emb: str, b_nrm: str, dialect: str) -> str:
+    return f"({P.dot(a_emb, b_emb, DIM, dialect)} / ({a_nrm} * {b_nrm}))"
 
 
 # ---------------------------------------------------------------------------
@@ -90,12 +137,14 @@ def cosine_topk_sql(
     vectors. The BROADCAST hint pins the replicate-the-tiny-side plan in
     Spark; DuckDB reads it as a plain comment."""
     return f"""
-WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM {table}
-           WHERE vec_id < {num_queries}),
+WITH {_normed_cte(dialect, table)},
+q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm FROM normed
+      WHERE vec_id < {num_queries}),
 scored AS (
   SELECT /*+ BROADCAST(q) */ q.q_id, e.vec_id AS neighbor_id,
-         {_cos('q.q_emb', 'e.embedding', dialect)} AS cos_sim
-  FROM q JOIN {table} e ON e.vec_id <> q.q_id
+         {_pair_cos('q.q_emb', 'q.q_nrm', 'e.embedding', 'e.nrm', dialect)}
+           AS cos_sim
+  FROM q JOIN normed e ON e.vec_id <> q.q_id
 ),
 ranked AS (
   SELECT q_id, neighbor_id, cos_sim,
@@ -114,15 +163,22 @@ ORDER BY q_id, neighbor_id
 # ---------------------------------------------------------------------------
 
 
-def _buckets_cte(dialect: str, src: str) -> str:
-    """``buckets(vec_id, embedding, tbl, bucket)`` — one row per vector
-    per LSH table."""
-    selects = " UNION ALL ".join(
-        f"SELECT vec_id, embedding, {t} AS tbl, "
+def _buckets_select(dialect: str, src: str) -> str:
+    """``(vec_id, tbl, bucket)`` rows — one per vector per LSH table.
+
+    NOTE: SQL CTEs inline (neither Spark nor DuckDB materializes them),
+    so every *reference* to this select re-computes the bucketization of
+    ``src``. Callers must reference it once per large input — and filter
+    small inputs (the query set) BEFORE bucketizing."""
+    return " UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, "
         f"{bucket_expr('embedding', t, dialect)} AS bucket FROM {src}"
         for t in range(NUM_TABLES)
     )
-    return f"buckets AS ({selects})"
+
+
+def _buckets_cte(dialect: str, src: str) -> str:
+    return f"buckets AS ({_buckets_select(dialect, src)})"
 
 
 def ann_lsh_sql(
@@ -146,17 +202,29 @@ def ann_lsh_sql(
     def _x(a: str, b: str) -> str:
         return f"({a} ^ {b})" if dialect == "spark" else f"xor({a}, {b})"
 
-    probe_rows = ["SELECT vec_id, tbl, bucket FROM qb0"]
-    if multiprobe:
-        probe_rows += [
-            f"SELECT vec_id, tbl, {_x('bucket', str(1 << j))} AS bucket FROM qb0"
-            for j in range(PLANES_PER_TABLE)
-        ]
-    probes = " UNION ALL ".join(probe_rows)
+    n_flips = PLANES_PER_TABLE if multiprobe else 0
+    flips = " UNION ALL ".join(
+        f"SELECT {f} AS f" for f in range(n_flips + 1)
+    )
+    # flip f=0 keeps the bucket; f=j flips plane bit j-1. The flips table
+    # CROSS JOINs qb0 (tiny × tiny) so qb0 is referenced ONCE — a UNION
+    # of probe arms would re-expand the bucketization tree per arm (CTEs
+    # inline in both engines) and blow up Catalyst's optimize time.
+    probe_bucket = (
+        "CASE WHEN f = 0 THEN bucket ELSE "
+        + _x("bucket", "CAST(pow(2, f - 1) AS BIGINT)")
+        + " END"
+    )
+    # qsrc filters to the (tiny) query set BEFORE bucketizing; the
+    # corpus-side `buckets` is referenced exactly once (candidate join).
     return f"""
 WITH {_buckets_cte(dialect, table)},
-qb0 AS (SELECT vec_id, tbl, bucket FROM buckets WHERE vec_id < {num_queries}),
-qb AS (SELECT vec_id AS q_id, tbl, bucket FROM ({probes}) AS p),
+{_normed_cte(dialect, table)},
+qsrc AS (SELECT vec_id, embedding FROM {table} WHERE vec_id < {num_queries}),
+qb0 AS ({_buckets_select(dialect, "qsrc")}),
+flips AS ({flips}),
+qb AS (SELECT vec_id AS q_id, tbl, {probe_bucket} AS bucket
+       FROM qb0 CROSS JOIN flips),
 cand AS (
   -- DISTINCT over int ids only (hashing embedding arrays in a DISTINCT
   -- key is the slow path); embeddings re-join by id for scoring.
@@ -166,10 +234,11 @@ cand AS (
 ),
 scored AS (
   SELECT c.q_id, c.neighbor_id,
-         {_cos('eq.embedding', 'en.embedding', dialect)} AS cos_sim
+         {_pair_cos('eq.embedding', 'eq.nrm', 'en.embedding', 'en.nrm', dialect)}
+           AS cos_sim
   FROM cand c
-  JOIN {table} eq ON eq.vec_id = c.q_id
-  JOIN {table} en ON en.vec_id = c.neighbor_id
+  JOIN normed eq ON eq.vec_id = c.q_id
+  JOIN normed en ON en.vec_id = c.neighbor_id
 ),
 ranked AS (
   SELECT q_id, neighbor_id, cos_sim,
@@ -198,6 +267,7 @@ def embedding_neardup_sql(
     self-joins outside bucket equality — the 100 TB-safe shape."""
     return f"""
 WITH {_buckets_cte(dialect, table)},
+{_normed_cte(dialect, table)},
 cand AS (
   -- int-id-only DISTINCT; embeddings re-join by id for the exact score
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
@@ -206,10 +276,11 @@ cand AS (
 ),
 scored AS (
   SELECT c.vec_a, c.vec_b,
-         {_cos('ea.embedding', 'eb.embedding', dialect)} AS cos_sim
+         {_pair_cos('ea.embedding', 'ea.nrm', 'eb.embedding', 'eb.nrm', dialect)}
+           AS cos_sim
   FROM cand c
-  JOIN {table} ea ON ea.vec_id = c.vec_a
-  JOIN {table} eb ON eb.vec_id = c.vec_b
+  JOIN normed ea ON ea.vec_id = c.vec_a
+  JOIN normed eb ON eb.vec_id = c.vec_b
 )
 SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim
 FROM scored WHERE cos_sim >= {threshold}
