@@ -96,13 +96,27 @@ def int_div(a: str, b: str, dialect: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def tokens(col: str, dialect: str) -> str:
-    """Normalized token list: lower, trim, collapse whitespace, split on
-    single space. ``regexp_replace`` + literal-space split behaves
-    identically in both dialects (Spark's split() treats the pattern as a
-    regex, but a single space is the same either way)."""
+def norm_text(col: str, dialect: str) -> str:
+    """lower + trim + collapse runs of whitespace to single spaces.
+
+    Dialect traps handled here: Spark SQL string literals process
+    backslash escapes ('\\\\s' → regex \\s) while DuckDB's do not
+    ('\\s' is already the two-char regex); and DuckDB regexp_replace
+    replaces only the FIRST match unless passed the 'g' flag (Spark
+    replaces all matches by default).
+    """
     _check(dialect)
-    norm = f"regexp_replace(trim(lower({col})), '\\\\s+', ' ')"
+    if dialect == "spark":
+        return f"regexp_replace(trim(lower({col})), '\\\\s+', ' ')"
+    return f"regexp_replace(trim(lower({col})), '\\s+', ' ', 'g')"
+
+
+def tokens(col: str, dialect: str) -> str:
+    """Normalized token list: :func:`norm_text` split on single space
+    (Spark's split() treats the pattern as a regex, but a single space
+    means the same either way)."""
+    _check(dialect)
+    norm = norm_text(col, dialect)
     if dialect == "spark":
         return f"split({norm}, ' ')"
     return f"string_split({norm}, ' ')"

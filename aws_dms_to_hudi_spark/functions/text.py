@@ -52,6 +52,35 @@ def token_count_expr(col: str, dialect: str) -> str:
     return P.size(P.tokens(col, dialect), dialect)
 
 
+# BPE-ish subword pattern: letter runs, digit runs, single other-symbols.
+# Written without backslash classes so the literal is identical in Java
+# regex (Spark) and RE2 (DuckDB) string syntax.
+_SUBTOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def subtoken_count_expr(col: str, dialect: str) -> str:
+    """BPE-style unit count: how many subword pieces a byte-pair-ish
+    tokenizer would start from (letter runs / digit runs / symbols)."""
+    norm = P.norm_text(col, dialect)
+    # group 0 = whole match in both engines (Spark defaults to group 1
+    # and errors when the pattern has no capture group)
+    return P.size(f"regexp_extract_all({norm}, '{_SUBTOKEN_RE}', 0)", dialect)
+
+
+def punct_ratio_expr(col: str, dialect: str) -> str:
+    """Share of non-alphanumeric, non-space characters."""
+    norm = P.norm_text(col, dialect)
+    stripped_re = "[^a-z0-9 ]"
+    if dialect == "duckdb":
+        stripped = f"regexp_replace({norm}, '{stripped_re}', '', 'g')"
+    else:
+        stripped = f"regexp_replace({norm}, '{stripped_re}', '')"
+    return (
+        f"CAST(length({norm}) - length({stripped}) AS DOUBLE)"
+        f" / CAST(length({norm}) AS DOUBLE)"
+    )
+
+
 def stop_ratio_expr(col: str, dialect: str) -> str:
     toks = P.tokens(col, dialect)
     stops = P.filter_(toks, "t", f"t IN ({_sql_list(STOPWORDS)})", dialect)
@@ -99,8 +128,7 @@ def fingerprint_expr(col: str, dialect: str) -> str:
     """Content fingerprint: rolling hash of the whitespace-normalized,
     lowercased text (rolling/polynomial construction so it extends to
     windowed Rabin-Karp chunk fingerprints)."""
-    norm = f"regexp_replace(trim(lower({col})), '\\\\s+', ' ')"
-    return P.rolling_hash(norm, dialect)
+    return P.rolling_hash(P.norm_text(col, dialect), dialect)
 
 
 # ---------------------------------------------------------------------------
@@ -109,12 +137,15 @@ def fingerprint_expr(col: str, dialect: str) -> str:
 
 
 def text_stats(docs: DataFrame) -> DataFrame:
-    """Per-document token count, stopword ratio, quality score."""
+    """Per-document token/subtoken counts, stopword & punctuation
+    ratios, quality score — all pure projections (no shuffle)."""
     d = "spark"
     return docs.select(
         "doc_id",
         F.expr(token_count_expr("text", d)).cast("long").alias("n_tokens"),
+        F.expr(subtoken_count_expr("text", d)).cast("long").alias("n_subtokens"),
         F.expr(f"round({stop_ratio_expr('text', d)}, 6)").alias("stop_ratio"),
+        F.expr(f"round({punct_ratio_expr('text', d)}, 6)").alias("punct_ratio"),
         F.expr(quality_expr("text", d)).alias("quality"),
     )
 
@@ -173,7 +204,9 @@ def text_stats_oracle_sql() -> str:
     return (
         "SELECT doc_id, "
         f"CAST({token_count_expr('text', d)} AS BIGINT) AS n_tokens, "
+        f"CAST({subtoken_count_expr('text', d)} AS BIGINT) AS n_subtokens, "
         f"round({stop_ratio_expr('text', d)}, 6) AS stop_ratio, "
+        f"round({punct_ratio_expr('text', d)}, 6) AS punct_ratio, "
         f"{quality_expr('text', d)} AS quality "
         "FROM documents"
     )
