@@ -29,7 +29,9 @@ from aws_dms_to_hudi_spark.config import TableConfig
 from aws_dms_to_hudi_spark.functions import dedup as fn_dedup
 from aws_dms_to_hudi_spark.functions import multimodal as fn_mm
 from aws_dms_to_hudi_spark.functions import similarity as fn_sim
+from aws_dms_to_hudi_spark.functions import sampling as fn_sampling
 from aws_dms_to_hudi_spark.functions import text as fn_text
+from aws_dms_to_hudi_spark.operators import asof as op_asof
 from aws_dms_to_hudi_spark.operators.merge import precombine, upsert_merge
 from aws_dms_to_hudi_spark.operators.transformer import apply_transformer_sql
 from aws_dms_to_hudi_spark.storage import CuratedTable
@@ -400,6 +402,86 @@ def q28_top_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q29_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch form of the streaming
+    session_window op): per-user sessions that extend while consecutive
+    events are < 6h apart. Single shuffle on user_id; session-merge is
+    native Spark (no UDF)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def q30_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all 4 combinations in one pass; Spark expands
+    to a single Expand + partial agg, not 4 scans)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice"), "sum_price"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join: each purchase event matched to the same
+    user's most recent prior-or-simultaneous view (union + running-last
+    window — one shuffle, no inequality join; see operators/asof.py)."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts")
+    return (
+        op_asof.asof_join(
+            purchases, views, on=["user_id"], carry={"view_ts": "ts"}
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            "view_ts",
+        )
+        .orderBy("event_id")
+    )
+
+
+def q32_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by portable hash-mod
+    bucketing on doc_id (stable across runs/engines; fuses into the
+    scan — no shuffle until the tiny 3-group agg)."""
+    d = fn_sampling.assign_split(_t(spark, sf_dir, "documents"), "doc_id")
+    return (
+        d.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.expr(fn_text.token_count_expr("text", "spark"))
+            ).alias("sum_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract functions
 # ---------------------------------------------------------------------------
@@ -441,6 +523,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_events_window": q26_events_window,
         "q27_part_supplier_revenue": q27_part_supplier_revenue,
         "q28_top_suppliers_per_nation": q28_top_suppliers_per_nation,
+        "q29_sessionization": q29_sessionization,
+        "q30_cube": q30_cube,
+        "q31_asof_join": q31_asof_join,
+        "q32_hash_split": q32_hash_split,
     }
 
 
@@ -565,5 +651,49 @@ def oracle_sql() -> dict[str, str]:
             "      ORDER BY s_acctbal DESC, s_suppkey) AS rn "
             "  FROM supplier JOIN nation ON s_nationkey = n_nationkey"
             ") AS t WHERE rn <= 3 ORDER BY n_name, rn"
+        ),
+        # Spark session_window semantics: events merge while the gap to
+        # the previous event is < 6h (strict); session end = last_ts + 6h.
+        # Gaps-and-islands reproduces exactly that.
+        "q29_sessionization": (
+            "WITH flagged AS ("
+            "  SELECT user_id, ts, value, CASE WHEN"
+            "    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL"
+            "    OR ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+            "       + INTERVAL 6 HOUR"
+            "    THEN 1 ELSE 0 END AS new_session FROM events"
+            "), numbered AS ("
+            "  SELECT *, SUM(new_session) OVER (PARTITION BY user_id"
+            "    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id"
+            "  FROM flagged)"
+            "SELECT user_id, MIN(ts) AS session_start, "
+            "MAX(ts) + INTERVAL 6 HOUR AS session_end, "
+            "COUNT(*) AS n_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
+            "FROM numbered GROUP BY user_id, session_id "
+            "ORDER BY user_id, session_start"
+        ),
+        "q30_cube": (
+            "SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) "
+            "AS sum_price FROM orders "
+            "GROUP BY CUBE(o_orderpriority, o_orderstatus) "
+            "ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"
+        ),
+        "q31_asof_join": (
+            "SELECT p.event_id, p.user_id, p.ts AS purchase_ts, "
+            "v.ts AS view_ts "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "      WHERE event_type = 'purchase') p "
+            "ASOF LEFT JOIN (SELECT user_id, ts FROM events "
+            "      WHERE event_type = 'view') v "
+            "ON p.user_id = v.user_id AND p.ts >= v.ts "
+            "ORDER BY p.event_id"
+        ),
+        "q32_hash_split": (
+            f"SELECT {fn_sampling.split_expr('doc_id', 'duckdb')} AS split, "
+            "COUNT(*) AS n_docs, "
+            f"SUM({fn_text.token_count_expr('text', 'duckdb')}) AS sum_tokens "
+            "FROM documents GROUP BY 1 ORDER BY split"
         ),
     }

@@ -1,0 +1,53 @@
+"""Deterministic dataset splitting / sampling for training pipelines.
+
+A training-data pipeline needs stable train/val/test assignment: the
+same document must land in the same split on every run, on any cluster
+layout, without a stored assignment table. The standard trick is
+hash-mod bucketing on the stable document key — pure per-row compute,
+no shuffle, no state, reproducible across engines.
+
+``split_expr`` emits the assignment as a portable SQL expression (same
+bytes-in/bytes-out on Spark and DuckDB via the shared polynomial hash
+in :mod:`.portable`), so the DuckDB oracle can verify the exact split.
+
+At 100 TB this is the right shape: assignment is embarrassingly
+parallel, fuses into the scan (whole-stage codegen), and downstream
+filters like ``split = 'train'`` are ordinary pushed-down predicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import portable as P
+
+BUCKETS = 100
+DEFAULT_FRACTIONS = (("train", 80), ("val", 10), ("test", 10))
+
+
+def bucket_expr(key: str, dialect: str) -> str:
+    """Stable bucket in [0, BUCKETS) from any key column (cast to string
+    then polynomial-rolling-hashed — already non-negative)."""
+    h = P.rolling_hash(f"CAST({key} AS STRING)" if dialect == "spark"
+                       else f"CAST({key} AS VARCHAR)", dialect)
+    return f"(({h}) % {BUCKETS})"
+
+
+def split_expr(key: str, dialect: str,
+               fractions=DEFAULT_FRACTIONS) -> str:
+    """CASE expression assigning a split label by hash bucket."""
+    total = sum(n for _, n in fractions)
+    if total != BUCKETS:
+        raise ValueError(f"fractions must sum to {BUCKETS}, got {total}")
+    b = bucket_expr(key, dialect)
+    parts, lo = [], 0
+    for label, n in fractions[:-1]:
+        lo += n
+        parts.append(f"WHEN {b} < {lo} THEN '{label}'")
+    return f"CASE {' '.join(parts)} ELSE '{fractions[-1][0]}' END"
+
+
+def assign_split(df: DataFrame, key: str, fractions=DEFAULT_FRACTIONS) -> DataFrame:
+    """Attach a deterministic ``split`` column keyed on ``key``."""
+    return df.withColumn("split", F.expr(split_expr(key, "spark", fractions)))

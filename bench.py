@@ -41,6 +41,8 @@ SMALL_OUTPUT = {
     "q26_events_window",
     "q27_part_supplier_revenue",
     "q28_top_suppliers_per_nation",
+    "q30_cube",
+    "q32_hash_split",
 }
 
 

@@ -1,0 +1,47 @@
+"""Unit tests for deterministic hash-split sampling (functions/sampling.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_dms_to_hudi_spark.functions import sampling
+
+
+def test_split_is_deterministic_and_total(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = sampling.assign_split(df, "doc_id")
+    b = sampling.assign_split(df, "doc_id")
+    assert a.exceptAll(b).count() == 0
+    counts = {r["split"]: r["n"] for r in
+              a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 2000
+    # hash-mod is approximately proportional
+    assert counts["train"] > counts["val"]
+    assert counts["train"] > counts["test"]
+    assert 0.70 < counts["train"] / 2000 < 0.90
+
+
+def test_custom_fractions(spark):
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    out = sampling.assign_split(df, "doc_id", (("a", 50), ("b", 50)))
+    assert {r["split"] for r in out.select("split").distinct().collect()} == {
+        "a",
+        "b",
+    }
+
+
+def test_fractions_must_sum_to_buckets():
+    with pytest.raises(ValueError, match="sum"):
+        sampling.split_expr("doc_id", "spark", (("a", 50), ("b", 40)))
+
+
+def test_no_shuffle_in_assignment(spark):
+    """Assignment is per-row compute only — it must fuse into the scan."""
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    plan = (
+        sampling.assign_split(df, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
