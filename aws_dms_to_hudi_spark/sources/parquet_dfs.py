@@ -35,6 +35,8 @@ CHECKPOINT_KEY = "watermark"
 class ParquetDFSSource:
     """Incremental reader over an append-only parquet change-log dir."""
 
+    SUFFIX = PARQUET_SUFFIX
+
     def __init__(self, spark: SparkSession, root: str | Path):
         self.spark = spark
         self.root = Path(root)
@@ -49,7 +51,7 @@ class ParquetDFSSource:
             return []
         return sorted(
             str(p.relative_to(self.root))
-            for p in self.root.rglob(f"*{PARQUET_SUFFIX}")
+            for p in self.root.rglob(f"*{self.SUFFIX}")
             if p.is_file() and not p.name.startswith(("_", "."))
         )
 
