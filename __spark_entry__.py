@@ -465,6 +465,25 @@ def q31_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q33_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi incremental-query analog through the real storage path: bulk
+    insert batch 0, upsert batches 1..N, then read ONLY the keys changed
+    since the initial load (per-commit changelogs, not a table diff)."""
+    rec = cdc.RECIPES["orders"]
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q33_orders")
+    cfg = TableConfig(name="q33_orders", record_key=list(rec.key_cols))
+    # mkdtemp (not TemporaryDirectory): the returned DataFrame reads lazily
+    # from this path, so it must outlive this call.
+    tmp = tempfile.mkdtemp(prefix="q33_incremental_")
+    table = CuratedTable(spark, Path(tmp) / "orders", cfg)
+    c0 = table.bulk_insert(spark.sql(cdc.batch_sql(rec, 0, src="__q33_orders")))
+    for b in range(1, cdc.N_BATCHES):
+        table.upsert(spark.sql(cdc.batch_sql(rec, b, src="__q33_orders")))
+    return table.read_incremental(begin_version=c0.version).select(
+        *rec.columns, "trx_seq"
+    )
+
+
 def q32_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by portable hash-mod
     bucketing on doc_id (stable across runs/engines; fuses into the
@@ -527,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q30_cube": q30_cube,
         "q31_asof_join": q31_asof_join,
         "q32_hash_split": q32_hash_split,
+        "q33_incremental_read": q33_incremental_read,
     }
 
 
@@ -690,6 +710,7 @@ def oracle_sql() -> dict[str, str]:
             "ON p.user_id = v.user_id AND p.ts >= v.ts "
             "ORDER BY p.event_id"
         ),
+        "q33_incremental_read": cdc.replay_sql(rec_o, from_batch=1),
         "q32_hash_split": (
             f"SELECT {fn_sampling.split_expr('doc_id', 'duckdb')} AS split, "
             "COUNT(*) AS n_docs, "

@@ -179,22 +179,30 @@ def batch_sql(recipe: CdcRecipe, batch_id: int, src: str | None = None) -> str:
 
 
 def stream_sql(
-    recipe: CdcRecipe, upto_batch: int = N_BATCHES - 1, src: str | None = None
+    recipe: CdcRecipe,
+    upto_batch: int = N_BATCHES - 1,
+    src: str | None = None,
+    from_batch: int = 0,
 ) -> str:
-    """UNION ALL of batches 0..upto_batch — the full change log."""
+    """UNION ALL of batches from_batch..upto_batch — the change log."""
     return " UNION ALL ".join(
-        f"({batch_sql(recipe, b, src=src)})" for b in range(upto_batch + 1)
+        f"({batch_sql(recipe, b, src=src)})"
+        for b in range(from_batch, upto_batch + 1)
     )
 
 
 def replay_sql(
-    recipe: CdcRecipe, upto_batch: int = N_BATCHES - 1, src: str | None = None
+    recipe: CdcRecipe,
+    upto_batch: int = N_BATCHES - 1,
+    src: str | None = None,
+    from_batch: int = 0,
 ) -> str:
-    """Ground-truth state after replaying batches 0..upto_batch.
+    """Ground-truth state after replaying batches from_batch..upto_batch.
 
     Naive replay per FIXTURES.md §3: per record key keep the row with the
     lexicographically max ``trx_seq``, then drop deleted rows. This is the
-    oracle for the engine's D4+D5+D6 merge.
+    oracle for the engine's D4+D5+D6 merge; with ``from_batch > 0`` it is
+    also the oracle for the incremental read (changed keys only).
     """
     keys = ", ".join(recipe.key_cols)
     cols = ", ".join(recipe.columns)
@@ -202,7 +210,7 @@ def replay_sql(
         f"SELECT {cols}, trx_seq FROM ("
         f"  SELECT *, row_number() OVER ("
         f"    PARTITION BY {keys} ORDER BY trx_seq DESC) AS rn"
-        f"  FROM ({stream_sql(recipe, upto_batch, src=src)}) AS cdc_stream"
+        f"  FROM ({stream_sql(recipe, upto_batch, src=src, from_batch=from_batch)}) AS cdc_stream"
         f") AS ranked WHERE rn = 1 AND NOT _hoodie_is_deleted"
     )
 

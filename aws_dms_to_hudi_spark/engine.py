@@ -220,7 +220,7 @@ class Engine:
 
     # ---------- reads ----------
 
-    def read_table(self, table_name: str) -> DataFrame | None:
+    def _curated(self, table_name: str) -> CuratedTable | None:
         entry = self.catalog.tables().get(table_name)
         if entry is None:
             return None
@@ -230,7 +230,25 @@ class Engine:
             is_partitioned=entry["partition_path"] is not None,
             partition_path=entry["partition_path"],
         )
-        return CuratedTable(self.spark, entry["path"], cfg).read()
+        return CuratedTable(self.spark, entry["path"], cfg)
+
+    def read_table(self, table_name: str) -> DataFrame | None:
+        t = self._curated(table_name)
+        return t.read() if t else None
+
+    def read_table_incremental(
+        self,
+        table_name: str,
+        begin_version: int | None = None,
+        end_version: int | None = None,
+        drop_deleted: bool = True,
+    ) -> DataFrame | None:
+        """Changed keys only, for commits in (begin, end] — see
+        CuratedTable.read_incremental."""
+        t = self._curated(table_name)
+        if t is None:
+            return None
+        return t.read_incremental(begin_version, end_version, drop_deleted)
 
     # ---------- concurrency guard (C6) ----------
 

@@ -72,6 +72,10 @@ class Commit:
     deltas: list[str] = field(default_factory=list)
     checkpoint: dict[str, Any] = field(default_factory=dict)
     parent: int | None = None
+    # Dirs holding the rows this commit logically changed (the precombined
+    # batch incl. tombstones) — the Hudi CDC/incremental-query analog.
+    # Empty for table services (compaction/clustering), which change no rows.
+    changelog: list[str] = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -82,6 +86,7 @@ class Commit:
                 "deltas": self.deltas,
                 "checkpoint": self.checkpoint,
                 "parent": self.parent,
+                "changelog": self.changelog,
             },
             indent=1,
         )
@@ -96,6 +101,7 @@ class Commit:
             deltas=d.get("deltas", []),
             checkpoint=d.get("checkpoint", {}),
             parent=d.get("parent"),
+            changelog=d.get("changelog", []),
         )
 
 
@@ -190,6 +196,44 @@ class CuratedTable:
             base = base.drop(BUCKET_COL)  # internal layout detail
         return base
 
+    def read_incremental(
+        self,
+        begin_version: int | None = None,
+        end_version: int | None = None,
+        drop_deleted: bool = True,
+    ) -> DataFrame | None:
+        """Hudi incremental-query analog: the latest version of every key
+        changed by commits in ``(begin_version, end_version]``.
+
+        Steady-state consumers poll with ``begin_version = last seen`` and
+        get only the changed keys — reading changelog dirs sized to the
+        batches, never the table. ``drop_deleted=False`` exposes tombstones
+        (``_hoodie_is_deleted``) so downstream sinks can propagate deletes
+        (CDC-read mode). Bounded by the retained timeline: positions older
+        than ``cleaner.commits.retained`` require a full refresh, exactly
+        as in Hudi.
+        """
+        dirs: list[str] = []
+        for c in self.commits():
+            if begin_version is not None and c.version <= begin_version:
+                continue
+            if end_version is not None and c.version > end_version:
+                continue
+            dirs.extend(c.changelog)
+        df = self._read_dirs(dirs)
+        if df is None:
+            return None
+        df = precombine(
+            df, self.config.record_key, self.config.source_ordering_field
+        )
+        if drop_deleted:
+            from aws_dms_to_hudi_spark.operators.merge import apply_deletes
+
+            df = apply_deletes(df)
+        if BUCKET_COL in df.columns:
+            df = df.drop(BUCKET_COL)
+        return df
+
     def _commit_at(self, version: int | None) -> Commit | None:
         commits = self.commits()
         if not commits:
@@ -263,6 +307,9 @@ class CuratedTable:
             data=data,
             checkpoint=checkpoint or {},
             parent=None,
+            # the initial load IS its own change set; reference the data
+            # dirs rather than writing the batch twice
+            changelog=list(data.values()),
         )
         self._write_commit(commit)
         return commit
@@ -286,6 +333,14 @@ class CuratedTable:
             return self._append_delta(batch, version, prev, checkpoint)
 
         vdir = f"v{version:08d}"
+        # Materialize the precombined change set first (Hudi CDC analog):
+        # it feeds incremental reads, and reading it back for the merge
+        # truncates the batch's lineage so the merge plan stays small.
+        cldir = f"{vdir}_changelog"
+        precombine(batch, cfg.record_key, cfg.source_ordering_field).write.mode(
+            "overwrite"
+        ).parquet(str(self.root / cldir))
+        batch = self.spark.read.parquet(str(self.root / cldir))
         pcol = self._pcol
         if pcol is not None:
             # Prune both sides to the touched partitions/buckets: collect
@@ -336,6 +391,7 @@ class CuratedTable:
             data=new_data,
             checkpoint=checkpoint or {},
             parent=prev.version,
+            changelog=[cldir],
         )
         self._write_commit(commit)
         return commit
@@ -359,6 +415,8 @@ class CuratedTable:
             deltas=[*prev.deltas, ddir],
             checkpoint=checkpoint or {},
             parent=prev.version,
+            # the delta log is already the precombined change set; reuse it
+            changelog=[ddir],
         )
         self._write_commit(commit)
         return commit
@@ -415,9 +473,10 @@ class CuratedTable:
         for c in live:
             live_dirs.update(_version_of(d) for d in c.data.values())
             live_dirs.update(_version_of(d) for d in c.deltas)
+            live_dirs.update(_version_of(d) for d in c.changelog)
         removed = []
         for c in old:
-            for d in [*c.data.values(), *c.deltas]:
+            for d in [*c.data.values(), *c.deltas, *c.changelog]:
                 ver = _version_of(d)
                 target = self.root / ver
                 if ver not in live_dirs and target.exists():
