@@ -339,6 +339,13 @@ def q24_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_sim.embedding_neardup_sql("spark", table=v))
 
 
+def q34_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN, IVF flavor: coarse-quantizer inverted lists +
+    nprobe probing + exact re-rank (FAISS-IVF shape, pure SQL)."""
+    v = _view(spark, sf_dir, "embeddings", "q34")
+    return spark.sql(fn_sim.ivf_topk_sql("spark", table=v))
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -547,6 +554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_asof_join": q31_asof_join,
         "q32_hash_split": q32_hash_split,
         "q33_incremental_read": q33_incremental_read,
+        "q34_ann_ivf": q34_ann_ivf,
     }
 
 
@@ -711,6 +719,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY p.event_id"
         ),
         "q33_incremental_read": cdc.replay_sql(rec_o, from_batch=1),
+        "q34_ann_ivf": fn_sim.ivf_topk_sql("duckdb"),
         "q32_hash_split": (
             f"SELECT {fn_sampling.split_expr('doc_id', 'duckdb')} AS split, "
             "COUNT(*) AS n_docs, "

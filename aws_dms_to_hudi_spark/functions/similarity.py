@@ -286,3 +286,83 @@ SELECT vec_a, vec_b, round(cos_sim, 6) AS cos_sim
 FROM scored WHERE cos_sim >= {threshold}
 ORDER BY vec_a, vec_b
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# ---------------------------------------------------------------------------
+
+NUM_CENTROIDS = 16
+NPROBE = 6
+
+
+def ivf_topk_sql(
+    dialect: str,
+    table: str = "embeddings",
+    num_queries: int = 5,
+    k: int = 3,
+    num_centroids: int = NUM_CENTROIDS,
+    nprobe: int = NPROBE,
+) -> str:
+    """IVF-style ANN: the *other* standard scale path next to LSH.
+
+    Coarse quantizer: ``num_centroids`` deterministic seed vectors (the
+    lowest ``vec_id``s — on uniform data any fixed pick is as good as a
+    random one, and determinism makes the operator oracle-checkable;
+    production would k-means these). Every corpus vector is assigned to
+    its nearest centroid (the inverted list); each query probes its
+    ``nprobe`` nearest centroids and exact-re-ranks only those lists.
+
+    Scale shape (billions of vectors): assignment is corpus × centroids
+    with the centroid side broadcast — a projection-like pass, done ONCE
+    and persisted in production (it is the index). The probe join
+    shuffles on c_id only, so a query meets just ``nprobe/num_centroids``
+    of the corpus; recall/cost is tuned by nprobe exactly as in FAISS
+    IVF. Same output shape as :func:`cosine_topk_sql` → recall is
+    directly measurable against the exact baseline.
+    """
+    return f"""
+WITH {_normed_cte(dialect, table)},
+cent AS (SELECT vec_id AS c_id, embedding AS c_emb, nrm AS c_nrm
+         FROM normed WHERE vec_id < {num_centroids}),
+assign AS (
+  SELECT vec_id, c_id FROM (
+    SELECT /*+ BROADCAST(cent) */ e.vec_id, cent.c_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_pair_cos('e.embedding', 'e.nrm', 'cent.c_emb', 'cent.c_nrm', dialect)}
+               DESC, cent.c_id) AS rn
+    FROM normed e CROSS JOIN cent
+  ) a WHERE rn = 1
+),
+qprobe AS (
+  SELECT q_id, c_id FROM (
+    SELECT /*+ BROADCAST(cent) */ q.vec_id AS q_id, cent.c_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             {_pair_cos('q.embedding', 'q.nrm', 'cent.c_emb', 'cent.c_nrm', dialect)}
+               DESC, cent.c_id) AS rn
+    FROM normed q CROSS JOIN cent WHERE q.vec_id < {num_queries}
+  ) p WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT qprobe.q_id, a.vec_id AS neighbor_id
+  FROM qprobe JOIN assign a ON a.c_id = qprobe.c_id
+  WHERE a.vec_id <> qprobe.q_id
+),
+scored AS (
+  SELECT c.q_id, c.neighbor_id,
+         {_pair_cos('eq.embedding', 'eq.nrm', 'en.embedding', 'en.nrm', dialect)}
+           AS cos_sim
+  FROM cand c
+  JOIN normed eq ON eq.vec_id = c.q_id
+  JOIN normed en ON en.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT q_id, neighbor_id, round(cos_sim, 6) AS cos_sim
+FROM ranked WHERE rn <= {k}
+ORDER BY q_id, neighbor_id
+"""

@@ -43,6 +43,7 @@ SMALL_OUTPUT = {
     "q28_top_suppliers_per_nation",
     "q30_cube",
     "q32_hash_split",
+    "q34_ann_ivf",
 }
 
 

@@ -125,3 +125,27 @@ def test_lang_markers_disjoint():
     for words in fn_text.LANG_MARKERS.values():
         assert not (seen & set(words))
         seen |= set(words)
+
+
+def test_ivf_recall_and_exhaustive_probe_equivalence(spark, emb_view):
+    exact = {
+        (r.q_id, r.neighbor_id)
+        for r in spark.sql(fn_sim.cosine_topk_sql("spark", table=emb_view)).collect()
+    }
+    ivf = {
+        (r.q_id, r.neighbor_id)
+        for r in spark.sql(fn_sim.ivf_topk_sql("spark", table=emb_view)).collect()
+    }
+    # fixture recall at the default nprobe is 0.93; floor well above
+    # chance (k/corpus ≈ 0.6%) but safely under the measured value
+    assert len(exact & ivf) / len(exact) >= 0.6
+    # probing every centroid makes IVF exhaustive — must equal brute force
+    full = {
+        (r.q_id, r.neighbor_id)
+        for r in spark.sql(
+            fn_sim.ivf_topk_sql(
+                "spark", table=emb_view, nprobe=fn_sim.NUM_CENTROIDS
+            )
+        ).collect()
+    }
+    assert full == exact
