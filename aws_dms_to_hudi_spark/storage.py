@@ -546,6 +546,35 @@ class CuratedTable:
         self._write_commit(commit)
         return commit
 
+    def restore(self, version: int) -> Commit:
+        """Rollback/restore (Hudi ``savepoint``+``restore`` analog): make
+        an earlier commit's state current again.
+
+        Implemented as a NEW commit whose manifest points at the old
+        commit's data dirs — nothing is rewritten or deleted, the timeline
+        stays append-only (an operator can restore a bad restore), and
+        versions newer than the target remain readable until cleaned.
+        The checkpoint is rolled back with the data so the next
+        incremental run re-consumes the undone source files. As in Hudi,
+        a restore does not emit a changelog — downstream incremental
+        consumers positioned past the target must full-refresh.
+        """
+        target = self._commit_at(version)
+        if target is None:
+            raise ValueError(f"version {version} not on timeline")
+        prev = self.latest_commit()
+        commit = Commit(
+            version=self._next_version(),
+            operation="restore",
+            data=dict(target.data),
+            deltas=list(target.deltas),
+            checkpoint=dict(target.checkpoint),
+            parent=prev.version if prev else None,
+            changelog=[],
+        )
+        self._write_commit(commit)
+        return commit
+
     # ---------- helpers ----------
 
     def _next_version(self) -> int:

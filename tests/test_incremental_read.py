@@ -94,3 +94,32 @@ def test_clean_gc_includes_changelogs(spark, table, tmp_path):
     last = table.latest_commit()
     inc = table.read_incremental(begin_version=last.version - 1)
     assert inc.count() == 1
+
+
+def test_restore_rolls_back_state_and_checkpoint(spark, table):
+    c0 = table.bulk_insert(
+        _df(spark, [(1, "a", "001", False), (2, "b", "002", False)]),
+        checkpoint={"watermark": "batch-0"},
+    )
+    table.upsert(
+        _df(spark, [(1, "a1", "003", False), (3, "c", "004", False)]),
+        checkpoint={"watermark": "batch-1"},
+    )
+    rc = table.restore(c0.version)
+    assert rc.operation == "restore" and rc.version > c0.version
+    assert {r["k"]: r["v"] for r in table.read().collect()} == {1: "a", 2: "b"}
+    # checkpoint rolled back -> next run re-consumes the undone batch
+    assert table.checkpoint() == {"watermark": "batch-0"}
+    # timeline stays append-only: the undone version is still readable
+    assert {r["k"] for r in table.read(version=c0.version + 1).collect()} == {1, 2, 3}
+    # restoring forward again also works (restore of a restore)
+    table.restore(c0.version + 1)
+    assert {r["k"]: r["v"] for r in table.read().collect()} == {
+        1: "a1", 2: "b", 3: "c"
+    }
+
+
+def test_restore_unknown_version_raises(spark, table):
+    table.bulk_insert(_df(spark, [(1, "a", "001", False)]))
+    with pytest.raises(ValueError, match="not on timeline"):
+        table.restore(99)
