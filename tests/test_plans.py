@@ -50,3 +50,35 @@ def test_q27_dims_broadcast(spark, sf_correct):
 def test_no_cartesian_anywhere(spark, sf_correct, name):
     plan = _plan(spark, sf_correct, name)
     assert "CartesianProduct" not in plan, name
+
+
+def test_q29_sessionization_single_shuffle(spark, sf_correct):
+    """Session merge happens inside ONE hash exchange on user_id (plus
+    the output sort); no join, no second agg shuffle."""
+    plan = _plan(spark, sf_correct, "q29_sessionization")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_q30_cube_is_one_pass(spark, sf_correct):
+    """CUBE must plan as a single Expand + one agg shuffle — not one
+    scan/shuffle per grouping set."""
+    plan = _plan(spark, sf_correct, "q30_cube")
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q32_split_assignment_fuses_into_scan(spark, sf_correct):
+    """Hash-split assignment is per-row compute: the only hash exchange
+    is the tiny 3-group aggregate, nothing before it."""
+    plan = _plan(spark, sf_correct, "q32_hash_split")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_q34_ivf_centroid_joins_stay_broadcast(spark, sf_correct):
+    """The corpus only ever cross-joins the 16-row centroid set, and that
+    must be the broadcast side (BNLJ), never a CartesianProduct; corpus-
+    sized joins are hash joins."""
+    plan = _plan(spark, sf_correct, "q34_ann_ivf")
+    assert "CartesianProduct" not in plan
