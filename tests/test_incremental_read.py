@@ -123,3 +123,36 @@ def test_restore_unknown_version_raises(spark, table):
     table.bulk_insert(_df(spark, [(1, "a", "001", False)]))
     with pytest.raises(ValueError, match="not on timeline"):
         table.restore(99)
+
+
+def test_downstream_table_chains_off_incremental_reads(spark, tmp_path):
+    """Incremental ETL chain: a downstream table stays in sync by
+    consuming ONLY the upstream changelog after each commit (never a full
+    scan) — the pattern that makes derived tables affordable at 100 TB."""
+    cfg_up = TableConfig(name="up", record_key=["k"], source_ordering_field="trx_seq")
+    cfg_dn = TableConfig(name="dn", record_key=["k"], source_ordering_field="trx_seq")
+    up = CuratedTable(spark, tmp_path / "up", cfg_up)
+    dn = CuratedTable(spark, tmp_path / "dn", cfg_dn)
+
+    batches = [
+        [(1, "a", "001", False), (2, "b", "002", False)],
+        [(2, "b1", "003", False), (3, "c", "004", False)],
+        [(1, None, "005", True), (3, "c1", "006", False)],
+    ]
+    pos = None
+    for rows in batches:
+        df = spark.createDataFrame(
+            rows, "k int, v string, trx_seq string, _hoodie_is_deleted boolean"
+        )
+        c = up.upsert(df) if up.latest_commit() else up.bulk_insert(df)
+        changes = up.read_incremental(begin_version=pos, end_version=c.version,
+                                      drop_deleted=False)
+        if dn.latest_commit() is None:
+            dn.bulk_insert(changes)
+        else:
+            dn.upsert(changes)
+        pos = c.version
+
+    up_state = {(r["k"], r["v"]) for r in up.read().collect()}
+    dn_state = {(r["k"], r["v"]) for r in dn.read().collect()}
+    assert up_state == dn_state == {(2, "b1"), (3, "c1")}
