@@ -67,6 +67,9 @@ def asof_join(
         raise ValueError(f"carry names collide with left columns: {sorted(collisions)}")
 
     out_cols = list(left.columns) + list(carry)
+    # a right row with NULL event time can't be "as of" anything, but its
+    # carried values would survive last(ignorenulls) — drop them up front
+    right = right.filter(F.col(right_ts).isNotNull())
     # Right rows tag 0, left rows tag 1; at equal ts the right row sorts
     # first (backward) / last (forward), making the bound inclusive.
     r = right.select(

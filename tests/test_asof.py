@@ -94,3 +94,13 @@ def test_single_shuffle_plan(spark, quotes_and_trades):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_null_right_ts_rows_are_ignored(spark, quotes_and_trades):
+    quotes, trades = quotes_and_trades
+    polluted = quotes.unionByName(
+        spark.createDataFrame([("A", None, 999.0)], quotes.schema)
+    )
+    out = asof_join(trades, polluted, on=["sym"], carry={"px": "px"})
+    got = {r["qty"]: r["px"] for r in out.collect()}
+    assert got == {1: 100.0, 2: 101.0, 3: 102.0, 4: None, 5: None}
