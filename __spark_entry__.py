@@ -346,6 +346,12 @@ def q34_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_sim.ivf_topk_sql("spark", table=v))
 
 
+def q35_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF family (§2.3): explode tokens → doc-frequency
+    top-n (the DF half of TF-IDF; vocab pruning signal)."""
+    return fn_text.token_doc_freq(_t(spark, sf_dir, "documents"))
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -555,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_hash_split": q32_hash_split,
         "q33_incremental_read": q33_incremental_read,
         "q34_ann_ivf": q34_ann_ivf,
+        "q35_token_doc_freq": q35_token_doc_freq,
     }
 
 
@@ -720,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q33_incremental_read": cdc.replay_sql(rec_o, from_batch=1),
         "q34_ann_ivf": fn_sim.ivf_topk_sql("duckdb"),
+        "q35_token_doc_freq": fn_text.token_doc_freq_oracle_sql(),
         "q32_hash_split": (
             f"SELECT {fn_sampling.split_expr('doc_id', 'duckdb')} AS split, "
             "COUNT(*) AS n_docs, "

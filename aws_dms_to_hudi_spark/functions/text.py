@@ -228,3 +228,33 @@ def exact_dedup_oracle_sql() -> str:
         "MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies "
         "FROM documents GROUP BY 1 ORDER BY canonical_id"
     )
+
+
+def token_doc_freq(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """Corpus document-frequency of tokens (the DF half of TF-IDF and
+    the standard stopword/vocab-pruning signal).
+
+    Explode is the scale-correct shape: one shuffle keyed by token with
+    map-side partial distinct; no driver-side vocabulary. Ties at the
+    cutoff break by token so the LIMIT is deterministic.
+    """
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.expr(P.tokens("text", "spark"))).alias("token"),
+        )
+        .groupBy("token")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(top_n)
+    )
+
+
+def token_doc_freq_oracle_sql(top_n: int = 20) -> str:
+    d = "duckdb"
+    return (
+        "SELECT token, COUNT(DISTINCT doc_id) AS df FROM ("
+        f"  SELECT doc_id, unnest({P.tokens('text', d)}) AS token"
+        "  FROM documents) AS exploded "
+        f"GROUP BY token ORDER BY df DESC, token LIMIT {top_n}"
+    )

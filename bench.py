@@ -44,6 +44,7 @@ SMALL_OUTPUT = {
     "q30_cube",
     "q32_hash_split",
     "q34_ann_ivf",
+    "q35_token_doc_freq",
 }
 
 
