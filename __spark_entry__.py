@@ -352,6 +352,19 @@ def q35_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fn_text.token_doc_freq(_t(spark, sf_dir, "documents"))
 
 
+def q36_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample by key-hash, audited per language
+    stratum (sampleBy analog, no RNG — reproducible on any cluster)."""
+    d = fn_sampling.stratified_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", 20
+    )
+    return (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.min("doc_id").alias("first_doc"))
+        .orderBy("lang")
+    )
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -562,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_incremental_read": q33_incremental_read,
         "q34_ann_ivf": q34_ann_ivf,
         "q35_token_doc_freq": q35_token_doc_freq,
+        "q36_stratified_sample": q36_stratified_sample,
     }
 
 
@@ -728,6 +742,12 @@ def oracle_sql() -> dict[str, str]:
         "q33_incremental_read": cdc.replay_sql(rec_o, from_batch=1),
         "q34_ann_ivf": fn_sim.ivf_topk_sql("duckdb"),
         "q35_token_doc_freq": fn_text.token_doc_freq_oracle_sql(),
+        "q36_stratified_sample": (
+            "SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc "
+            "FROM documents WHERE "
+            f"{fn_sampling.stratified_keep_expr('doc_id', 20, 'duckdb')} "
+            "GROUP BY lang ORDER BY lang"
+        ),
         "q32_hash_split": (
             f"SELECT {fn_sampling.split_expr('doc_id', 'duckdb')} AS split, "
             "COUNT(*) AS n_docs, "

@@ -51,3 +51,21 @@ def split_expr(key: str, dialect: str,
 def assign_split(df: DataFrame, key: str, fractions=DEFAULT_FRACTIONS) -> DataFrame:
     """Attach a deterministic ``split`` column keyed on ``key``."""
     return df.withColumn("split", F.expr(split_expr(key, "spark", fractions)))
+
+
+def stratified_keep_expr(key: str, pct: int, dialect: str) -> str:
+    """Deterministic per-row keep predicate for an approximately ``pct``%
+    sample: hash-bucket membership, not RNG — the same rows are kept on
+    every run, any cluster layout, both engines (``df.sample``/Bernoulli
+    RNG can't promise that)."""
+    if not 0 <= pct <= BUCKETS:
+        raise ValueError(f"pct must be in [0, {BUCKETS}], got {pct}")
+    return f"({bucket_expr(key, dialect)} < {pct})"
+
+
+def stratified_sample(df: DataFrame, key: str, pct: int) -> DataFrame:
+    """Keep ~pct% of rows, deterministically by key hash. Applied after a
+    groupBy stratum upstream (or to the whole table), the per-stratum
+    rate is identical because bucket membership is independent of the
+    stratum column — the `sampleBy` analog without RNG."""
+    return df.filter(F.expr(stratified_keep_expr(key, pct, "spark")))

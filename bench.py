@@ -45,6 +45,7 @@ SMALL_OUTPUT = {
     "q32_hash_split",
     "q34_ann_ivf",
     "q35_token_doc_freq",
+    "q36_stratified_sample",
 }
 
 

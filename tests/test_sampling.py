@@ -45,3 +45,20 @@ def test_no_shuffle_in_assignment(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_stratified_sample_rate_and_determinism(spark):
+    df = spark.range(5000).withColumnRenamed("id", "doc_id")
+    s1 = sampling.stratified_sample(df, "doc_id", 20)
+    s2 = sampling.stratified_sample(df, "doc_id", 20)
+    assert s1.exceptAll(s2).count() == 0
+    n = s1.count()
+    assert 0.15 < n / 5000 < 0.25
+    # pct=100 keeps everything, pct=0 keeps nothing
+    assert sampling.stratified_sample(df, "doc_id", 100).count() == 5000
+    assert sampling.stratified_sample(df, "doc_id", 0).count() == 0
+
+
+def test_stratified_pct_bounds():
+    with pytest.raises(ValueError, match="pct"):
+        sampling.stratified_keep_expr("doc_id", 101, "spark")
