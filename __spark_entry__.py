@@ -32,6 +32,7 @@ from aws_dms_to_hudi_spark.functions import similarity as fn_sim
 from aws_dms_to_hudi_spark.functions import sampling as fn_sampling
 from aws_dms_to_hudi_spark.functions import text as fn_text
 from aws_dms_to_hudi_spark.operators import asof as op_asof
+from aws_dms_to_hudi_spark.operators import range_join as op_range
 from aws_dms_to_hudi_spark.operators.merge import precombine, upsert_merge
 from aws_dms_to_hudi_spark.operators.transformer import apply_transformer_sql
 from aws_dms_to_hudi_spark.storage import CuratedTable
@@ -365,6 +366,37 @@ def q36_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q37_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (bucketed equi-join, no nested loop;
+    see operators/range_join.py): purchases assigned to their user's
+    6h-gap session, counted per session."""
+    e = _t(spark, sf_dir, "events")
+    sessions = (
+        e.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+        )
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    j = op_range.range_join(
+        purchases,
+        sessions,
+        on=["user_id"],
+        left_ts="ts",
+        right_start="session_start",
+        right_end="session_end",
+        bucket_seconds=6 * 3600,
+    )
+    return (
+        j.groupBy("user_id", "session_start")
+        .agg(F.count("*").alias("n_purchases"))
+        .orderBy("user_id", "session_start")
+    )
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -576,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_ann_ivf": q34_ann_ivf,
         "q35_token_doc_freq": q35_token_doc_freq,
         "q36_stratified_sample": q36_stratified_sample,
+        "q37_range_join_sessions": q37_range_join_sessions,
     }
 
 
@@ -747,6 +780,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE "
             f"{fn_sampling.stratified_keep_expr('doc_id', 20, 'duckdb')} "
             "GROUP BY lang ORDER BY lang"
+        ),
+        # sessions per q29's gaps-and-islands; purchases land in their
+        # session via a plain inequality join (the oracle can afford it)
+        "q37_range_join_sessions": (
+            "WITH flagged AS ("
+            "  SELECT user_id, ts, CASE WHEN"
+            "    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL"
+            "    OR ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+            "       + INTERVAL 6 HOUR"
+            "    THEN 1 ELSE 0 END AS new_session FROM events"
+            "), numbered AS ("
+            "  SELECT *, SUM(new_session) OVER (PARTITION BY user_id"
+            "    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id"
+            "  FROM flagged"
+            "), sessions AS ("
+            "  SELECT user_id, MIN(ts) AS session_start, "
+            "  MAX(ts) + INTERVAL 6 HOUR AS session_end "
+            "  FROM numbered GROUP BY user_id, session_id)"
+            "SELECT s.user_id, s.session_start, COUNT(*) AS n_purchases "
+            "FROM (SELECT user_id, ts FROM events "
+            "      WHERE event_type = 'purchase') p "
+            "JOIN sessions s ON p.user_id = s.user_id "
+            "  AND p.ts >= s.session_start AND p.ts < s.session_end "
+            "GROUP BY s.user_id, s.session_start "
+            "ORDER BY s.user_id, s.session_start"
         ),
         "q32_hash_split": (
             f"SELECT {fn_sampling.split_expr('doc_id', 'duckdb')} AS split, "
