@@ -104,3 +104,43 @@ def test_null_right_ts_rows_are_ignored(spark, quotes_and_trades):
     out = asof_join(trades, polluted, on=["sym"], carry={"px": "px"})
     got = {r["qty"]: r["px"] for r in out.collect()}
     assert got == {1: 100.0, 2: 101.0, 3: 102.0, 4: None, 5: None}
+
+
+def test_matches_pandas_merge_asof_on_random_data(spark):
+    """pandas.merge_asof IS the reference semantics for backward as-of;
+    fixed-seed random data, cross-checked exactly."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(42)
+    n_l, n_r = 400, 300
+    left_pd = pd.DataFrame({
+        "g": rng.integers(0, 5, n_l).astype("int64"),
+        "t": rng.integers(0, 10_000, n_l).astype("int64"),
+        "lid": np.arange(n_l, dtype="int64"),
+    })
+    right_pd = pd.DataFrame({
+        "g": rng.integers(0, 5, n_r).astype("int64"),
+        "t": rng.integers(0, 10_000, n_r).astype("int64"),
+        "val": rng.random(n_r),
+    })
+    # merge_asof needs unique, sorted keys; drop duplicate (g, t) on the
+    # right so "latest at equal ts" is unambiguous in both engines
+    right_pd = (
+        right_pd.drop_duplicates(["g", "t"]).sort_values("t").reset_index(drop=True)
+    )
+    expected = pd.merge_asof(
+        left_pd.sort_values("t"), right_pd, on="t", by="g",
+        direction="backward", allow_exact_matches=True,
+    ).set_index("lid")["val"]
+
+    out = asof_join(
+        spark.createDataFrame(left_pd),
+        spark.createDataFrame(right_pd),
+        on=["g"], left_ts="t", right_ts="t", carry={"val": "val"},
+    )
+    got = {r["lid"]: r["val"] for r in out.collect()}
+    assert len(got) == n_l
+    for lid, want in expected.items():
+        g = got[lid]
+        assert (pd.isna(want) and g is None) or g == want, lid
