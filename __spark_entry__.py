@@ -397,6 +397,12 @@ def q37_range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q38_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (Arrow batches) checked against the
+    relational window form in the oracle."""
+    return fn_text.group_zscore(_t(spark, sf_dir, "documents"))
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -609,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_token_doc_freq": q35_token_doc_freq,
         "q36_stratified_sample": q36_stratified_sample,
         "q37_range_join_sessions": q37_range_join_sessions,
+        "q38_group_zscore": q38_group_zscore,
     }
 
 
@@ -775,6 +782,7 @@ def oracle_sql() -> dict[str, str]:
         "q33_incremental_read": cdc.replay_sql(rec_o, from_batch=1),
         "q34_ann_ivf": fn_sim.ivf_topk_sql("duckdb"),
         "q35_token_doc_freq": fn_text.token_doc_freq_oracle_sql(),
+        "q38_group_zscore": fn_text.group_zscore_oracle_sql(),
         "q36_stratified_sample": (
             "SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc "
             "FROM documents WHERE "

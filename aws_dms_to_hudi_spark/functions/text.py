@@ -258,3 +258,40 @@ def token_doc_freq_oracle_sql(top_n: int = 20) -> str:
         "  FROM documents) AS exploded "
         f"GROUP BY token ORDER BY df DESC, token LIMIT {top_n}"
     )
+
+
+def group_zscore(docs: DataFrame) -> DataFrame:
+    """Per-language z-score of document length via grouped-map
+    ``applyInPandas`` — the custom-operator escape hatch exercised as a
+    first-class op (Arrow batches, one pandas call per group).
+
+    A z-score is SQL-expressible (window mean/std) — that is exactly why
+    it makes a good applyInPandas conformance op: the oracle checks the
+    UDF path against relational semantics to 6dp. Per-group state must
+    fit one task (fine here; a 100 TB pipeline keys groups finer or
+    falls back to the window form).
+    """
+    import pandas as pd  # noqa: F401 — imported for the worker closure
+
+    def z(pdf):
+        std = pdf["n_chars"].std(ddof=1)
+        mean = pdf["n_chars"].mean()
+        out = pdf[["lang", "doc_id"]].copy()
+        out["z_len"] = ((pdf["n_chars"] - mean) / std).round(6)
+        return out
+
+    return (
+        docs.select("lang", "doc_id", "n_chars")
+        .groupBy("lang")
+        .applyInPandas(z, "lang string, doc_id long, z_len double")
+        .orderBy("doc_id")
+    )
+
+
+def group_zscore_oracle_sql() -> str:
+    return (
+        "SELECT lang, doc_id, "
+        "round((n_chars - AVG(n_chars) OVER w) / STDDEV_SAMP(n_chars) OVER w, 6)"
+        " AS z_len "
+        "FROM documents WINDOW w AS (PARTITION BY lang) ORDER BY doc_id"
+    )
