@@ -403,6 +403,31 @@ def q38_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fn_text.group_zscore(_t(spark, sf_dir, "documents"))
 
 
+def q39_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set / statistical aggregates: exact interpolated
+    percentiles, sample stddev, Pearson correlation (rounded to 6dp —
+    both engines interpolate identically; accumulation-order noise for
+    corr/stddev is ~1e-12)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_raw"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95_raw"),
+            F.stddev_samp("l_quantity").alias("sd_raw"),
+            F.corr("l_quantity", "l_extendedprice").alias("corr_raw"),
+        )
+        .select(
+            "l_returnflag",
+            F.round("p50_raw", 6).alias("p50_price"),
+            F.round("p95_raw", 6).alias("p95_price"),
+            F.round("sd_raw", 6).alias("sd_qty"),
+            F.round("corr_raw", 6).alias("corr_qty_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -616,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_stratified_sample": q36_stratified_sample,
         "q37_range_join_sessions": q37_range_join_sessions,
         "q38_group_zscore": q38_group_zscore,
+        "q39_stat_aggregates": q39_stat_aggregates,
     }
 
 
@@ -783,6 +809,14 @@ def oracle_sql() -> dict[str, str]:
         "q34_ann_ivf": fn_sim.ivf_topk_sql("duckdb"),
         "q35_token_doc_freq": fn_text.token_doc_freq_oracle_sql(),
         "q38_group_zscore": fn_text.group_zscore_oracle_sql(),
+        "q39_stat_aggregates": (
+            "SELECT l_returnflag, "
+            "round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price, "
+            "round(quantile_cont(l_extendedprice, 0.95), 6) AS p95_price, "
+            "round(stddev_samp(l_quantity), 6) AS sd_qty, "
+            "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
         "q36_stratified_sample": (
             "SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc "
             "FROM documents WHERE "

@@ -46,6 +46,7 @@ SMALL_OUTPUT = {
     "q34_ann_ivf",
     "q35_token_doc_freq",
     "q36_stratified_sample",
+    "q39_stat_aggregates",
 }
 
 
