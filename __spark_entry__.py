@@ -428,6 +428,24 @@ def q39_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q40_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frames + offset functions (§2.3): per-customer running
+    revenue (ROWS UNBOUNDED PRECEDING, decimal accumulation for
+    order-independence) and previous-order price via lag."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast(DEC))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.row_number().over(w).alias("order_seq"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -642,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_range_join_sessions": q37_range_join_sessions,
         "q38_group_zscore": q38_group_zscore,
         "q39_stat_aggregates": q39_stat_aggregates,
+        "q40_running_totals": q40_running_totals,
     }
 
 
@@ -816,6 +835,19 @@ def oracle_sql() -> dict[str, str]:
             "round(stddev_samp(l_quantity), 6) AS sd_qty, "
             "round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price "
             "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "q40_running_totals": (
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER ("
+            "  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+            "  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend, "
+            "LAG(o_totalprice) OVER ("
+            "  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+            ") AS prev_price, "
+            "row_number() OVER ("
+            "  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+            ") AS order_seq "
+            "FROM orders ORDER BY o_custkey, o_orderkey"
         ),
         "q36_stratified_sample": (
             "SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS first_doc "
