@@ -446,6 +446,28 @@ def q40_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey", "o_orderkey")
 
 
+def q41_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) event-time windows, batch form: 2h windows every
+    1h — each event lands in 2 windows. Oracle reproduces Spark's
+    epoch-aligned window set by exploding each event to its covering
+    window starts."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("num_events"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "num_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -661,6 +683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_group_zscore": q38_group_zscore,
         "q39_stat_aggregates": q39_stat_aggregates,
         "q40_running_totals": q40_running_totals,
+        "q41_sliding_window": q41_sliding_window,
     }
 
 
@@ -785,6 +808,17 @@ def oracle_sql() -> dict[str, str]:
             "      ORDER BY s_acctbal DESC, s_suppkey) AS rn "
             "  FROM supplier JOIN nation ON s_nationkey = n_nationkey"
             ") AS t WHERE rn <= 3 ORDER BY n_name, rn"
+        ),
+        "q41_sliding_window": (
+            "SELECT window_start, event_type, COUNT(*) AS num_events, "
+            "CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value "
+            "FROM (SELECT event_type, value, "
+            "  unnest(generate_series("
+            "    time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR, "
+            "    time_bucket(INTERVAL 1 HOUR, ts), INTERVAL 1 HOUR"
+            "  )) AS window_start FROM events) AS exploded "
+            "GROUP BY window_start, event_type "
+            "ORDER BY window_start, event_type"
         ),
         # Spark session_window semantics: events merge while the gap to
         # the previous event is < 6h (strict); session end = last_ts + 6h.
