@@ -468,6 +468,176 @@ def q41_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q42_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference, distinct): BUILDING-segment customers with
+    no finished order. Complement of q09's INTERSECT; Spark `subtract` ==
+    SQL EXCEPT. (The unfiltered customers-minus-orders version is empty
+    in this fixture — every customer has orders — so filter both sides to
+    keep the result non-trivial.)"""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return c.subtract(o).orderBy("custkey").limit(100)
+
+
+def q43_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts + revenue by priority, one column per status.
+    Explicit value list keeps the plan a single hash aggregate (no extra
+    distinct-values job); pivot cells with no rows are NULL in Spark but 0
+    from the oracle's SUM(CASE...), so coalesce pins parity."""
+    piv = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"),
+        )
+    )
+    cols = [F.col("o_orderpriority")]
+    for s in ("F", "O", "P"):
+        cols.append(
+            F.coalesce(F.col(f"{s}_cnt"), F.lit(0)).cast("long").alias(f"cnt_{s.lower()}")
+        )
+        cols.append(
+            F.coalesce(F.col(f"{s}_rev"), F.lit(0.0)).alias(f"rev_{s.lower()}")
+        )
+    return piv.select(*cols).orderBy("o_orderpriority")
+
+
+def q44_exists_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (TPC-H Q4 shape, adapted to this schema:
+    lineitem has only l_shipdate): orders with at least one line shipped
+    more than 60 days after the order date. left_semi join == EXISTS."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (F.datediff(li.l_shipdate, o.o_orderdate) > 60),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q45_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue per nation where customer and supplier sit
+    in the same nation, restricted to one region. Fact table streams;
+    every dimension (customer at sf is small relative to lineitem, nation,
+    region, supplier) is broadcast so the only shuffle is the final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q46_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar surface: datediff, extraction (year/quarter/
+    month/day, ISO weekday), last_day, month truncation."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.datediff("l_shipdate", "o_orderdate").cast("long").alias("ship_delay"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.quarter("o_orderdate").cast("long").alias("o_quarter"),
+            F.month("o_orderdate").cast("long").alias("o_month"),
+            F.dayofmonth("o_orderdate").cast("long").alias("o_day"),
+            (F.weekday("o_orderdate") + 1).cast("long").alias("o_isodow"),
+            # date-typed results go out as ISO strings: Spark DATE and
+            # DuckDB DATE reach pandas as different dtypes, which the
+            # driver's hash does not unify.
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.trunc("o_orderdate", "month"), "yyyy-MM-dd").alias(
+                "month_start"
+            ),
+        )
+        # (l_orderkey, l_linenumber) is NOT unique in this fixture (CDC
+        # dup rows); ship_delay disambiguates — all other columns are
+        # functions of l_orderkey — so the LIMIT cut is deterministic.
+        .orderBy("l_orderkey", "l_linenumber", "ship_delay")
+        .limit(500)
+    )
+
+
+def q47_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation: count_if / SUM(CASE WHEN) / filtered AVG
+    (avg = decimal-sum over count, rounded to 6dp for float parity)."""
+    li = _t(spark, sf_dir, "lineitem")
+    hi_disc = F.col("l_discount") > 0.05
+    hi_tax = F.col("l_tax") > 0.04
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.when(hi_disc, 1)).alias("hi_disc_lines"),
+            _dsum(F.when(hi_disc, F.col("l_quantity")).otherwise(0), "hi_disc_qty"),
+            F.count(F.when(hi_tax, 1)).alias("hi_tax_lines"),
+            F.round(
+                F.sum(F.when(hi_tax, F.col("l_extendedprice").cast(DEC)))
+                .cast("double")
+                / F.count(F.when(hi_tax, 1)),
+                6,
+            ).alias("hi_tax_avg_price"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q48_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation per group: sorted supplier roster per
+    nation (collect_list -> array_sort -> array_join ≡ DuckDB's ordered
+    string_agg). Filter keeps the roster bounded at any scale."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.filter(F.col("s_acctbal") > 9000)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "supplier_roster"
+            ),
+            F.count("*").alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -684,6 +854,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_stat_aggregates": q39_stat_aggregates,
         "q40_running_totals": q40_running_totals,
         "q41_sliding_window": q41_sliding_window,
+        "q42_except": q42_except,
+        "q43_pivot": q43_pivot,
+        "q44_exists_semi": q44_exists_semi,
+        "q45_local_supplier_volume": q45_local_supplier_volume,
+        "q46_date_functions": q46_date_functions,
+        "q47_conditional_agg": q47_conditional_agg,
+        "q48_string_agg": q48_string_agg,
     }
 
 
@@ -919,5 +1096,82 @@ def oracle_sql() -> dict[str, str]:
             "COUNT(*) AS n_docs, "
             f"SUM({fn_text.token_count_expr('text', 'duckdb')}) AS sum_tokens "
             "FROM documents GROUP BY 1 ORDER BY split"
+        ),
+        "q42_except": (
+            "SELECT custkey FROM ("
+            "  SELECT c_custkey AS custkey FROM customer "
+            "    WHERE c_mktsegment = 'BUILDING' "
+            "  EXCEPT SELECT o_custkey AS custkey FROM orders "
+            "    WHERE o_orderstatus = 'F'"
+            ") AS t ORDER BY custkey LIMIT 100"
+        ),
+        "q43_pivot": (
+            "SELECT o_orderpriority, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_f, "
+            "CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' "
+            "  THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 0) AS DOUBLE) AS rev_f, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_o, "
+            "CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' "
+            "  THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 0) AS DOUBLE) AS rev_o, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_p, "
+            "CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' "
+            "  THEN CAST(o_totalprice AS DECIMAL(18,4)) END), 0) AS DOUBLE) AS rev_p "
+            "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "q44_exists_semi": (
+            "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders o "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l "
+            "  WHERE l.l_orderkey = o.o_orderkey "
+            "  AND date_diff('day', CAST(o.o_orderdate AS DATE), "
+            "      CAST(l.l_shipdate AS DATE)) > 60) "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "q45_local_supplier_volume": (
+            "SELECT n_name, "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) "
+            "AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' "
+            "GROUP BY n_name ORDER BY revenue DESC, n_name"
+        ),
+        "q46_date_functions": (
+            "SELECT l_orderkey, l_linenumber, "
+            "date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) "
+            "  AS ship_delay, "
+            "CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(quarter(o_orderdate) AS BIGINT) AS o_quarter, "
+            "CAST(month(o_orderdate) AS BIGINT) AS o_month, "
+            "CAST(day(o_orderdate) AS BIGINT) AS o_day, "
+            "CAST(isodow(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_isodow, "
+            "strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end, "
+            "strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') "
+            "  AS month_start "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "ORDER BY l_orderkey, l_linenumber, ship_delay LIMIT 500"
+        ),
+        "q47_conditional_agg": (
+            "SELECT l_returnflag, "
+            "COUNT(CASE WHEN l_discount > 0.05 THEN 1 END) AS hi_disc_lines, "
+            "CAST(COALESCE(SUM(CASE WHEN l_discount > 0.05 "
+            "  THEN CAST(l_quantity AS DECIMAL(18,4)) "
+            "  ELSE CAST(0 AS DECIMAL(18,4)) END), 0) AS DOUBLE) AS hi_disc_qty, "
+            "COUNT(CASE WHEN l_tax > 0.04 THEN 1 END) AS hi_tax_lines, "
+            "round(CAST(SUM(CASE WHEN l_tax > 0.04 "
+            "  THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) "
+            "  / COUNT(CASE WHEN l_tax > 0.04 THEN 1 END), 6) AS hi_tax_avg_price, "
+            "COUNT(*) AS n_lines "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "q48_string_agg": (
+            "SELECT n_name, "
+            "string_agg(s_name, ',' ORDER BY s_name) AS supplier_roster, "
+            "COUNT(*) AS n_suppliers "
+            "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE s_acctbal > 9000 "
+            "GROUP BY n_name ORDER BY n_name"
         ),
     }
