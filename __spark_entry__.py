@@ -638,6 +638,119 @@ def q48_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q49_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders 1.5x above their customer's
+    average order value), decorrelated into a per-customer aggregate +
+    equi-join — the plan Catalyst produces for the subquery form anyway.
+    The comparison is kept in exact integer/decimal arithmetic
+    (price*2*n > 3*total both DECIMAL) so the boundary never depends on
+    float rounding in either engine."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("total"),
+        F.count("*").alias("n"),
+    )
+    return (
+        o.join(per_cust, o.o_custkey == per_cust.k)
+        .filter(
+            F.col("o_totalprice").cast(DEC) * 2 * F.col("n") > 3 * F.col("total")
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def q50_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist
+    (exact rationals — identical doubles in both engines; unique ORDER BY
+    key makes ntile assignment deterministic)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.ntile(10).over(w).cast("long").alias("decile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q51_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not expressible via .rollup/.cube alone)
+    + GROUPING() markers, through the engine's SQL surface (D10)."""
+    v = _view(spark, sf_dir, "orders", "q51")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+               CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+               COUNT(*) AS n_orders
+        FROM {v}
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+        """
+    )
+
+
+def q52_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: regexp_extract/replace, lpad, reverse,
+    translate, levenshtein, split+element access."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+            F.regexp_replace("p_type", "[aeiou]", "_").alias("type_devoweled"),
+            F.lpad(F.col("p_brand"), 12, "0").alias("brand_padded"),
+            F.reverse(F.col("p_brand")).alias("brand_rev"),
+            F.translate("p_name", "abc", "xyz").alias("name_translated"),
+            F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+            F.split(F.col("p_type"), " ").getItem(0).alias("type_head"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )
+
+
+def q53_json_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON -> map extraction over the events props column: parse once,
+    emit sorted key list + a typed value (map/array surface of §2.3)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn("m", F.from_json("props", "map<string,string>"))
+    return (
+        parsed.select(
+            "event_id",
+            F.array_join(F.array_sort(F.map_keys("m")), ",").alias("prop_keys"),
+            F.element_at(F.col("m"), "k").cast("int").alias("k_value"),
+            F.size(F.map_keys("m")).cast("long").alias("n_props"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+def q54_union_all_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of two relations with a source tag, then COUNT +
+    multi-distinct aggregation per nation."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nationkey"), F.lit("c").alias("src")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("long").alias("nationkey"), F.lit("s").alias("src")
+    )
+    return (
+        c.unionAll(s)
+        .groupBy("nationkey")
+        .agg(
+            F.count("*").alias("n_parties"),
+            F.countDistinct("src").alias("n_sources"),
+        )
+        .orderBy("nationkey")
+    )
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -861,6 +974,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_date_functions": q46_date_functions,
         "q47_conditional_agg": q47_conditional_agg,
         "q48_string_agg": q48_string_agg,
+        "q49_correlated_scalar": q49_correlated_scalar,
+        "q50_rank_distribution": q50_rank_distribution,
+        "q51_grouping_sets": q51_grouping_sets,
+        "q52_string_functions": q52_string_functions,
+        "q53_json_map": q53_json_map,
+        "q54_union_all_distinct": q54_union_all_distinct,
     }
 
 
@@ -1173,5 +1292,59 @@ def oracle_sql() -> dict[str, str]:
             "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
             "WHERE s_acctbal > 9000 "
             "GROUP BY n_name ORDER BY n_name"
+        ),
+        "q49_correlated_scalar": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders o "
+            "JOIN (SELECT o_custkey AS k, "
+            "        SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS total, "
+            "        COUNT(*) AS n "
+            "      FROM orders GROUP BY o_custkey) a ON o.o_custkey = a.k "
+            "WHERE CAST(o_totalprice AS DECIMAL(18,4)) * 2 * n > 3 * total "
+            "ORDER BY o_orderkey"
+        ),
+        "q50_rank_distribution": (
+            "SELECT o_orderkey, "
+            "CAST(ntile(10) OVER w AS BIGINT) AS decile, "
+            "round(percent_rank() OVER w, 6) AS pct_rank, "
+            "round(cume_dist() OVER w, 6) AS cum_dist "
+            "FROM orders "
+            "WINDOW w AS (ORDER BY o_totalprice, o_orderkey) "
+            "ORDER BY o_orderkey"
+        ),
+        "q51_grouping_sets": (
+            "SELECT o_orderpriority, o_orderstatus, "
+            "CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio, "
+            "CAST(grouping(o_orderstatus) AS BIGINT) AS g_status, "
+            "COUNT(*) AS n_orders FROM orders "
+            "GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus)) "
+            "ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST"
+        ),
+        "q52_string_functions": (
+            "SELECT p_partkey, "
+            r"regexp_extract(p_name, '^(\w+)', 1) AS first_word, "
+            "regexp_replace(p_type, '[aeiou]', '_', 'g') AS type_devoweled, "
+            "lpad(p_brand, 12, '0') AS brand_padded, "
+            "reverse(p_brand) AS brand_rev, "
+            "translate(p_name, 'abc', 'xyz') AS name_translated, "
+            "levenshtein(p_brand, p_type) AS brand_type_dist, "
+            "string_split(p_type, ' ')[1] AS type_head "
+            "FROM part ORDER BY p_partkey LIMIT 500"
+        ),
+        "q53_json_map": (
+            "SELECT event_id, "
+            "array_to_string(list_sort(json_keys(props)), ',') AS prop_keys, "
+            "CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_value, "
+            "CAST(len(json_keys(props)) AS BIGINT) AS n_props "
+            "FROM events ORDER BY event_id LIMIT 1000"
+        ),
+        "q54_union_all_distinct": (
+            "SELECT nationkey, COUNT(*) AS n_parties, "
+            "COUNT(DISTINCT src) AS n_sources FROM ("
+            "  SELECT CAST(c_nationkey AS BIGINT) AS nationkey, 'c' AS src "
+            "  FROM customer "
+            "  UNION ALL "
+            "  SELECT CAST(s_nationkey AS BIGINT) AS nationkey, 's' AS src "
+            "  FROM supplier"
+            ") AS u GROUP BY nationkey ORDER BY nationkey"
         ),
     }
