@@ -335,9 +335,9 @@ def q23_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q24_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via shared LSH buckets."""
-    v = _view(spark, sf_dir, "embeddings", "q24")
-    return spark.sql(fn_sim.embedding_neardup_sql("spark", table=v))
+    """Embedding-cosine near-dup pairs via shared LSH buckets
+    (Arrow-vectorized bucketization; fold-exact output cosine)."""
+    return fn_sim.embedding_neardup(spark, _t(spark, sf_dir, "embeddings"))
 
 
 def q34_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,15 +412,17 @@ def q39_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.expr("percentile(l_extendedprice, 0.5)").alias("p50_raw"),
-            F.expr("percentile(l_extendedprice, 0.95)").alias("p95_raw"),
+            # one buffered-values pass for both percentiles (the array
+            # form); two separate percentile() aggs each re-buffer and
+            # re-sort the whole group — measured 2x the cost
+            F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("pct"),
             F.stddev_samp("l_quantity").alias("sd_raw"),
             F.corr("l_quantity", "l_extendedprice").alias("corr_raw"),
         )
         .select(
             "l_returnflag",
-            F.round("p50_raw", 6).alias("p50_price"),
-            F.round("p95_raw", 6).alias("p95_price"),
+            F.round(F.col("pct")[0], 6).alias("p50_price"),
+            F.round(F.col("pct")[1], 6).alias("p95_price"),
             F.round("sd_raw", 6).alias("sd_qty"),
             F.round("corr_raw", 6).alias("corr_qty_price"),
         )

@@ -29,6 +29,9 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from . import portable as P
 
 DIM = 64
@@ -51,6 +54,23 @@ HYPERPLANES: list[list[list[float]]] = [
     for _ in range(NUM_TABLES)
 ]
 
+# Near-dup banding is deliberately MORE selective than ANN's: the
+# corpus×corpus self-join makes candidate volume O(N²·L/2^planes), so
+# selectivity, not recall-per-table, is the binding constraint. 8 planes
+# × 6 tables: a true duplicate pair (cos ≈ 0.9, plane-collide p ≈ 0.857)
+# survives one table with p ≈ 0.857^8 ≈ 0.29, and ≥1 of 6 tables with
+# ≈ 0.87 — while candidate pairs drop 10× vs the 4-plane ANN banding.
+NEARDUP_TABLES = 6
+NEARDUP_PLANES = 8
+_rng_nd = random.Random(11)
+NEARDUP_HYPERPLANES: list[list[list[float]]] = [
+    [
+        [round(_rng_nd.random() - 0.5, 4) for _ in range(DIM)]
+        for _ in range(NEARDUP_PLANES)
+    ]
+    for _ in range(NEARDUP_TABLES)
+]
+
 
 def _double_array_lit(vals: list[float], dialect: str) -> str:
     """Literal DOUBLE array (one AST node per engine, not a +/* chain)."""
@@ -60,7 +80,12 @@ def _double_array_lit(vals: list[float], dialect: str) -> str:
     return "CAST([" + ", ".join(str(v) for v in vals) + "] AS DOUBLE[])"
 
 
-def bucket_expr(vec: str, table_idx: int, dialect: str) -> str:
+def bucket_expr(
+    vec: str,
+    table_idx: int,
+    dialect: str,
+    hyperplanes: list[list[list[float]]] | None = None,
+) -> str:
     """Pack the sign bits of the plane dot products into one int bucket.
 
     Nested-fold form over ONE flattened literal coefficient array: the
@@ -70,7 +95,25 @@ def bucket_expr(vec: str, table_idx: int, dialect: str) -> str:
     keep the tree ~constant-size per table; the per-plane dot is still a
     left-to-right DOUBLE fold, so cross-engine bit-parity holds.
     """
-    flat = [c for plane in HYPERPLANES[table_idx] for c in plane]
+    hp = hyperplanes if hyperplanes is not None else HYPERPLANES
+    planes = len(hp[table_idx])
+    if dialect == "duckdb":
+        # Native vectorized dot per plane: DuckDB evaluates list lambdas
+        # ~1 µs/element, which made the fold form the oracle bottleneck
+        # (planes × tables × 64 lambda evals per row). Only the SIGN of
+        # the dot feeds the bucket, so fold-vs-native summation-order
+        # noise (~1e-15 relative) cannot flip a bucket except on a
+        # measure-zero boundary — bit-parity of the dot itself is not
+        # required here (it IS required in the scored stage, which keeps
+        # the fold form).
+        bits = " + ".join(
+            f"(CASE WHEN list_inner_product(CAST({vec} AS DOUBLE[]), "
+            f"{_double_array_lit(hp[table_idx][q], 'duckdb')}) > 0 "
+            f"THEN CAST({2 ** q} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for q in range(planes)
+        )
+        return f"({bits})"
+    flat = [c for plane in hp[table_idx] for c in plane]
     arr = _double_array_lit(flat, dialect)
     dot_q = P.fold(
         P.transform(
@@ -92,7 +135,7 @@ def bucket_expr(vec: str, table_idx: int, dialect: str) -> str:
     )
     return P.fold(
         P.transform(
-            P.sequence_1_to(str(PLANES_PER_TABLE), dialect), "q", bit_q, dialect
+            P.sequence_1_to(str(planes), dialect), "q", bit_q, dialect
         ),
         "CAST(0 AS BIGINT)",
         "s",
@@ -163,22 +206,31 @@ ORDER BY q_id, neighbor_id
 # ---------------------------------------------------------------------------
 
 
-def _buckets_select(dialect: str, src: str) -> str:
+def _buckets_select(
+    dialect: str,
+    src: str,
+    hyperplanes: list[list[list[float]]] | None = None,
+) -> str:
     """``(vec_id, tbl, bucket)`` rows — one per vector per LSH table.
 
     NOTE: SQL CTEs inline (neither Spark nor DuckDB materializes them),
     so every *reference* to this select re-computes the bucketization of
     ``src``. Callers must reference it once per large input — and filter
     small inputs (the query set) BEFORE bucketizing."""
+    hp = hyperplanes if hyperplanes is not None else HYPERPLANES
     return " UNION ALL ".join(
         f"SELECT vec_id, {t} AS tbl, "
-        f"{bucket_expr('embedding', t, dialect)} AS bucket FROM {src}"
-        for t in range(NUM_TABLES)
+        f"{bucket_expr('embedding', t, dialect, hp)} AS bucket FROM {src}"
+        for t in range(len(hp))
     )
 
 
-def _buckets_cte(dialect: str, src: str) -> str:
-    return f"buckets AS ({_buckets_select(dialect, src)})"
+def _buckets_cte(
+    dialect: str,
+    src: str,
+    hyperplanes: list[list[list[float]]] | None = None,
+) -> str:
+    return f"buckets AS ({_buckets_select(dialect, src, hyperplanes)})"
 
 
 def ann_lsh_sql(
@@ -264,9 +316,12 @@ def embedding_neardup_sql(
 ) -> str:
     """Near-duplicate vector pairs: LSH candidates (any shared bucket,
     vec_a < vec_b) with exact cosine ≥ threshold. Corpus never
-    self-joins outside bucket equality — the 100 TB-safe shape."""
+    self-joins outside bucket equality — the 100 TB-safe shape. Uses the
+    selective NEARDUP banding (8 planes × 6 tables): the self-join makes
+    candidate volume O(N²·L/2^planes), so per-bucket occupancy must stay
+    ~constant as N grows (scale planes with log2 N)."""
     return f"""
-WITH {_buckets_cte(dialect, table)},
+WITH {_buckets_cte(dialect, table, NEARDUP_HYPERPLANES)},
 {_normed_cte(dialect, table)},
 cand AS (
   -- int-id-only DISTINCT; embeddings re-join by id for the exact score
@@ -366,3 +421,77 @@ SELECT q_id, neighbor_id, round(cos_sim, 6) AS cos_sim
 FROM ranked WHERE rn <= {k}
 ORDER BY q_id, neighbor_id
 """
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-native near-dup (Arrow-vectorized bucketization)
+# ---------------------------------------------------------------------------
+
+
+def embedding_neardup(spark, df, threshold: float = 0.4):
+    """DataFrame pipeline for near-dup pairs — same semantics (and same
+    oracle) as :func:`embedding_neardup_sql`, but bucketization runs as
+    ONE Arrow-batched numpy matmul per partition instead of
+    planes × tables × 64 per-element SQL lambda evaluations per row.
+
+    Parity: bucket ids feed only the candidate JOIN (sign decisions —
+    summation-order noise can't flip them off a measure-zero boundary),
+    while the OUTPUT cosine keeps the portable left-to-right fold, so
+    the value hash still matches the DuckDB oracle bit-for-bit.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, LongType
+
+    # (T*P, DIM) stacked plane matrix; one matmul per Arrow batch.
+    w = np.array(
+        [plane for tbl in NEARDUP_HYPERPLANES for plane in tbl],
+        dtype=np.float64,
+    )
+    n_tables, n_planes = len(NEARDUP_HYPERPLANES), len(NEARDUP_HYPERPLANES[0])
+    pow2 = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucketize(emb: pd.Series) -> pd.Series:
+        x = np.vstack(emb.to_numpy()).astype(np.float64)  # (n, DIM)
+        bits = (x @ w.T) > 0  # (n, T*P)
+        per_tbl = bits.reshape(len(x), n_tables, n_planes)
+        buckets = (per_tbl * pow2).sum(axis=2)  # (n, T)
+        return pd.Series(list(buckets))
+
+    buckets = df.select(
+        F.col("vec_id"),
+        F.posexplode(bucketize("embedding")).alias("tbl", "bucket"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+    )
+    normed = df.select(
+        "vec_id",
+        "embedding",
+        F.expr(P.norm("embedding", DIM, "spark")).alias("nrm"),
+    )
+    ea = normed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea_emb"),
+        F.col("nrm").alias("ea_nrm"),
+    )
+    eb = normed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb_emb"),
+        F.col("nrm").alias("eb_nrm"),
+    )
+    cos = F.expr(_pair_cos("ea_emb", "ea_nrm", "eb_emb", "eb_nrm", "spark"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= threshold)
+        .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )
