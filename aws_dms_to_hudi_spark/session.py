@@ -18,6 +18,14 @@ from pyspark.sql import SparkSession
 # caller overrides master/memory and the AQE settings still apply.
 _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
+    # Local-harness scan parallelism: the test SFs are single small
+    # parquet files, and the 128m default packs them into 1-3 input
+    # splits — 29 of 32 cores idle during scans. 4m splits the files at
+    # row-group granularity (~11 tasks at sf0.1, 2x on agg-heavy
+    # queries). On a real cluster leave the 128m default: files are
+    # many and task-launch overhead, not core idleness, dominates.
+    "spark.sql.files.maxPartitionBytes": "4m",
+    "spark.sql.files.openCostInBytes": "1m",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
