@@ -82,3 +82,40 @@ def test_q34_ivf_centroid_joins_stay_broadcast(spark, sf_correct):
     sized joins are hash joins."""
     plan = _plan(spark, sf_correct, "q34_ann_ivf")
     assert "CartesianProduct" not in plan
+
+
+def test_q44_exists_is_semi_join_not_aggregate(spark, sf_correct):
+    """EXISTS must plan as a semi join (stops at first match) — not a
+    join + distinct, and never a per-row subquery."""
+    plan = _plan(spark, sf_correct, "q44_exists_semi")
+    assert "LeftSemi" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the final agg only
+
+
+def test_q45_no_sort_merge_at_test_sf(spark, sf_correct):
+    """TPC-H Q5 shape: explicit broadcasts (supplier/nation/region) +
+    AQE keep every join hash-broadcast at test SF; the only shuffle is
+    the final aggregate."""
+    plan = _plan(spark, sf_correct, "q45_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q49_decorrelated_single_agg_pass(spark, sf_correct):
+    """Correlated scalar subquery is decorrelated: one aggregate
+    exchange builds the per-customer totals, the probe side joins it
+    without a second shuffle (broadcast at test SF)."""
+    plan = _plan(spark, sf_correct, "q49_correlated_scalar")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q43_pivot_no_expand_no_join(spark, sf_correct):
+    """PIVOT with an explicit value list is aggregation only — no
+    Expand (grouping-set style multiplication) and no join against a
+    distinct-values subquery."""
+    plan = _plan(spark, sf_correct, "q43_pivot")
+    assert "Expand" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
