@@ -503,12 +503,24 @@ class CuratedTable:
         apath.write_text(json.dumps(archived))
         return len(to_archive)
 
-    def cluster(self, target_partitions: int | None = None) -> Commit | None:
+    def cluster(
+        self,
+        target_partitions: int | None = None,
+        zorder_by: list[str] | None = None,
+    ) -> Commit | None:
         """Clustering rewrite (D15, ``clustering.inline`` handler.py:73,81).
 
         Rewrites the current snapshot coalesced + key-sorted to fix small
         files from frequent delta commits. At 100 TB this is the service
         that keeps scan parallelism aligned with file sizes.
+
+        ``zorder_by`` orders files by an interleaved-bit (Morton) key
+        over the named columns instead of the record key — the
+        Delta/Hudi Z-ORDER analog. A range predicate on ANY z-ordered
+        column then touches O(files^(1/d)) of the files (min/max file
+        stats prune the rest), where linear sort helps only its leading
+        column. Bucketization is equal-width over the observed min/max
+        (one tiny agg job); all per-row math is JVM bit ops.
         """
         prev = self.latest_commit()
         if prev is None:
@@ -518,10 +530,18 @@ class CuratedTable:
         vdir = f"v{version:08d}"
         cfg = self.config
         pcol = self._pcol
+        zcol = "__zorder"
+        if zorder_by:
+            df = df.withColumn(zcol, self._zorder_key(df, zorder_by))
+            sort_cols = [zcol]
+        else:
+            sort_cols = list(cfg.record_key)
         if pcol is not None:
             out = self._bucketize(df).repartition(F.col(pcol)).sortWithinPartitions(
-                *cfg.record_key
+                *sort_cols
             )
+            if zorder_by:
+                out = out.drop(zcol)
             out.write.mode("overwrite").partitionBy(pcol).parquet(
                 str(self.root / vdir)
             )
@@ -530,9 +550,11 @@ class CuratedTable:
             n = target_partitions or max(
                 1, self.spark.sparkContext.defaultParallelism // 4
             )
-            out = df.repartitionByRange(n, *cfg.record_key).sortWithinPartitions(
-                *cfg.record_key
+            out = df.repartitionByRange(n, *sort_cols).sortWithinPartitions(
+                *sort_cols
             )
+            if zorder_by:
+                out = out.drop(zcol)
             out.write.mode("overwrite").parquet(str(self.root / vdir))
             data = {"": vdir}
         commit = Commit(
@@ -576,6 +598,40 @@ class CuratedTable:
         return commit
 
     # ---------- helpers ----------
+
+    _ZORDER_BITS = 8  # 256 buckets per dimension
+
+    def _zorder_key(self, df: DataFrame, cols: list[str]):
+        """Interleaved-bit (Morton) key over numeric columns.
+
+        Each column is scaled into ``2^_ZORDER_BITS`` equal-width buckets
+        between its observed min and max (one small agg job, the only
+        non-per-row work), then bucket bits are interleaved so files
+        cover hyper-rectangles of the value space. Equal-width (not
+        quantile) keeps the mapping a pure expression; heavy skew makes
+        buckets uneven but never incorrect — parquet min/max stats still
+        prune, just less sharply.
+        """
+        bits = self._ZORDER_BITS
+        nb = 1 << bits
+        stats = df.agg(
+            *[F.min(c).alias(f"mn_{c}") for c in cols],
+            *[F.max(c).alias(f"mx_{c}") for c in cols],
+        ).collect()[0]
+        key = F.lit(0).cast("long")
+        for i, c in enumerate(cols):
+            mn = float(stats[f"mn_{c}"])
+            mx = float(stats[f"mx_{c}"])
+            span = (mx - mn) or 1.0
+            bucket = F.least(
+                F.lit(nb - 1),
+                F.floor((F.col(c).cast("double") - F.lit(mn)) / span * nb),
+            ).cast("long")
+            for b in range(bits):
+                key = key + F.shiftleft(
+                    F.shiftright(bucket, b).bitwiseAND(1), b * len(cols) + i
+                )
+        return key
 
     def _next_version(self) -> int:
         c = self.latest_commit()

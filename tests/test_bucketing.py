@@ -83,3 +83,44 @@ def test_bucketed_partitioned_conflict():
             partition_path="p",
             num_buckets=4,
         )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering
+# ---------------------------------------------------------------------------
+
+
+def _matching_files(df):
+    from pyspark.sql import functions as F
+
+    return df.select(F.input_file_name()).distinct().count()
+
+
+def test_zorder_cluster_prunes_on_both_dimensions(spark, tmp_path):
+    """Linear sort by x packs every y value into every file, so a y-range
+    scan touches ALL files; a z-order rewrite over (x, y) bounds both
+    coordinates per file, so either dimension prunes to ~sqrt(files)."""
+    from pyspark.sql import functions as F
+
+    grid = spark.range(64 * 64).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    cfg = TableConfig(name="zgrid", record_key=["k"])  # k == 64*y + x
+    t = CuratedTable(spark, tmp_path / "zgrid", cfg)
+    t.bulk_insert(grid.withColumn("trx_seq", F.lpad(F.col("k").cast("string"), 8, "0")))
+
+    t.cluster(target_partitions=16)  # linear: range-partitioned by k=64y+x
+    # k-order == y-major order, so an X-range scan touches every file
+    linear = _matching_files(t.read().filter(F.col("x") < 8))
+
+    t.cluster(target_partitions=16, zorder_by=["x", "y"])
+    zordered = _matching_files(t.read().filter(F.col("x") < 8))
+    assert linear == 16  # every k-slice holds all x
+    assert zordered <= 6  # x-slab intersects one column of z-blocks
+
+    # full state is preserved by the rewrite
+    assert t.read().count() == 64 * 64
+    # and a y-range scan prunes too (z-order helps BOTH dims)
+    assert _matching_files(t.read().filter(F.col("y") < 8)) <= 6
