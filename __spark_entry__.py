@@ -753,6 +753,45 @@ def q54_union_all_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q55_having_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING on an aggregate + IN-subquery membership: big-spender
+    customers (aggregate filter) restricted to BUILDING segment members
+    (semi join). HAVING is just a filter above the agg; IN plans as a
+    left-semi broadcast."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        o.join(building, o.o_custkey == building.c_custkey, "left_semi")
+        .groupBy("o_custkey")
+        .agg(
+            _dsum(F.col("o_totalprice"), "total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+        .filter(F.col("n_orders") >= 18)
+        .orderBy("o_custkey")
+    )
+
+
+def q56_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-as-of read (Hudi point-in-time query analog): replay all
+    CDC batches through the real write path, then read the table AS OF
+    the version after batch 1 — bypassing the newer commits."""
+    rec = cdc.RECIPES["orders"]
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q56_orders")
+    cfg = TableConfig(name="q56_orders", record_key=list(rec.key_cols))
+    # mkdtemp (not TemporaryDirectory): the returned DataFrame reads lazily
+    # from this path, so it must outlive this call.
+    tmp = tempfile.mkdtemp(prefix="q56_time_travel_")
+    table = CuratedTable(spark, Path(tmp) / "orders", cfg)
+    versions = []
+    for b in range(cdc.N_BATCHES):
+        batch = spark.sql(cdc.batch_sql(rec, b, src="__q56_orders"))
+        commit = table.bulk_insert(batch) if b == 0 else table.upsert(batch)
+        versions.append(commit.version)
+    return table.read(version=versions[1]).select(*rec.columns, "trx_seq")
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -982,6 +1021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_string_functions": q52_string_functions,
         "q53_json_map": q53_json_map,
         "q54_union_all_distinct": q54_union_all_distinct,
+        "q55_having_in_subquery": q55_having_in_subquery,
+        "q56_time_travel": q56_time_travel,
     }
 
 
@@ -1349,4 +1390,14 @@ def oracle_sql() -> dict[str, str]:
             "  FROM supplier"
             ") AS u GROUP BY nationkey ORDER BY nationkey"
         ),
+        "q55_having_in_subquery": (
+            "SELECT o_custkey, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) "
+            "  AS total_spend, "
+            "COUNT(*) AS n_orders FROM orders "
+            "WHERE o_custkey IN (SELECT c_custkey FROM customer "
+            "                    WHERE c_mktsegment = 'BUILDING') "
+            "GROUP BY o_custkey HAVING COUNT(*) >= 18 ORDER BY o_custkey"
+        ),
+        "q56_time_travel": cdc.replay_sql(rec_o, upto_batch=1),
     }

@@ -155,3 +155,43 @@ def running_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def view_purchase_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's views in the preceding ``horizon``.
+
+    The canonical streaming join pattern: both sides watermarked, and
+    the join condition carries an explicit event-time band — that band
+    is what lets the engine evict buffered rows (a view older than
+    max(purchase_ts) - horizon - watermark can never match again), so
+    state is bounded by rate x (horizon + watermark), not stream length.
+    Batch and streaming share the plan; the batch run is the oracle.
+    """
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "view_id",
+        "view_ts",
+    )
