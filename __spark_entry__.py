@@ -792,6 +792,68 @@ def q56_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read(version=versions[1]).select(*rec.columns, "trx_seq")
 
 
+def q57_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based window frame (RANGE, not ROWS — q40 covers ROWS):
+    90-day trailing spend per customer. Spark's rangeBetween needs a
+    numeric ordering key, so the frame runs over epoch seconds; DuckDB
+    expresses the identical frame as RANGE INTERVAL 90 DAYS PRECEDING.
+    Same-day peer rows all share one frame in both engines, so ties
+    can't reorder results."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .over(w)
+            .cast("double")
+            .alias("trailing_90d_spend"),
+            F.count(F.lit(1)).over(w).alias("trailing_90d_orders"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def q58_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data curation in ONE scan: language-ID
+    agreement + quality score + token-length band decide keep/drop,
+    aggregated per train/val/test split. Composes four operator
+    families (lang-ID, quality, token counting, hash split) as pure
+    projections — no shuffle until the 3-group aggregate."""
+    d = "spark"
+    docs = _t(spark, sf_dir, "documents")
+    keep = (
+        F.expr(fn_text.quality_expr("text", d)) >= 0.5
+    ) & F.col("n_tokens").between(5, 2000) & (
+        F.expr(fn_text.pred_lang_expr("text", d)) == F.col("lang")
+    )
+    return (
+        docs.select(
+            F.expr(fn_sampling.split_expr("doc_id", d)).alias("split"),
+            F.expr(fn_text.token_count_expr("text", d))
+            .cast("long")
+            .alias("n_tokens"),
+            "text",
+            "lang",
+        )
+        .select("split", "n_tokens", keep.alias("keep"))
+        .groupBy("split")
+        .agg(
+            F.count(F.when(F.col("keep"), 1)).alias("n_kept"),
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -1023,6 +1085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_union_all_distinct": q54_union_all_distinct,
         "q55_having_in_subquery": q55_having_in_subquery,
         "q56_time_travel": q56_time_travel,
+        "q57_range_frame": q57_range_frame,
+        "q58_curation_pipeline": q58_curation_pipeline,
     }
 
 
@@ -1400,4 +1464,30 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_custkey HAVING COUNT(*) >= 18 ORDER BY o_custkey"
         ),
         "q56_time_travel": cdc.replay_sql(rec_o, upto_batch=1),
+        "q57_range_frame": (
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) "
+            "  AS trailing_90d_spend, "
+            "COUNT(*) OVER w AS trailing_90d_orders "
+            "FROM orders "
+            "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate "
+            "  RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW) "
+            "ORDER BY o_custkey, o_orderkey"
+        ),
+        "q58_curation_pipeline": (
+            f"SELECT {fn_sampling.split_expr('doc_id', 'duckdb')} AS split, "
+            "COUNT(CASE WHEN keep THEN 1 END) AS n_kept, "
+            "COUNT(*) AS n_total, "
+            "CAST(COALESCE(SUM(CASE WHEN keep THEN n_tokens ELSE 0 END), 0) "
+            "  AS BIGINT) AS kept_tokens "
+            "FROM (SELECT doc_id, "
+            f"  CAST({fn_text.token_count_expr('text', 'duckdb')} AS BIGINT) "
+            "    AS n_tokens, "
+            f"  ({fn_text.quality_expr('text', 'duckdb')} >= 0.5 "
+            f"   AND {fn_text.token_count_expr('text', 'duckdb')} "
+            "     BETWEEN 5 AND 2000 "
+            f"   AND {fn_text.pred_lang_expr('text', 'duckdb')} = lang) AS keep "
+            "  FROM documents) AS scored "
+            "GROUP BY split ORDER BY split"
+        ),
     }
