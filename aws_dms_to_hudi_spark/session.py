@@ -20,12 +20,13 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
     # Local-harness scan parallelism: the test SFs are single small
     # parquet files, and the 128m default packs them into 1-3 input
-    # splits — 29 of 32 cores idle during scans. 4m splits the files at
-    # row-group granularity (~11 tasks at sf0.1, 2x on agg-heavy
-    # queries). On a real cluster leave the 128m default: files are
-    # many and task-launch overhead, not core idleness, dominates.
-    "spark.sql.files.maxPartitionBytes": "4m",
-    "spark.sql.files.openCostInBytes": "1m",
+    # splits — 29 of 32 cores idle during scans. 16m splits at
+    # row-group granularity, which speeds compute-dense scans (text
+    # ops) without drowning the CDC write paths in task overhead (4m
+    # did). On a real cluster leave the 128m default: files are many
+    # and task-launch overhead, not core idleness, dominates.
+    "spark.sql.files.maxPartitionBytes": "16m",
+    "spark.sql.files.openCostInBytes": "2m",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
