@@ -854,6 +854,161 @@ def q58_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q59_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join reconciliation of two aggregates: finished vs
+    open spend per customer, with a presence flag for keys seen on only
+    one side. The USING-style join coalesces the key; presence derives
+    from side-column nullity (computed before the 0-fill)."""
+    o = _t(spark, sf_dir, "orders")
+    fin = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy("o_custkey")
+        .agg(_dsum(F.col("o_totalprice"), "f_spend"))
+    )
+    opn = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(_dsum(F.col("o_totalprice"), "o_spend"))
+    )
+    j = fin.join(opn, "o_custkey", "full_outer")
+    presence = (
+        F.when(F.col("f_spend").isNull(), "open_only")
+        .when(F.col("o_spend").isNull(), "finished_only")
+        .otherwise("both")
+    )
+    return j.select(
+        "o_custkey",
+        presence.alias("presence"),
+        F.coalesce(F.col("f_spend"), F.lit(0.0)).alias("f_spend"),
+        F.coalesce(F.col("o_spend"), F.lit(0.0)).alias("o_spend"),
+    ).orderBy("o_custkey")
+
+
+def q60_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (LATERAL VIEW posexplode analog): token
+    frequency by position for the first 3 positions of each document.
+    Spark's posexplode is 0-based; +1 aligns it with DuckDB's
+    generate_subscripts."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+        )
+        .select((F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+        .filter(F.col("pos") <= 3)
+        .groupBy("pos", "tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy("pos", F.col("n").desc(), "tok")
+        .limit(30)
+    )
+
+
+def q61_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated date spine (sequence + explode) left-joined to monthly
+    revenue, zero-filling empty months — the gap-free-timeseries recipe.
+    The 84-row spine drives a broadcast join of the aggregate; month is
+    emitted as a string (DATE dtypes differ across engines)."""
+    o = _t(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1992-01-01").cast("date"),
+                F.lit("1998-12-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("month")
+    )
+    rev = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+    ).agg(
+        _dsum(F.col("o_totalprice"), "revenue"),
+        F.count("*").alias("n_orders"),
+    )
+    return (
+        spine.join(rev, "month", "left")
+        .select(
+            F.date_format("month", "yyyy-MM-dd").alias("month"),
+            F.coalesce(F.col("revenue"), F.lit(0.0)).alias("revenue"),
+            F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias(
+                "n_orders"
+            ),
+        )
+        .orderBy("month")
+    )
+
+
+def q62_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window (forward fill): per customer in order-date
+    order, carry forward the price of the most recent *finished* order
+    past the open/pending ones — the gap-fill primitive for sparse
+    observations."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    finished_price = F.when(
+        F.col("o_orderstatus") == "F", F.col("o_totalprice")
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderstatus",
+            F.last(finished_price, ignorenulls=True)
+            .over(w)
+            .alias("last_finished_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+def q63_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family over tokenized text: distinct count,
+    intersection with a stopword array, lexicographic sort + slice +
+    join — all JVM-side builtins under whole-stage codegen (no UDF)."""
+    docs = _t(spark, sf_dir, "documents")
+    dist = F.array_distinct(F.split(F.col("text"), " "))
+    stop = F.array(*[F.lit(w) for w in fn_text.STOPWORDS])
+    return (
+        docs.select(
+            "doc_id",
+            F.size(dist).cast("long").alias("n_distinct"),
+            F.size(F.array_intersect(dist, stop)).cast("long").alias("n_stop"),
+            F.array_join(F.slice(F.sort_array(dist), 1, 3), ",").alias(
+                "first_toks"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q64_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/skew.py): lineitem ⋈ orders with
+    the probe side salted and the build side replicated 8×, so one hot
+    orderkey cannot pin a shuffle partition to a single executor. The
+    result multiset is provably identical to the plain equi-join, which
+    is exactly what the oracle checks."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    from aws_dms_to_hudi_spark.operators.skew import salted_join
+
+    joined = salted_join(li, o, on=["l_orderkey"], num_salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -1087,6 +1242,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_time_travel": q56_time_travel,
         "q57_range_frame": q57_range_frame,
         "q58_curation_pipeline": q58_curation_pipeline,
+        "q59_full_outer_reconcile": q59_full_outer_reconcile,
+        "q60_posexplode_tokens": q60_posexplode_tokens,
+        "q61_date_spine": q61_date_spine,
+        "q62_forward_fill": q62_forward_fill,
+        "q63_array_ops": q63_array_ops,
+        "q64_salted_join": q64_salted_join,
     }
 
 
@@ -1489,5 +1650,72 @@ def oracle_sql() -> dict[str, str]:
             f"   AND {fn_text.pred_lang_expr('text', 'duckdb')} = lang) AS keep "
             "  FROM documents) AS scored "
             "GROUP BY split ORDER BY split"
+        ),
+        "q59_full_outer_reconcile": (
+            "SELECT COALESCE(f.k, p.k) AS o_custkey, "
+            "CASE WHEN f.f_spend IS NULL THEN 'open_only' "
+            "     WHEN p.o_spend IS NULL THEN 'finished_only' "
+            "     ELSE 'both' END AS presence, "
+            "COALESCE(f.f_spend, 0) AS f_spend, "
+            "COALESCE(p.o_spend, 0) AS o_spend "
+            "FROM (SELECT o_custkey AS k, "
+            "        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) "
+            "          AS f_spend "
+            "      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1) f "
+            "FULL JOIN "
+            "     (SELECT o_custkey AS k, "
+            "        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) "
+            "          AS o_spend "
+            "      FROM orders WHERE o_orderstatus = 'O' GROUP BY 1) p "
+            "ON f.k = p.k ORDER BY o_custkey"
+        ),
+        "q60_posexplode_tokens": (
+            "SELECT pos, tok, COUNT(*) AS n FROM ("
+            "  SELECT unnest(l) AS tok, "
+            "         CAST(generate_subscripts(l, 1) AS BIGINT) AS pos "
+            "  FROM (SELECT string_split(text, ' ') AS l FROM documents)"
+            ") AS exploded WHERE pos <= 3 "
+            "GROUP BY pos, tok ORDER BY pos, n DESC, tok LIMIT 30"
+        ),
+        "q61_date_spine": (
+            "SELECT strftime(m, '%Y-%m-%d') AS month, "
+            "COALESCE(r.revenue, 0) AS revenue, "
+            "COALESCE(r.n_orders, 0) AS n_orders "
+            "FROM (SELECT unnest(generate_series(DATE '1992-01-01', "
+            "        DATE '1998-12-01', INTERVAL 1 MONTH))::DATE AS m) spine "
+            "LEFT JOIN ("
+            "  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS mm, "
+            "    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) "
+            "      AS revenue, "
+            "    COUNT(*) AS n_orders "
+            "  FROM orders GROUP BY 1) r ON spine.m = r.mm "
+            "ORDER BY month"
+        ),
+        "q62_forward_fill": (
+            "SELECT o_custkey, o_orderkey, o_orderstatus, "
+            "last_value(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END "
+            "  IGNORE NULLS) OVER ("
+            "  PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+            "  ROWS UNBOUNDED PRECEDING) AS last_finished_price "
+            "FROM orders ORDER BY o_custkey, o_orderkey"
+        ),
+        "q63_array_ops": (
+            "SELECT doc_id, "
+            "CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) "
+            "  AS n_distinct, "
+            "CAST(len(list_intersect(list_distinct(string_split(text, ' ')), "
+            f"  [{fn_text._sql_list(fn_text.STOPWORDS)}])) AS BIGINT) "
+            "  AS n_stop, "
+            "array_to_string(list_sort(list_distinct("
+            "  string_split(text, ' ')))[1:3], ',') AS first_toks "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "q64_salted_join": (
+            "SELECT o_orderpriority, "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            "  AS DECIMAL(18,4))) AS DOUBLE) AS revenue, "
+            "COUNT(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
     }
