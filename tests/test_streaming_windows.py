@@ -187,3 +187,53 @@ def test_stream_stream_interval_join(spark, events_dir, tmp_path):
     )
     got = sorted((r.user_id, r.purchase_id, r.view_id) for r in got_df.collect())
     assert got == expected
+
+
+@pytest.fixture(scope="module")
+def dup_events_dir(spark, events_dir, tmp_path_factory):
+    """The events source landed TWICE (at-least-once redelivery): the
+    same files appended a second time, so every event_id arrives in two
+    different micro-batches."""
+    out = tmp_path_factory.mktemp("events_dup_src")
+    df = spark.read.parquet(str(events_dir / "data"))
+    df.repartition(3).write.mode("overwrite").parquet(str(out / "data"))
+    df.repartition(2).write.mode("append").parquet(str(out / "data"))
+    return out
+
+
+def test_dedup_within_watermark_stream(spark, dup_events_dir, tmp_path):
+    """Streaming dedup over a doubled source: with a span-covering
+    watermark (fixture files are not time-ordered), every event_id's
+    redelivery falls inside the dedup window, so the output is exactly
+    one row per distinct event_id."""
+    from aws_dms_to_hudi_spark.streaming.windows import dedup_within_watermark
+
+    batch = spark.read.parquet(str(dup_events_dir / "data"))
+    n_distinct = batch.select("event_id").distinct().count()
+    assert batch.count() == 2 * n_distinct  # fixture really is doubled
+
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(dup_events_dir / "data"))
+    )
+    got = _run_stream(
+        spark,
+        dedup_within_watermark(sdf, watermark="60 days"),
+        tmp_path,
+        "dedup_sink",
+        "append",
+    )
+    ids = [r.event_id for r in got.select("event_id").collect()]
+    assert len(ids) == n_distinct
+    assert len(set(ids)) == n_distinct
+    assert set(ids) == {r.event_id for r in batch.select("event_id").distinct().collect()}
+
+
+def test_dedup_within_watermark_batch_degenerates(spark, dup_events_dir):
+    """Unified model: same plan on the batch read = plain exact dedup."""
+    from aws_dms_to_hudi_spark.streaming.windows import dedup_within_watermark
+
+    batch = spark.read.parquet(str(dup_events_dir / "data"))
+    got = dedup_within_watermark(batch)
+    assert got.count() == batch.select("event_id").distinct().count()
