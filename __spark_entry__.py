@@ -1009,6 +1009,29 @@ def q64_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q65_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary resize plumbing: payloads through the Arrow-batched
+    stride-decimation op; only the oracle-replayable projections are
+    emitted (the binary column itself stays Spark-side)."""
+    media = fn_mm.attach_binary(_t(spark, sf_dir, "documents"))
+    return (
+        fn_mm.resize_media(media)
+        .select("doc_id", "n_bytes_in", "n_bytes_out", "checksum16")
+        .orderBy("doc_id")
+    )
+
+
+def q66_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: 1→N generator via mapInPandas, one row
+    per evenly-strided frame of each payload."""
+    media = fn_mm.attach_binary(_t(spark, sf_dir, "documents"))
+    return (
+        fn_mm.sample_frames(media)
+        .select("doc_id", "frame_idx", "n_frame_bytes", "first_byte")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -1248,6 +1271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_forward_fill": q62_forward_fill,
         "q63_array_ops": q63_array_ops,
         "q64_salted_join": q64_salted_join,
+        "q65_multimodal_resize": q65_multimodal_resize,
+        "q66_frame_sample": q66_frame_sample,
     }
 
 
@@ -1718,4 +1743,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority ORDER BY o_orderpriority"
         ),
+        "q65_multimodal_resize": fn_mm.resize_oracle_sql(),
+        "q66_frame_sample": fn_mm.sample_frames_oracle_sql(),
     }

@@ -108,6 +108,147 @@ def media_features(docs: DataFrame) -> DataFrame:
     return extract_features(attach_binary(docs)).orderBy("doc_id")
 
 
+# ---------------------------------------------------------------------------
+# resize + frame sampling (stub codecs, real distributed plumbing)
+# ---------------------------------------------------------------------------
+
+RESIZE_TARGET = 4096  # stub "resized image" byte budget
+CHECK_BYTES = 16  # bytes folded into the resize checksum
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes_in", T.LongType()),
+        T.StructField("n_bytes_out", T.LongType()),
+        T.StructField("checksum16", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, target_bytes: int = RESIZE_TARGET) -> DataFrame:
+    """Resize stub: stride-decimate each payload to at most
+    ``target_bytes`` (every ``len//target``-th byte, then truncate) —
+    the deterministic stand-in for a real thumbnail/downsample pass.
+    Binary in, binary out, through one Arrow-batched ``mapInPandas``;
+    swap the body for PIL's ``Image.resize`` in production. The
+    decimation arithmetic is integer-exact so the DuckDB oracle can
+    replay it byte-for-byte.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                n = len(p)
+                step = max(1, n // target_bytes)
+                out = p[::step][:target_bytes]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_bytes_in": n,
+                        "n_bytes_out": len(out),
+                        "checksum16": sum(out[:CHECK_BYTES]) % (2**31),
+                        "payload": out,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def resize_oracle_sql(
+    table: str = "documents", target_bytes: int = RESIZE_TARGET
+) -> str:
+    """DuckDB replay of the decimation arithmetic (ASCII fixture text:
+    byte j of the output is character ``1 + j*step`` of the input)."""
+    d = "duckdb"
+    n = "octet_length(encode(text))"
+    step = f"greatest(1, {n} // {target_bytes})"
+    out_len = f"least(({n} + {step} - 1) // {step}, {target_bytes})"
+    codes = P.transform(
+        f"range(0, least({CHECK_BYTES}, {out_len}))",
+        "j",
+        f"CAST(ascii(substr(text, 1 + j * {step}, 1)) AS BIGINT)",
+        d,
+    )
+    checksum = P.fold(codes, "CAST(0 AS BIGINT)", "h", "c", "h + c", d)
+    return (
+        f"SELECT doc_id, CAST({n} AS BIGINT) AS n_bytes_in, "
+        f"CAST({out_len} AS BIGINT) AS n_bytes_out, "
+        f"CAST(({checksum}) % 2147483648 AS BIGINT) AS checksum16 "
+        f"FROM {table} ORDER BY doc_id"
+    )
+
+
+FRAME_SIZE = 256  # stub "video frame" = fixed byte chunk
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_frame_bytes", T.LongType()),
+        T.StructField("first_byte", T.LongType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling stub: treat each payload as a sequence of
+    ``FRAME_SIZE``-byte frames and emit ~``n_frames`` evenly-strided
+    ones, one output row per sampled frame (the 1→N generator shape of
+    real video sampling; swap the chunking for ffmpeg keyframe extract
+    in production). Runs as one ``mapInPandas`` generator — no shuffle,
+    output rows stay on the producing partition.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(p)
+                total = (len(p) + FRAME_SIZE - 1) // FRAME_SIZE
+                stride = max(1, -(-total // n_frames))
+                for idx in range(0, total, stride):
+                    fb = p[idx * FRAME_SIZE : (idx + 1) * FRAME_SIZE]
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "frame_idx": idx,
+                            "n_frame_bytes": len(fb),
+                            "first_byte": fb[0],
+                            "frame": fb,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def sample_frames_oracle_sql(table: str = "documents", n_frames: int = 4) -> str:
+    """DuckDB replay: per-doc frame index list via ``range(0, total,
+    stride)`` unnested, lengths/first-bytes from substr arithmetic."""
+    return (
+        "SELECT doc_id, CAST(idx AS BIGINT) AS frame_idx, "
+        f"CAST(least({FRAME_SIZE}, n - idx * {FRAME_SIZE}) AS BIGINT) "
+        "  AS n_frame_bytes, "
+        f"CAST(ascii(substr(text, idx * {FRAME_SIZE} + 1, 1)) AS BIGINT) "
+        "  AS first_byte "
+        "FROM ("
+        "  SELECT doc_id, text, n, unnest(range(0, total, stride)) AS idx "
+        "  FROM ("
+        "    SELECT doc_id, text, octet_length(encode(text)) AS n, "
+        f"    (octet_length(encode(text)) + {FRAME_SIZE - 1}) // {FRAME_SIZE} "
+        "      AS total, "
+        f"    greatest(1, ((octet_length(encode(text)) + {FRAME_SIZE - 1}) "
+        f"      // {FRAME_SIZE} + {n_frames - 1}) // {n_frames}) AS stride "
+        f"    FROM {table})) "
+        "ORDER BY doc_id, frame_idx"
+    )
+
+
 def media_features_oracle_sql(table: str = "documents") -> str:
     """DuckDB oracle: the payload is UTF-8 text and the fixture vocabulary
     is pure ASCII, so byte values == character code points; the checksum

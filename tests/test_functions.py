@@ -149,3 +149,39 @@ def test_ivf_recall_and_exhaustive_probe_equivalence(spark, emb_view):
         ).collect()
     }
     assert full == exact
+
+
+def test_resize_media_payload_bytes(spark, sf_smoke):
+    """The resized binary itself (not just the projections the oracle
+    checks) must equal the stride-decimation of the input bytes."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(5)
+    media = fn_mm.attach_binary(docs)
+    rows = {r.doc_id: r for r in fn_mm.resize_media(media).collect()}
+    for src in docs.collect():
+        p = src.text.encode("utf-8")
+        step = max(1, len(p) // fn_mm.RESIZE_TARGET)
+        expect = p[::step][: fn_mm.RESIZE_TARGET]
+        got = rows[src.doc_id]
+        assert bytes(got.payload) == expect
+        assert got.n_bytes_out == len(expect)
+
+
+def test_sample_frames_reassemble(spark, sf_smoke):
+    """Sampled frames are true contiguous chunks at their claimed
+    offsets, and stride-1 docs (short payloads) reassemble exactly."""
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(8)
+    media = fn_mm.attach_binary(docs)
+    frames: dict[int, list] = {}
+    for r in fn_mm.sample_frames(media).collect():
+        frames.setdefault(r.doc_id, []).append(r)
+    for src in docs.collect():
+        p = src.text.encode("utf-8")
+        for r in frames[src.doc_id]:
+            lo = r.frame_idx * fn_mm.FRAME_SIZE
+            assert bytes(r.frame) == p[lo : lo + fn_mm.FRAME_SIZE]
+        total = -(-len(p) // fn_mm.FRAME_SIZE)
+        if total <= 4:  # stride 1: every frame sampled -> exact reassembly
+            assert b"".join(
+                bytes(r.frame)
+                for r in sorted(frames[src.doc_id], key=lambda r: r.frame_idx)
+            ) == p
