@@ -21,6 +21,8 @@ import tempfile
 from collections.abc import Callable
 from pathlib import Path
 
+import pandas as pd  # module-level: pandas_udf type hints resolve from here
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1032,6 +1034,74 @@ def q66_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q67_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (the UDAF member of the §2.3 UDF
+    family): per-flag weighted revenue, computed numpy-side per Arrow
+    batch. Hash parity with the oracle is engineered by integer
+    arithmetic — cents × integral quantity summed in int64 is exact and
+    order-independent, unlike a float sum."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def weighted_cents(price: pd.Series, qty: pd.Series) -> int:
+        return int(
+            (
+                np.round(price.values * 100).astype("int64")
+                * qty.values.astype("int64")
+            ).sum()
+        )
+
+    # Spark disallows mixing grouped-agg pandas UDFs with JVM aggregates
+    # in one agg ([INVALID_PANDAS_UDF_PLACEMENT]), so the row count is a
+    # pandas UDAF too.
+    @pandas_udf("long")
+    def n_rows(qty: pd.Series) -> int:
+        return len(qty)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            weighted_cents("l_extendedprice", "l_quantity").alias(
+                "weighted_cents"
+            ),
+            n_rows("l_quantity").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q68_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (1→N table function, Spark 4 ``@udtf``) applied per
+    row via LATERAL join: split each document into 32-token training
+    chunks — the standard context-window chunking pass. Arrow-optimized
+    (``useArrow``); output rows stay on the producing partition (the
+    Generate node adds no shuffle)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "doc_id: bigint, chunk_idx: bigint, n_tokens: bigint, "
+            "first_token: string"
+        ),
+        useArrow=True,
+    )
+    class ChunkDoc:
+        def eval(self, doc_id, text):  # noqa: D102 — UDTF contract method
+            toks = text.split(" ")
+            for i in range(0, len(toks), 32):
+                yield doc_id, i // 32, min(32, len(toks) - i), toks[i]
+
+    spark.udtf.register("__q68_chunk_doc", ChunkDoc)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__q68_docs")
+    return spark.sql(
+        "SELECT c.* FROM __q68_docs AS d, "
+        "LATERAL __q68_chunk_doc(d.doc_id, d.text) AS c "
+        "ORDER BY doc_id, chunk_idx"
+    )
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -1273,6 +1343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_salted_join": q64_salted_join,
         "q65_multimodal_resize": q65_multimodal_resize,
         "q66_frame_sample": q66_frame_sample,
+        "q67_pandas_udaf": q67_pandas_udaf,
+        "q68_udtf_chunker": q68_udtf_chunker,
     }
 
 
@@ -1745,4 +1817,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q65_multimodal_resize": fn_mm.resize_oracle_sql(),
         "q66_frame_sample": fn_mm.sample_frames_oracle_sql(),
+        "q67_pandas_udaf": (
+            "SELECT l_returnflag, "
+            "CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT) "
+            "  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS weighted_cents, "
+            "COUNT(*) AS n_items "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "q68_udtf_chunker": (
+            "SELECT doc_id, CAST(idx AS BIGINT) AS chunk_idx, "
+            "CAST(least(32, ntok - idx * 32) AS BIGINT) AS n_tokens, "
+            "toks[idx * 32 + 1] AS first_token "
+            "FROM ("
+            "  SELECT doc_id, toks, ntok, "
+            "    unnest(range(0, (ntok + 31) // 32)) AS idx "
+            "  FROM (SELECT doc_id, string_split(text, ' ') AS toks, "
+            "        len(string_split(text, ' ')) AS ntok FROM documents)) "
+            "ORDER BY doc_id, chunk_idx"
+        ),
     }

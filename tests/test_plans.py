@@ -119,3 +119,45 @@ def test_q43_pivot_no_expand_no_join(spark, sf_correct):
     assert "Expand" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_q60_posexplode_single_shuffle_topk(spark, sf_correct):
+    """Explode is shuffle-free (rows stay on the producing partition);
+    one agg exchange; ORDER BY+LIMIT plans as TakeOrderedAndProject,
+    not a full range-partitioned sort."""
+    plan = _plan(spark, sf_correct, "q60_posexplode_tokens")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "ReadSchema: struct<text:string>" in plan  # only text scanned
+
+
+def test_q61_spine_join_broadcasts_aggregate(spark, sf_correct):
+    """The 84-row spine left-joins the monthly aggregate as a broadcast
+    — no sort-merge machinery for a dimension-sized frame."""
+    plan = _plan(spark, sf_correct, "q61_date_spine")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q63_array_ops_scan_fused(spark, sf_correct):
+    """Array compute is per-row projection fused into the scan: no agg
+    shuffle, no join — the only exchange is the output sort."""
+    plan = _plan(spark, sf_correct, "q63_array_ops")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Join" not in plan
+
+
+def test_q64_salted_join_replicates_build(spark, sf_correct):
+    """The salt explode is visible on the build side, and the join key
+    carries the salt column — the skew-spread contract."""
+    plan = _plan(spark, sf_correct, "q64_salted_join")
+    assert "Generate explode" in plan
+    assert "__salt" in plan
+
+
+def test_q68_udtf_runs_arrow_optimized(spark, sf_correct):
+    """The Python UDTF executes via the Arrow path (columnar batch
+    transfer), not row-pickling BatchEvalPython."""
+    plan = _plan(spark, sf_correct, "q68_udtf_chunker")
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPython" not in plan
