@@ -1102,6 +1102,55 @@ def q68_udtf_chunker(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q69_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers ⋈
+    orders placed before a cut date ⋈ lineitems shipped after it, top-10
+    open orders by outstanding revenue. All three filters push into the
+    scans; the LIMIT plans as TakeOrderedAndProject (per-partition
+    top-10, tiny final merge — no global sort shuffle)."""
+    cut = F.lit("1998-01-01").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c.select("c_custkey"), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q70_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): customers ranked by
+    revenue lost to returns, with their nation — fact-to-fact join plus
+    a broadcast dim, top-20 deterministic via the custkey tiebreak."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "lost_revenue",
+            ),
+            F.count("*").alias("n_returned_items"),
+        )
+        .orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -1345,6 +1394,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_frame_sample": q66_frame_sample,
         "q67_pandas_udaf": q67_pandas_udaf,
         "q68_udtf_chunker": q68_udtf_chunker,
+        "q69_shipping_priority": q69_shipping_priority,
+        "q70_returned_items": q70_returned_items,
     }
 
 
@@ -1834,5 +1885,29 @@ def oracle_sql() -> dict[str, str]:
             "  FROM (SELECT doc_id, string_split(text, ' ') AS toks, "
             "        len(string_split(text, ' ')) AS ntok FROM documents)) "
             "ORDER BY doc_id, chunk_idx"
+        ),
+        "q69_shipping_priority": (
+            "SELECT l_orderkey, o_orderdate, "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            "  AS DECIMAL(18,4))) AS DOUBLE) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"
+        ),
+        "q70_returned_items": (
+            "SELECT c_custkey, c_name, n_name, "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            "  AS DECIMAL(18,4))) AS DOUBLE) AS lost_revenue, "
+            "COUNT(*) AS n_returned_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "GROUP BY c_custkey, c_name, n_name "
+            "ORDER BY lost_revenue DESC, c_custkey LIMIT 20"
         ),
     }

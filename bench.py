@@ -47,6 +47,21 @@ SMALL_OUTPUT = {
     "q35_token_doc_freq",
     "q36_stratified_sample",
     "q39_stat_aggregates",
+    "q42_except",
+    "q43_pivot",
+    "q44_exists_semi",
+    "q45_local_supplier_volume",
+    "q47_conditional_agg",
+    "q48_string_agg",
+    "q51_grouping_sets",
+    "q54_union_all_distinct",
+    "q58_curation_pipeline",
+    "q60_posexplode_tokens",
+    "q61_date_spine",
+    "q64_salted_join",
+    "q67_pandas_udaf",
+    "q69_shipping_priority",
+    "q70_returned_items",
 }
 
 
