@@ -237,3 +237,65 @@ def test_dedup_within_watermark_batch_degenerates(spark, dup_events_dir):
     batch = spark.read.parquet(str(dup_events_dir / "data"))
     got = dedup_within_watermark(batch)
     assert got.count() == batch.select("event_id").distinct().count()
+
+
+def test_session_stream_converges_to_batch(spark, events_dir, tmp_path_factory, tmp_path):
+    """Streaming session windows must finalize to exactly the batch
+    sessionization — including sessions that SPAN micro-batch
+    boundaries, which exercises the engine's session-merge state path.
+
+    Append-mode sessions only emit once the watermark passes their end,
+    so the fixture is arranged to make exact convergence well-defined:
+    files are written in event-time order (quartile ranges, so nothing
+    is ever late for the 10-minute watermark) and a far-future sentinel
+    event per type is landed last to push the final watermark past
+    every real session's end. The sentinel's own (never-finalized)
+    session is the only output difference, and it never emits."""
+    out = tmp_path_factory.mktemp("events_ordered_src")
+    batch = spark.read.parquet(str(events_dir / "data"))
+    expected = sorted(
+        (r.session_start, r.session_end, r.event_type, r.num_events)
+        for r in W.session_counts(batch, gap="30 minutes").collect()
+    )
+
+    # land four time-ordered files, then the sentinel flush file
+    q = batch.agg(
+        F.expr(
+            "percentile(CAST(ts AS LONG), array(0.25, 0.5, 0.75))"
+        ).alias("q")
+    ).collect()[0]["q"]
+    bounds = [None, *q, None]
+    secs = F.col("ts").cast("long")  # seconds since epoch
+    for i in range(4):
+        part = batch
+        if bounds[i] is not None:
+            part = part.filter(secs > bounds[i])
+        if bounds[i + 1] is not None:
+            part = part.filter(secs <= bounds[i + 1])
+        part.coalesce(1).write.mode("append").parquet(str(out / "data"))
+    sentinel_ts = batch.agg(F.max("ts")).collect()[0][0]
+    sentinel = (
+        batch.select("event_type").distinct()
+        .withColumn("ts", F.lit(sentinel_ts) + F.expr("INTERVAL 10 DAYS"))
+        .withColumn("event_id", F.lit(-1).cast("long"))
+        .withColumn("user_id", F.lit(-1).cast("long"))
+        .withColumn("value", F.lit(0.0))
+        .withColumn("props", F.lit(None).cast("string"))
+        .select(*batch.columns)
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(str(out / "data"))
+
+    got_df = _run_stream(
+        spark,
+        W.session_counts(
+            _stream(spark, out), gap="30 minutes", watermark="10 minutes"
+        ),
+        tmp_path,
+        "session_sink",
+        "append",
+    )
+    got = sorted(
+        (r.session_start, r.session_end, r.event_type, r.num_events)
+        for r in got_df.collect()
+    )
+    assert got == expected
