@@ -35,6 +35,7 @@ from aws_dms_to_hudi_spark.functions import sampling as fn_sampling
 from aws_dms_to_hudi_spark.functions import text as fn_text
 from aws_dms_to_hudi_spark.operators import asof as op_asof
 from aws_dms_to_hudi_spark.operators import range_join as op_range
+from aws_dms_to_hudi_spark.operators import scd as op_scd
 from aws_dms_to_hudi_spark.operators.merge import precombine, upsert_merge
 from aws_dms_to_hudi_spark.operators.transformer import apply_transformer_sql
 from aws_dms_to_hudi_spark.storage import CuratedTable
@@ -1151,6 +1152,27 @@ def q70_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q71_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build (operators/scd.py): the full orders
+    change log expanded into versioned history rows with validity
+    intervals — the keep-every-version counterpart of the engine's
+    keep-latest upsert merge. One window shuffle on the key."""
+    rec = cdc.RECIPES["orders"]
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q71_orders")
+    changes = spark.sql(cdc.stream_sql(rec, src="__q71_orders"))
+    return (
+        op_scd.scd2(changes, keys=list(rec.key_cols))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            "valid_from_seq",
+            "valid_to_seq",
+            "is_current",
+        )
+        .orderBy("o_orderkey", "valid_from_seq")
+    )
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -1396,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_udtf_chunker": q68_udtf_chunker,
         "q69_shipping_priority": q69_shipping_priority,
         "q70_returned_items": q70_returned_items,
+        "q71_scd2_history": q71_scd2_history,
     }
 
 
@@ -1909,5 +1932,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_returnflag = 'R' "
             "GROUP BY c_custkey, c_name, n_name "
             "ORDER BY lost_revenue DESC, c_custkey LIMIT 20"
+        ),
+        "q71_scd2_history": (
+            "SELECT o_orderkey, o_totalprice, valid_from_seq, "
+            "valid_to_seq, is_current FROM ("
+            + op_scd.scd2_oracle_sql(
+                cdc.stream_sql(cdc.RECIPES["orders"]), keys=["o_orderkey"]
+            )
+            + ") ORDER BY o_orderkey, valid_from_seq"
         ),
     }

@@ -131,3 +131,40 @@ def test_composite_key_merge(spark):
 def test_apply_deletes_noop_without_column(spark):
     df = spark.createDataFrame([Row(k=1, v="a")])
     assert apply_deletes(df).count() == 1
+
+
+def test_scd2_history_invariants(spark, sf_smoke):
+    """SCD2 expansion vs the keep-latest merge over the SAME change log:
+
+    - per key, exactly one open interval (valid_to NULL), versions chain
+      (each valid_to equals the next valid_from);
+    - the current (open, non-deleted) rows are exactly the rows the
+      precombine+merge replay produces — the two operators are the
+      keep-all / keep-latest projections of one CDC semantics."""
+    from aws_dms_to_hudi_spark import cdc
+    from aws_dms_to_hudi_spark.operators.scd import scd2
+
+    rec = cdc.RECIPES["orders"]
+    spark.read.parquet(f"{sf_smoke}/orders.parquet").createOrReplaceTempView(
+        "__scd_orders"
+    )
+    changes = spark.sql(cdc.stream_sql(rec, src="__scd_orders"))
+    hist = scd2(changes, keys=["o_orderkey"]).collect()
+
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r.o_orderkey, []).append(r)
+    for versions in by_key.values():
+        versions.sort(key=lambda r: r.valid_from_seq)
+        assert sum(1 for r in versions if r.valid_to_seq is None) == 1
+        assert versions[-1].valid_to_seq is None  # open interval is newest
+        for a, b in zip(versions, versions[1:]):
+            assert a.valid_to_seq == b.valid_from_seq
+
+    current = {
+        (r.o_orderkey, r.trx_seq) for r in hist if r.is_current
+    }
+    merged = precombine(changes, ["o_orderkey"], "trx_seq")
+    merged = apply_deletes(merged)
+    latest = {(r.o_orderkey, r.trx_seq) for r in merged.collect()}
+    assert current == latest
