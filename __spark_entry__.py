@@ -668,7 +668,12 @@ def q49_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q50_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions: ntile / percent_rank / cume_dist
     (exact rationals — identical doubles in both engines; unique ORDER BY
-    key makes ntile assignment deterministic)."""
+    key makes ntile assignment deterministic).
+
+    Scale note: a GLOBAL (unpartitioned) window single-partitions the
+    sort by construction — fine here as the semantic under test, but at
+    100 TB global ranks should come from approx_percentile cut points or
+    a two-pass range-partitioned rank, never this plan."""
     o = _t(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
@@ -1173,6 +1178,92 @@ def q71_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q72_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar family (§2.3 conditional/null row): NULLIF,
+    NVL, NVL2, and null-safe equality (`<=>`, DuckDB `IS NOT DISTINCT
+    FROM`). NULLs are manufactured from real data with NULLIF so every
+    function sees both branches."""
+    o = _t(spark, sf_dir, "orders")
+    status_f = F.expr("nullif(o_orderstatus, 'O')")
+    status_o = F.expr("nullif(o_orderstatus, 'F')")
+    return (
+        o.select(
+            "o_orderkey",
+            status_f.alias("status_f"),
+            F.expr("nvl(nullif(o_orderstatus, 'O'), o_orderpriority)").alias(
+                "pri_or_status"
+            ),
+            F.expr(
+                "nvl2(nullif(o_orderstatus, 'O'), 'settled', 'open')"
+            ).alias("settled_flag"),
+            (status_f.eqNullSafe(status_o)).alias("p_match"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+def q73_two_stage_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregate (operators/skew.py): distinct users
+    per event type via (key, salt) partials merged per key. Plain
+    COUNT(DISTINCT) puts one hot key's whole value set on one reducer;
+    the two-stage form shrinks it to per-salt partial sets first. The
+    oracle is the plain COUNT(DISTINCT) — identical result by set
+    algebra."""
+    from aws_dms_to_hudi_spark.operators.skew import two_stage_aggregate
+
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    return (
+        two_stage_aggregate(
+            ev,
+            keys=["event_type"],
+            partial_aggs=[
+                F.count("*").alias("c"),
+                F.collect_set("user_id").alias("us"),
+            ],
+            final_aggs=[
+                F.sum("c").cast("long").alias("n_events"),
+                F.size(
+                    F.array_distinct(F.flatten(F.collect_list("us")))
+                ).cast("long").alias("n_users"),
+            ],
+        )
+        .orderBy("event_type")
+    )
+
+
+def q74_percentile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based decile assignment WITHOUT a global sort — the
+    scale-correct counterpart of q50's global ntile: one pass computes
+    the 9 interior percentile cut points (tiny driver-side array), a
+    second scan assigns each row its bucket by counting cut points
+    below it (a 9-element fold, pure projection). Two scans, zero
+    row shuffles. Cut points are rounded to 4 dp on both engines so a
+    sub-ulp interpolation difference cannot flip a boundary row."""
+    o = _t(spark, sf_dir, "orders")
+    qs = [i / 10 for i in range(1, 10)]
+    cuts = o.agg(
+        F.expr(
+            "percentile(o_totalprice, array("
+            + ", ".join(str(q) for q in qs)
+            + "))"
+        ).alias("c")
+    ).collect()[0]["c"]
+    cut_arr = "array(" + ", ".join(f"{round(c, 4)}D" for c in cuts) + ")"
+    bucket = F.expr(
+        f"aggregate({cut_arr}, 0, (acc, c) -> "
+        "acc + IF(o_totalprice > c, 1, 0))"
+    )
+    return (
+        o.groupBy(bucket.cast("long").alias("bucket"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice"), "bucket_revenue"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -1419,6 +1510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_shipping_priority": q69_shipping_priority,
         "q70_returned_items": q70_returned_items,
         "q71_scd2_history": q71_scd2_history,
+        "q72_null_semantics": q72_null_semantics,
+        "q73_two_stage_distinct": q73_two_stage_distinct,
+        "q74_percentile_buckets": q74_percentile_buckets,
     }
 
 
@@ -1940,5 +2034,37 @@ def oracle_sql() -> dict[str, str]:
                 cdc.stream_sql(cdc.RECIPES["orders"]), keys=["o_orderkey"]
             )
             + ") ORDER BY o_orderkey, valid_from_seq"
+        ),
+        "q72_null_semantics": (
+            "SELECT o_orderkey, "
+            "nullif(o_orderstatus, 'O') AS status_f, "
+            "ifnull(nullif(o_orderstatus, 'O'), o_orderpriority) "
+            "  AS pri_or_status, "
+            "CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL "
+            "  THEN 'settled' ELSE 'open' END AS settled_flag, "
+            "(nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM "
+            " nullif(o_orderstatus, 'F')) AS p_match "
+            "FROM orders ORDER BY o_orderkey LIMIT 1000"
+        ),
+        "q73_two_stage_distinct": (
+            "SELECT event_type, COUNT(*) AS n_events, "
+            "COUNT(DISTINCT user_id) AS n_users "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "q74_percentile_buckets": (
+            "WITH cuts AS ("
+            "  SELECT list_transform("
+            "    quantile_cont(o_totalprice, "
+            "      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), "
+            "    c -> round(c, 4)) AS cs FROM orders) "
+            "SELECT CAST(bucket AS BIGINT) AS bucket, "
+            "COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) "
+            "  AS bucket_revenue "
+            "FROM ("
+            "  SELECT o_totalprice, len(list_filter(cs, "
+            "    c -> o_totalprice > c)) AS bucket "
+            "  FROM orders, cuts) "
+            "GROUP BY bucket ORDER BY bucket"
         ),
     }
