@@ -1264,6 +1264,71 @@ def q74_percentile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q75_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS under NULLs — the classic three-valued-logic
+    divergence, pinned as behavior both engines must share: a NULL in
+    the NOT IN subquery makes every comparison UNKNOWN, so the NOT IN
+    leg returns 0 rows, while NOT EXISTS (and the null-filtered NOT IN)
+    return the real anti-join count. Catalyst plans the null-aware anti
+    join as NAAJ (single-column null-aware), the filtered leg as a plain
+    left-anti."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    o.createOrReplaceTempView("__q75_orders")
+    # BUILDING members, with one NULL smuggled in via NULLIF
+    c.select(
+        F.expr(
+            "CASE WHEN c_mktsegment = 'BUILDING' THEN c_custkey END"
+        ).alias("k")
+    ).createOrReplaceTempView("__q75_keys")
+    return spark.sql(
+        """
+        SELECT
+          (SELECT COUNT(*) FROM __q75_orders
+           WHERE o_custkey NOT IN (SELECT k FROM __q75_keys))
+            AS not_in_with_nulls,
+          (SELECT COUNT(*) FROM __q75_orders
+           WHERE o_custkey NOT IN (SELECT k FROM __q75_keys
+                                   WHERE k IS NOT NULL))
+            AS not_in_filtered,
+          (SELECT COUNT(*) FROM __q75_orders o
+           WHERE NOT EXISTS (SELECT 1 FROM __q75_keys x
+                             WHERE x.k = o.o_custkey))
+            AS not_exists_cnt
+        """
+    )
+
+
+def q76_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family (§2.3): abs/floor/ceil/sqrt/ln/log10/pow/mod/
+    sign/greatest/least. Transcendentals (sqrt/ln/log10/pow) round to
+    6 dp — JVM StrictMath and DuckDB libm may differ in the last ulp;
+    integer-exact functions are emitted raw."""
+    li = _t(spark, sf_dir, "lineitem")
+    margin = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        30000.0
+    )
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(margin).alias("abs_margin"),
+            F.floor("l_extendedprice").cast("long").alias("price_floor"),
+            F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+            F.signum(margin).cast("long").alias("margin_sign"),
+            (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
+            F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+            F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+            F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+            F.round(F.pow("l_discount", 2), 6).alias("discount_sq"),
+            F.greatest("l_quantity", "l_discount").alias("qmax"),
+            F.least("l_tax", "l_discount").alias("rate_min"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "abs_margin")
+        .limit(2000)
+    )
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -1513,6 +1578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_null_semantics": q72_null_semantics,
         "q73_two_stage_distinct": q73_two_stage_distinct,
         "q74_percentile_buckets": q74_percentile_buckets,
+        "q75_not_in_null_trap": q75_not_in_null_trap,
+        "q76_math_functions": q76_math_functions,
     }
 
 
@@ -2066,5 +2133,38 @@ def oracle_sql() -> dict[str, str]:
             "    c -> o_totalprice > c)) AS bucket "
             "  FROM orders, cuts) "
             "GROUP BY bucket ORDER BY bucket"
+        ),
+        "q75_not_in_null_trap": (
+            "WITH keys AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' "
+            "  THEN c_custkey END AS k FROM customer) "
+            "SELECT "
+            "(SELECT COUNT(*) FROM orders "
+            " WHERE o_custkey NOT IN (SELECT k FROM keys)) "
+            "  AS not_in_with_nulls, "
+            "(SELECT COUNT(*) FROM orders "
+            " WHERE o_custkey NOT IN (SELECT k FROM keys "
+            "                         WHERE k IS NOT NULL)) "
+            "  AS not_in_filtered, "
+            "(SELECT COUNT(*) FROM orders o "
+            " WHERE NOT EXISTS (SELECT 1 FROM keys x "
+            "                   WHERE x.k = o.o_custkey)) "
+            "  AS not_exists_cnt"
+        ),
+        "q76_math_functions": (
+            "SELECT l_orderkey, l_linenumber, "
+            "abs(l_extendedprice * (1 - l_discount) - 30000.0) AS abs_margin, "
+            "CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, "
+            "CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil, "
+            "CAST(sign(l_extendedprice * (1 - l_discount) - 30000.0) "
+            "  AS BIGINT) AS margin_sign, "
+            "CAST(l_orderkey % 7 AS BIGINT) AS key_mod7, "
+            "round(sqrt(l_extendedprice), 6) AS price_sqrt, "
+            "round(ln(l_extendedprice), 6) AS price_ln, "
+            "round(log10(l_extendedprice), 6) AS price_log10, "
+            "round(pow(l_discount, 2), 6) AS discount_sq, "
+            "greatest(l_quantity, l_discount) AS qmax, "
+            "least(l_tax, l_discount) AS rate_min "
+            "FROM lineitem "
+            "ORDER BY l_orderkey, l_linenumber, abs_margin LIMIT 2000"
         ),
     }

@@ -62,6 +62,9 @@ SMALL_OUTPUT = {
     "q67_pandas_udaf",
     "q69_shipping_priority",
     "q70_returned_items",
+    "q73_two_stage_distinct",
+    "q74_percentile_buckets",
+    "q75_not_in_null_trap",
 }
 
 
