@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from aws_dms_to_hudi_spark import cdc
 from aws_dms_to_hudi_spark.config import TableConfig
+from aws_dms_to_hudi_spark.functions import components as fn_comp
 from aws_dms_to_hudi_spark.functions import dedup as fn_dedup
 from aws_dms_to_hudi_spark.functions import multimodal as fn_mm
 from aws_dms_to_hudi_spark.functions import similarity as fn_sim
@@ -1329,6 +1330,27 @@ def q76_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q77_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUPS: MinHash-LSH pairs (q20) closed into connected
+    components (functions/components.py, iterative min-label
+    propagation) — the keep-one-per-group step of corpus dedup. Output
+    is each component's id (min doc_id), size, and member list."""
+    v = _view(spark, sf_dir, "documents", "q77")
+    pairs = spark.sql(fn_dedup.minhash_lsh_sql("spark", table=v))
+    labels = fn_comp.connected_components(pairs)
+    return (
+        labels.groupBy("component")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("node").cast("string"))),
+                ",",
+            ).alias("members"),
+        )
+        .orderBy("component")
+    )
+
+
 def q25_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column + Arrow-batched mapInPandas feature extract."""
     return fn_mm.media_features(_t(spark, sf_dir, "documents"))
@@ -1580,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q74_percentile_buckets": q74_percentile_buckets,
         "q75_not_in_null_trap": q75_not_in_null_trap,
         "q76_math_functions": q76_math_functions,
+        "q77_dup_groups": q77_dup_groups,
     }
 
 
@@ -2166,5 +2189,12 @@ def oracle_sql() -> dict[str, str]:
             "least(l_tax, l_discount) AS rate_min "
             "FROM lineitem "
             "ORDER BY l_orderkey, l_linenumber, abs_margin LIMIT 2000"
+        ),
+        "q77_dup_groups": (
+            "SELECT component, COUNT(*) AS n_docs, "
+            "array_to_string(list_sort(list(CAST(node AS VARCHAR))), ',') "
+            "  AS members FROM ("
+            + fn_comp.components_oracle_sql(fn_dedup.minhash_lsh_sql("duckdb"))
+            + ") GROUP BY component ORDER BY component"
         ),
     }

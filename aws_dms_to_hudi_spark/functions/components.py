@@ -1,0 +1,103 @@
+"""Connected components over near-duplicate pair graphs.
+
+The dedup operators (:mod:`.dedup`) emit verified near-dup PAIRS; a
+curation pipeline needs dup GROUPS (keep one representative per group),
+which is exactly connected components on the pair graph.
+
+Algorithm: iterative min-label propagation — every node starts labeled
+with itself; each round every node takes the minimum label among itself
+and its neighbors; converged when no label changes. Rounds needed =
+graph diameter, and near-dup components are dense and tiny (pairs →
+triangles → small cliques), so 2-4 rounds is typical. Each round is one
+equi-join + one groupBy — all shuffle-partitioned by node, no driver
+data structure, no assumption the component fits anywhere.
+
+Scale notes (100 TB corpus, billions of pairs):
+
+- ``localCheckpoint`` every round truncates the iterative lineage —
+  without it the Catalyst tree doubles per round and analysis time
+  explodes long before data does (the classic iterative-DataFrame trap);
+- the convergence check is a cheap aggregate on the labels diff; a
+  fixed ``max_iter`` bounds worst-case (chain-shaped) graphs, for which
+  the alternating large-star/small-star formulation (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond") converges in
+  O(log n) rounds — swap it in if dup graphs ever stop being shallow;
+- output is (node, component) with component = min node id reachable:
+  deterministic, so representative selection ("keep the min doc_id")
+  is reproducible across runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Labels every node of the undirected pair graph with the minimum
+    node id of its component. Returns columns ``(node, component)``.
+    Raises if not converged within ``max_iter`` rounds (diameter bound
+    exceeded — see module notes for the log-rounds alternative).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_labels = (
+            und.join(labels, und.b == labels.node)
+            .select(F.col("a").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()  # truncate iterative lineage every round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the pair graph has a longer diameter than near-dup groups "
+        "should — use the large-star/small-star variant"
+    )
+
+
+def components_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB oracle: min-label reachability as a recursive CTE over
+    the same pair SQL (UNION recursion deduplicates states, so this
+    terminates on the transitive closure)."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.node
+)
+SELECT node, MIN(r) AS component FROM reach GROUP BY node
+"""

@@ -185,3 +185,58 @@ def test_sample_frames_reassemble(spark, sf_smoke):
                 bytes(r.frame)
                 for r in sorted(frames[src.doc_id], key=lambda r: r.frame_idx)
             ) == p
+
+
+def test_connected_components_shapes(spark):
+    """Chain (multi-round propagation), triangle, disjoint pair, and a
+    cross-shaped star all label to their component minimum."""
+    from pyspark.sql import Row
+
+    from aws_dms_to_hudi_spark.functions.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            Row(doc_a=1, doc_b=2),  # chain 1-2-3-4: diameter 3
+            Row(doc_a=2, doc_b=3),
+            Row(doc_a=3, doc_b=4),
+            Row(doc_a=10, doc_b=11),  # triangle
+            Row(doc_a=11, doc_b=12),
+            Row(doc_a=10, doc_b=12),
+            Row(doc_a=20, doc_b=21),  # disjoint pair
+            Row(doc_a=31, doc_b=30),  # star centered on 30
+            Row(doc_a=32, doc_b=30),
+            Row(doc_a=33, doc_b=30),
+        ]
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30, 33: 30,
+    }
+
+
+def test_connected_components_diameter_bound(spark):
+    """max_iter below the chain diameter raises instead of returning a
+    partially-propagated (wrong) labeling."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from aws_dms_to_hudi_spark.functions.components import (
+        connected_components,
+    )
+
+    chain = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(8)]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=2)
+    full = {
+        r.node: r.component for r in connected_components(chain).collect()
+    }
+    assert set(full.values()) == {0}
