@@ -51,12 +51,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as raw int64 nanos and integer-divide to
-    micros (float division would lose precision above 2^53)."""
+    """events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
+    Spark's vectorized reader can only surface as int64 nanos) or plain
+    TIMESTAMP(MICROS). Normalize both to a timestamp column: when the
+    reader hands us int64 nanos, integer-divide to micros (float division
+    would lose precision above 2^53); otherwise keep the native timestamp
+    (cast NTZ -> session-local timestamp is a no-op re-tag for parity
+    with the DuckDB oracle reading the same file)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(str(Path(sf_dir) / "events.parquet"))
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _dsum(col, alias: str):

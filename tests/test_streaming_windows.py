@@ -24,10 +24,9 @@ def events_dir(spark, sf_smoke, tmp_path_factory):
     """events re-landed as micros-timestamp parquet split into several
     files so availableNow produces multiple micro-batches."""
     out = tmp_path_factory.mktemp("events_src")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_smoke}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    import __spark_entry__ as entry
+
+    df = entry._events(spark, sf_smoke)
     df.repartition(4).write.mode("overwrite").parquet(str(out / "data"))
     return out
 
