@@ -59,6 +59,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cast NTZ -> session-local timestamp is a no-op re-tag for parity
     with the DuckDB oracle reading the same file)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # NTZ -> timestamp is a pure re-tag ONLY under a UTC session zone; pin
+    # it here (mirroring the nanosAsLong conf-set) so the branch stays
+    # equivalent to the timezone-independent timestamp_micros branch even
+    # if the harness hands us a session it built with a different zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(str(Path(sf_dir) / "events.parquet"))
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":
@@ -1843,7 +1848,10 @@ def oracle_sql() -> dict[str, str]:
         "q32_hash_split": (
             f"SELECT {fn_sampling.split_expr('doc_id', 'duckdb')} AS split, "
             "COUNT(*) AS n_docs, "
-            f"SUM({fn_text.token_count_expr('text', 'duckdb')}) AS sum_tokens "
+            # CAST: DuckDB SUM(int) widens to HUGEINT (surfaces as double
+            # through Arrow); Spark stays bigint — pin both to int64.
+            f"CAST(SUM({fn_text.token_count_expr('text', 'duckdb')}) AS BIGINT)"
+            " AS sum_tokens "
             "FROM documents GROUP BY 1 ORDER BY split"
         ),
         "q42_except": (
