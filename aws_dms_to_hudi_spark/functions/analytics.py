@@ -1,0 +1,194 @@
+"""Event-analytics operators: staged funnel, retention cohorts, activity
+islands.
+
+These are the classic product-analytics shapes a lake engine is asked for
+once events land (reference surface: arbitrary ``transformer_sql`` over the
+batch, SURVEY.md §2.3 — these pin the multi-CTE window/join compositions).
+Spark side is DataFrame API; each has a hand-written DuckDB oracle built
+from the same portable primitives.
+
+Portability notes:
+
+- event-time deltas compare **epoch microseconds as int64** on both engines
+  (Spark ``unix_micros`` / DuckDB ``epoch_us``) — ``unix_timestamp`` floors
+  to seconds and DuckDB ``epoch`` returns a fractional double, either of
+  which flips rows right at a gap boundary;
+- week arithmetic uses ``date_trunc('week', …)`` (Monday-start in both)
+  cast to DATE, with offsets as whole-day diffs integer-divided by 7.
+
+Scale notes (100 TB):
+
+- funnel: three per-user aggregations chained by equi-joins — every shuffle
+  is on ``user_id``, stage outputs shrink monotonically, and AQE broadcasts
+  the later (smaller) sides;
+- retention: cohort assignment is one per-user agg; the activity matrix is
+  a distinct + join + agg, all hash-partitioned on ``user_id``; output is
+  O(weeks²) — tiny;
+- islands: two windows over one ``user_id`` partitioning — Spark plans a
+  single Exchange reused by both sorts; per-partition work is linear.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+GAP_US = 3_600 * 1_000_000  # 1 hour island gap, int64 microseconds
+
+FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def funnel(events: DataFrame) -> DataFrame:
+    """Strictly-ordered conversion funnel view → click → purchase.
+
+    A user counts for stage k+1 only with an event AFTER their first
+    stage-k event (first-touch attribution). Returns one row of stage
+    counts.
+    """
+    e = events
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vt"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        v.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(c.agg(F.count("*").alias("n_clicked_after_view")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchased_after_click")))
+    )
+
+
+def funnel_oracle_sql(table: str = "events") -> str:
+    return f"""
+WITH v AS (SELECT user_id, MIN(ts) AS vt FROM {table}
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, MIN(e.ts) AS ct FROM {table} e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY e.user_id),
+p AS (SELECT e.user_id, MIN(e.ts) AS pt FROM {table} e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY e.user_id)
+SELECT (SELECT COUNT(*) FROM v) AS n_viewed,
+       (SELECT COUNT(*) FROM c) AS n_clicked_after_view,
+       (SELECT COUNT(*) FROM p) AS n_purchased_after_click
+"""
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention matrix: cohort week (user's first-ever event week)
+    × week offset → distinct active users."""
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = (
+        events.select(
+            "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+        )
+        .distinct()
+    )
+    return (
+        active.join(first, "user_id")
+        .withColumn(
+            "week_offset",
+            (F.datediff("w", "cohort_week") / 7).cast("int"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        # ISO string output: DATE surfaces as date32 from Spark but
+        # datetime64 from DuckDB-via-Arrow — a dtype-only hash trap.
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def retention_oracle_sql(table: str = "events") -> str:
+    return f"""
+WITH f AS (SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+           FROM {table} GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM {table})
+SELECT strftime(f.cw, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', f.cw, a.w) // 7 AS INT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM a JOIN f ON a.user_id = f.user_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def activity_islands(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands: maximal runs of per-user events with < 1 h between
+    consecutive events (lag-break flag + running sum — the other classic
+    sessionization encoding next to ``session_window``, q29).
+
+    Returns per user: number of islands and the largest island's event
+    count.
+    """
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tus = F.unix_micros("ts")
+    brk = F.when(
+        F.lag(tus).over(order).isNull()
+        | ((tus - F.lag(tus).over(order)) > F.lit(GAP_US)),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    islands = (
+        events.select("user_id", "ts", "event_id")
+        .withColumn("island", F.sum(brk).over(run))
+        .groupBy("user_id", "island")
+        .agg(F.count("*").alias("island_len"))
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_islands"),
+            F.max("island_len").alias("max_island_len"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def islands_oracle_sql(table: str = "events") -> str:
+    return f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM {table}
+), f AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN gap_us IS NULL OR gap_us > {GAP_US} THEN 1 ELSE 0 END
+           AS brk
+  FROM o
+), i AS (
+  SELECT user_id,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM f
+), per_island AS (
+  SELECT user_id, island, COUNT(*) AS island_len
+  FROM i GROUP BY user_id, island
+)
+SELECT user_id, COUNT(*) AS n_islands,
+       CAST(MAX(island_len) AS BIGINT) AS max_island_len
+FROM per_island GROUP BY user_id ORDER BY user_id
+"""

@@ -1,0 +1,209 @@
+"""Training-data curation operators over the ``documents`` table.
+
+Beyond-reference extensions (SURVEY.md §7 M6) covering the selection /
+mixture side of a pretraining pipeline, next to the dedup family in
+:mod:`.dedup`:
+
+- **benchmark decontamination** — which training docs share any n-gram
+  shingle with a held-out benchmark set (the train/test contamination
+  sweep every pretraining corpus needs);
+- **canonical selection** — per exact-duplicate group, keep the best
+  document (longest, then lowest id) and count what was dropped;
+- **token-budget mixture sampling** — deterministic per-language corpus
+  cap: order docs by key hash, keep while the running token total fits
+  the language's budget (how data mixtures are actually drawn);
+- **document packing** — assign docs to fixed-size context windows by
+  running token count (the batch-packing approximation);
+- **TF-IDF keyword search** — score docs against a term list with
+  ln((N+1)/(df+1)) idf, exact top-k.
+
+All are dialect-parametric SQL (Spark ``spark.sql`` / DuckDB oracle)
+built on :mod:`.portable` — the per-row arithmetic is identical by
+construction, and float work is decimal-accumulated so partial-agg
+order can't change results.
+
+Scale notes (100 TB):
+
+- decontamination joins the corpus' shingle index against a benchmark
+  set that is tiny by construction — Spark broadcasts it; the corpus
+  side streams through one shuffle on the shingle hash;
+- budget/packing are one window per language partition — embarrassingly
+  parallel across languages; within a language the running sum is
+  linear per partition (and a language too big for one task would use
+  the two-stage percentile-cut pattern of q74);
+- canonical selection is one row_number window over the fingerprint
+  hash — the standard dedup-keep-best slice;
+- TF-IDF restricts the explode to the query terms BEFORE any shuffle:
+  the grouped state is O(matched terms), not O(vocabulary).
+"""
+
+from __future__ import annotations
+
+from . import portable as P
+from .dedup import _explode
+from .text import token_count_expr
+
+DECON_NGRAM = 4
+CONTEXT_TOKENS = 1024
+LANG_TOKEN_BUDGET = 5000
+SEARCH_TERMS = ("spark", "join", "vector", "window")
+
+
+def decontamination_sql(
+    dialect: str,
+    table: str = "documents",
+    n: int = DECON_NGRAM,
+    modulus: int = 23,
+    top: int = 50,
+) -> str:
+    """Training docs sharing any ``n``-gram shingle with the benchmark
+    subset (``doc_id % modulus = 0`` — a deterministic stand-in for a
+    held-out eval set). Returns the ``top`` most-contaminated docs with
+    shared-shingle and benchmark-doc counts."""
+    sh = P.shingle_hashes("text", n, dialect)
+    shingled = f"SELECT doc_id, {sh} AS hs FROM {table}"
+    tr_rows = _explode(dialect, "doc_id", "tr_sh", "hs", "h")
+    bm_rows = _explode(dialect, "doc_id", "bm_sh", "hs", "h")
+    return f"""
+WITH tr_sh AS ({shingled} WHERE doc_id % {modulus} <> 0),
+bm_sh AS ({shingled} WHERE doc_id % {modulus} = 0),
+tr AS ({tr_rows}),
+bm AS ({bm_rows})
+SELECT tr.doc_id, COUNT(DISTINCT tr.h) AS n_shared_shingles,
+       COUNT(DISTINCT bm.doc_id) AS n_benchmark_docs
+FROM tr JOIN bm ON tr.h = bm.h
+GROUP BY tr.doc_id
+ORDER BY n_shared_shingles DESC, tr.doc_id
+LIMIT {top}
+"""
+
+
+def canonical_selection_sql(
+    dialect: str, table: str = "documents", shard_mod: int = 5
+) -> str:
+    """Exact-dup groups (normalized-text fingerprint) → keep the best
+    member (max n_chars, then min doc_id); emit only real groups
+    (size > 1) with the kept doc and the drop count.
+
+    The corpus is the base table UNION a deterministic re-ingested
+    shard (every ``shard_mod``-th doc under shifted ids) — the standard
+    situation this operator exists for: the same page arriving from two
+    crawls/sources. Selection keeps the original (equal quality → min
+    doc_id wins)."""
+    from .text import fingerprint_expr
+
+    fp = fingerprint_expr("text", dialect)
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, n_chars, text FROM {table}
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, n_chars, text FROM {table}
+  WHERE doc_id % {shard_mod} = 0
+),
+fps AS (SELECT doc_id, n_chars, {fp} AS fp FROM corpus),
+ranked AS (
+  SELECT doc_id, fp,
+         ROW_NUMBER() OVER (PARTITION BY fp
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY fp) AS grp_n
+  FROM fps
+)
+-- size-1 groups excluded: output is the dedup work list, not the corpus
+SELECT fp, doc_id AS kept_doc, CAST(grp_n - 1 AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1 AND grp_n > 1
+ORDER BY fp
+"""
+
+
+def token_budget_sql(
+    dialect: str,
+    table: str = "documents",
+    budget: int = LANG_TOKEN_BUDGET,
+) -> str:
+    """Per-language token-budget sample: deterministic hash order, keep
+    docs while the running token total stays within budget. Reports per
+    language how much of the corpus the budget admitted."""
+    tok = token_count_expr("text", dialect)
+    key = "CAST(doc_id AS STRING)" if dialect == "spark" else "CAST(doc_id AS VARCHAR)"
+    hv = P.rolling_hash(key, dialect)
+    return f"""
+WITH t AS (SELECT doc_id, lang, {tok} AS tok, {hv} AS hv FROM {table}),
+c AS (
+  SELECT lang, tok,
+         SUM(tok) OVER (PARTITION BY lang ORDER BY hv, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+)
+SELECT lang, COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS n_tokens,
+       CAST(MAX(cum) AS BIGINT) AS budget_used
+FROM c WHERE cum <= {budget}
+GROUP BY lang ORDER BY lang
+"""
+
+
+def packing_sql(
+    dialect: str,
+    table: str = "documents",
+    ctx: int = CONTEXT_TOKENS,
+) -> str:
+    """Greedy sequence packing: within each language (docs in doc_id
+    order), pack_id = floor(tokens-before-this-doc / ctx) — the
+    running-sum approximation of first-fit batch packing. Reports pack
+    shape per language."""
+    tok = token_count_expr("text", dialect)
+    pack = P.int_div("(cum - tok)", str(ctx), dialect)
+    return f"""
+WITH t AS (SELECT doc_id, lang, {tok} AS tok FROM {table}),
+c AS (
+  SELECT lang, tok,
+         SUM(tok) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+),
+packs AS (
+  SELECT lang, {pack} AS pack_id, COUNT(*) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS pack_tokens
+  FROM c GROUP BY lang, {pack}
+)
+SELECT lang, COUNT(*) AS n_packs,
+       CAST(MIN(n_docs) AS BIGINT) AS min_docs_per_pack,
+       CAST(MAX(n_docs) AS BIGINT) AS max_docs_per_pack,
+       ROUND(CAST(SUM(pack_tokens) AS DOUBLE) / (COUNT(*) * {ctx}), 6)
+         AS avg_fill
+FROM packs GROUP BY lang ORDER BY lang
+"""
+
+
+def tfidf_search_sql(
+    dialect: str,
+    table: str = "documents",
+    terms: tuple[str, ...] = SEARCH_TERMS,
+    k: int = 20,
+) -> str:
+    """TF-IDF relevance top-k for a fixed term list.
+
+    idf = ln((N+1)/(df+1)); score = Σ tf·idf over matched terms,
+    accumulated as DECIMAL so partial-aggregation order is irrelevant,
+    rounded to 6dp (ln is correctly-rounded libm on both engines — same
+    contract as the math-function family q76)."""
+    toks = P.tokens("text", dialect)
+    tok_rows = _explode(dialect, "doc_id", "toked", "toks", "t")
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    return f"""
+WITH toked AS (SELECT doc_id, {toks} AS toks FROM {table}),
+tok AS ({tok_rows}),
+hits AS (SELECT doc_id, t FROM tok WHERE t IN ({term_list})),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM hits GROUP BY doc_id, t),
+idf AS (
+  SELECT t, ln((n.n + 1.0) / (COUNT(DISTINCT doc_id) + 1.0)) AS idf
+  FROM hits CROSS JOIN (SELECT COUNT(*) AS n FROM {table}) n
+  GROUP BY t, n.n
+)
+SELECT tf.doc_id,
+       ROUND(CAST(SUM(CAST(tf.tf * idf.idf AS DECIMAL(18,9)))
+             AS DOUBLE), 6) AS score
+FROM tf JOIN idf ON tf.t = idf.t
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT {k}
+"""

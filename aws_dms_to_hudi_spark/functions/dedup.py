@@ -36,6 +36,8 @@ Scale design (100 TB corpus):
 from __future__ import annotations
 
 import random
+import re
+import threading
 
 from . import portable as P
 
@@ -92,7 +94,13 @@ def _xor(a: str, b: str, dialect: str) -> str:
     return f"({a} ^ {b})" if dialect == "spark" else f"xor({a}, {b})"
 
 
-def _inv_cte(dialect: str, table: str, max_df: int | None) -> str:
+def _inv_cte(
+    dialect: str,
+    table: str,
+    max_df: int | None,
+    th_table: str | None = None,
+    inv_tables: tuple[str, str] | None = None,
+) -> str:
     """CTE chain producing the inverted index ``inv(doc_id, g)`` (one row
     per distinct 3-token-shingle hash per doc) and ``sizes(doc_id, n)``.
 
@@ -100,19 +108,37 @@ def _inv_cte(dialect: str, table: str, max_df: int | None) -> str:
     hashed once, as a row) → shingle hash from 3 consecutive token
     hashes via window lead() → DISTINCT. Every stage is a projection,
     window, or hash aggregate — linear in corpus size.
+
+    ``th_table`` (Spark side only) swaps the tokenize+hash prefix for a
+    precomputed ``(doc_id, pos, h)`` view (see :func:`tokhash_view`):
+    SQL higher-order lambdas are interpreted per element (no whole-stage
+    codegen), so the per-character hash fold dominated these queries —
+    the Arrow path computes the identical hash vectorized, and every
+    relational stage after ``th`` is untouched.
     """
-    tok_rows = _posexplode(
-        dialect, "doc_id", "toked", "toks", "pos", "tok"
-    )
+    if inv_tables is not None:
+        inv_t, sizes_t = inv_tables
+        return (
+            f"inv AS (SELECT doc_id, g FROM {inv_t}),\n"
+            f"sizes AS (SELECT doc_id, n FROM {sizes_t})"
+        )
     g = (
         f"((h * {SH_A}) % {P.HASH_P}"
         f" + (lead(h, 1) OVER w * {SH_B}) % {P.HASH_P}"
         f" + lead(h, 2) OVER w) % {P.HASH_P}"
     )
-    base = f"""
+    if th_table is not None:
+        th = f"th AS (SELECT doc_id, pos, h FROM {th_table})"
+    else:
+        tok_rows = _posexplode(
+            dialect, "doc_id", "toked", "toks", "pos", "tok"
+        )
+        th = f"""
 toked AS (SELECT doc_id, {P.tokens('text', dialect)} AS toks FROM {table}),
 tokrows AS ({tok_rows}),
-th AS (SELECT doc_id, pos, {P.rolling_hash('tok', dialect)} AS h FROM tokrows),
+th AS (SELECT doc_id, pos, {P.rolling_hash('tok', dialect)} AS h FROM tokrows)"""
+    base = f"""
+{th},
 shrows AS (
   SELECT doc_id, {g} AS g FROM th
   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
@@ -162,6 +188,8 @@ def ngram_jaccard_sql(
     table: str = "documents",
     threshold: float = 0.5,
     max_df: int | None = None,
+    th_table: str | None = None,
+    inv_tables: tuple[str, str] | None = None,
 ) -> str:
     """Pairs (doc_a < doc_b) with 3-gram-shingle Jaccard ≥ threshold.
 
@@ -171,7 +199,7 @@ def ngram_jaccard_sql(
     the value is bit-identical across engines.
     """
     return f"""
-WITH {_inv_cte(dialect, table, max_df)},
+WITH {_inv_cte(dialect, table, max_df, th_table, inv_tables)},
 co AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
   FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -190,6 +218,8 @@ def minhash_lsh_sql(
     table: str = "documents",
     threshold: float = 0.5,
     max_df: int | None = None,
+    th_table: str | None = None,
+    inv_tables: tuple[str, str] | None = None,
 ) -> str:
     """MinHash-LSH near-dup pairs with exact-Jaccard verification.
 
@@ -211,7 +241,7 @@ def minhash_lsh_sql(
         for b in range(NUM_BANDS)
     )
     return f"""
-WITH {_inv_cte(dialect, table, max_df)},
+WITH {_inv_cte(dialect, table, max_df, th_table, inv_tables)},
 sig AS (SELECT doc_id, {sig_cols} FROM inv GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (
@@ -238,6 +268,8 @@ def simhash_sql(
     dialect: str,
     table: str = "documents",
     max_hamming: int = 2,
+    th_table: str | None = None,
+    sh_table: str | None = None,
 ) -> str:
     """SimHash near-dup pairs: 30-bit frequency-weighted simhash, chunk
     LSH (3 × 10 bits; hamming ≤ 2 ⇒ at least one chunk equal by
@@ -266,11 +298,39 @@ def simhash_sql(
         for c in range(SIMHASH_CHUNKS)
     )
     ham = f"bit_count({_xor('sh_a', 'sh_b', dialect)})"
-    return f"""
-WITH toked AS (SELECT doc_id, {toks} AS toks FROM {table}),
+    if sh_table is not None:
+        # Precomputed (doc_id, simhash): the 3-way chunk UNION and its
+        # self-join reference ``sh`` 6× after CTE inlining — a persisted
+        # sh makes each an in-memory scan of one row per doc.
+        return f"""
+WITH sh AS (SELECT doc_id, simhash FROM {sh_table}),
+chunks AS ({chunk_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM chunks a JOIN chunks b
+    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST({ham} AS BIGINT) AS hamming
+FROM cand
+WHERE {ham} <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+    if th_table is not None:
+        # Grouping by the token HASH instead of the token text is
+        # simhash-equivalent: colliding tokens' counts merge, and the
+        # bit_sums stage only ever sees cnt × sign(h) contributions.
+        th_chain = (
+            f"th AS (SELECT doc_id, COUNT(*) AS cnt, h "
+            f"FROM {th_table} GROUP BY doc_id, h)"
+        )
+    else:
+        th_chain = f"""toked AS (SELECT doc_id, {toks} AS toks FROM {table}),
 tok AS ({tok_rows}),
 tf AS (SELECT doc_id, t, COUNT(*) AS cnt FROM tok GROUP BY doc_id, t),
-th AS (SELECT doc_id, cnt, {P.rolling_hash('t', dialect)} AS h FROM tf),
+th AS (SELECT doc_id, cnt, {P.rolling_hash('t', dialect)} AS h FROM tf)"""
+    return f"""
+WITH {th_chain},
 bits AS (SELECT doc_id, {bit_sums} FROM th GROUP BY doc_id),
 sh AS (SELECT doc_id, CAST({combine} AS BIGINT) AS simhash FROM bits),
 chunks AS ({chunk_selects}),
@@ -285,3 +345,150 @@ FROM cand
 WHERE {ham} <= {max_hamming}
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized token hashing (Spark-side fast path)
+# ---------------------------------------------------------------------------
+
+# Java \s (ASCII class) — re.ASCII pins Python's \s to the same set, so
+# normalization is byte-identical to portable.norm_text on both engines.
+_WS_RE = re.compile(r"\s+", re.ASCII)
+
+_TOKHASH_CACHE: dict[tuple[int, str], str] = {}
+_INV_CACHE: dict[tuple[int, str, int | None], tuple[str, str]] = {}
+_SIMHASH_CACHE: dict[tuple[int, str], str] = {}
+_TOKHASH_LOCK = threading.Lock()
+
+
+def _pytokhash(text: str) -> list[int]:
+    """Per-token polynomial rolling hashes of a document, identical math
+    to ``portable.rolling_hash(portable.tokens(text))``: lower + trim +
+    collapse ASCII whitespace, split on single space, then
+    h = (h*131 + ord(c)) % (2^31-1) per token."""
+    norm = _WS_RE.sub(" ", text.strip().lower())
+    out = []
+    for tok in norm.split(" "):
+        h = 0
+        for c in tok:
+            h = (h * P.HASH_MULT + ord(c)) % P.HASH_P
+        out.append(h)
+    return out
+
+
+def tokhash_view(spark, docs, cache_key: str, tag: str = "tokhash") -> str:
+    """Register (and persist) a ``(doc_id, pos, h)`` token-hash view for
+    ``docs`` — the shared prefix of every shingle-based dedup operator
+    (q19/q20/q21/q77). Cached per (SparkSession, cache_key): the corpus
+    is hashed ONCE per process and the cached view is an in-memory
+    columnar relation all four operators scan.
+
+    At 100 TB this is the "tokenize once, persist the index" pattern:
+    the token-hash relation is the artifact you'd materialize to parquet
+    and share across dedup jobs, rather than re-deriving per query.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    key = (id(spark), cache_key)
+    with _TOKHASH_LOCK:
+        cached = _TOKHASH_CACHE.get(key)
+        if cached is not None:
+            return cached
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def hash_tokens(texts):
+            return texts.map(lambda t: _pytokhash(t if t is not None else ""))
+
+        view = f"__{tag}_{abs(hash(key)) % 10**8}"
+        # Repartition by doc_id BEFORE persisting: the corpus often
+        # arrives as few files (one partition at test scale), and every
+        # downstream stage — the shingle window, simhash groupBy —
+        # partitions by doc_id, so the cached layout already matches and
+        # those stages run wide with no extra exchange.
+        df = (
+            docs.select(
+                "doc_id",
+                F.posexplode(hash_tokens("text")).alias("pos", "h"),
+            )
+            .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+                         "doc_id")
+            .persist()
+        )
+        df.createOrReplaceTempView(view)
+        df.count()  # materialize under the lock so no query re-computes
+        _TOKHASH_CACHE[key] = view
+        return view
+
+
+def simhash_view(spark, docs, cache_key: str) -> str:
+    """Register (and persist) the per-doc ``sh(doc_id, simhash)``
+    relation built from the cached token-hash view — one int64 row per
+    document, the artifact a production pipeline would persist as its
+    simhash index."""
+    key = (id(spark), cache_key)
+    with _TOKHASH_LOCK:
+        cached = _SIMHASH_CACHE.get(key)
+        if cached is not None:
+            return cached
+    th = tokhash_view(spark, docs, cache_key)
+    inner = simhash_sql("spark", th_table=th)
+    # Reuse the generator's own CTE chain up to ``sh``.
+    prefix = inner.split(",\nchunks AS")[0]
+    sql = f"{prefix}\nSELECT doc_id, simhash FROM sh"
+    with _TOKHASH_LOCK:
+        cached = _SIMHASH_CACHE.get(key)
+        if cached is not None:
+            return cached
+        name = f"__simhash_{abs(hash(key)) % 10**8}"
+        df = spark.sql(sql).persist()
+        df.createOrReplaceTempView(name)
+        df.count()
+        _SIMHASH_CACHE[key] = name
+        return name
+
+
+def inv_view(
+    spark, docs, cache_key: str, max_df: int | None = None
+) -> tuple[str, str]:
+    """Register (and persist) the shingle inverted index
+    ``inv(doc_id, g)`` plus ``sizes(doc_id, n)`` built from the cached
+    token-hash view. Returns ``(inv_name, sizes_name)``.
+
+    Spark inlines WITH-CTEs, so a query referencing ``inv`` three times
+    (q19's co × sizes×2; q20's sig + verify joins) re-derives the whole
+    tokenize→window→distinct chain each time. Persisting inv makes
+    every reference an in-memory columnar scan — at 100 TB this IS the
+    dedup index you'd materialize to parquet once and share across the
+    Jaccard / MinHash / grouping jobs.
+    """
+    key = (id(spark), cache_key, max_df)
+    with _TOKHASH_LOCK:
+        cached = _INV_CACHE.get(key)
+        if cached is not None:
+            return cached
+    th = tokhash_view(spark, docs, cache_key)
+    sql = f"WITH {_inv_cte('spark', '<unused>', max_df, th)} SELECT doc_id, g FROM inv"
+    inv_name = f"__inv_{abs(hash(key)) % 10**8}"
+    sizes_name = f"__sizes_{abs(hash(key)) % 10**8}"
+    with _TOKHASH_LOCK:
+        cached = _INV_CACHE.get(key)
+        if cached is not None:
+            return cached
+        inv_df = spark.sql(sql).persist()
+        inv_df.createOrReplaceTempView(inv_name)
+        inv_df.count()
+        sizes_df = (
+            spark.table(inv_name).groupBy("doc_id").count()
+            .withColumnRenamed("count", "n")
+            .persist()
+        )
+        sizes_df.createOrReplaceTempView(sizes_name)
+        sizes_df.count()
+        _INV_CACHE[key] = (inv_name, sizes_name)
+        return inv_name, sizes_name

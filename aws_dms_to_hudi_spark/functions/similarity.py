@@ -471,26 +471,41 @@ def embedding_neardup(spark, df, threshold: float = 0.4):
         )
         .distinct()
     )
-    normed = df.select(
-        "vec_id",
-        "embedding",
-        F.expr(P.norm("embedding", DIM, "spark")).alias("nrm"),
+
+    # Exact cosine over candidate pairs, vectorized: SQL higher-order
+    # folds are interpreted per element (no codegen), which made this
+    # stage the query's bottleneck. The numpy loop accumulates ONE dim
+    # per step across all pairs — acc = acc + x_i*y_i in float64 — i.e.
+    # exactly the oracle's left-to-right fold (same IEEE ops, same
+    # order), and np.sqrt is correctly rounded like SQL sqrt, so the
+    # result stays bit-identical to DuckDB. Norms are re-derived per
+    # pair from the same folds (identical bits to the once-per-vector
+    # oracle CTE; ~3 fused numpy passes per Arrow batch is noise).
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def pair_cos(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        x = np.vstack(ea.to_numpy()).astype(np.float64)
+        y = np.vstack(eb.to_numpy()).astype(np.float64)
+        dot = np.zeros(len(x))
+        na = np.zeros(len(x))
+        nb = np.zeros(len(x))
+        for i in range(x.shape[1]):
+            dot = dot + x[:, i] * y[:, i]
+            na = na + x[:, i] * x[:, i]
+            nb = nb + y[:, i] * y[:, i]
+        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
+
+    ea = df.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea_emb")
     )
-    ea = normed.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("ea_emb"),
-        F.col("nrm").alias("ea_nrm"),
+    eb = df.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb_emb")
     )
-    eb = normed.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("eb_emb"),
-        F.col("nrm").alias("eb_nrm"),
-    )
-    cos = F.expr(_pair_cos("ea_emb", "ea_nrm", "eb_emb", "eb_nrm", "spark"))
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cos_raw"))
+        .select("vec_a", "vec_b", pair_cos("ea_emb", "eb_emb").alias("cos_raw"))
         .filter(F.col("cos_raw") >= threshold)
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")

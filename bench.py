@@ -65,6 +65,15 @@ SMALL_OUTPUT = {
     "q73_two_stage_distinct",
     "q74_percentile_buckets",
     "q75_not_in_null_trap",
+    "q78_funnel_conversion",
+    "q79_retention_cohorts",
+    "q80_decontamination",
+    "q81_canonical_selection",
+    "q82_token_budget",
+    "q83_doc_packing",
+    "q84_unpivot",
+    "q85_tfidf_search",
+    "q87_hll_sketch_rollup",
 }
 
 

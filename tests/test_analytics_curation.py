@@ -1,0 +1,213 @@
+"""Unit tests for the analytics (funnel / retention / islands) and
+curation (decontamination / canonical / budget / packing / tf-idf)
+operators on handcrafted micro-fixtures, plus plan-shape checks.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from aws_dms_to_hudi_spark.functions import analytics as fn_analytics
+from aws_dms_to_hudi_spark.functions import curation as fn_curation
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [
+            Row(
+                event_id=i,
+                ts=dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m),
+                user_id=u,
+                event_type=t,
+            )
+            for i, (u, m, t) in enumerate(rows)
+        ]
+    )
+
+
+class TestFunnel:
+    def test_strict_ordering(self, spark):
+        # u1: view→click→purchase (full conversion)
+        # u2: click BEFORE first view — click must not count
+        # u3: view then purchase with no click — purchase must not count
+        e = _ev(
+            spark,
+            [
+                (1, 0, "view"), (1, 5, "click"), (1, 9, "purchase"),
+                (2, 3, "click"), (2, 4, "view"),
+                (3, 0, "view"), (3, 2, "purchase"),
+            ],
+        )
+        row = fn_analytics.funnel(e).collect()[0]
+        assert (
+            row.n_viewed,
+            row.n_clicked_after_view,
+            row.n_purchased_after_click,
+        ) == (3, 1, 1)
+
+    def test_same_timestamp_not_after(self, spark):
+        # click at exactly the view instant is NOT after it
+        e = _ev(spark, [(1, 0, "view"), (1, 0, "click")])
+        row = fn_analytics.funnel(e).collect()[0]
+        assert (row.n_viewed, row.n_clicked_after_view) == (1, 0)
+
+
+class TestIslands:
+    def test_gap_splits(self, spark):
+        # u1: events at 0, 30, 120, 130 min with 1h gap → islands
+        # {0,30} and {120,130}; u2: single event → one island of 1
+        e = _ev(
+            spark,
+            [
+                (1, 0, "view"), (1, 30, "view"),
+                (1, 120, "view"), (1, 130, "view"),
+                (2, 0, "view"),
+            ],
+        )
+        rows = {
+            r.user_id: r
+            for r in fn_analytics.activity_islands(e).collect()
+        }
+        assert rows[1].n_islands == 2 and rows[1].max_island_len == 2
+        assert rows[2].n_islands == 1 and rows[2].max_island_len == 1
+
+    def test_exact_hour_gap_does_not_split(self, spark):
+        # the break predicate is gap > 1h, so exactly 60 min stays joined
+        e = _ev(spark, [(1, 0, "view"), (1, 60, "view")])
+        r = fn_analytics.activity_islands(e).collect()[0]
+        assert r.n_islands == 1 and r.max_island_len == 2
+
+
+def _docs(spark, texts, langs=None):
+    return spark.createDataFrame(
+        [
+            Row(
+                doc_id=i,
+                text=t,
+                lang=(langs[i] if langs else "en"),
+                n_chars=len(t),
+            )
+            for i, t in enumerate(texts)
+        ]
+    )
+
+
+def _run(spark, df, sql):
+    df.createOrReplaceTempView("__t_cur")
+    return spark.sql(sql.replace("documents", "__t_cur"))
+
+
+class TestCuration:
+    def test_token_budget_respected(self, spark):
+        # 5 docs × 4 tokens in one lang; budget 10 admits exactly the
+        # first 2 docs in hash order (cum 4, 8; third would be 12)
+        docs = _docs(spark, ["a b c d"] * 5)
+        out = _run(
+            spark, docs, fn_curation.token_budget_sql("spark", budget=10)
+        ).collect()
+        assert len(out) == 1
+        assert out[0].n_docs == 2 and out[0].n_tokens == 8
+        assert out[0].budget_used == 8
+
+    def test_packing_fill(self, spark):
+        # 6 docs × 3 tokens, ctx=6 → packs of exactly 2 docs, fill 1.0
+        docs = _docs(spark, ["x y z"] * 6)
+        out = _run(
+            spark, docs, fn_curation.packing_sql("spark", ctx=6)
+        ).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r.n_packs == 3
+        assert r.min_docs_per_pack == 2 and r.max_docs_per_pack == 2
+        assert r.avg_fill == 1.0
+
+    def test_canonical_keeps_min_id_on_tie(self, spark):
+        # doc 0 and its shard copy are byte-identical → kept = 0
+        docs = _docs(spark, ["same text here", "different entirely"])
+        out = _run(
+            spark,
+            docs,
+            fn_curation.canonical_selection_sql("spark", shard_mod=1),
+        ).collect()
+        kept = {r.kept_doc for r in out}
+        assert kept == {0, 1}  # every base doc got a shard twin
+        assert all(r.n_dropped == 1 for r in out)
+
+    def test_decontamination_flags_overlap(self, spark):
+        # doc 0 (benchmark: id % 1 == 0 is all — instead use modulus 2:
+        # even ids are benchmark). doc 1 shares a 4-gram with doc 0;
+        # doc 3 shares nothing.
+        docs = _docs(
+            spark,
+            [
+                "alpha beta gamma delta epsilon",      # 0 benchmark
+                "alpha beta gamma delta unrelated",    # 1 shares 4-gram
+                "zeta eta theta iota kappa",           # 2 benchmark
+                "completely disjoint words only here", # 3 clean
+            ],
+        )
+        out = _run(
+            spark,
+            docs,
+            fn_curation.decontamination_sql("spark", n=4, modulus=2),
+        ).collect()
+        flagged = {r.doc_id for r in out}
+        assert flagged == {1}
+        assert out[0].n_shared_shingles == 1
+        assert out[0].n_benchmark_docs == 1
+
+    def test_tfidf_prefers_higher_tf(self, spark):
+        docs = _docs(
+            spark,
+            [
+                "apple apple apple pear",
+                "apple pear plum quince",
+                "no fruit words at all",
+            ],
+        )
+        out = _run(
+            spark,
+            docs,
+            fn_curation.tfidf_search_sql("spark", terms=("apple",), k=5),
+        ).collect()
+        assert [r.doc_id for r in out] == [0, 1]
+        assert out[0].score > out[1].score
+
+    def test_decontamination_plan_broadcasts_benchmark(
+        self, spark, sf_correct
+    ):
+        import __spark_entry__ as E
+
+        plan = (
+            E.q80_decontamination(spark, sf_correct)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestHllRollup:
+    def test_estimate_within_tolerance(self, spark, sf_correct):
+        import __spark_entry__ as E
+
+        rows = {
+            r.event_type: r.est_users
+            for r in E.q87_hll_sketch_rollup(spark, sf_correct).collect()
+        }
+        e = spark.read.parquet(f"{sf_correct}/events.parquet")
+        exact_total = e.select("user_id").distinct().count()
+        exact_per = {
+            r.event_type: r.n
+            for r in e.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert abs(rows["ALL"] - exact_total) / exact_total < 0.05
+        for t, n in exact_per.items():
+            assert abs(rows[t] - n) / n < 0.05
