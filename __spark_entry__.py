@@ -1588,10 +1588,15 @@ def q86_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q80_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination sweep: training docs sharing any
-    5-gram shingle with the deterministic benchmark subset
-    (doc_id % 97 = 0); the benchmark side is tiny → broadcast join."""
-    v = _view(spark, sf_dir, "documents", "q80")
-    return spark.sql(fn_curation.decontamination_sql("spark", table=v))
+    4-gram shingle with the deterministic benchmark subset
+    (doc_id % 23 = 0). Shingles derive from the process-wide cached
+    token-hash relation shared with q19/q20/q21/q77 — the corpus is
+    hashed once, and this query adds one disjoint-slice window pass
+    plus the (small bm side) contamination join."""
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(fn_curation.decontamination_sql("spark", th_table=th))
 
 
 def q81_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:

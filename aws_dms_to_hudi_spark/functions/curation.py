@@ -55,23 +55,29 @@ def decontamination_sql(
     n: int = DECON_NGRAM,
     modulus: int = 23,
     top: int = 50,
+    th_table: str | None = None,
 ) -> str:
     """Training docs sharing any ``n``-gram shingle with the benchmark
     subset (``doc_id % modulus = 0`` — a deterministic stand-in for a
     held-out eval set). Returns the ``top`` most-contaminated docs with
-    shared-shingle and benchmark-doc counts."""
-    sh = P.shingle_hashes("text", n, dialect)
-    shingled = f"SELECT doc_id, {sh} AS hs FROM {table}"
-    tr_rows = _explode(dialect, "doc_id", "tr_sh", "hs", "h")
-    bm_rows = _explode(dialect, "doc_id", "bm_sh", "hs", "h")
+    shared-shingle and benchmark-doc counts.
+
+    Built on :func:`~.dedup.shingle_cte`, so the Spark side reuses the
+    cached token-hash relation (``th_table``) shared with the whole
+    dedup family — the corpus is tokenized/hashed ONCE per process, and
+    this query adds only a per-doc window + the contamination join. The
+    benchmark side is a ~1/modulus slice pruned before the join (Spark
+    broadcasts it at these sizes; at 100 TB it is the small side by
+    construction)."""
+    from .dedup import shingle_cte
+
     return f"""
-WITH tr_sh AS ({shingled} WHERE doc_id % {modulus} <> 0),
-bm_sh AS ({shingled} WHERE doc_id % {modulus} = 0),
-tr AS ({tr_rows}),
-bm AS ({bm_rows})
-SELECT tr.doc_id, COUNT(DISTINCT tr.h) AS n_shared_shingles,
+WITH {shingle_cte(dialect, table, n, th_table)},
+tr AS (SELECT doc_id, g FROM sh WHERE doc_id % {modulus} <> 0),
+bm AS (SELECT doc_id, g FROM sh WHERE doc_id % {modulus} = 0)
+SELECT tr.doc_id, COUNT(DISTINCT tr.g) AS n_shared_shingles,
        COUNT(DISTINCT bm.doc_id) AS n_benchmark_docs
-FROM tr JOIN bm ON tr.h = bm.h
+FROM tr JOIN bm ON tr.g = bm.g
 GROUP BY tr.doc_id
 ORDER BY n_shared_shingles DESC, tr.doc_id
 LIMIT {top}

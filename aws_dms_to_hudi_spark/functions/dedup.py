@@ -94,6 +94,43 @@ def _xor(a: str, b: str, dialect: str) -> str:
     return f"({a} ^ {b})" if dialect == "spark" else f"xor({a}, {b})"
 
 
+def th_cte(dialect: str, table: str, th_table: str | None = None) -> str:
+    """CTE chain ending in ``th(doc_id, pos, h)`` — one polynomial
+    rolling hash per token, position-ordered. The shared prefix of every
+    shingle-based operator (Jaccard / MinHash / SimHash /
+    decontamination). ``th_table`` (Spark side) swaps the derivation for
+    the precomputed :func:`tokhash_view` relation."""
+    if th_table is not None:
+        return f"th AS (SELECT doc_id, pos, h FROM {th_table})"
+    tok_rows = _posexplode(dialect, "doc_id", "toked", "toks", "pos", "tok")
+    return f"""
+toked AS (SELECT doc_id, {P.tokens('text', dialect)} AS toks FROM {table}),
+tokrows AS ({tok_rows}),
+th AS (SELECT doc_id, pos, {P.rolling_hash('tok', dialect)} AS h FROM tokrows)"""
+
+
+def shingle_cte(
+    dialect: str, table: str, n: int, th_table: str | None = None
+) -> str:
+    """CTE chain ending in ``sh(doc_id, g)`` — the DISTINCT set of
+    ``n``-token shingle hashes per doc, built from ``th`` with a Horner
+    combine over ``lead()``: g = ((h*M + h₊₁)*M + h₊₂)... mod P. One
+    window + one hash-distinct — linear in corpus size, and every term
+    stays < 2^52 (P·SH_A) so int64 never overflows. Docs with < n tokens get all
+    NULL combines (lead past the end) and thus an empty shingle set —
+    identical to the string-shingle definition."""
+    g = "h"
+    for k in range(1, n):
+        g = f"(({g}) * {SH_A} + lead(h, {k}) OVER w) % {P.HASH_P}"
+    return f"""
+{th_cte(dialect, table, th_table)},
+shrows AS (
+  SELECT doc_id, {g} AS g FROM th
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh AS (SELECT DISTINCT doc_id, g FROM shrows WHERE g IS NOT NULL)"""
+
+
 def _inv_cte(
     dialect: str,
     table: str,
@@ -127,16 +164,7 @@ def _inv_cte(
         f" + (lead(h, 1) OVER w * {SH_B}) % {P.HASH_P}"
         f" + lead(h, 2) OVER w) % {P.HASH_P}"
     )
-    if th_table is not None:
-        th = f"th AS (SELECT doc_id, pos, h FROM {th_table})"
-    else:
-        tok_rows = _posexplode(
-            dialect, "doc_id", "toked", "toks", "pos", "tok"
-        )
-        th = f"""
-toked AS (SELECT doc_id, {P.tokens('text', dialect)} AS toks FROM {table}),
-tokrows AS ({tok_rows}),
-th AS (SELECT doc_id, pos, {P.rolling_hash('tok', dialect)} AS h FROM tokrows)"""
+    th = th_cte(dialect, table, th_table)
     base = f"""
 {th},
 shrows AS (
