@@ -32,6 +32,7 @@ from aws_dms_to_hudi_spark.functions import analytics as fn_analytics
 from aws_dms_to_hudi_spark.functions import components as fn_comp
 from aws_dms_to_hudi_spark.functions import curation as fn_curation
 from aws_dms_to_hudi_spark.functions import dedup as fn_dedup
+from aws_dms_to_hudi_spark.functions import incremental as fn_incr
 from aws_dms_to_hudi_spark.functions import multimodal as fn_mm
 from aws_dms_to_hudi_spark.functions import similarity as fn_sim
 from aws_dms_to_hudi_spark.functions import sampling as fn_sampling
@@ -1690,6 +1691,32 @@ def entry(spark: SparkSession) -> DataFrame:
     return q07_cdc_merge_replay(spark, "/root/testdata/sf0.001")
 
 
+def _orders_aggs() -> dict:
+    return {
+        "n_orders": F.count("*").cast("long"),
+        "total_spent": F.sum(F.col("o_totalprice").cast(DEC)).cast("double"),
+    }
+
+
+def q88_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived-table incremental view maintenance: a per-customer order
+    aggregate advanced across the CDC replay's commits from changelogs +
+    group-pruned snapshot lookups (functions/incremental.py), never a
+    full recompute — the O(changes) downstream-mart pattern the 2-hour
+    sync cadence demands. Oracle: full GROUP BY over the replayed final
+    state."""
+    table, versions = _replayed_orders(spark, sf_dir)
+    aggs = _orders_aggs()
+    state = fn_incr.group_agg(
+        table.read(version=versions[0]), "o_custkey", aggs
+    )
+    for prev, cur in zip(versions, versions[1:]):
+        state = fn_incr.maintain_group_agg(
+            table, state, "o_custkey", aggs, prev, cur
+        )
+    return state.orderBy("o_custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_scan_projection": q01_scan_projection,
@@ -1780,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_tfidf_search": q85_tfidf_search,
         "q86_activity_islands": q86_activity_islands,
         "q87_hll_sketch_rollup": q87_hll_sketch_rollup,
+        "q88_incremental_agg": q88_incremental_agg,
     }
 
 
@@ -2403,4 +2431,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q85_tfidf_search": fn_curation.tfidf_search_sql("duckdb"),
         "q86_activity_islands": fn_analytics.islands_oracle_sql("events"),
+        "q88_incremental_agg": (
+            "SELECT o_custkey, COUNT(*) AS n_orders, "
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) "
+            "AS total_spent "
+            f"FROM ({cdc.replay_sql(rec_o)}) AS final_state "
+            "GROUP BY o_custkey ORDER BY o_custkey"
+        ),
     }

@@ -1,0 +1,112 @@
+"""Incremental group-aggregate maintenance (functions/incremental.py):
+maintained state must equal a full recompute after every commit, through
+the cases the recompute-affected-groups strategy exists for — updates in
+place, keys MOVING between groups, deletes, a group losing its last
+member, and a brand-new group."""
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_dms_to_hudi_spark.config import TableConfig
+from aws_dms_to_hudi_spark.functions import incremental as fn_incr
+from aws_dms_to_hudi_spark.storage import CuratedTable
+
+
+@pytest.fixture()
+def table(spark, tmp_path: Path) -> CuratedTable:
+    cfg = TableConfig(
+        name="t", record_key=["k"], source_ordering_field="trx_seq"
+    )
+    return CuratedTable(spark, tmp_path / "t", cfg)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, grp string, amt double, trx_seq string, "
+        "_hoodie_is_deleted boolean"
+    )
+
+
+def _aggs():
+    # built lazily: Column construction needs an active SparkContext
+    return {
+        "n": F.count("*").cast("long"),
+        "total": F.sum("amt").cast("double"),
+    }
+
+
+def _full(table, version):
+    return fn_incr.group_agg(table.read(version=version), "grp", _aggs())
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_maintained_state_tracks_full_recompute(spark, table):
+    # groups: A={1,2}, B={3,4}, C={5}
+    c0 = table.bulk_insert(
+        _df(spark, [
+            (1, "A", 10.0, "001", False),
+            (2, "A", 20.0, "002", False),
+            (3, "B", 30.0, "003", False),
+            (4, "B", 40.0, "004", False),
+            (5, "C", 50.0, "005", False),
+        ])
+    )
+    state = _full(table, c0.version)
+
+    # round 1: in-place update (2), group move B->A (3), delete (4),
+    # C loses its only member (5 deleted), new group D appears (6)
+    c1 = table.upsert(
+        _df(spark, [
+            (2, "A", 25.0, "006", False),
+            (3, "A", 30.0, "007", False),
+            (4, "B", 40.0, "008", True),
+            (5, "C", 50.0, "009", True),
+            (6, "D", 60.0, "010", False),
+        ])
+    )
+    state = fn_incr.maintain_group_agg(
+        table, state, "grp", _aggs(), c0.version, c1.version
+    )
+    assert _rows(state) == _rows(_full(table, c1.version))
+    got = {r["grp"]: (r["n"], r["total"]) for r in state.collect()}
+    assert got == {"A": (3, 65.0), "D": (1, 60.0)}  # B, C gone
+
+    # round 2: move 3 back (A->B, resurrecting B), update 6
+    c2 = table.upsert(
+        _df(spark, [
+            (3, "B", 35.0, "011", False),
+            (6, "D", 66.0, "012", False),
+        ])
+    )
+    state = fn_incr.maintain_group_agg(
+        table, state, "grp", _aggs(), c1.version, c2.version
+    )
+    assert _rows(state) == _rows(_full(table, c2.version))
+
+
+def test_multi_commit_catchup_in_one_call(spark, table):
+    c0 = table.bulk_insert(
+        _df(spark, [(1, "A", 1.0, "001", False), (2, "B", 2.0, "002", False)])
+    )
+    state0 = _full(table, c0.version)
+    table.upsert(_df(spark, [(1, "B", 1.5, "003", False)]))
+    c2 = table.upsert(_df(spark, [(2, "B", 2.0, "004", True)]))
+    # one maintenance call spanning both commits
+    state = fn_incr.maintain_group_agg(
+        table, state0, "grp", _aggs(), c0.version, c2.version
+    )
+    assert _rows(state) == _rows(_full(table, c2.version))
+
+
+def test_empty_round_is_identity(spark, table):
+    c0 = table.bulk_insert(_df(spark, [(1, "A", 1.0, "001", False)]))
+    state = _full(table, c0.version)
+    out = fn_incr.maintain_group_agg(
+        table, state, "grp", _aggs(), c0.version, c0.version
+    )
+    assert _rows(out) == _rows(state)
