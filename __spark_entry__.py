@@ -1717,6 +1717,34 @@ def q88_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.orderBy("o_custkey")
 
 
+def q89_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution / skew profiler over lineitem join keys: top
+    values + share + skew factor per column — the pre-flight diagnostic
+    for salting / AQE-skew decisions. One melt → one hash-agg shuffle;
+    columnar pruning makes the union branches one effective scan."""
+    v = _view(spark, sf_dir, "lineitem", "q89")
+    return spark.sql(fn_analytics.skew_profile_sql("spark", table=v))
+
+
+def q90_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary (top-1000 token hashes by doc frequency) +
+    dictionary encoding of every doc, checksummed per doc so the oracle
+    pins exact id sequences. Reuses the cached token-hash relation; the
+    vocab side broadcasts into the encode join."""
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(fn_curation.vocab_encode_sql("spark", th_table=th))
+
+
+def q91_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-biased sampling: integer hash×weight
+    priority, top-20 per language — reproducible on any cluster layout,
+    no RNG, no libm in the ordering."""
+    v = _view(spark, sf_dir, "documents", "q91")
+    return spark.sql(fn_sampling.weighted_sample_sql("spark", table=v))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_scan_projection": q01_scan_projection,
@@ -1808,6 +1836,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_activity_islands": q86_activity_islands,
         "q87_hll_sketch_rollup": q87_hll_sketch_rollup,
         "q88_incremental_agg": q88_incremental_agg,
+        "q89_skew_profile": q89_skew_profile,
+        "q90_vocab_encode": q90_vocab_encode,
+        "q91_weighted_sample": q91_weighted_sample,
     }
 
 
@@ -2438,4 +2469,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({cdc.replay_sql(rec_o)}) AS final_state "
             "GROUP BY o_custkey ORDER BY o_custkey"
         ),
+        "q89_skew_profile": fn_analytics.skew_profile_sql("duckdb"),
+        "q90_vocab_encode": fn_curation.vocab_encode_sql("duckdb"),
+        "q91_weighted_sample": fn_sampling.weighted_sample_sql("duckdb"),
     }

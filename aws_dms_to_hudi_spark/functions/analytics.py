@@ -192,3 +192,59 @@ SELECT user_id, COUNT(*) AS n_islands,
        CAST(MAX(island_len) AS BIGINT) AS max_island_len
 FROM per_island GROUP BY user_id ORDER BY user_id
 """
+
+
+# ---------------------------------------------------------------------------
+# key-distribution / skew profiler
+# ---------------------------------------------------------------------------
+
+SKEW_COLS = ("l_suppkey", "l_returnflag", "l_linestatus")
+
+
+def skew_profile_sql(
+    dialect: str,
+    table: str = "lineitem",
+    cols: tuple[str, ...] = SKEW_COLS,
+    top: int = 5,
+) -> str:
+    """Per-column key-distribution profile: the ``top`` heaviest values
+    with counts and share, plus distinct-count and a skew factor
+    (``max_cnt · n_distinct / total`` — 1.0 is perfectly uniform; the
+    factor is how much hotter the hottest key runs than uniform).
+
+    This is the diagnostic you run BEFORE picking join/agg keys at
+    100 TB: it tells you which keys need salting (operators/skew.py) or
+    AQE skew-join handling. One melt (col, value) union feeding ONE
+    hash-aggregate shuffle — with columnar parquet each branch scans
+    only its own column, so the union costs one effective pass."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    pairs = " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, CAST({c} AS {s}) AS value FROM {table}"
+        for c in cols
+    )
+    return f"""
+WITH pairs AS ({pairs}),
+counts AS (
+  SELECT col_name, value, COUNT(*) AS cnt FROM pairs
+  GROUP BY col_name, value
+),
+stats AS (
+  SELECT col_name, COUNT(*) AS n_distinct,
+         CAST(SUM(cnt) AS BIGINT) AS total, MAX(cnt) AS max_cnt
+  FROM counts GROUP BY col_name
+),
+ranked AS (
+  SELECT col_name, value, cnt,
+         row_number() OVER (PARTITION BY col_name
+                            ORDER BY cnt DESC, value) AS rnk
+  FROM counts
+)
+SELECT r.col_name AS col_name, CAST(r.rnk AS BIGINT) AS rnk, r.value, r.cnt,
+       s.n_distinct,
+       round(CAST(r.cnt AS DOUBLE) / CAST(s.total AS DOUBLE), 6) AS share,
+       round(CAST(s.max_cnt AS DOUBLE) * CAST(s.n_distinct AS DOUBLE)
+             / CAST(s.total AS DOUBLE), 3) AS skew_factor
+FROM ranked r JOIN stats s ON r.col_name = s.col_name
+WHERE r.rnk <= {top}
+ORDER BY r.col_name, rnk
+"""

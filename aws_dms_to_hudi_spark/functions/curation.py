@@ -213,3 +213,46 @@ GROUP BY tf.doc_id
 ORDER BY score DESC, tf.doc_id
 LIMIT {k}
 """
+
+
+VOCAB_SIZE = 1000
+
+
+def vocab_encode_sql(
+    dialect: str,
+    table: str = "documents",
+    vocab_size: int = VOCAB_SIZE,
+    th_table: str | None = None,
+) -> str:
+    """Build a corpus vocabulary (top-``vocab_size`` token hashes by
+    document frequency, ties by hash) and dictionary-encode every doc
+    against it — the id-mapping step in front of tokenized training
+    shards. Emits per-doc (n_tokens, n_oov, enc_checksum) where the
+    checksum is a position-weighted fold of the assigned ids, so the
+    oracle pins the exact id sequence without comparing array columns.
+
+    Spark side reuses the cached token-hash relation (``th_table``).
+    The vocab is ``vocab_size`` rows — the encode join broadcasts it;
+    the df-ranking window runs over the (already aggregated) distinct
+    token set, and at 100 TB the top-V cut would come from the q74
+    two-stage percentile pattern rather than one global sort."""
+    from .dedup import th_cte
+
+    return f"""
+WITH {th_cte(dialect, table, th_table)},
+dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM th GROUP BY h),
+topv AS (SELECT h, df FROM dfreq ORDER BY df DESC, h LIMIT {vocab_size}),
+vocab AS (
+  SELECT h, row_number() OVER (ORDER BY df DESC, h) AS tok_id FROM topv
+),
+enc AS (
+  SELECT t.doc_id, t.pos, v.tok_id
+  FROM th t LEFT JOIN vocab v ON t.h = v.h
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN tok_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST(SUM(COALESCE(tok_id, 0) * (pos + 1)) % {P.HASH_P} AS BIGINT)
+         AS enc_checksum
+FROM enc GROUP BY doc_id ORDER BY doc_id
+"""

@@ -69,3 +69,35 @@ def stratified_sample(df: DataFrame, key: str, pct: int) -> DataFrame:
     rate is identical because bucket membership is independent of the
     stratum column — the `sampleBy` analog without RNG."""
     return df.filter(F.expr(stratified_keep_expr(key, pct, "spark")))
+
+
+def weighted_sample_sql(
+    dialect: str, table: str = "documents", k: int = 20
+) -> str:
+    """Deterministic weight-biased top-``k`` per language: each doc gets
+    priority ``hash(doc_id) · n_chars`` (uniform int × weight — a pure
+    int64 priority, weight-monotone like Efraimidis-Spirakis u^(1/w)
+    sampling but with no libm in the ordering, so the ranking is
+    bit-identical across engines by construction). Same rows selected
+    on every run, any cluster layout — the reproducibility contract of
+    :func:`stratified_keep_expr`, with weights.
+
+    At scale: one window per language partition; k is tiny, so this is
+    a per-partition top-k heap (rank + filter), not a global sort."""
+    key = ("CAST(doc_id AS STRING)" if dialect == "spark"
+           else "CAST(doc_id AS VARCHAR)")
+    h = P.rolling_hash(key, dialect)
+    return f"""
+WITH pri AS (
+  SELECT lang, doc_id, n_chars, ({h}) * n_chars AS priority FROM {table}
+),
+ranked AS (
+  SELECT lang, doc_id, priority,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY priority DESC, doc_id) AS rnk
+  FROM pri
+)
+SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, priority
+FROM ranked WHERE rnk <= {k}
+ORDER BY lang, rnk
+"""

@@ -74,6 +74,8 @@ SMALL_OUTPUT = {
     "q84_unpivot",
     "q85_tfidf_search",
     "q87_hll_sketch_rollup",
+    "q89_skew_profile",
+    "q91_weighted_sample",
 }
 
 

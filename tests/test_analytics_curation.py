@@ -211,3 +211,89 @@ class TestHllRollup:
         assert abs(rows["ALL"] - exact_total) / exact_total < 0.05
         for t, n in exact_per.items():
             assert abs(rows[t] - n) / n < 0.05
+
+
+class TestSkewProfile:
+    def test_counts_share_and_skew_factor(self, spark):
+        df = spark.createDataFrame(
+            [Row(l_suppkey=k, l_returnflag=f, l_linestatus=s)
+             for k, f, s in [(1, "A", "O")] * 8 + [(2, "R", "F")] * 2],
+        )
+        df.createOrReplaceTempView("__t_skew")
+        out = spark.sql(
+            fn_analytics.skew_profile_sql("spark", table="__t_skew")
+        ).collect()
+        by = {(r.col_name, r.rnk): r for r in out}
+        top = by[("l_returnflag", 1)]
+        assert (top.value, top.cnt, top.n_distinct) == ("A", 8, 2)
+        assert top.share == 0.8
+        # hottest value holds 8/10 across 2 distinct keys: 0.8*2 = 1.6×
+        assert top.skew_factor == 1.6
+        assert by[("l_suppkey", 2)].value == "2"
+
+    def test_rank_is_count_desc_then_value(self, spark):
+        df = spark.createDataFrame(
+            [Row(l_suppkey=k, l_returnflag="A", l_linestatus="O")
+             for k in [3, 3, 1, 1, 2]],
+        )
+        df.createOrReplaceTempView("__t_skew2")
+        out = spark.sql(
+            fn_analytics.skew_profile_sql("spark", table="__t_skew2")
+        ).collect()
+        sup = [r.value for r in out if r.col_name == "l_suppkey"]
+        assert sup == ["1", "3", "2"]  # ties (1,3) break on value
+
+
+class TestVocabEncode:
+    def test_oov_and_checksum_pin_id_sequence(self, spark):
+        # vocab_size=2: 'a' (df=2) then 'b' (df=2, larger hash ties go
+        # by h) — deterministic; 'z' is OOV everywhere.
+        docs = _docs(spark, ["a b z", "b a"])
+        docs.createOrReplaceTempView("__t_voc")
+        out = spark.sql(
+            fn_curation.vocab_encode_sql(
+                "spark", table="__t_voc", vocab_size=2
+            )
+        ).collect()
+        r0, r1 = out
+        assert (r0.n_tokens, r0.n_oov) == (3, 1)
+        assert (r1.n_tokens, r1.n_oov) == (2, 0)
+        # same ids, swapped positions => different checksums
+        assert r0.enc_checksum != r1.enc_checksum
+
+    def test_full_vocab_means_no_oov(self, spark):
+        docs = _docs(spark, ["x y", "y x"])
+        docs.createOrReplaceTempView("__t_voc2")
+        out = spark.sql(
+            fn_curation.vocab_encode_sql(
+                "spark", table="__t_voc2", vocab_size=10
+            )
+        ).collect()
+        assert all(r.n_oov == 0 for r in out)
+
+
+class TestWeightedSample:
+    def test_weight_biases_rank_and_k_caps(self, spark):
+        from aws_dms_to_hudi_spark.functions import sampling as fn_s
+
+        rows = [Row(doc_id=i, lang="en", n_chars=(1000 if i == 7 else 1))
+                for i in range(30)]
+        spark.createDataFrame(rows).createOrReplaceTempView("__t_ws")
+        out = spark.sql(
+            fn_s.weighted_sample_sql("spark", table="__t_ws", k=5)
+        ).collect()
+        assert len(out) == 5
+        # the 1000× weight dominates any hash draw in [0, 2^31)
+        assert out[0].doc_id == 7
+        assert [r.rnk for r in out] == [1, 2, 3, 4, 5]
+
+    def test_deterministic_across_runs(self, spark):
+        from aws_dms_to_hudi_spark.functions import sampling as fn_s
+
+        rows = [Row(doc_id=i, lang=("en" if i % 2 else "fr"),
+                    n_chars=10 + i) for i in range(40)]
+        spark.createDataFrame(rows).createOrReplaceTempView("__t_ws2")
+        sql = fn_s.weighted_sample_sql("spark", table="__t_ws2", k=3)
+        a = [tuple(r) for r in spark.sql(sql).collect()]
+        b = [tuple(r) for r in spark.sql(sql).collect()]
+        assert a == b and len(a) == 6
