@@ -1717,6 +1717,93 @@ def q88_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.orderBy("o_custkey")
 
 
+_STREAM_CACHE: dict[tuple[int, str], CuratedTable] = {}
+_MOR_CACHE: dict[tuple[int, str], CuratedTable] = {}
+
+
+def _streamed_customer(spark: SparkSession, sf_dir: str) -> CuratedTable:
+    """Shared fixture: all customer CDC batches landed in the DMS raw
+    layout, drained through the Structured Streaming ingest
+    (ContinuousIngest, availableNow) in several micro-batches."""
+    from aws_dms_to_hudi_spark.streaming import ContinuousIngest
+
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        cached = _STREAM_CACHE.get(key)
+        if cached is not None and cached.root.exists():
+            return cached
+        rec = cdc.RECIPES["customer"]
+        tmp = Path(tempfile.mkdtemp(prefix="stream_customer_"))
+        for b in range(cdc.N_BATCHES):
+            cdc.write_raw_batch(spark, sf_dir, rec, b, tmp / "raw", "tpch")
+        ing = ContinuousIngest(
+            spark,
+            TableConfig(name="stream_customer",
+                        record_key=list(rec.key_cols)),
+            source_root=tmp / "raw" / "tpch" / "public" / "customer",
+            target_root=tmp / "curated",
+            checkpoint_root=tmp / "ckpt",
+            max_files_per_trigger=4,  # force multiple micro-batches
+        )
+        ing.run_available()
+        _STREAM_CACHE[key] = ing.table
+        return ing.table
+
+
+def _mor_lineitem(spark: SparkSession, sf_dir: str) -> CuratedTable:
+    """Shared fixture: lineitem CDC replayed into a partitioned
+    MERGE_ON_READ table (upserts append row deltas), then compacted."""
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        cached = _MOR_CACHE.get(key)
+        if cached is not None and cached.root.exists():
+            return cached
+        rec = cdc.RECIPES["lineitem"]
+        _t(spark, sf_dir, "lineitem").createOrReplaceTempView(
+            "__mor_lineitem"
+        )
+        cfg = TableConfig(
+            name="mor_lineitem",
+            record_key=list(rec.key_cols),
+            is_partitioned=True,
+            partition_path="l_returnflag",
+            table_type="MERGE_ON_READ",
+        )
+        tmp = Path(tempfile.mkdtemp(prefix="mor_lineitem_"))
+        table = CuratedTable(spark, tmp / "lineitem", cfg)
+        for b in range(cdc.N_BATCHES):
+            batch = spark.sql(cdc.batch_sql(rec, b, src="__mor_lineitem"))
+            table.bulk_insert(batch) if b == 0 else table.upsert(batch)
+        assert table.latest_commit().deltas  # MOR path actually appended
+        table.compact()
+        _MOR_CACHE[key] = table
+        return table
+
+
+def q92_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 continuous mode through the driver gate: the Structured
+    Streaming file-source ingest (foreachBatch -> the SAME upsert merge
+    as batch mode, availableNow trigger) must converge to the batch
+    replay state — micro-batch boundaries can't change the outcome
+    because precombine orders by trx_seq within and across batches.
+    Oracle: the naive full-replay SQL."""
+    rec = cdc.RECIPES["customer"]
+    table = _streamed_customer(spark, sf_dir)
+    return table.read().select(*rec.columns, "trx_seq")
+
+
+def q93_mor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 MERGE_ON_READ + inline compaction through the driver gate:
+    upserts append row-level deltas (write cost O(batch), not O(table)),
+    readers see merged state via merge-on-read, and compaction folds
+    deltas into a new partitioned base whose state is IDENTICAL — the
+    compacted read must equal the full replay oracle."""
+    rec = cdc.RECIPES["lineitem"]
+    table = _mor_lineitem(spark, sf_dir)
+    assert not table.latest_commit().deltas  # reading the compacted base
+    return table.read().select(*rec.columns, "trx_seq")
+
+
 def q89_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-distribution / skew profiler over lineitem join keys: top
     values + share + skew factor per column — the pre-flight diagnostic
@@ -1839,6 +1926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_skew_profile": q89_skew_profile,
         "q90_vocab_encode": q90_vocab_encode,
         "q91_weighted_sample": q91_weighted_sample,
+        "q92_streaming_ingest": q92_streaming_ingest,
+        "q93_mor_compaction": q93_mor_compaction,
     }
 
 
@@ -2472,4 +2561,6 @@ def oracle_sql() -> dict[str, str]:
         "q89_skew_profile": fn_analytics.skew_profile_sql("duckdb"),
         "q90_vocab_encode": fn_curation.vocab_encode_sql("duckdb"),
         "q91_weighted_sample": fn_sampling.weighted_sample_sql("duckdb"),
+        "q92_streaming_ingest": cdc.replay_sql(cdc.RECIPES["customer"]),
+        "q93_mor_compaction": cdc.replay_sql(cdc.RECIPES["lineitem"]),
     }
