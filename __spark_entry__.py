@@ -1780,6 +1780,90 @@ def _mor_lineitem(spark: SparkSession, sf_dir: str) -> CuratedTable:
         return table
 
 
+_CLUSTERED: set[tuple[int, str]] = set()
+_GC_CACHE: dict[tuple[int, str], CuratedTable] = {}
+_EVOLVE_CACHE: dict[tuple[int, str], CuratedTable] = {}
+
+
+def q94_cluster_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15 clustering through the driver gate: rewrite the replayed
+    orders table z-ordered on (o_orderdate, o_custkey) — the small-file
+    / locality service — and prove the rewrite is content-neutral: the
+    clustered read must still hash-match the replay oracle. (File-stat
+    pruning effects are asserted in tests; here the gate pins that
+    layout optimization never changes query results.)"""
+    rec = cdc.RECIPES["orders"]
+    table, _versions = _replayed_orders(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        if key not in _CLUSTERED:
+            commit = table.cluster(
+                target_partitions=4, zorder_by=["o_orderdate", "o_custkey"]
+            )
+            assert commit is not None and commit.operation == "clustering"
+            _CLUSTERED.add(key)
+    return table.read().select(*rec.columns, "trx_seq")
+
+
+def q95_clean_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13+D14 through the driver gate: replay supplier through the real
+    write path, GC old snapshot versions (cleaner.commits.retained
+    analog) and trim the commit timeline into the archive — then prove
+    the surviving head still hash-matches the replay oracle. Old
+    versions are physically gone (asserted), the current state is
+    untouched."""
+    rec = cdc.RECIPES["supplier"]
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        table = _GC_CACHE.get(key)
+        if table is None or not table.root.exists():
+            _t(spark, sf_dir, "supplier").createOrReplaceTempView(
+                "__gc_supplier"
+            )
+            cfg = TableConfig(name="gc_supplier",
+                              record_key=list(rec.key_cols))
+            tmp = Path(tempfile.mkdtemp(prefix="gc_supplier_"))
+            table = CuratedTable(spark, tmp / "supplier", cfg)
+            for b in range(cdc.N_BATCHES):
+                batch = spark.sql(cdc.batch_sql(rec, b, src="__gc_supplier"))
+                table.bulk_insert(batch) if b == 0 else table.upsert(batch)
+            removed = table.clean(retained_commits=2)
+            assert removed, "clean must GC pre-retention snapshot dirs"
+            archived = table.archive(keep_min=2, keep_max=3)
+            assert archived > 0 and len(table.commits()) == 2
+            _GC_CACHE[key] = table
+    return table.read().select(*rec.columns, "trx_seq")
+
+
+def q96_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution on the merge path (DMS source gains a
+    column mid-stream, SURVEY.md §1.2): bulk insert customer WITHOUT
+    c_acctbal, then upsert a CDC batch that carries it — pre-evolution
+    rows must surface NULL, updated rows the new value, through the
+    same storage/merge code. Oracle: the replay SQL with batch-0 rows'
+    c_acctbal nulled (the batch id is recoverable from the trx_seq
+    sequence-block digit)."""
+    rec = cdc.RECIPES["customer"]
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        table = _EVOLVE_CACHE.get(key)
+        if table is None or not table.root.exists():
+            _t(spark, sf_dir, "customer").createOrReplaceTempView(
+                "__evo_customer"
+            )
+            cfg = TableConfig(name="evo_customer",
+                              record_key=list(rec.key_cols))
+            tmp = Path(tempfile.mkdtemp(prefix="evo_customer_"))
+            table = CuratedTable(spark, tmp / "customer", cfg)
+            b0 = spark.sql(cdc.batch_sql(rec, 0, src="__evo_customer"))
+            table.bulk_insert(b0.drop("c_acctbal"))  # pre-evolution schema
+            b1 = spark.sql(cdc.batch_sql(rec, 1, src="__evo_customer"))
+            table.upsert(b1)  # schema gains c_acctbal here
+            _EVOLVE_CACHE[key] = table
+    cols = [c for c in rec.columns if c != "c_acctbal"]
+    return table.read().select(*cols, "c_acctbal", "trx_seq")
+
+
 def q92_streaming_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D11 continuous mode through the driver gate: the Structured
     Streaming file-source ingest (foreachBatch -> the SAME upsert merge
@@ -1928,7 +2012,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_weighted_sample": q91_weighted_sample,
         "q92_streaming_ingest": q92_streaming_ingest,
         "q93_mor_compaction": q93_mor_compaction,
+        "q94_cluster_zorder": q94_cluster_zorder,
+        "q95_clean_archive": q95_clean_archive,
+        "q96_schema_evolution": q96_schema_evolution,
     }
+
+
+def _evolution_oracle_sql() -> str:
+    """Replay oracle for q96: batch-0 rows never carried c_acctbal, so
+    null it wherever the surviving row came from batch 0. The batch id
+    is the first significant digit of the 50-wide trx_seq (sequence
+    blocks are b*10^12 < 10^13, so digits 38.. hold the value)."""
+    rec = cdc.RECIPES["customer"]
+    cols = ", ".join(c for c in rec.columns if c != "c_acctbal")
+    return (
+        f"WITH s AS ({cdc.stream_sql(rec, upto_batch=1)}), "
+        f"s2 AS (SELECT {cols}, "
+        "CASE WHEN CAST(substr(trx_seq, 38, 1) AS INT) = 0 "
+        "THEN NULL ELSE c_acctbal END AS c_acctbal, "
+        "trx_seq, _hoodie_is_deleted FROM s) "
+        f"SELECT {cols}, c_acctbal, trx_seq FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY c_custkey ORDER BY trx_seq DESC) AS rn FROM s2"
+        ") t WHERE rn = 1 AND NOT _hoodie_is_deleted"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2563,4 +2670,7 @@ def oracle_sql() -> dict[str, str]:
         "q91_weighted_sample": fn_sampling.weighted_sample_sql("duckdb"),
         "q92_streaming_ingest": cdc.replay_sql(cdc.RECIPES["customer"]),
         "q93_mor_compaction": cdc.replay_sql(cdc.RECIPES["lineitem"]),
+        "q94_cluster_zorder": cdc.replay_sql(rec_o),
+        "q95_clean_archive": cdc.replay_sql(cdc.RECIPES["supplier"]),
+        "q96_schema_evolution": _evolution_oracle_sql(),
     }

@@ -614,9 +614,23 @@ class CuratedTable:
         """
         bits = self._ZORDER_BITS
         nb = 1 << bits
+        # Non-numeric dimensions get a numeric surrogate first:
+        # timestamps/dates -> epoch seconds (order-preserving), anything
+        # else -> a 64-bit hash (no order, but files still cover value
+        # clusters, which is what the stat pruning needs).
+        dtypes = dict(df.dtypes)
+        nums: dict[str, "Column"] = {}
+        for c in cols:
+            t = dtypes[c]
+            if t in ("timestamp", "timestamp_ntz", "date"):
+                nums[c] = F.unix_timestamp(F.col(c)).cast("double")
+            elif t in ("string", "binary", "boolean"):
+                nums[c] = F.xxhash64(F.col(c)).cast("double")
+            else:
+                nums[c] = F.col(c).cast("double")
         stats = df.agg(
-            *[F.min(c).alias(f"mn_{c}") for c in cols],
-            *[F.max(c).alias(f"mx_{c}") for c in cols],
+            *[F.min(nums[c]).alias(f"mn_{c}") for c in cols],
+            *[F.max(nums[c]).alias(f"mx_{c}") for c in cols],
         ).collect()[0]
         key = F.lit(0).cast("long")
         for i, c in enumerate(cols):
@@ -625,7 +639,7 @@ class CuratedTable:
             span = (mx - mn) or 1.0
             bucket = F.least(
                 F.lit(nb - 1),
-                F.floor((F.col(c).cast("double") - F.lit(mn)) / span * nb),
+                F.floor((nums[c] - F.lit(mn)) / span * nb),
             ).cast("long")
             for b in range(bits):
                 key = key + F.shiftleft(
