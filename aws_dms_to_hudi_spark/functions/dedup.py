@@ -393,7 +393,8 @@ def _pytokhash(text: str) -> list[int]:
     """Per-token polynomial rolling hashes of a document, identical math
     to ``portable.rolling_hash(portable.tokens(text))``: lower + trim +
     collapse ASCII whitespace, split on single space, then
-    h = (h*131 + ord(c)) % (2^31-1) per token."""
+    h = (h*131 + ord(c)) % (2^31-1) per token. (Reference semantics —
+    the batch path below must stay bit-identical; see the parity test.)"""
     norm = _WS_RE.sub(" ", text.strip().lower())
     out = []
     for tok in norm.split(" "):
@@ -402,6 +403,54 @@ def _pytokhash(text: str) -> list[int]:
             h = (h * P.HASH_MULT + ord(c)) % P.HASH_P
         out.append(h)
     return out
+
+
+def _batch_tokhash(texts) -> list:
+    """Vectorized :func:`_pytokhash` over a whole Arrow batch.
+
+    The iterated hash expands to the polynomial
+    ``h = Σ c_i · M^(L-1-i) mod P``, which vectorizes: decode ALL docs'
+    code points at once (utf-32 — numpy sees exactly ``ord(c)``),
+    locate token boundaries from the separator mask, weight each char
+    by ``M^(chars-to-token-end) mod P`` from a lookup table, and
+    segment-sum with ``np.add.reduceat``. Every product stays below
+    2^62 (code point < 2^31 after mod weighting × weight < 2^31), and
+    per-token partial sums are reduced mod P at the end — exact int64
+    arithmetic, no float anywhere, bit-identical to the scalar loop.
+    """
+    import numpy as np
+
+    norms = [_WS_RE.sub(" ", (t or "").strip().lower()) for t in texts]
+    n_toks = np.fromiter(
+        (s.count(" ") + 1 for s in norms), dtype=np.int64, count=len(norms)
+    )
+    joined = " ".join(norms)
+    codes = np.frombuffer(
+        joined.encode("utf-32-le"), dtype=np.uint32
+    ).astype(np.int64)
+    n = codes.size
+    if n == 0:
+        return [np.zeros(1, dtype=np.int64)] * len(norms) if norms else []
+    is_sep = codes == 32  # the single space portable.tokens splits on
+    sep_idx = np.flatnonzero(is_sep)
+    starts = np.concatenate(([0], sep_idx + 1))
+    ends = np.concatenate((sep_idx, [n]))
+    lens = ends - starts
+    # distance to token end per char: (end-of-my-token - 1) - my-index
+    tok_end = np.repeat(ends, np.diff(np.concatenate((starts, [n]))))
+    dist = tok_end - 1 - np.arange(n)
+    powers = np.ones(int(lens.max()) + 1 if lens.size else 1, dtype=np.int64)
+    for k in range(1, powers.size):
+        powers[k] = (powers[k - 1] * P.HASH_MULT) % P.HASH_P
+    vals = (codes % P.HASH_P) * powers[np.maximum(dist, 0)] % P.HASH_P
+    vals[is_sep] = 0
+    # pad one zero so a trailing empty token (start == n) stays a legal
+    # reduceat index; the pad only ever joins the last segment's sum
+    vals = np.append(vals, 0)
+    hashes = np.add.reduceat(vals, starts) % P.HASH_P
+    hashes[lens == 0] = 0  # reduceat start==end quirk picks a stray value
+    offs = np.concatenate(([0], np.cumsum(n_toks)))
+    return [hashes[offs[i]: offs[i + 1]] for i in range(len(norms))]
 
 
 def tokhash_view(spark, docs, cache_key: str, tag: str = "tokhash") -> str:
@@ -431,7 +480,9 @@ def tokhash_view(spark, docs, cache_key: str, tag: str = "tokhash") -> str:
 
         @F.pandas_udf(ArrayType(LongType()))
         def hash_tokens(texts):
-            return texts.map(lambda t: _pytokhash(t if t is not None else ""))
+            import pandas as pd
+
+            return pd.Series(_batch_tokhash(texts.tolist()))
 
         view = f"__{tag}_{abs(hash(key)) % 10**8}"
         # Repartition by doc_id BEFORE persisting: the corpus often

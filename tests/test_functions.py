@@ -240,3 +240,34 @@ def test_connected_components_diameter_bound(spark):
         r.node: r.component for r in connected_components(chain).collect()
     }
     assert set(full.values()) == {0}
+
+
+def test_batch_tokhash_bit_identical_to_scalar():
+    """The Arrow batch path must reproduce the scalar reference hash
+    exactly — unicode code points, ASCII-only whitespace splitting,
+    empty docs at batch boundaries, long tokens, empty-token runs."""
+    import random
+    import string
+
+    from aws_dms_to_hudi_spark.functions.dedup import (
+        _batch_tokhash,
+        _pytokhash,
+    )
+
+    cases = [
+        "hello world", "  leading and   trailing  ", "", " ", "single",
+        "ünïcödé tökens ÆØÅ 中文 字符 🎉 emoji",
+        "tab\tand\nnewline\r\nmix",
+        "a" * 500 + " " + "b" * 300,
+        " nbsp is not ascii ws",  # re.ASCII: \s must not split
+        "double  space   runs",
+    ]
+    random.seed(7)
+    alphabet = string.printable + "éü中🎉 "
+    fuzz = ["".join(random.choice(alphabet)
+                    for _ in range(random.randrange(0, 200)))
+            for _ in range(300)]
+    for batch in [cases, ["", *cases], [*cases, ""], ["", ""], ["solo"],
+                  [], fuzz]:
+        got = [list(map(int, a)) for a in _batch_tokhash(batch)]
+        assert got == [_pytokhash(t) for t in batch]
