@@ -1691,6 +1691,85 @@ def entry(spark: SparkSession) -> DataFrame:
     return q07_cdc_merge_replay(spark, "/root/testdata/sf0.001")
 
 
+def _waiting_suppliers_sql(
+    lineitem: str = "lineitem",
+    orders: str = "orders",
+    supplier: str = "supplier",
+    late_days: int = 60,
+) -> str:
+    """TPC-H Q21 shape (adapted to this schema: 'late' = shipped more
+    than ``late_days`` after the order date): suppliers who were the
+    ONLY late shipper in a finished multi-supplier order — a doubly
+    correlated EXISTS / NOT EXISTS pair, where the anti subquery
+    references BOTH the sibling lineitem and the outer order's date.
+    Catalyst decorrelates both into joins; identical text runs on
+    DuckDB."""
+    late = f"+ INTERVAL '{late_days}' DAY"
+    return f"""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM {supplier} s
+JOIN {lineitem} l1 ON s.s_suppkey = l1.l_suppkey
+JOIN {orders} o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate {late}
+  AND EXISTS (
+    SELECT 1 FROM {lineitem} l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM {lineitem} l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate {late})
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def _dormant_customers_sql(
+    customer: str = "customer", orders: str = "orders"
+) -> str:
+    """TPC-H Q22 shape: customers with above-average positive balance
+    and no OPEN orders (every customer has some order in this dataset,
+    so the anti condition is status-scoped to keep the result
+    non-trivial), grouped by market segment. The average comes from an
+    exact decimal SUM divided by COUNT (both engines produce the
+    identical double), so the threshold can't flip rows on
+    accumulation order."""
+    avg = (
+        f"SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)"
+        f" / COUNT(*) FROM {customer} c2 WHERE c2.c_acctbal > 0.0"
+    )
+    return f"""
+SELECT c.c_mktsegment, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+         AS totacctbal
+FROM {customer} c
+WHERE c.c_acctbal > ({avg})
+  AND NOT EXISTS (
+    SELECT 1 FROM {orders} o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O')
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+def q97_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape through the engine's SQL surface (D10)."""
+    li = _view(spark, sf_dir, "lineitem", "q97")
+    o = _view(spark, sf_dir, "orders", "q97")
+    s = _view(spark, sf_dir, "supplier", "q97")
+    return spark.sql(_waiting_suppliers_sql(li, o, s))
+
+
+def q98_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape through the engine's SQL surface (D10)."""
+    c = _view(spark, sf_dir, "customer", "q98")
+    o = _view(spark, sf_dir, "orders", "q98")
+    return spark.sql(_dormant_customers_sql(c, o))
+
+
 def _orders_aggs() -> dict:
     return {
         "n_orders": F.count("*").cast("long"),
@@ -2015,6 +2094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_cluster_zorder": q94_cluster_zorder,
         "q95_clean_archive": q95_clean_archive,
         "q96_schema_evolution": q96_schema_evolution,
+        "q97_waiting_suppliers": q97_waiting_suppliers,
+        "q98_dormant_customers": q98_dormant_customers,
     }
 
 
@@ -2673,4 +2754,6 @@ def oracle_sql() -> dict[str, str]:
         "q94_cluster_zorder": cdc.replay_sql(rec_o),
         "q95_clean_archive": cdc.replay_sql(cdc.RECIPES["supplier"]),
         "q96_schema_evolution": _evolution_oracle_sql(),
+        "q97_waiting_suppliers": _waiting_suppliers_sql(),
+        "q98_dormant_customers": _dormant_customers_sql(),
     }

@@ -76,6 +76,8 @@ SMALL_OUTPUT = {
     "q87_hll_sketch_rollup",
     "q89_skew_profile",
     "q91_weighted_sample",
+    "q97_waiting_suppliers",
+    "q98_dormant_customers",
 }
 
 
