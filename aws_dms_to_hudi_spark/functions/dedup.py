@@ -386,6 +386,7 @@ _WS_RE = re.compile(r"\s+", re.ASCII)
 _TOKHASH_CACHE: dict[tuple[int, str], str] = {}
 _INV_CACHE: dict[tuple[int, str, int | None], tuple[str, str]] = {}
 _SIMHASH_CACHE: dict[tuple[int, str], str] = {}
+_PAIRS_CACHE: dict[tuple[int, str], str] = {}
 _TOKHASH_LOCK = threading.Lock()
 
 
@@ -497,12 +498,41 @@ def tokhash_view(spark, docs, cache_key: str, tag: str = "tokhash") -> str:
             )
             .repartition(docs.sparkSession.sparkContext.defaultParallelism,
                          "doc_id")
-            .persist()
+            # localCheckpoint, not persist: materializes under the lock
+            # AND truncates the logical plan to a LogicalRDD — every
+            # consumer query then carries a tiny plan instead of
+            # re-analyzing (and shipping) the whole derivation tree.
+            .localCheckpoint()
         )
         df.createOrReplaceTempView(view)
-        df.count()  # materialize under the lock so no query re-computes
         _TOKHASH_CACHE[key] = view
         return view
+
+
+def minhash_pairs_view(spark, docs, cache_key: str) -> str:
+    """Register (and persist) the verified MinHash-LSH near-dup PAIRS
+    ``(doc_a, doc_b, jaccard)`` — the artifact both the pair listing
+    (q20) and the dup-group closure (q77) consume. At 100 TB the pair
+    set is exactly what a curation pipeline materializes between its
+    dedup-detect and dedup-apply stages; computing it once per process
+    mirrors that, and the connected-components iteration then starts
+    from an in-memory relation instead of re-running the LSH chain."""
+    key = (id(spark), cache_key)
+    with _TOKHASH_LOCK:
+        cached = _PAIRS_CACHE.get(key)
+        if cached is not None:
+            return cached
+    inv = inv_view(spark, docs, cache_key)
+    sql = minhash_lsh_sql("spark", inv_tables=inv)
+    with _TOKHASH_LOCK:
+        cached = _PAIRS_CACHE.get(key)
+        if cached is not None:
+            return cached
+        name = f"__mh_pairs_{abs(hash(key)) % 10**8}"
+        df = spark.sql(sql).localCheckpoint()  # eager + plan-truncating
+        df.createOrReplaceTempView(name)
+        _PAIRS_CACHE[key] = name
+        return name
 
 
 def simhash_view(spark, docs, cache_key: str) -> str:
@@ -525,9 +555,8 @@ def simhash_view(spark, docs, cache_key: str) -> str:
         if cached is not None:
             return cached
         name = f"__simhash_{abs(hash(key)) % 10**8}"
-        df = spark.sql(sql).persist()
+        df = spark.sql(sql).localCheckpoint()  # eager + plan-truncating
         df.createOrReplaceTempView(name)
-        df.count()
         _SIMHASH_CACHE[key] = name
         return name
 
@@ -559,15 +588,13 @@ def inv_view(
         cached = _INV_CACHE.get(key)
         if cached is not None:
             return cached
-        inv_df = spark.sql(sql).persist()
+        inv_df = spark.sql(sql).localCheckpoint()  # eager + plan-truncating
         inv_df.createOrReplaceTempView(inv_name)
-        inv_df.count()
         sizes_df = (
             spark.table(inv_name).groupBy("doc_id").count()
             .withColumnRenamed("count", "n")
-            .persist()
+            .localCheckpoint()
         )
         sizes_df.createOrReplaceTempView(sizes_name)
-        sizes_df.count()
         _INV_CACHE[key] = (inv_name, sizes_name)
         return inv_name, sizes_name
