@@ -1773,6 +1773,21 @@ def q98_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_dormant_customers_sql(c, o))
 
 
+def q99_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (k-means M-step) on integer-exact
+    scaled sums — order-independent, so partial aggregation is free."""
+    v = _view(spark, sf_dir, "embeddings", "q99")
+    return spark.sql(fn_sim.label_centroids_sql("spark", table=v))
+
+
+def q100_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (k-means E-step): broadcast the tiny
+    centroid relation, one integer-exact dot per (vector, candidate),
+    argmax per vector → label confusion matrix."""
+    v = _view(spark, sf_dir, "embeddings", "q100")
+    return spark.sql(fn_sim.centroid_assign_sql("spark", table=v))
+
+
 def _orders_aggs() -> dict:
     return {
         "n_orders": F.count("*").cast("long"),
@@ -2099,6 +2114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_schema_evolution": q96_schema_evolution,
         "q97_waiting_suppliers": q97_waiting_suppliers,
         "q98_dormant_customers": q98_dormant_customers,
+        "q99_label_centroids": q99_label_centroids,
+        "q100_centroid_assign": q100_centroid_assign,
     }
 
 
@@ -2759,4 +2776,6 @@ def oracle_sql() -> dict[str, str]:
         "q96_schema_evolution": _evolution_oracle_sql(),
         "q97_waiting_suppliers": _waiting_suppliers_sql(),
         "q98_dormant_customers": _dormant_customers_sql(),
+        "q99_label_centroids": fn_sim.label_centroids_sql("duckdb"),
+        "q100_centroid_assign": fn_sim.centroid_assign_sql("duckdb"),
     }

