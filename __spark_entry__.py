@@ -1773,6 +1773,120 @@ def q98_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_dormant_customers_sql(c, o))
 
 
+_ENVELOPE_CACHE: dict[tuple[int, str, str], CuratedTable] = {}
+_RESTORE_CACHE: dict[tuple[int, str], CuratedTable] = {}
+
+
+def _envelope_customer(
+    spark: SparkSession, sf_dir: str, fmt: str
+) -> CuratedTable:
+    """Shared fixture: the customer CDC stream landed as stock-DMS
+    ``Op``-envelope CSV or JSON lines (not parquet), ingested through
+    the matching source with its watermark checkpoint: batch 0 via the
+    initial full load, batches 1..N discovered incrementally and
+    upsert-merged."""
+    from aws_dms_to_hudi_spark.sources.csv_dfs import CsvDFSSource
+    from aws_dms_to_hudi_spark.sources.json_dfs import JsonDFSSource
+
+    key = (id(spark), sf_dir, fmt)
+    with _REPLAY_LOCK:
+        cached = _ENVELOPE_CACHE.get(key)
+        if cached is not None and cached.root.exists():
+            return cached
+        rec = cdc.RECIPES["customer"]
+        view = f"__env_customer_{fmt}"
+        _t(spark, sf_dir, "customer").createOrReplaceTempView(view)
+        tmp = Path(tempfile.mkdtemp(prefix=f"env_{fmt}_"))
+        raw = tmp / "raw"
+
+        def land(b: int) -> None:
+            env = (
+                spark.sql(cdc.batch_sql(rec, b, src=view))
+                .withColumn(
+                    "Op",
+                    F.when(F.col("_hoodie_is_deleted"), F.lit("D"))
+                    .otherwise(F.lit("I" if b == 0 else "U")),
+                )
+                .drop("_hoodie_is_deleted")
+            )
+            w = env.coalesce(1).write.mode("overwrite")
+            out = str(raw / f"batch-{b:05d}")
+            if fmt == "csv":
+                w.option("header", "true").csv(out)
+            else:
+                w.json(out)
+
+        land(0)
+        ddl = ", ".join(
+            f"{c} {t}"
+            for c, t in spark.sql(
+                cdc.batch_sql(rec, 0, src=view)
+            ).drop("_hoodie_is_deleted").dtypes
+        ) + ", Op string"
+        src_cls = CsvDFSSource if fmt == "csv" else JsonDFSSource
+        src = src_cls(spark, raw, schema=ddl)
+        cfg = TableConfig(name=f"env_customer_{fmt}",
+                          record_key=list(rec.key_cols))
+        table = CuratedTable(spark, tmp / "customer", cfg)
+        batch, ckpt = src.read_new(None)
+        table.bulk_insert(batch)
+        for b in range(1, cdc.N_BATCHES):
+            land(b)
+        batch, ckpt = src.read_new(ckpt)
+        table.upsert(batch)
+        assert src.read_new(ckpt)[0] is None  # watermark is caught up
+        _ENVELOPE_CACHE[key] = table
+        return table
+
+
+def q101_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock-DMS CSV landing format (leading Op column, I/U/D) through
+    the CSV source's envelope normalization + watermark incremental
+    scan + the same merge path — must converge to the replay oracle.
+    (CSV doubles round-trip exactly: Spark writes shortest-repr.)"""
+    rec = cdc.RECIPES["customer"]
+    table = _envelope_customer(spark, sf_dir, "csv")
+    return table.read().select(*rec.columns, "trx_seq")
+
+
+def q102_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DMS JSON-lines landing format through the JSON source — same
+    envelope/watermark/merge contract as q101, weakly-typed input
+    pinned by the explicit schema."""
+    rec = cdc.RECIPES["customer"]
+    table = _envelope_customer(spark, sf_dir, "json")
+    return table.read().select(*rec.columns, "trx_seq")
+
+
+def q103_savepoint_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15b savepoint/restore through the driver gate: replay supplier
+    fully, then roll the table BACK to the bulk-insert version — the
+    restored read must equal the replay of batch 0 alone, and the
+    timeline keeps the restore as a new commit (append-only manifest,
+    no history rewrite)."""
+    rec = cdc.RECIPES["supplier"]
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        table = _RESTORE_CACHE.get(key)
+        if table is None or not table.root.exists():
+            view = "__restore_supplier"
+            _t(spark, sf_dir, "supplier").createOrReplaceTempView(view)
+            cfg = TableConfig(name="restore_supplier",
+                              record_key=list(rec.key_cols))
+            tmp = Path(tempfile.mkdtemp(prefix="restore_supplier_"))
+            table = CuratedTable(spark, tmp / "supplier", cfg)
+            first = None
+            for b in range(cdc.N_BATCHES):
+                batch = spark.sql(cdc.batch_sql(rec, b, src=view))
+                commit = (table.bulk_insert(batch) if b == 0
+                          else table.upsert(batch))
+                first = first if first is not None else commit.version
+            restored = table.restore(first)
+            assert restored.version > cdc.N_BATCHES - 1  # appended, not rewritten
+            _RESTORE_CACHE[key] = table
+    return table.read().select(*rec.columns, "trx_seq")
+
+
 def q99_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (k-means M-step) on integer-exact
     scaled sums — order-independent, so partial aggregation is free."""
@@ -2116,6 +2230,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_dormant_customers": q98_dormant_customers,
         "q99_label_centroids": q99_label_centroids,
         "q100_centroid_assign": q100_centroid_assign,
+        "q101_csv_source": q101_csv_source,
+        "q102_json_source": q102_json_source,
+        "q103_savepoint_restore": q103_savepoint_restore,
     }
 
 
@@ -2778,4 +2895,9 @@ def oracle_sql() -> dict[str, str]:
         "q98_dormant_customers": _dormant_customers_sql(),
         "q99_label_centroids": fn_sim.label_centroids_sql("duckdb"),
         "q100_centroid_assign": fn_sim.centroid_assign_sql("duckdb"),
+        "q101_csv_source": cdc.replay_sql(cdc.RECIPES["customer"]),
+        "q102_json_source": cdc.replay_sql(cdc.RECIPES["customer"]),
+        "q103_savepoint_restore": cdc.replay_sql(
+            cdc.RECIPES["supplier"], upto_batch=0
+        ),
     }
