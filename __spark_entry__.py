@@ -2099,6 +2099,26 @@ def q93_mor_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(*rec.columns, "trx_seq")
 
 
+def q104_agg_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed for the maintained derived aggregate (q88's
+    state): the insert/update/delete diff between the post-bulk-insert
+    state and the state after all commits — what the mart publishes so
+    ITS consumers can be incremental too. Oracle: full-outer join of
+    the replay-based aggregates at both positions."""
+    table, versions = _replayed_orders(spark, sf_dir)
+    aggs = _orders_aggs()
+    s0 = fn_incr.group_agg(table.read(version=versions[0]),
+                           "o_custkey", aggs)
+    state = s0
+    for prev, cur in zip(versions, versions[1:]):
+        state = fn_incr.maintain_group_agg(
+            table, state, "o_custkey", aggs, prev, cur
+        )
+    return fn_incr.state_diff(
+        s0, state, "o_custkey", ["n_orders", "total_spent"]
+    )
+
+
 def q89_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-distribution / skew profiler over lineitem join keys: top
     values + share + skew factor per column — the pre-flight diagnostic
@@ -2233,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_csv_source": q101_csv_source,
         "q102_json_source": q102_json_source,
         "q103_savepoint_restore": q103_savepoint_restore,
+        "q104_agg_change_feed": q104_agg_change_feed,
     }
 
 
@@ -2899,5 +2920,31 @@ def oracle_sql() -> dict[str, str]:
         "q102_json_source": cdc.replay_sql(cdc.RECIPES["customer"]),
         "q103_savepoint_restore": cdc.replay_sql(
             cdc.RECIPES["supplier"], upto_batch=0
+        ),
+        "q104_agg_change_feed": (
+            lambda agg: (
+                f"WITH s0 AS ({agg(cdc.replay_sql(rec_o, upto_batch=0))}), "
+                f"sN AS ({agg(cdc.replay_sql(rec_o))}) "
+                "SELECT COALESCE(s0.o_custkey, sN.o_custkey) AS o_custkey, "
+                "CASE WHEN s0.o_custkey IS NULL THEN 'insert' "
+                "     WHEN sN.o_custkey IS NULL THEN 'delete' "
+                "     ELSE 'update' END AS change_type, "
+                "s0.n_orders AS old_n_orders, "
+                "s0.total_spent AS old_total_spent, "
+                "sN.n_orders AS new_n_orders, "
+                "sN.total_spent AS new_total_spent "
+                "FROM s0 FULL OUTER JOIN sN "
+                "  ON s0.o_custkey = sN.o_custkey "
+                "WHERE s0.o_custkey IS NULL OR sN.o_custkey IS NULL "
+                "   OR s0.n_orders <> sN.n_orders "
+                "   OR s0.total_spent <> sN.total_spent "
+                "ORDER BY o_custkey"
+            )
+        )(
+            lambda src: (
+                "SELECT o_custkey, COUNT(*) AS n_orders, "
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) "
+                f"AS total_spent FROM ({src}) t GROUP BY o_custkey"
+            )
         ),
     }

@@ -103,3 +103,55 @@ def maintain_group_agg(
     )
     kept = state.join(F.broadcast(affected), on=group_col, how="left_anti")
     return kept.unionByName(fresh)
+
+
+def state_diff(
+    old: "DataFrame",
+    new: "DataFrame",
+    group_col: str,
+    value_cols: list[str],
+) -> "DataFrame":
+    """Change feed between two aggregate states: one row per group whose
+    aggregate changed, tagged insert/update/delete with old and new
+    values — what a maintained mart PUBLISHES downstream so consumers
+    can themselves be incremental (change-data-feed for derived tables).
+
+    One full-outer join on the group key; at scale both sides are the
+    (small) aggregate states, not base data."""
+    o = old.select(
+        F.col(group_col).alias("__og"),
+        *[F.col(c).alias(f"old_{c}") for c in value_cols],
+    )
+    n = new.select(
+        F.col(group_col).alias("__ng"),
+        *[F.col(c).alias(f"new_{c}") for c in value_cols],
+    )
+    j = o.join(n, o["__og"] == n["__ng"], "full_outer")
+    changed = (
+        F.col("__og").isNull()
+        | F.col("__ng").isNull()
+        | functools_reduce_or(
+            [~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}"))
+             for c in value_cols]
+        )
+    )
+    return (
+        j.filter(changed)
+        .select(
+            F.coalesce(F.col("__og"), F.col("__ng")).alias(group_col),
+            F.when(F.col("__og").isNull(), F.lit("insert"))
+            .when(F.col("__ng").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            *[F.col(f"old_{c}") for c in value_cols],
+            *[F.col(f"new_{c}") for c in value_cols],
+        )
+        .orderBy(group_col)
+    )
+
+
+def functools_reduce_or(cols: list["Column"]) -> "Column":
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out

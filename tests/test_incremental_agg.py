@@ -110,3 +110,18 @@ def test_empty_round_is_identity(spark, table):
         table, state, "grp", _aggs(), c0.version, c0.version
     )
     assert _rows(out) == _rows(state)
+
+
+def test_state_diff_tags_insert_update_delete(spark):
+    old = spark.createDataFrame(
+        [("A", 2, 10.0), ("B", 1, 5.0), ("C", 3, 9.0)],
+        "grp string, n long, total double")
+    new = spark.createDataFrame(
+        [("A", 2, 10.0), ("B", 2, 7.5), ("D", 1, 1.0)],
+        "grp string, n long, total double")
+    out = {r["grp"]: r for r in fn_incr.state_diff(
+        old, new, "grp", ["n", "total"]).collect()}
+    assert set(out) == {"B", "C", "D"}  # A unchanged -> not published
+    assert out["B"]["change_type"] == "update" and out["B"]["new_total"] == 7.5
+    assert out["C"]["change_type"] == "delete" and out["C"]["new_n"] is None
+    assert out["D"]["change_type"] == "insert" and out["D"]["old_n"] is None
