@@ -1920,6 +1920,83 @@ def q103_savepoint_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(*rec.columns, "trx_seq")
 
 
+def _volume_shipping_sql(
+    lineitem="lineitem", orders="orders", customer="customer",
+    supplier="supplier", nation="nation",
+) -> str:
+    """TPC-H Q7 shape: shipped volume between two nations per year, both
+    directions — a 5-way join where the interesting predicate is the
+    (supp_nation, cust_nation) PAIR disjunction."""
+    return f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         YEAR(l.l_shipdate) AS l_year,
+         l.l_extendedprice, l.l_discount
+  FROM {lineitem} l
+  JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+  JOIN {customer} c ON c.c_custkey = o.o_custkey
+  JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+  JOIN {nation} n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN {nation} n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_10')
+     OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_9')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def _market_share_sql(
+    lineitem="lineitem", orders="orders", customer="customer",
+    supplier="supplier", nation="nation", region="region",
+) -> str:
+    """TPC-H Q8 shape: one supplier-nation's revenue share within a
+    region per order year — conditional share = SUM(CASE)/SUM over the
+    same aggregate scan, both sums decimal-exact before the one
+    division. (Fixture nations are synthetic NATION_k names; NATION_6
+    sits in region AMERICA's nation set so the share is non-trivial.)"""
+    vol = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+    return f"""
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_6'
+                     THEN {vol} ELSE CAST(0 AS DECIMAL(18,4)) END)
+            AS DOUBLE)
+            / CAST(SUM({vol}) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT YEAR(o.o_orderdate) AS o_year, n2.n_name AS supp_nation,
+         l.l_extendedprice, l.l_discount
+  FROM {lineitem} l
+  JOIN {orders} o ON o.o_orderkey = l.l_orderkey
+  JOIN {customer} c ON c.c_custkey = o.o_custkey
+  JOIN {nation} n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN {region} r ON r.r_regionkey = n1.n_regionkey
+  JOIN {supplier} s ON s.s_suppkey = l.l_suppkey
+  JOIN {nation} n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'AMERICA'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q105_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape through the engine's SQL surface (D10)."""
+    t = {n: _view(spark, sf_dir, n, "q105")
+         for n in ["lineitem", "orders", "customer", "supplier", "nation"]}
+    return spark.sql(_volume_shipping_sql(**t))
+
+
+def q106_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape through the engine's SQL surface (D10)."""
+    t = {n: _view(spark, sf_dir, n, "q106")
+         for n in ["lineitem", "orders", "customer", "supplier",
+                   "nation", "region"]}
+    return spark.sql(_market_share_sql(**t))
+
+
 def q99_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (k-means M-step) on integer-exact
     scaled sums — order-independent, so partial aggregation is free."""
@@ -2287,6 +2364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_json_source": q102_json_source,
         "q103_savepoint_restore": q103_savepoint_restore,
         "q104_agg_change_feed": q104_agg_change_feed,
+        "q105_volume_shipping": q105_volume_shipping,
+        "q106_market_share": q106_market_share,
     }
 
 
@@ -2968,6 +3047,8 @@ def oracle_sql() -> dict[str, str]:
         "q103_savepoint_restore": cdc.replay_sql(
             cdc.RECIPES["supplier"], upto_batch=0
         ),
+        "q105_volume_shipping": _volume_shipping_sql(),
+        "q106_market_share": _market_share_sql(),
         "q104_agg_change_feed": (
             lambda agg: (
                 f"WITH s0 AS ({agg(cdc.replay_sql(rec_o, upto_batch=0))}), "

@@ -80,6 +80,8 @@ SMALL_OUTPUT = {
     "q98_dormant_customers",
     "q99_label_centroids",
     "q100_centroid_assign",
+    "q105_volume_shipping",
+    "q106_market_share",
 }
 
 
