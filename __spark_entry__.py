@@ -1997,6 +1997,39 @@ def q106_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_market_share_sql(**t))
 
 
+def _event_transitions_sql(events: str = "events") -> str:
+    """Per-user event-type transition bigrams (the path-analysis /
+    Markov-chain primitive): lag over (user, time) then one hash-agg.
+    The share divides two exact counts once, so it is bit-identical
+    across engines. One shuffle on user_id for the window, one tiny agg."""
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM {events}
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+),
+tot AS (SELECT prev_type, CAST(SUM(n_transitions) AS BIGINT) AS n_out
+        FROM t GROUP BY prev_type)
+SELECT t.prev_type, t.next_type, t.n_transitions,
+       round(CAST(t.n_transitions AS DOUBLE)
+             / CAST(tot.n_out AS DOUBLE), 6) AS p_next
+FROM t JOIN tot ON t.prev_type = tot.prev_type
+ORDER BY t.prev_type, t.next_type
+"""
+
+
+def q107_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence transition matrix with per-source probabilities."""
+    v = _view(spark, sf_dir, "events", "q107")
+    return spark.sql(_event_transitions_sql(v))
+
+
 def q99_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (k-means M-step) on integer-exact
     scaled sums — order-independent, so partial aggregation is free."""
@@ -2366,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q104_agg_change_feed": q104_agg_change_feed,
         "q105_volume_shipping": q105_volume_shipping,
         "q106_market_share": q106_market_share,
+        "q107_event_transitions": q107_event_transitions,
     }
 
 
@@ -3049,6 +3083,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q105_volume_shipping": _volume_shipping_sql(),
         "q106_market_share": _market_share_sql(),
+        "q107_event_transitions": _event_transitions_sql(),
         "q104_agg_change_feed": (
             lambda agg: (
                 f"WITH s0 AS ({agg(cdc.replay_sql(rec_o, upto_batch=0))}), "

@@ -82,6 +82,7 @@ SMALL_OUTPUT = {
     "q100_centroid_assign",
     "q105_volume_shipping",
     "q106_market_share",
+    "q107_event_transitions",
 }
 
 
