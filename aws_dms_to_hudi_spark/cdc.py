@@ -28,11 +28,13 @@ the modulo batch predicates). ``trx_seq`` itself must be unique per ROW —
 the synthetic base tables contain duplicate record keys (e.g. repeated
 ``(l_orderkey, l_linenumber)`` pairs), and a per-key sequence would tie,
 making the precombine winner nondeterministic across engines. So every row
-gets ``__rid = row_number() OVER (ORDER BY <all columns> NULLS FIRST)`` —
-a total order both Spark and DuckDB compute identically (NULLS FIRST is
-pinned because the engines' default null ordering differs) — and
-``trx_seq = lpad(batch_block + __rid, 50, '0')``. Per-batch sequence
-blocks (b·10^12) keep ``trx_seq`` globally increasing across batches while
+gets a unique, order-monotone ``__rid`` over ``ORDER BY <all columns>
+NULLS FIRST`` — a total order both Spark and DuckDB compute identically
+(NULLS FIRST is pinned because the engines' default null ordering
+differs) — and ``trx_seq = lpad(batch_block + __rid, 50, '0')``.
+``__rid`` is computed scale-safely (bucketed window, see ``_src_cte``),
+never via a global unpartitioned window. Per-batch sequence blocks
+(b·10^12) keep ``trx_seq`` globally increasing across batches while
 zero-padding keeps string order == numeric order (SURVEY.md §7.3: never
 cast trx_seq to numeric).
 """
@@ -131,12 +133,55 @@ def _cols(recipe: CdcRecipe, perturb_delta: float | None) -> str:
     return ", ".join(out)
 
 
+_N_RID_BUCKETS = 256
+_RID_STRIDE = 10**9
+
+
 def _src_cte(recipe: CdcRecipe, t: str) -> str:
-    """Base relation with a deterministic per-row id (see module doc)."""
+    """Base relation with a deterministic per-row id (see module doc).
+
+    ``__rid`` is the global row_number over ``ORDER BY <all columns> NULLS
+    FIRST`` — but computed WITHOUT a global (unpartitioned) window, which
+    would single-partition the sort in Spark and make the fixture, not the
+    engine, the bottleneck at scale. Instead the classic two-pass
+    range-partitioned rank, expressed as one SQL text both engines run
+    identically:
+
+    1. bucket each row by an order-preserving equi-width split of the
+       first sort column (the integer record key — monotone bucketing, so
+       ties share a bucket and cross-bucket order == key order);
+    2. ``__rid = bucket * 10^9 + row_number() PARTITION BY bucket`` —
+       each window partition is one bucket, so Spark sorts 256 slices in
+       parallel and DuckDB computes the same value.
+
+    ``__rid`` is unique and strictly order-monotone but NOT dense: the
+    per-bucket offset is the arithmetic stride ``_RID_STRIDE`` rather
+    than a prefix sum of bucket counts, which saves two aggregate jobs
+    per fixture build. Capacity: 256 buckets × 10^9 stride = 2.56e11 max,
+    which stays under the per-batch sequence block (10^12) even after
+    batch 1's second-change offset (+5e11) — string order == change
+    order is preserved, and q96's batch-digit probe (digit 38 == the
+    10^12 block digit) still isolates the batch id. A bucket overflowing
+    10^9 rows would collide; fixture tables are orders of magnitude
+    below that. Assumes the first recipe column is a numeric (integer)
+    key, true of all fixture recipes; NULL keys pin to bucket 0,
+    matching NULLS FIRST.
+    """
+    c1 = recipe.columns[0]
     order = ", ".join(f"{c} NULLS FIRST" for c in recipe.columns)
+    nb = _N_RID_BUCKETS
+    bucket = (
+        f"CASE WHEN {c1} IS NULL THEN 0 ELSE CAST(least({nb - 1}.0, "
+        f"greatest(0.0, floor((CAST({c1} AS DOUBLE) * {nb}.0) / "
+        f"(CAST(__mx AS DOUBLE) + 1.0)))) AS INT) END"
+    )
     return (
-        f"WITH src AS (SELECT *, row_number() OVER (ORDER BY {order}) "
-        f"AS __rid FROM {t})"
+        f"WITH __agg AS (SELECT COALESCE(MAX({c1}), 0) AS __mx FROM {t}), "
+        f"__bkt AS (SELECT __base.*, {bucket} AS __b "
+        f"FROM {t} AS __base, __agg), "
+        f"src AS (SELECT __bkt.*, CAST(__b AS BIGINT) * {_RID_STRIDE} "
+        f"+ row_number() OVER ("
+        f"PARTITION BY __b ORDER BY {order}) AS __rid FROM __bkt)"
     )
 
 
