@@ -39,6 +39,7 @@ from aws_dms_to_hudi_spark.functions import sampling as fn_sampling
 from aws_dms_to_hudi_spark.functions import text as fn_text
 from aws_dms_to_hudi_spark.operators import asof as op_asof
 from aws_dms_to_hudi_spark.operators import range_join as op_range
+from aws_dms_to_hudi_spark.operators import rank as rank_ops
 from aws_dms_to_hudi_spark.operators import scd as op_scd
 from aws_dms_to_hudi_spark.operators.merge import precombine, upsert_merge
 from aws_dms_to_hudi_spark.operators.transformer import apply_transformer_sql
@@ -723,18 +724,25 @@ def q50_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact rationals — identical doubles in both engines; unique ORDER BY
     key makes ntile assignment deterministic).
 
-    Scale note: a GLOBAL (unpartitioned) window single-partitions the
-    sort by construction — fine here as the semantic under test, but at
-    100 TB global ranks should come from approx_percentile cut points or
-    a two-pass range-partitioned rank, never this plan."""
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    Scale path: computed WITHOUT a global unpartitioned window. The
+    two-pass range-partitioned rank (operators/rank.py: percentile
+    sketch -> range buckets -> per-bucket window + broadcast offsets)
+    yields the exact global row_number; since (o_totalprice, o_orderkey)
+    is a unique sort key, ntile/percent_rank/cume_dist are then pure
+    arithmetic on (rn, N) — identical values to the window functions the
+    oracle runs, but the sort happens in parallel range slices."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    r = rank_ops.global_row_number(
+        o, ["o_totalprice", "o_orderkey"], out_col="__rn", total_col="__n"
+    )
+    rn, n = F.col("__rn"), F.col("__n")
     return (
-        o.select(
+        r.select(
             "o_orderkey",
-            F.ntile(10).over(w).cast("long").alias("decile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+            rank_ops.ntile_from_rn(rn, n, 10).alias("decile"),
+            F.when(n > 1, F.round((rn - 1) / (n - 1), 6))
+            .otherwise(F.lit(0.0)).alias("pct_rank"),
+            F.round(rn / n, 6).alias("cum_dist"),
         )
         .orderBy("o_orderkey")
     )

@@ -1,0 +1,114 @@
+"""Scale-safe global ordering: two-pass range-partitioned row numbers.
+
+A global ``row_number()/ntile()/percent_rank()`` over an unpartitioned
+window forces Spark to move every row to ONE partition (`WindowExec`
+warns, and at 100 TB the job simply dies). The classic distributed fix —
+what TeraSort and Spark's own ``sortWithinPartitions`` pipeline do — is:
+
+1. **Sketch pass**: compute equi-depth cut points of the leading sort
+   column with ``percentile_approx`` (one map-side-combinable aggregate).
+2. **Bucket**: assign each row a range-bucket id with a pure expression
+   (count of cut points strictly below the value) — monotone in the sort
+   key, ties share a bucket, so cross-bucket order == global order.
+3. **Count pass**: per-bucket counts -> prefix-sum offsets (a tiny
+   aggregate collected to the driver; bucket count is O(100), not O(rows)).
+4. **Rank pass**: ``row_number() OVER (PARTITION BY bucket ORDER BY ...)``
+   + the broadcast offset — every window partition is one bucket, sorted
+   in parallel.
+
+The result is the exact global ``row_number`` (dense, 1-based) over
+``order_cols``; downstream, ``ntile / percent_rank / cume_dist`` are pure
+arithmetic on (row_number, total_count) when the sort key is unique.
+
+The reference delegates all SQL to Spark via Hudi's read surface, so
+there is no reference counterpart file; this operator exists to keep the
+inherited SQL family (SURVEY §2.3, window functions) scale-clean.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket_expr(col: Column, cuts: list[float]) -> Column:
+    """#{c in cuts : value > c} — monotone, ties share a bucket; NULLs
+    (which sort first) pin to bucket 0."""
+    if not cuts:
+        return F.lit(0)
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    n_below = F.aggregate(
+        arr,
+        F.lit(0),
+        lambda acc, c: acc + F.when(col > c, F.lit(1)).otherwise(F.lit(0)),
+    )
+    return F.when(col.isNull(), F.lit(0)).otherwise(n_below)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "__rn",
+    num_buckets: int = 64,
+    total_col: str | None = None,
+) -> DataFrame:
+    """Append the exact global 1-based ``row_number`` over ``order_cols``
+    (first column must be numeric; NULLS FIRST semantics) without ever
+    forming a single-partition window.
+
+    If ``total_col`` is given, the total row count is appended as a
+    literal column too (it falls out of the count pass for free, saving
+    callers a separate COUNT(*) job).
+    """
+    c1 = F.col(order_cols[0])
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    # accuracy only shapes bucket BALANCE, never correctness of the rank,
+    # so a cheap sketch suffices.
+    cuts_row = df.select(
+        F.percentile_approx(c1, qs, 1_000).alias("cuts")
+    ).first()
+    cuts = [c for c in (cuts_row["cuts"] or []) if c is not None]
+
+    b = df.withColumn("__gb", _bucket_expr(c1, cuts))
+    counts = {r["__gb"]: r["cnt"] for r in
+              b.groupBy("__gb").agg(F.count("*").alias("cnt")).collect()}
+    total = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    w = Window.partitionBy("__gb").orderBy(
+        *[F.col(c).asc_nulls_first() for c in order_cols]
+    )
+    out = b.withColumn(
+        out_col,
+        (F.coalesce(off[F.col("__gb")], F.lit(0)).cast("long")
+         + F.row_number().over(w)),
+    ).drop("__gb")
+    if total_col is not None:
+        out = out.withColumn(total_col, F.lit(total).cast("long"))
+    return out
+
+
+def ntile_from_rn(rn: Column, total: Column, k: int) -> Column:
+    """Exact ``ntile(k)`` from a unique-key global row_number: the first
+    ``total % k`` tiles take ``total div k + 1`` rows, the rest take
+    ``total div k`` (Spark/DuckDB/ANSI semantics)."""
+    big = F.floor(total / k) + 1  # rows per tile in the first `rem` tiles
+    rem = total % k
+    cutoff = rem * big  # rows covered by the bigger tiles
+    small = F.floor(total / k)
+    return (
+        F.when(rn <= cutoff, F.floor((rn - 1) / big) + 1)
+        .otherwise(
+            rem + F.when(
+                small > 0, F.floor((rn - cutoff - 1) / small) + 1
+            ).otherwise(F.lit(1))
+        )
+        .cast("long")
+    )

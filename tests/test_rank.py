@@ -1,0 +1,47 @@
+"""Two-pass global rank (operators/rank.py) == the global window, without
+ever forming a single-partition window."""
+
+import pytest
+from pyspark.sql import Row, Window
+from pyspark.sql import functions as F
+
+from aws_dms_to_hudi_spark.operators import rank as R
+
+
+def _ref(spark, df, order_cols):
+    w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in order_cols])
+    return df.withColumn("__rn", F.row_number().over(w))
+
+
+@pytest.mark.parametrize("n,buckets", [(1, 4), (7, 4), (1000, 16)])
+def test_matches_global_window(spark, n, buckets):
+    df = spark.range(n).select(
+        (F.col("id") * 37 % 101).cast("double").alias("v"),
+        F.col("id").alias("k"),
+    )
+    got = R.global_row_number(df, ["v", "k"], num_buckets=buckets)
+    ref = _ref(spark, df, ["v", "k"])
+    assert sorted(map(tuple, got.select("v", "k", "__rn").collect())) == \
+        sorted(map(tuple, ref.select("v", "k", "__rn").collect()))
+
+
+def test_nulls_first_and_total(spark):
+    df = spark.createDataFrame(
+        [Row(v=None, k=1), Row(v=2.0, k=2), Row(v=1.0, k=3), Row(v=None, k=0)]
+    )
+    got = R.global_row_number(df, ["v", "k"], total_col="__n")
+    rows = {r["k"]: (r["__rn"], r["__n"]) for r in got.collect()}
+    assert rows == {0: (1, 4), 1: (2, 4), 3: (3, 4), 2: (4, 4)}
+
+
+@pytest.mark.parametrize("n,k", [(3, 10), (10, 10), (17, 4), (1000, 7)])
+def test_ntile_formula(spark, n, k):
+    df = spark.range(n).select(F.col("id").cast("double").alias("v"),
+                               F.col("id").alias("kk"))
+    ref = df.select(
+        "kk", F.ntile(k).over(Window.orderBy("v", "kk")).alias("t")
+    )
+    got = R.global_row_number(df, ["v", "kk"], total_col="__n").select(
+        "kk", R.ntile_from_rn(F.col("__rn"), F.col("__n"), k).alias("t")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
