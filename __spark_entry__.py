@@ -1850,6 +1850,8 @@ def _envelope_customer(
                 )
                 .drop("_hoodie_is_deleted")
             )
+            # real DMS CSV/JSON output leads with the Op column
+            env = env.select("Op", *[c for c in env.columns if c != "Op"])
             w = env.coalesce(1).write.mode("overwrite")
             out = str(raw / f"batch-{b:05d}")
             if fmt == "csv":
@@ -1858,12 +1860,12 @@ def _envelope_customer(
                 w.json(out)
 
         land(0)
-        ddl = ", ".join(
+        ddl = "Op string, " + ", ".join(
             f"{c} {t}"
             for c, t in spark.sql(
                 cdc.batch_sql(rec, 0, src=view)
             ).drop("_hoodie_is_deleted").dtypes
-        ) + ", Op string"
+        )
         src_cls = CsvDFSSource if fmt == "csv" else JsonDFSSource
         src = src_cls(spark, raw, schema=ddl)
         cfg = TableConfig(name=f"env_customer_{fmt}",

@@ -236,7 +236,7 @@ stats AS (
 ranked AS (
   SELECT col_name, value, cnt,
          row_number() OVER (PARTITION BY col_name
-                            ORDER BY cnt DESC, value) AS rnk
+                            ORDER BY cnt DESC, value NULLS LAST) AS rnk
   FROM counts
 )
 SELECT r.col_name AS col_name, CAST(r.rnk AS BIGINT) AS rnk, r.value, r.cnt,

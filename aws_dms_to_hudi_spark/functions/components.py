@@ -14,7 +14,8 @@ data structure, no assumption the component fits anywhere.
 
 Scale notes (100 TB corpus, billions of pairs):
 
-- ``localCheckpoint`` every round truncates the iterative lineage —
+- materializing every round (reliable checkpoint when a checkpoint
+  dir is set, else localCheckpoint) truncates the iterative lineage —
   without it the Catalyst tree doubles per round and analysis time
   explodes long before data does (the classic iterative-DataFrame trap);
 - the convergence check is a cheap aggregate on the labels diff; a
@@ -32,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import _materialize
+
 
 def connected_components(
     edges: DataFrame,
@@ -48,24 +51,22 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
     )
-    labels = (
+    und = _materialize(und)
+    labels = _materialize(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         neighbor_labels = (
             und.join(labels, und.b == labels.node)
             .select(F.col("a").alias("node"), "component")
         )
-        new_labels = (
+        new_labels = _materialize(  # truncate iterative lineage
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint()  # truncate iterative lineage every round
         )
         changed = (
             new_labels.alias("n")

@@ -454,6 +454,25 @@ def _batch_tokhash(texts) -> list:
     return [hashes[offs[i]: offs[i + 1]] for i in range(len(norms))]
 
 
+def _materialize(df):
+    """Eagerly materialize a shared artifact and truncate its lineage.
+
+    Uses RELIABLE ``checkpoint()`` (replicated to the configured
+    checkpoint dir, recomputable-free on executor loss) whenever the
+    SparkContext has a checkpoint dir set — the right choice on a real
+    cluster, where ``localCheckpoint`` blocks are unreplicated and an
+    executor loss would fail the job instead of recovering. Falls back
+    to ``localCheckpoint`` otherwise (single-JVM local mode, where
+    executor loss == driver loss and replication buys nothing).
+    Distributed deployments should call
+    ``spark.sparkContext.setCheckpointDir(...)`` at session setup.
+    """
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().checkpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()
+
+
 def tokhash_view(spark, docs, cache_key: str, tag: str = "tokhash") -> str:
     """Register (and persist) a ``(doc_id, pos, h)`` token-hash view for
     ``docs`` — the shared prefix of every shingle-based dedup operator
@@ -498,12 +517,11 @@ def tokhash_view(spark, docs, cache_key: str, tag: str = "tokhash") -> str:
             )
             .repartition(docs.sparkSession.sparkContext.defaultParallelism,
                          "doc_id")
-            # localCheckpoint, not persist: materializes under the lock
-            # AND truncates the logical plan to a LogicalRDD — every
-            # consumer query then carries a tiny plan instead of
-            # re-analyzing (and shipping) the whole derivation tree.
-            .localCheckpoint()
         )
+        # Materialized (not mere persist): truncates the logical plan to
+        # a LogicalRDD so every consumer carries a tiny plan instead of
+        # re-analyzing (and shipping) the whole derivation tree.
+        df = _materialize(df)
         df.createOrReplaceTempView(view)
         _TOKHASH_CACHE[key] = view
         return view
@@ -529,7 +547,7 @@ def minhash_pairs_view(spark, docs, cache_key: str) -> str:
         if cached is not None:
             return cached
         name = f"__mh_pairs_{abs(hash(key)) % 10**8}"
-        df = spark.sql(sql).localCheckpoint()  # eager + plan-truncating
+        df = _materialize(spark.sql(sql))  # eager + plan-truncating
         df.createOrReplaceTempView(name)
         _PAIRS_CACHE[key] = name
         return name
@@ -555,7 +573,7 @@ def simhash_view(spark, docs, cache_key: str) -> str:
         if cached is not None:
             return cached
         name = f"__simhash_{abs(hash(key)) % 10**8}"
-        df = spark.sql(sql).localCheckpoint()  # eager + plan-truncating
+        df = _materialize(spark.sql(sql))  # eager + plan-truncating
         df.createOrReplaceTempView(name)
         _SIMHASH_CACHE[key] = name
         return name
@@ -588,12 +606,11 @@ def inv_view(
         cached = _INV_CACHE.get(key)
         if cached is not None:
             return cached
-        inv_df = spark.sql(sql).localCheckpoint()  # eager + plan-truncating
+        inv_df = _materialize(spark.sql(sql))  # eager + plan-truncating
         inv_df.createOrReplaceTempView(inv_name)
-        sizes_df = (
+        sizes_df = _materialize(
             spark.table(inv_name).groupBy("doc_id").count()
             .withColumnRenamed("count", "n")
-            .localCheckpoint()
         )
         sizes_df.createOrReplaceTempView(sizes_name)
         _INV_CACHE[key] = (inv_name, sizes_name)

@@ -561,10 +561,12 @@ def centroid_assign_sql(dialect: str, table: str = "embeddings") -> str:
     label) confusion matrix.
 
     argmin ||v - c_l||² = argmax (2·v·c_l - ||c_l||²) since ||v||² is
-    constant per vector. Both terms build from exact integer sums
-    (coordinate × centroid-sum in int64; the centroid's squared norm in
-    DECIMAL(38,0) — 64 dims of ~10^18 products would overflow int64 and
-    float-accumulate nondeterministically). Each candidate's score then
+    constant per vector. Both terms build from exact integer sums:
+    every product (coordinate × centroid-sum, and centroid-sum squared)
+    casts one operand to DECIMAL(19,0) first, so the multiply widens to
+    DECIMAL(38,0) and the SUM accumulates exactly — int64 products
+    would approach 2^63 at larger label cardinalities and Spark
+    (non-ANSI) would wrap silently where DuckDB errors. Each candidate's score then
     takes exactly two divisions and one subtraction on identical
     doubles, so the argmax is deterministic on both engines (ties break
     on candidate label).
@@ -585,7 +587,7 @@ cnorm AS (
 ),
 dots AS (
   SELECT i.vec_id, i.label AS true_label, c.label AS cand,
-         CAST(SUM(i.x * c.sx) AS DOUBLE) AS dot_scaled
+         CAST(SUM(CAST(i.x AS DECIMAL(19,0)) * c.sx) AS DOUBLE) AS dot_scaled
   FROM iv i JOIN csum c ON i.dim = c.dim
   GROUP BY i.vec_id, i.label, c.label
 ),
