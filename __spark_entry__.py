@@ -1901,6 +1901,83 @@ def q102_json_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(*rec.columns, "trx_seq")
 
 
+def _jdbc_customer(spark: SparkSession, sf_dir: str) -> CuratedTable:
+    """Shared fixture: the customer CDC stream written into a live RDBMS
+    change journal (Apache Derby embedded — the one JDBC engine in the
+    Spark distribution), then ingested back through ``JdbcSource``:
+    batch 0 via the full load, batches 1..N via the high-watermark
+    incremental poll, each upsert-merged. Mirrors the reference's actual
+    entry point (RDBMS -> DMS `full-load-and-cdc`, ``README.md:11``,
+    ``templates/aws-dms-to-hudi.yaml:295``)."""
+    from aws_dms_to_hudi_spark.sources.jdbc import JdbcSource
+
+    key = (id(spark), sf_dir, "jdbc")
+    with _REPLAY_LOCK:
+        cached = _ENVELOPE_CACHE.get(key)
+        if cached is not None and cached.root.exists():
+            return cached
+        rec = cdc.RECIPES["customer"]
+        view = "__jdbc_customer_base"
+        _t(spark, sf_dir, "customer").createOrReplaceTempView(view)
+        tmp = Path(tempfile.mkdtemp(prefix="jdbc_src_"))
+        url = f"jdbc:derby:{tmp}/journal_db;create=true"
+        drv = "org.apache.derby.jdbc.EmbeddedDriver"
+
+        def land(b: int) -> None:
+            env = (
+                spark.sql(cdc.batch_sql(rec, b, src=view))
+                .withColumn(
+                    "op",
+                    F.when(F.col("_hoodie_is_deleted"), F.lit("D"))
+                    .otherwise(F.lit("I" if b == 0 else "U")),
+                )
+                .drop("_hoodie_is_deleted")
+            )
+            (
+                env.write.format("jdbc")
+                .option("url", url)
+                .option("driver", drv)
+                .option("dbtable", "journal")
+                .option(
+                    "createTableColumnTypes",
+                    "c_name VARCHAR(128), c_mktsegment VARCHAR(64), "
+                    "trx_seq VARCHAR(50), op CHAR(1)",
+                )
+                .mode("overwrite" if b == 0 else "append")
+                .save()
+            )
+
+        src = JdbcSource(
+            spark, url, "journal",
+            ordering_column="trx_seq", driver=drv, op_column="op",
+            partition_column="c_custkey", num_partitions=8,
+        )
+        cfg = TableConfig(name="jdbc_customer",
+                          record_key=list(rec.key_cols))
+        table = CuratedTable(spark, tmp / "customer", cfg)
+        land(0)
+        batch, ckpt = src.read_new(None)  # full load
+        table.bulk_insert(batch)
+        for b in range(1, cdc.N_BATCHES):
+            land(b)
+        batch, ckpt = src.read_new(ckpt)  # one poll drains all pending
+        table.upsert(batch)
+        assert src.read_new(ckpt)[0] is None  # watermark is caught up
+        _ENVELOPE_CACHE[key] = table
+        return table
+
+
+def q108_jdbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDBMS entry point (D1 upstream): full load + high-watermark
+    incremental scan over a live Derby journal through ``JdbcSource``
+    (pushed-down watermark predicate, partitioned parallel read,
+    envelope derivation on ingest) + the same merge path — must
+    converge to the replay oracle exactly like the CSV/JSON gates."""
+    rec = cdc.RECIPES["customer"]
+    table = _jdbc_customer(spark, sf_dir)
+    return table.read().select(*rec.columns, "trx_seq")
+
+
 def q103_savepoint_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D15b savepoint/restore through the driver gate: replay supplier
     fully, then roll the table BACK to the bulk-insert version — the
@@ -2410,6 +2487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q105_volume_shipping": q105_volume_shipping,
         "q106_market_share": q106_market_share,
         "q107_event_transitions": q107_event_transitions,
+        "q108_jdbc_source": q108_jdbc_source,
     }
 
 
@@ -3087,6 +3165,7 @@ def oracle_sql() -> dict[str, str]:
         "q99_label_centroids": fn_sim.label_centroids_sql("duckdb"),
         "q100_centroid_assign": fn_sim.centroid_assign_sql("duckdb"),
         "q101_csv_source": cdc.replay_sql(cdc.RECIPES["customer"]),
+        "q108_jdbc_source": cdc.replay_sql(cdc.RECIPES["customer"]),
         "q102_json_source": cdc.replay_sql(cdc.RECIPES["customer"]),
         "q103_savepoint_restore": cdc.replay_sql(
             cdc.RECIPES["supplier"], upto_batch=0
