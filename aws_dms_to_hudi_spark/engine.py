@@ -232,6 +232,17 @@ class Engine:
         )
         return CuratedTable(self.spark, entry["path"], cfg)
 
+    def table(self, table_name: str) -> CuratedTable | None:
+        """Public curated-table handle (catalog metastore sync, tooling)."""
+        return self._curated(table_name)
+
+    def sync_metastore(self, database: str = "default") -> list[str]:
+        """Register every curated table in Spark's metastore (D16) — the
+        post-run Hive-sync sweep (handler.py:78-80,118). Requires a
+        hive-backed session (get_spark(hive_support=True)) for the
+        registrations to survive restarts; see Catalog.sync_metastore."""
+        return self.catalog.sync_metastore_all(self.spark, self, database)
+
     def read_table(self, table_name: str) -> DataFrame | None:
         t = self._curated(table_name)
         return t.read() if t else None

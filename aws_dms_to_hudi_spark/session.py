@@ -47,11 +47,19 @@ def get_spark(
     app_name: str = "aws_dms_to_hudi_spark",
     master: str | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive_support: bool = False,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with engine defaults.
 
     ``extra_conf`` mirrors the reference's per-pipeline ``spark_conf``
     passthrough (handler.py:134-136) — caller-supplied keys win.
+
+    ``hive_support`` backs the catalog with the persistent (Derby)
+    metastore so ``Catalog.sync_metastore`` registrations survive cold
+    restarts — the local stand-in for the reference's Glue catalog
+    (``emr1.json:79-101``). Off by default: the JSON catalog + temp
+    views need no metastore, and a per-JVM Derby lock dir is created
+    when enabled.
     """
     # Python workers (pandas UDFs / mapInPandas) must be able to import
     # this package no matter the driver's cwd: export the repo root on
@@ -74,6 +82,8 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
+    if hive_support:
+        builder = builder.enableHiveSupport()
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
