@@ -1967,6 +1967,43 @@ def _jdbc_customer(spark: SparkSession, sf_dir: str) -> CuratedTable:
         return table
 
 
+_KRANGE_CACHE: dict[tuple[int, str], CuratedTable] = {}
+
+
+def q109_key_range_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-range file groups through the driver gate (beyond-reference;
+    Hudi file-group + column-stats pruning analog, ``storage.py``
+    RANGE_COL): replay the orders CDC stream into a plain table split
+    into range groups with manifest-frozen cut points, so each upsert
+    rewrote only the groups its keys fall into (pruning itself is
+    asserted in tests/test_key_range_pruning.py; this gate pins that the
+    pruned layout is content-neutral — state still hash-matches the full
+    replay oracle)."""
+    rec = cdc.RECIPES["orders"]
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        table = _KRANGE_CACHE.get(key)
+        if table is None or not table.root.exists():
+            _t(spark, sf_dir, "orders").createOrReplaceTempView(
+                "__krange_orders"
+            )
+            cfg = TableConfig(
+                name="orders_krange",
+                record_key=list(rec.key_cols),
+                key_range_groups=8,
+            )
+            tmp = Path(tempfile.mkdtemp(prefix="krange_orders_"))
+            table = CuratedTable(spark, tmp / "orders", cfg)
+            for b in range(cdc.N_BATCHES):
+                batch = spark.sql(
+                    cdc.batch_sql(rec, b, src="__krange_orders")
+                )
+                table.bulk_insert(batch) if b == 0 else table.upsert(batch)
+            assert table.latest_commit().key_bounds  # groups materialized
+            _KRANGE_CACHE[key] = table
+    return table.read().select(*rec.columns, "trx_seq")
+
+
 def q108_jdbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDBMS entry point (D1 upstream): full load + high-watermark
     incremental scan over a live Derby journal through ``JdbcSource``
@@ -2390,7 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return int(n.split("_", 1)[0].lstrip("q"))
 
     lead = (
-        ["q108_jdbc_source"]
+        [n for n in base if num(n) >= 108]
         + [n for n in base if 92 <= num(n) <= 107]
         + [n for n in base if 50 <= num(n) <= 91]
     )
@@ -2509,6 +2546,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_market_share": q106_market_share,
         "q107_event_transitions": q107_event_transitions,
         "q108_jdbc_source": q108_jdbc_source,
+        "q109_key_range_groups": q109_key_range_groups,
     }
 
 
@@ -3187,6 +3225,7 @@ def oracle_sql() -> dict[str, str]:
         "q100_centroid_assign": fn_sim.centroid_assign_sql("duckdb"),
         "q101_csv_source": cdc.replay_sql(cdc.RECIPES["customer"]),
         "q108_jdbc_source": cdc.replay_sql(cdc.RECIPES["customer"]),
+        "q109_key_range_groups": cdc.replay_sql(cdc.RECIPES["orders"]),
         "q102_json_source": cdc.replay_sql(cdc.RECIPES["customer"]),
         "q103_savepoint_restore": cdc.replay_sql(
             cdc.RECIPES["supplier"], upto_batch=0

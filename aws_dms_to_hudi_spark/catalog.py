@@ -108,6 +108,12 @@ class Catalog:
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
         spark.sql(f"DROP TABLE IF EXISTS {qname}")
         if pcol is None:
+            if "" not in commit.data:
+                # bucket-index / key-range-group layouts spread state over
+                # internal-column dirs possibly spanning versions — no
+                # single LOCATION expresses that; cluster() consolidates
+                # before a metastore projection is meaningful.
+                return None
             loc = (t.root / commit.data[""]).resolve()
             spark.sql(
                 f"CREATE TABLE {qname} ({cols}) USING PARQUET "

@@ -56,6 +56,13 @@ class TableConfig:
     # buckets instead of the whole table. For non-partitioned tables only
     # (a partitioned table already prunes by partition).
     num_buckets: int | None = None
+    # Key-range file groups (beyond-reference; Hudi file-group + column-
+    # stats pruning analog): range-partition the FIRST record-key column
+    # into N groups whose boundaries freeze at bulk-insert and live in the
+    # commit manifest, so a narrow-key upsert rewrites only the groups its
+    # keys fall into. Alternative to num_buckets (range locality instead
+    # of hash spread); non-partitioned tables only.
+    key_range_groups: int | None = None
 
     def __post_init__(self) -> None:
         if not self.record_key:
@@ -72,6 +79,16 @@ class TableConfig:
                 )
             if int(self.num_buckets) < 1:
                 raise ValueError(f"table {self.name}: num_buckets must be >= 1")
+        if self.key_range_groups is not None:
+            if self.is_partitioned or self.num_buckets is not None:
+                raise ValueError(
+                    f"table {self.name}: key_range_groups only applies to "
+                    "non-partitioned, non-bucketed tables"
+                )
+            if int(self.key_range_groups) < 1:
+                raise ValueError(
+                    f"table {self.name}: key_range_groups must be >= 1"
+                )
         if self.table_type not in (COPY_ON_WRITE, MERGE_ON_READ):
             raise ValueError(
                 f"table {self.name}: unsupported table_type {self.table_type}"
@@ -101,6 +118,10 @@ class TableConfig:
             op=hudi.get("op"),
             num_buckets=(
                 int(hudi["num_buckets"]) if "num_buckets" in hudi else None
+            ),
+            key_range_groups=(
+                int(hudi["key_range_groups"])
+                if "key_range_groups" in hudi else None
             ),
         )
 

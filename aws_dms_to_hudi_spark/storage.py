@@ -76,6 +76,11 @@ class Commit:
     # batch incl. tombstones) — the Hudi CDC/incremental-query analog.
     # Empty for table services (compaction/clustering), which change no rows.
     changelog: list[str] = field(default_factory=list)
+    # Key-range file groups only: the frozen range cut points of the first
+    # record-key column (len = groups-1) — the manifest's column-stats
+    # analog that key-range pruning reads. Carried forward verbatim by
+    # every later commit (assignment must stay stable across upserts).
+    key_bounds: list[Any] | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -87,6 +92,7 @@ class Commit:
                 "checkpoint": self.checkpoint,
                 "parent": self.parent,
                 "changelog": self.changelog,
+                "key_bounds": self.key_bounds,
             },
             indent=1,
         )
@@ -102,10 +108,12 @@ class Commit:
             checkpoint=d.get("checkpoint", {}),
             parent=d.get("parent"),
             changelog=d.get("changelog", []),
+            key_bounds=d.get("key_bounds"),
         )
 
 
 BUCKET_COL = "__bucket"
+RANGE_COL = "__krange"
 
 
 class CuratedTable:
@@ -131,6 +139,8 @@ class CuratedTable:
             return cfg.partition_path
         if cfg.num_buckets:
             return BUCKET_COL
+        if cfg.key_range_groups:
+            return RANGE_COL
         return None
 
     def _bucketize(self, df: DataFrame) -> DataFrame:
@@ -138,6 +148,12 @@ class CuratedTable:
         A key's bucket never changes, so existing rows (bucket read back
         from the dir name) and incoming rows (computed here) agree."""
         cfg = self.config
+        if cfg.key_range_groups:
+            if RANGE_COL in df.columns:
+                return df
+            return df.withColumn(
+                RANGE_COL, self._range_group_expr(self._key_bounds(df))
+            )
         if not cfg.num_buckets or BUCKET_COL in df.columns:
             return df
         return df.withColumn(
@@ -146,6 +162,47 @@ class CuratedTable:
                 "int"
             ),
         )
+
+    def _key_bounds(self, df: DataFrame) -> list:
+        """Range-group cut points: from the manifest once frozen, else
+        (first bulk insert) an equi-depth percentile sketch of the first
+        record-key column over the incoming batch."""
+        prev = self.latest_commit()
+        if prev is not None and prev.key_bounds is not None:
+            return prev.key_bounds
+        g = int(self.config.key_range_groups)
+        kcol = self.config.record_key[0]
+        qs = [i / g for i in range(1, g)]
+        row = df.select(
+            F.percentile_approx(F.col(kcol), qs, 1_000).alias("c")
+        ).first()
+        cuts = sorted({c for c in (row["c"] or []) if c is not None})
+        self._computed_bounds = cuts
+        return cuts
+
+    def _range_group_expr(self, cuts: list):
+        """#{cut : key > cut} — monotone; equal keys share a group, so a
+        batch key always lands in the group holding its existing row."""
+        kcol = F.col(self.config.record_key[0])
+        if not cuts:
+            return F.lit(0)
+        arr = F.array(*[F.lit(c) for c in cuts])
+        n_below = F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, c: acc + F.when(kcol > c, F.lit(1)).otherwise(F.lit(0)),
+        )
+        return F.when(kcol.isNull(), F.lit(0)).otherwise(n_below)
+
+    def _commit_key_bounds(self) -> list | None:
+        """key_bounds for a NEW commit: frozen manifest value, else the
+        cuts computed by this very write (bulk insert)."""
+        if not self.config.key_range_groups:
+            return None
+        prev = self.latest_commit()
+        if prev is not None and prev.key_bounds is not None:
+            return prev.key_bounds
+        return getattr(self, "_computed_bounds", None)
 
     # ---------- timeline ----------
 
@@ -192,8 +249,10 @@ class CuratedTable:
                 self.config.record_key,
                 self.config.source_ordering_field,
             )
-        if self.config.num_buckets and base is not None:
-            base = base.drop(BUCKET_COL)  # internal layout detail
+        if base is not None and (
+            self.config.num_buckets or self.config.key_range_groups
+        ):
+            base = base.drop(BUCKET_COL, RANGE_COL)  # internal layout detail
         return base
 
     def read_incremental(
@@ -230,8 +289,8 @@ class CuratedTable:
             from aws_dms_to_hudi_spark.operators.merge import apply_deletes
 
             df = apply_deletes(df)
-        if BUCKET_COL in df.columns:
-            df = df.drop(BUCKET_COL)
+        if BUCKET_COL in df.columns or RANGE_COL in df.columns:
+            df = df.drop(BUCKET_COL, RANGE_COL)
         return df
 
     def _commit_at(self, version: int | None) -> Commit | None:
@@ -310,6 +369,7 @@ class CuratedTable:
             # the initial load IS its own change set; reference the data
             # dirs rather than writing the batch twice
             changelog=list(data.values()),
+            key_bounds=self._commit_key_bounds(),
         )
         self._write_commit(commit)
         return commit
@@ -392,6 +452,7 @@ class CuratedTable:
             checkpoint=checkpoint or {},
             parent=prev.version,
             changelog=[cldir],
+            key_bounds=self._commit_key_bounds(),
         )
         self._write_commit(commit)
         return commit
@@ -417,6 +478,7 @@ class CuratedTable:
             parent=prev.version,
             # the delta log is already the precombined change set; reuse it
             changelog=[ddir],
+            key_bounds=self._commit_key_bounds(),
         )
         self._write_commit(commit)
         return commit
@@ -455,6 +517,7 @@ class CuratedTable:
             deltas=[],
             checkpoint=prev.checkpoint,
             parent=prev.version,
+            key_bounds=self._commit_key_bounds(),
         )
         self._write_commit(commit)
         return commit
@@ -564,6 +627,7 @@ class CuratedTable:
             deltas=list(prev.deltas),
             checkpoint=prev.checkpoint,
             parent=prev.version,
+            key_bounds=self._commit_key_bounds(),
         )
         self._write_commit(commit)
         return commit
@@ -593,6 +657,7 @@ class CuratedTable:
             checkpoint=dict(target.checkpoint),
             parent=prev.version if prev else None,
             changelog=[],
+            key_bounds=self._commit_key_bounds(),
         )
         self._write_commit(commit)
         return commit
