@@ -69,6 +69,65 @@ def salted_join(
     ).drop(SALT_COL)
 
 
+def profile_salt_factor(
+    df: DataFrame,
+    on: list[str],
+    max_salts: int = 64,
+    sample_fraction: float | None = None,
+) -> int:
+    """Derive the salt count from the MEASURED key distribution instead
+    of a constant (the q89 skew-profiler feeding the salted join).
+
+    The hot key's excess over a fair shuffle share is exactly how many
+    partitions its rows must spread across::
+
+        num_salts = ceil(max_key_count / (total_rows / shuffle_partitions))
+
+    clamped to [1, max_salts]. 1 means no key exceeds a fair share — the
+    caller should use a plain join (AQE handles mild residual skew).
+
+    Cost: one map-side-combinable aggregate over ``df`` (the same shape
+    as q89's profiler); pass ``sample_fraction`` to profile a uniform
+    sample at very large inputs — the estimate only steers partition
+    spread, never correctness.
+    """
+    if sample_fraction is not None:
+        df = df.sample(fraction=sample_fraction, seed=7)
+    row = (
+        df.groupBy(*on).agg(F.count("*").alias("__c"))
+        .agg(F.max("__c").alias("mx"), F.sum("__c").alias("tot"))
+        .first()
+    )
+    if row is None or not row["tot"]:
+        return 1
+    parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    fair = max(1.0, float(row["tot"]) / max(1, parts))
+    import math
+
+    return max(1, min(max_salts, math.ceil(float(row["mx"]) / fair)))
+
+
+def auto_salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    max_salts: int = 64,
+    sample_fraction: float | None = None,
+) -> tuple[DataFrame, int]:
+    """Measure, then salt only as much as the data demands: profile the
+    probe side's key distribution, pick the salt factor, and emit either
+    the plain join (factor 1 — no replication cost) or the salted join.
+    Returns ``(joined, num_salts)`` so callers/tests can see the chosen
+    factor."""
+    n = profile_salt_factor(
+        probe, on, max_salts=max_salts, sample_fraction=sample_fraction
+    )
+    if n <= 1:
+        return probe.join(build, on, how), 1
+    return salted_join(probe, build, on, num_salts=n, how=how), n
+
+
 def two_stage_aggregate(
     df: DataFrame,
     keys: list[str],

@@ -82,3 +82,36 @@ def test_salt_spreads_hot_key(skewed):
         .count()
     )
     assert buckets > 4
+
+
+def test_profile_salt_factor_tracks_skew(spark, skewed):
+    from aws_dms_to_hudi_spark.operators.skew import profile_salt_factor
+
+    # 90% of 20k rows on one key, 8 shuffle partitions (conftest):
+    # hot key ≈ 18k rows vs fair share 2.5k -> factor ≈ 8
+    hot = profile_salt_factor(skewed, ["k"])
+    assert hot > 1
+
+    uniform = spark.range(20_000).select((F.col("id") % 1000).alias("k"))
+    assert profile_salt_factor(uniform, ["k"]) == 1
+
+    # more skew -> bigger factor (monotone in the measured distribution)
+    extreme = spark.range(20_000).select(F.lit(0).alias("k"))
+    assert profile_salt_factor(extreme, ["k"]) >= hot
+
+
+def test_auto_salted_join_plans_by_distribution(spark, skewed, dim):
+    from aws_dms_to_hudi_spark.operators.skew import auto_salted_join
+
+    joined, n = auto_salted_join(skewed, dim, ["k"])
+    assert n > 1  # measured skew -> salted
+    plain = skewed.join(dim, ["k"]).groupBy("k", "name").count()
+    via_auto = joined.groupBy("k", "name").count()
+    assert {tuple(r) for r in via_auto.collect()} == {
+        tuple(r) for r in plain.collect()
+    }
+
+    uniform = spark.range(1000).select((F.col("id") % 500).alias("k"))
+    joined_u, n_u = auto_salted_join(uniform, dim, ["k"])
+    assert n_u == 1  # uniform keys -> plain join, no replication
+    assert "Generate" not in joined_u._jdf.queryExecution().executedPlan().toString()
