@@ -6,11 +6,14 @@ beside them; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas functions over ``mapInPandas`` so the heavy
 per-item work stays columnar-batched and embarrassingly parallel.
 
-The decode step itself is a STUB in this container (no PIL/ffmpeg):
-:func:`decode_media` raises ``NotImplementedError`` for real codecs and
-provides a deterministic fake for ``fmt='raw'`` — the Spark-side
-plumbing (schema, batching, partitioning, UDF signature) is real and
-oracle-tested; only the codec call is swapped out.
+Codecs: ``fmt='png'`` is REAL — a minimal pure-python decoder
+(:func:`decode_png`: chunk walk, IDAT inflate, all five scanline
+filters) runs inside the Arrow batches, byte-tested against hand-built
+PNGs. ``fmt='raw'`` is the deterministic fake the cross-engine oracle
+gates use (DuckDB can't inflate PNGs, so parity queries stay on the
+arithmetic path). jpeg/wav/mp4 raise ``NotImplementedError`` — they
+need libraries not present in this container; the Spark-side plumbing
+(schema, batching, partitioning, UDF signature) is shared either way.
 
 Scale notes (100 TB of media):
 
@@ -50,14 +53,110 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # greyscale / RGB / G+A / RGBA
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL (pure-python) PNG decode: chunk walk, IHDR parse, IDAT
+    zlib-inflate, scanline unfilter (all five PNG filter types).
+
+    Supports the common non-interlaced 8-bit color types; production
+    swaps this for PIL/libpng, which also cover palette/16-bit/interlace
+    — the Spark-side contract (bytes in, pixel array + dims out) is
+    identical either way. Returns ``{width, height, channels, pixels}``
+    with ``pixels`` a row-major ``numpy.uint8`` array.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+                raise NotImplementedError(
+                    f"PNG depth={depth} color={color} interlace={interlace}"
+                    " is outside the minimal decoder; use PIL in production"
+                )
+            ch = _PNG_CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("not a PNG: missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = ch  # bytes per pixel at depth 8
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # up
+            cur = (line + prev) & 0xFF
+        else:  # sub / average / paeth need the in-row running values
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                elif ftype == 4:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c)
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+                cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "channels": int(ch),
+        "pixels": out.reshape(-1),
+    }
+
+
 def decode_media(payload: bytes, fmt: str) -> dict:
     """Decode one media payload → feature dict.
 
-    STUB: real codecs (jpeg/png/wav/mp4) are unavailable in this
-    container; ``fmt='raw'`` uses a deterministic fake decode so the
-    distributed plumbing is fully testable. The fake derives pseudo
-    width/height from the byte content — stable across engines.
+    ``fmt='png'`` runs the REAL pure-python PNG decoder above (checksum
+    comes from decoded PIXELS, proving actual decode). ``fmt='raw'``
+    keeps the deterministic fake used by the cross-engine oracle gates
+    (a DuckDB oracle cannot inflate PNGs, so parity queries stay on the
+    arithmetic path). Other codecs (jpeg/wav/mp4) still raise — they
+    need libraries not present in this container.
     """
+    if fmt == "png":
+        d = decode_png(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": int(d["pixels"][:CHECKSUM_PREFIX].sum() % 256),
+            "width": d["width"],
+            "height": d["height"],
+        }
     if fmt != "raw":
         raise NotImplementedError(
             f"codec {fmt!r} needs an image/audio library not present here; "
