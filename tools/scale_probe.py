@@ -13,9 +13,16 @@ constant as the corpus grows, which is what a real 10x crawl looks like.
 Cloning text verbatim would instead create 10-doc clone cliques and
 measure an artificial O(dups^2) blowup no real corpus has.
 
-The CDC replay fixtures (q07/q15/q56/...) are excluded: their
-deterministic trx_seq assignment is a single global window BY DESIGN
-(cdc.py docstring) — a fixture-generation cost, not an engine path.
+The CDC replay fixtures are INCLUDED since the r3 restripe: trx_seq
+assignment now runs as a bucketed parallel window (cdc.py `_src_cte`),
+so fixture generation scales with the engine instead of
+single-partitioning.
+
+``python tools/scale_probe.py ann`` probes the dedup/ANN family's scale
+knob instead of wall-clock: it grows the vector corpus 1x -> 4x -> 16x
+and measures LSH candidate volume with the DEFAULT plane count vs the
+documented scale rule (planes += log2(growth), similarity.py:38-42),
+writing per-operator growth exponents to tools/scale_probe_ann.json.
 
 Last measured (local[32], 2026-08): 10x data -> 2.3x total wall-clock
 across 24 representative queries; worst single query 7.1x (q19, the
@@ -43,6 +50,8 @@ PROBE_QUERIES = [
     "q45_local_supplier_volume", "q58_curation_pipeline", "q64_salted_join",
     "q77_dup_groups", "q80_decontamination", "q89_skew_profile",
     "q90_vocab_encode", "q97_waiting_suppliers",
+    # CDC family — includable since the r3 fixture restripe
+    "q06_cdc_precombine", "q07_cdc_merge_replay", "q13_transformer",
 ]
 
 VOW = "aeiou"
@@ -133,9 +142,102 @@ def run(spark) -> None:
     print(f"{'TOTAL':32s} {tot1:7.2f} {tot10:7.2f} {tot10 / tot1:6.1f}x")
 
 
+def ann(spark) -> None:
+    """Candidate-volume probe for the LSH family's plane-count knob.
+
+    For corpus growth g in {1, 4, 16}: bucketize with (a) the default
+    PLANES_PER_TABLE and (b) default + log2(g) planes, then count
+    - self-join candidate pairs  sum_b C(cnt_b, 2)   (near-dup shape)
+    - expected per-query candidates  sum_b cnt_b^2 / N (ANN probe shape)
+    straight from the bucket histogram (no pair materialization). The
+    scale rule holds iff the (b) row stays ~flat per unit of corpus.
+    """
+    import json
+    import math
+    import random as _random
+
+    base = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    n0 = base.count()
+    from aws_dms_to_hudi_spark.functions import similarity as sim
+
+    def grown(g):
+        parts = []
+        for k in range(g):
+            df = base.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10_000_000))
+            if k:
+                df = df.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, i: (x + F.lit(k * 0.003)
+                                      * (i % 7 == 0).cast("int")).cast("float")))
+            parts.append(df)
+        u = parts[0]
+        for pt in parts[1:]:
+            u = u.unionByName(pt)
+        return u
+
+    def planes(p):
+        rng = _random.Random(7)
+        return [
+            [[round(rng.random() - 0.5, 4) for _ in range(sim.DIM)]
+             for _ in range(p)]
+            for _ in range(sim.NUM_TABLES)
+        ]
+
+    def cand_stats(df, hp):
+        sel = " UNION ALL ".join(
+            f"SELECT {t} AS tbl, "
+            + sim.bucket_expr("embedding", t, "spark", hp)
+            + " AS bucket FROM __probe_emb"
+            for t in range(sim.NUM_TABLES)
+        )
+        df.createOrReplaceTempView("__probe_emb")
+        hist = spark.sql(
+            f"SELECT tbl, bucket, COUNT(*) AS c FROM ({sel}) GROUP BY tbl, bucket"
+        )
+        row = hist.selectExpr(
+            "CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS pairs",
+            "CAST(SUM(c * c) AS DOUBLE) AS sumsq",
+            "CAST(SUM(c) AS DOUBLE) AS n",
+        ).first()
+        return int(row["pairs"]), row["sumsq"] / row["n"]
+
+    out = {"n_base": n0, "tables": sim.NUM_TABLES,
+           "planes_default": sim.PLANES_PER_TABLE, "rows": []}
+    for g in (1, 4, 16):
+        df = grown(g)
+        p_def = sim.PLANES_PER_TABLE
+        p_scaled = p_def + int(math.log2(g))
+        pairs_d, per_q_d = cand_stats(df, planes(p_def))
+        pairs_s, per_q_s = cand_stats(df, planes(p_scaled))
+        out["rows"].append({
+            "growth": g, "n_vecs": n0 * g,
+            "planes_default": {"planes": p_def, "selfjoin_pairs": pairs_d,
+                               "per_query_cands": round(per_q_d, 1)},
+            "planes_scaled": {"planes": p_scaled, "selfjoin_pairs": pairs_s,
+                              "per_query_cands": round(per_q_s, 1)},
+        })
+        print(f"g={g:2d} n={n0*g:6d} default p={p_def}: pairs={pairs_d} "
+              f"perq={per_q_d:.1f} | scaled p={p_scaled}: pairs={pairs_s} "
+              f"perq={per_q_s:.1f}")
+    r = out["rows"]
+    # exponents: log-slope of candidate volume vs corpus growth, 1x->16x
+    for key in ("planes_default", "planes_scaled"):
+        a, b = r[0][key]["selfjoin_pairs"], r[-1][key]["selfjoin_pairs"]
+        out[f"exponent_{key}"] = round(
+            math.log(max(b, 1) / max(a, 1)) / math.log(16), 2)
+    import pathlib
+    dest = pathlib.Path(__file__).parent / "scale_probe_ann.json"
+    dest.write_text(json.dumps(out, indent=1))
+    print("exponents:", out["exponent_planes_default"],
+          "(default) vs", out["exponent_planes_scaled"], "(scaled rule)",
+          "-> wrote", dest)
+
+
 if __name__ == "__main__":
     from aws_dms_to_hudi_spark.session import get_spark
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "run"
     s = get_spark("scale-probe")
-    (gen if mode == "gen" else run)(s)
+    {"gen": gen, "run": run, "ann": ann}[mode](s)
