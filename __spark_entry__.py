@@ -1069,6 +1069,41 @@ def q64_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q110_auto_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven salting (operators/skew.py): profile the probe side's
+    key distribution, derive the salt factor from the hot key's excess
+    over a fair shuffle share, and plan plain-vs-salted from the
+    MEASUREMENT instead of a constant. On a deliberately skewed probe
+    (every lineitem key folded onto a handful of hot keys) the profiler
+    must pick salting — and the result multiset must still equal the
+    plain equi-join, which is what the oracle replays."""
+    from aws_dms_to_hudi_spark.operators.skew import auto_salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        # fold orderkeys onto 4 hot join keys: each carries ~25% of all
+        # rows, several fair shuffle shares at every test SF
+        (F.col("l_orderkey") % 4).alias("hot_key"),
+        "l_extendedprice", "l_discount",
+    )
+    dim = spark.range(4).select(
+        F.col("id").alias("hot_key"),
+        F.concat(F.lit("seg_"), F.col("id")).alias("segment"),
+    )
+    joined, n_salts = auto_salted_join(li, dim, on=["hot_key"])
+    assert n_salts > 1  # measured skew must actually trigger salting
+    return (
+        joined.groupBy("segment")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "revenue",
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("segment")
+    )
+
+
 def q65_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary resize plumbing: payloads through the Arrow-batched
     stride-decimation op; only the oracle-replayable projections are
@@ -2547,6 +2582,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_event_transitions": q107_event_transitions,
         "q108_jdbc_source": q108_jdbc_source,
         "q109_key_range_groups": q109_key_range_groups,
+        "q110_auto_salted_join": q110_auto_salted_join,
     }
 
 
@@ -3226,6 +3262,18 @@ def oracle_sql() -> dict[str, str]:
         "q101_csv_source": cdc.replay_sql(cdc.RECIPES["customer"]),
         "q108_jdbc_source": cdc.replay_sql(cdc.RECIPES["customer"]),
         "q109_key_range_groups": cdc.replay_sql(cdc.RECIPES["orders"]),
+        "q110_auto_salted_join": (
+            "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
+            "l_extendedprice, l_discount FROM lineitem), "
+            "dim AS (SELECT i AS hot_key, 'seg_' || CAST(i AS VARCHAR) "
+            "AS segment FROM range(4) t(i)) "
+            "SELECT segment, "
+            "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) "
+            "AS DECIMAL(18,4))) AS DOUBLE) AS revenue, "
+            "COUNT(*) AS n_items "
+            "FROM hot JOIN dim USING (hot_key) "
+            "GROUP BY segment ORDER BY segment"
+        ),
         "q102_json_source": cdc.replay_sql(cdc.RECIPES["customer"]),
         "q103_savepoint_restore": cdc.replay_sql(
             cdc.RECIPES["supplier"], upto_batch=0
