@@ -147,38 +147,37 @@ def _src_cte(recipe: CdcRecipe, t: str) -> str:
     range-partitioned rank, expressed as one SQL text both engines run
     identically:
 
-    1. bucket each row by an order-preserving equi-width split of the
-       first sort column (the integer record key — monotone bucketing, so
-       ties share a bucket and cross-bucket order == key order);
+    1. bucket each row by the first sort column (the integer record key)
+       MODULO ``_N_RID_BUCKETS`` — a pure deterministic expression both
+       engines evaluate identically, uniform under ANY integer key
+       distribution (dense, banded, clustered), no data statistics
+       needed;
     2. ``__rid = bucket * 10^9 + row_number() PARTITION BY bucket`` —
        each window partition is one bucket, so Spark sorts 256 slices in
        parallel and DuckDB computes the same value.
 
-    ``__rid`` is unique and strictly order-monotone but NOT dense: the
-    per-bucket offset is the arithmetic stride ``_RID_STRIDE`` rather
-    than a prefix sum of bucket counts, which saves two aggregate jobs
-    per fixture build. Capacity: 256 buckets × 10^9 stride = 2.56e11 max,
-    which stays under the per-batch sequence block (10^12) even after
-    batch 1's second-change offset (+5e11) — string order == change
-    order is preserved, and q96's batch-digit probe (digit 38 == the
-    10^12 block digit) still isolates the batch id. A bucket overflowing
-    10^9 rows would collide; fixture tables are orders of magnitude
-    below that. Assumes the first recipe column is a numeric (integer)
-    key, true of all fixture recipes; NULL keys pin to bucket 0,
-    matching NULLS FIRST.
+    ``__rid`` is unique and deterministic but NOT globally order-monotone
+    — which nothing requires: ``trx_seq`` ordering is only ever compared
+    WITHIN a record key (precombine max), and cross-batch order comes
+    from the per-batch sequence blocks (b·10^12), not from ``__rid``.
+    Capacity: 256 buckets × 10^9 stride = 2.56e11 max, under the batch
+    block even after batch 1's second-change offset (+5e11), and q96's
+    batch-digit probe (digit 38 == the 10^12 block digit) still isolates
+    the batch id. A bucket overflowing 10^9 rows would collide; fixture
+    tables are orders of magnitude below that. Assumes the first recipe
+    column is integral (true of all fixture recipes); NULL keys pin to
+    bucket 0, matching NULLS FIRST.
     """
     c1 = recipe.columns[0]
     order = ", ".join(f"{c} NULLS FIRST" for c in recipe.columns)
     nb = _N_RID_BUCKETS
     bucket = (
-        f"CASE WHEN {c1} IS NULL THEN 0 ELSE CAST(least({nb - 1}.0, "
-        f"greatest(0.0, floor((CAST({c1} AS DOUBLE) * {nb}.0) / "
-        f"(CAST(__mx AS DOUBLE) + 1.0)))) AS INT) END"
+        f"CASE WHEN {c1} IS NULL THEN 0 "
+        f"ELSE CAST(abs(CAST({c1} AS BIGINT)) % {nb} AS INT) END"
     )
     return (
-        f"WITH __agg AS (SELECT COALESCE(MAX({c1}), 0) AS __mx FROM {t}), "
-        f"__bkt AS (SELECT __base.*, {bucket} AS __b "
-        f"FROM {t} AS __base, __agg), "
+        f"WITH __bkt AS (SELECT __base.*, {bucket} AS __b "
+        f"FROM {t} AS __base), "
         f"src AS (SELECT __bkt.*, CAST(__b AS BIGINT) * {_RID_STRIDE} "
         f"+ row_number() OVER ("
         f"PARTITION BY __b ORDER BY {order}) AS __rid FROM __bkt)"

@@ -81,6 +81,7 @@ SMALL_OUTPUT = {
     "q99_label_centroids",
     "q100_centroid_assign",
     "q105_volume_shipping",
+    "q110_auto_salted_join",
     "q106_market_share",
     "q107_event_transitions",
 }

@@ -24,10 +24,11 @@ and measures LSH candidate volume with the DEFAULT plane count vs the
 documented scale rule (planes += log2(growth), similarity.py:38-42),
 writing per-operator growth exponents to tools/scale_probe_ann.json.
 
-Last measured (local[32], 2026-08): 10x data -> 2.3x total wall-clock
-across 24 representative queries; worst single query 7.1x (q19, the
-shingle-index build — linear in corpus size); scans/aggs/joins 1.0-1.2x
-(fixed overhead amortizes), LSH/correlated families 1.8-4.1x.
+Last measured (local[32], 2026-08, r3): 10x data -> ~2.6x total
+wall-clock across 27 queries incl. the CDC family (now modulo-bucketed,
+q06 1.0x / q07 0.7x / q13 2.3x / q15 3.1x at 10x); worst query ~7x (q19
+shingle-index build — linear in corpus size); results in
+tools/scale_probe_results.json.
 """
 
 from __future__ import annotations
@@ -133,13 +134,23 @@ def run(spark) -> None:
 
     print(f"{'query':32s} {'sf0.1':>7s} {'10x':>7s} {'ratio':>6s}")
     tot1 = tot10 = 0.0
+    rows = {}
     for name in PROBE_QUERIES:
         a = one(name, SRC)
         b = one(name, OUT)
         tot1 += a
         tot10 += b
+        rows[name] = {"sf0_1": round(a, 2), "x10": round(b, 2),
+                      "ratio": round(b / max(a, 0.01), 1)}
         print(f"{name:32s} {a:7.2f} {b:7.2f} {b / max(a, 0.01):6.1f}x")
     print(f"{'TOTAL':32s} {tot1:7.2f} {tot10:7.2f} {tot10 / tot1:6.1f}x")
+    import json
+    import pathlib
+    dest = pathlib.Path(__file__).parent / "scale_probe_results.json"
+    dest.write_text(json.dumps(
+        {"total_sf0_1": round(tot1, 2), "total_x10": round(tot10, 2),
+         "total_ratio": round(tot10 / tot1, 2), "queries": rows}, indent=1))
+    print("wrote", dest)
 
 
 def ann(spark) -> None:
