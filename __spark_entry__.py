@@ -2002,6 +2002,110 @@ def _jdbc_customer(spark: SparkSession, sf_dir: str) -> CuratedTable:
         return table
 
 
+def _large_volume_customers_sql(
+    customer: str = "customer",
+    orders: str = "orders",
+    lineitem: str = "lineitem",
+    min_qty: int = 150,
+) -> str:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds
+    ``min_qty`` (HAVING over a per-order aggregate feeding an IN
+    semi-join), joined back to the customer. Identical text on both
+    engines; Spark plans the IN as a left-semi hash join with the
+    aggregate on the build side."""
+    return f"""
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+FROM {customer} c
+JOIN {orders} o ON c.c_custkey = o.o_custkey
+JOIN {lineitem} l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM {lineitem}
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > {min_qty})
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 100
+"""
+
+
+def _order_priority_sql(
+    orders: str = "orders",
+    lineitem: str = "lineitem",
+    late_days: int = 90,
+) -> str:
+    """TPC-H Q4 shape (adapted: 'late' = any lineitem shipped more than
+    ``late_days`` after the order date): order counts per priority over
+    a quarter, EXISTS-gated — the classic decorrelated-EXISTS plan."""
+    return f"""
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM {orders} o
+WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM {lineitem} l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL '{late_days}' DAY)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+def _promo_revenue_sql(
+    lineitem: str = "lineitem",
+    part: str = "part",
+) -> str:
+    """TPC-H Q14 shape: monthly promo-revenue share — a CASE'd decimal
+    sum over lineitem ⋈ part divided by the total, per month. Exact
+    DECIMAL accumulation on both engines, one broadcast-able dim join."""
+    rev = "CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))"
+    return f"""
+SELECT YEAR(l.l_shipdate) AS ship_year, MONTH(l.l_shipdate) AS ship_month,
+       CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO' THEN {rev}
+                             ELSE CAST(0 AS DECIMAL(18,4)) END)
+            / SUM({rev}) AS DOUBLE) AS promo_share,
+       CAST(SUM({rev}) AS DOUBLE) AS total_revenue
+FROM {lineitem} l JOIN {part} p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY YEAR(l.l_shipdate), MONTH(l.l_shipdate)
+ORDER BY ship_year, ship_month
+"""
+
+
+def q111_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape through the engine's SQL surface (D10)."""
+    c = _view(spark, sf_dir, "customer", "q111")
+    o = _view(spark, sf_dir, "orders", "q111")
+    li = _view(spark, sf_dir, "lineitem", "q111")
+    return spark.sql(_large_volume_customers_sql(c, o, li))
+
+
+def q112_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape through the engine's SQL surface (D10)."""
+    o = _view(spark, sf_dir, "orders", "q112")
+    li = _view(spark, sf_dir, "lineitem", "q112")
+    return spark.sql(_order_priority_sql(o, li))
+
+
+def q113_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape through the engine's SQL surface (D10)."""
+    li = _view(spark, sf_dir, "lineitem", "q113")
+    p = _view(spark, sf_dir, "part", "q113")
+    return spark.sql(_promo_revenue_sql(li, p))
+
+
+def q114_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (Gopher duplicate-3-gram
+    heuristic) over the shared cached token-hash relation: per-doc
+    duplicate-shingle fraction + keep/drop verdict. One window + one
+    per-doc aggregate — linear, no joins."""
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(fn_curation.repetition_sql("spark", th_table=th))
+
+
 _KRANGE_CACHE: dict[tuple[int, str], CuratedTable] = {}
 
 
@@ -2583,6 +2687,10 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_jdbc_source": q108_jdbc_source,
         "q109_key_range_groups": q109_key_range_groups,
         "q110_auto_salted_join": q110_auto_salted_join,
+        "q111_large_volume_customers": q111_large_volume_customers,
+        "q112_order_priority": q112_order_priority,
+        "q113_promo_revenue": q113_promo_revenue,
+        "q114_repetition_filter": q114_repetition_filter,
     }
 
 
@@ -3262,6 +3370,10 @@ def oracle_sql() -> dict[str, str]:
         "q101_csv_source": cdc.replay_sql(cdc.RECIPES["customer"]),
         "q108_jdbc_source": cdc.replay_sql(cdc.RECIPES["customer"]),
         "q109_key_range_groups": cdc.replay_sql(cdc.RECIPES["orders"]),
+        "q111_large_volume_customers": _large_volume_customers_sql(),
+        "q112_order_priority": _order_priority_sql(),
+        "q113_promo_revenue": _promo_revenue_sql(),
+        "q114_repetition_filter": fn_curation.repetition_sql("duckdb"),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

@@ -84,6 +84,46 @@ LIMIT {top}
 """
 
 
+def repetition_sql(
+    dialect: str,
+    table: str = "documents",
+    n: int = 3,
+    threshold: float = 0.2,
+    th_table: str | None = None,
+) -> str:
+    """Within-document repetition filter (the Gopher/MassiveText
+    duplicate-n-gram heuristic): per doc, the fraction of ``n``-token
+    shingle OCCURRENCES whose shingle value is repeated inside the same
+    doc — boilerplate, chant-spam, and template pages score high, normal
+    prose low. Emits every doc's occurrence count, duplicate fraction,
+    and the keep/drop verdict at ``threshold``.
+
+    dup_frac = 1 - distinct_shingles / total_shingle_occurrences, so a
+    doc repeating one 3-gram 100 times scores ~0.99 and a no-repeat doc
+    scores 0. Built on the shared shingle chain (Spark side reuses the
+    cached token-hash relation): one window + one per-doc aggregate —
+    linear, shuffle-on-doc_id only, no joins.
+    """
+    from .dedup import shingle_cte
+
+    # shingle_cte ends in `sh` (DISTINCT) but also defines `shrows`
+    # (every occurrence) — repetition needs both counts.
+    return f"""
+WITH {shingle_cte(dialect, table, n, th_table)},
+occ AS (
+  SELECT doc_id, COUNT(*) AS n_occ, COUNT(DISTINCT g) AS n_distinct
+  FROM shrows WHERE g IS NOT NULL GROUP BY doc_id
+)
+SELECT doc_id, n_occ,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_occ AS DOUBLE), 6)
+         AS dup_frac,
+       CAST(1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_occ AS DOUBLE)
+            > {threshold} AS BOOLEAN) AS drop_doc
+FROM occ
+ORDER BY doc_id
+"""
+
+
 def canonical_selection_sql(
     dialect: str, table: str = "documents", shard_mod: int = 5
 ) -> str:

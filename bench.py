@@ -82,6 +82,9 @@ SMALL_OUTPUT = {
     "q100_centroid_assign",
     "q105_volume_shipping",
     "q110_auto_salted_join",
+    "q111_large_volume_customers",
+    "q112_order_priority",
+    "q113_promo_revenue",
     "q106_market_share",
     "q107_event_transitions",
 }
