@@ -24,10 +24,10 @@ and measures LSH candidate volume with the DEFAULT plane count vs the
 documented scale rule (planes += log2(growth), similarity.py:38-42),
 writing per-operator growth exponents to tools/scale_probe_ann.json.
 
-Last measured (local[32], 2026-08, r3): 10x data -> ~2.6x total
-wall-clock across 27 queries incl. the CDC family (now modulo-bucketed,
-q06 1.0x / q07 0.7x / q13 2.3x / q15 3.1x at 10x); worst query ~7x (q19
-shingle-index build — linear in corpus size); results in
+Last measured (local[32], 2026-08, r3): 10x data -> 2.35x total
+wall-clock across 27 queries incl. the CDC family (now modulo-bucketed:
+q06 4.0x / q07 1.8x / q13 2.1x — all at-or-below linear); worst query
+7.3x (q19 shingle-index build — linear in corpus size); full table in
 tools/scale_probe_results.json.
 """
 
