@@ -2559,9 +2559,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this dict (r1/r2 both capped there, so q50+ never reached the hard
     # hash signal). Rotate deterministically per round: entries that have
     # not yet appeared in any CORRECTNESS_r*.json lead — this round the
-    # storage-service gates (q92–q103), the new JDBC gate (q108), and
-    # q50.. onward; q01–q49 (driver-green twice already) move behind
-    # them. The full set is unchanged — pytest and bench run everything.
+    # new r3 gates (q108+), the storage-service gates (q92–q107), then
+    # q50 onward as far as the window reaches (≈q76); q01–q49
+    # (driver-green twice already) move behind. Next round the remainder
+    # (q77–q91) rotates to the front. The full set is unchanged — pytest
+    # and bench run everything.
     def num(n: str) -> int:
         return int(n.split("_", 1)[0].lstrip("q"))
 
