@@ -103,7 +103,12 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
 
     spark = get_spark("bench")
-    queries = entry_mod.queries()
+    # Canonical numeric order, independent of the driver-window rotation
+    # in queries() — keeps bench timings comparable across rounds.
+    queries = dict(sorted(
+        entry_mod.queries().items(),
+        key=lambda kv: int(kv[0].split("_", 1)[0].lstrip("q")),
+    ))
 
     # JVM/codegen warmup on the smallest query so q01 isn't charged for boot.
     force(queries["q01_scan_projection"](spark, sf_dir))
