@@ -2110,6 +2110,159 @@ def q114_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_curation.repetition_sql("spark", th_table=th))
 
 
+def _disjunctive_pred_sql(
+    lineitem: str = "lineitem",
+    part: str = "part",
+) -> str:
+    """TPC-H Q19 shape: revenue under an OR of three conjunctive
+    brand/size/quantity arms — the disjunctive-predicate join Catalyst
+    must keep as one equi-join with a residual OR filter (not a union of
+    three scans). Identical text on both engines."""
+    rev = "CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))"
+    return f"""
+SELECT CAST(SUM({rev}) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+FROM {lineitem} l JOIN {part} p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 5 AND 25)
+   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 10 AND 30
+       AND l.l_quantity BETWEEN 15 AND 40)
+   OR (p.p_type = 'PROMO' AND p.p_size BETWEEN 20 AND 50
+       AND l.l_quantity >= 30)
+"""
+
+
+def _order_count_distribution_sql(
+    customer: str = "customer",
+    orders: str = "orders",
+) -> str:
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    INCLUDING zero-order customers — left outer join with a compound
+    (equi + residual) condition, COUNT(col) null semantics, then a
+    second aggregate over the first."""
+    return f"""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM {customer} c LEFT JOIN {orders} o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def _top_supplier_sql(
+    supplier: str = "supplier",
+    lineitem: str = "lineitem",
+) -> str:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — an aggregate CTE consumed twice (join side + scalar MAX
+    subquery). The equality predicate compares exact DECIMALs, so the
+    argmax set is identical on both engines."""
+    rev = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
+    return f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, SUM({rev}) AS total_revenue
+  FROM {lineitem}
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+FROM {supplier} s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+def _above_avg_part_suppliers_sql(
+    supplier: str = "supplier",
+    lineitem: str = "lineitem",
+    part: str = "part",
+) -> str:
+    """TPC-H Q20 shape (adapted to this schema): suppliers whose shipped
+    quantity of 'b*'-named parts since 1997 is above the mean across
+    qualifying suppliers — nested IN over a part-name subquery, a
+    HAVING-style aggregate, and a scale-free threshold expressed as the
+    exact cross-multiplication qty * n > total (no division, so the
+    boundary can't float-flip)."""
+    return f"""
+WITH eligible AS (
+  SELECT l.l_suppkey AS suppkey,
+         SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS qty
+  FROM {lineitem} l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM {part} WHERE p_name LIKE 'b%')
+    AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l.l_suppkey),
+stats AS (SELECT SUM(qty) AS total, COUNT(*) AS n FROM eligible)
+SELECT s.s_suppkey, s.s_name, CAST(e.qty AS DOUBLE) AS part_qty
+FROM {supplier} s
+JOIN eligible e ON s.s_suppkey = e.suppkey
+CROSS JOIN stats
+WHERE e.qty * stats.n > stats.total
+ORDER BY s.s_suppkey
+"""
+
+
+def q119_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText document quality ruleset (exact-integer rule
+    boundaries; see functions/curation.py:gopher_quality_sql)."""
+    d = _view(spark, sf_dir, "documents", "q119")
+    return spark.sql(fn_curation.gopher_quality_sql("spark", table=d))
+
+
+def q120_rare_bigram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM rarity filter (the perplexity-filter decision as an
+    integer rank statistic) over the shared cached token-hash
+    relation."""
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(fn_curation.rare_bigram_sql("spark", th_table=th))
+
+
+def q121_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII detect-and-mask sweep with per-corpus redaction audit
+    (map-only projection; identical literals under Java regex / RE2)."""
+    c = _view(spark, sf_dir, "customer", "q121")
+    return spark.sql(fn_curation.pii_redaction_sql("spark", table=c))
+
+
+def q122_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture balancing: largest corpus realizing the target
+    language proportions exactly, deterministic hash-priority keep set."""
+    d = _view(spark, sf_dir, "documents", "q122")
+    return spark.sql(fn_sampling.mixture_balance_sql("spark", table=d))
+
+
+def q115_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape through the engine's SQL surface (D10)."""
+    li = _view(spark, sf_dir, "lineitem", "q115")
+    p = _view(spark, sf_dir, "part", "q115")
+    return spark.sql(_disjunctive_pred_sql(li, p))
+
+
+def q116_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape through the engine's SQL surface (D10)."""
+    c = _view(spark, sf_dir, "customer", "q116")
+    o = _view(spark, sf_dir, "orders", "q116")
+    return spark.sql(_order_count_distribution_sql(c, o))
+
+
+def q117_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape through the engine's SQL surface (D10)."""
+    s = _view(spark, sf_dir, "supplier", "q117")
+    li = _view(spark, sf_dir, "lineitem", "q117")
+    return spark.sql(_top_supplier_sql(s, li))
+
+
+def q118_above_avg_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape through the engine's SQL surface (D10)."""
+    s = _view(spark, sf_dir, "supplier", "q118")
+    li = _view(spark, sf_dir, "lineitem", "q118")
+    p = _view(spark, sf_dir, "part", "q118")
+    return spark.sql(_above_avg_part_suppliers_sql(s, li, p))
+
+
 _KRANGE_CACHE: dict[tuple[int, str], CuratedTable] = {}
 
 
@@ -2697,6 +2850,14 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_order_priority": q112_order_priority,
         "q113_promo_revenue": q113_promo_revenue,
         "q114_repetition_filter": q114_repetition_filter,
+        "q115_disjunctive_pred": q115_disjunctive_pred,
+        "q116_order_count_distribution": q116_order_count_distribution,
+        "q117_top_supplier": q117_top_supplier,
+        "q118_above_avg_part_suppliers": q118_above_avg_part_suppliers,
+        "q119_gopher_quality": q119_gopher_quality,
+        "q120_rare_bigram_filter": q120_rare_bigram_filter,
+        "q121_pii_redaction": q121_pii_redaction,
+        "q122_mixture_balance": q122_mixture_balance,
     }
 
 
@@ -3380,6 +3541,14 @@ def oracle_sql() -> dict[str, str]:
         "q112_order_priority": _order_priority_sql(),
         "q113_promo_revenue": _promo_revenue_sql(),
         "q114_repetition_filter": fn_curation.repetition_sql("duckdb"),
+        "q115_disjunctive_pred": _disjunctive_pred_sql(),
+        "q116_order_count_distribution": _order_count_distribution_sql(),
+        "q117_top_supplier": _top_supplier_sql(),
+        "q118_above_avg_part_suppliers": _above_avg_part_suppliers_sql(),
+        "q119_gopher_quality": fn_curation.gopher_quality_sql("duckdb"),
+        "q120_rare_bigram_filter": fn_curation.rare_bigram_sql("duckdb"),
+        "q121_pii_redaction": fn_curation.pii_redaction_sql("duckdb"),
+        "q122_mixture_balance": fn_sampling.mixture_balance_sql("duckdb"),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

@@ -255,6 +255,179 @@ LIMIT {k}
 """
 
 
+GOPHER_MIN_TOK = 20
+GOPHER_MAX_TOK = 5000
+# mean token length bounds ×10 (kept integer so the rule is exact:
+# 10·chars ⋛ bound·tokens — no float division at the boundary)
+GOPHER_MIN_MEANLEN_X10 = 40
+GOPHER_MAX_MEANLEN_X10 = 80
+GOPHER_MIN_STOP_HITS = 2
+# most-frequent token may cover at most 1/GOPHER_TOP_DIV of the doc
+GOPHER_TOP_DIV = 8
+
+
+def gopher_quality_sql(dialect: str, table: str = "documents") -> str:
+    """Gopher/MassiveText-style document quality ruleset (Rae et al.
+    2021 §A1.1, re-expressed over this corpus' signal surface): per doc,
+    token count bounds, mean-token-length band, minimum stopword
+    evidence, and a most-frequent-token dominance cap (the unigram form
+    of the top-n-gram-fraction rule; the n-gram repetition rule itself
+    is q114). Emits the measured stats, each rule verdict, and the
+    composite keep flag.
+
+    Every rule boundary is exact integer arithmetic (cross-multiplied
+    instead of divided), so keep/drop can never float-flip between
+    engines. Shape: one explode + two hash aggregates keyed by doc_id —
+    linear, embarrassingly parallel, no joins; at 100 TB this is a
+    single map-side-combined shuffle on doc_id."""
+    from .text import STOPWORDS, _sql_list
+
+    toks = P.tokens("text", dialect)
+    tok_rows = _explode(dialect, "doc_id", "toked", "toks", "t")
+    return f"""
+WITH toked AS (SELECT doc_id, {toks} AS toks FROM {table}),
+tok AS ({tok_rows}),
+freq AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+stats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tok,
+         CAST(MAX(c) AS BIGINT) AS top_c,
+         CAST(SUM(length(t) * c) AS BIGINT) AS n_tok_chars,
+         CAST(SUM(CASE WHEN t IN ({_sql_list(STOPWORDS)})
+                       THEN c ELSE 0 END) AS BIGINT) AS stop_hits
+  FROM freq GROUP BY doc_id
+)
+SELECT doc_id, n_tok, top_c, stop_hits,
+       round(CAST(n_tok_chars AS DOUBLE) / CAST(n_tok AS DOUBLE), 6)
+         AS mean_tok_len,
+       CAST(n_tok BETWEEN {GOPHER_MIN_TOK} AND {GOPHER_MAX_TOK}
+            AS BOOLEAN) AS r_len,
+       CAST(n_tok_chars * 10 >= n_tok * {GOPHER_MIN_MEANLEN_X10}
+            AND n_tok_chars * 10 <= n_tok * {GOPHER_MAX_MEANLEN_X10}
+            AS BOOLEAN) AS r_mean_len,
+       CAST(stop_hits >= {GOPHER_MIN_STOP_HITS} AS BOOLEAN) AS r_stop,
+       CAST(top_c * {GOPHER_TOP_DIV} <= n_tok AS BOOLEAN) AS r_top,
+       CAST(n_tok BETWEEN {GOPHER_MIN_TOK} AND {GOPHER_MAX_TOK}
+            AND n_tok_chars * 10 >= n_tok * {GOPHER_MIN_MEANLEN_X10}
+            AND n_tok_chars * 10 <= n_tok * {GOPHER_MAX_MEANLEN_X10}
+            AND stop_hits >= {GOPHER_MIN_STOP_HITS}
+            AND top_c * {GOPHER_TOP_DIV} <= n_tok
+            AS BOOLEAN) AS keep_doc
+FROM stats ORDER BY doc_id
+"""
+
+
+def rare_bigram_sql(
+    dialect: str,
+    table: str = "documents",
+    th_table: str | None = None,
+) -> str:
+    """Statistical language-model filter without the float hazard of a
+    perplexity score: train a corpus bigram table (counts over adjacent
+    token-hash pairs — the 2-gram MLE numerators), then score each doc
+    by the fraction of its bigram occurrences that are corpus-RARE,
+    where rare = count strictly below the corpus mean bigram count
+    (cnt · n_distinct < n_occurrences, exact cross-multiplication in
+    DECIMAL so neither engine can overflow or float-flip). A doc full
+    of corpus-rare bigrams is exactly a doc a bigram LM assigns low
+    probability — the CCNet/perplexity-filter decision as a pure
+    integer rank statistic. Drop verdict: more than half the doc's
+    bigrams rare.
+
+    Built on the shared shingle chain at n=2 (Spark reuses the cached
+    token-hash relation). Shape: the corpus bigram table is one hash
+    aggregate on g; scoring joins occurrences back on g — at 100 TB the
+    count table is vocabulary²-bounded (in practice Zipf-small) and the
+    join is the standard shuffle-on-hash-key; no window, no sort."""
+    from .dedup import shingle_cte
+
+    return f"""
+WITH {shingle_cte(dialect, table, 2, th_table)},
+bg AS (SELECT g, COUNT(*) AS cnt FROM shrows WHERE g IS NOT NULL GROUP BY g),
+bstats AS (
+  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n_distinct,
+         CAST(SUM(cnt) AS DECIMAL(38,0)) AS n_occ
+  FROM bg
+),
+scored AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_bigrams,
+         CAST(SUM(CASE WHEN CAST(bg.cnt AS DECIMAL(38,0)) * bstats.n_distinct
+                            < bstats.n_occ
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM shrows s JOIN bg ON s.g = bg.g CROSS JOIN bstats
+  WHERE s.g IS NOT NULL
+  GROUP BY s.doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, n_rare,
+       round(CAST(n_rare AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+         AS rare_frac,
+       CAST(n_rare * 2 > n_bigrams AS BOOLEAN) AS drop_doc
+FROM scored ORDER BY doc_id
+"""
+
+
+# character classes only — no backslash escapes, so the literal regex text
+# is identical under Spark (Java regex) and DuckDB (RE2) string parsing
+PII_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.]+[.][a-z]+"
+PII_ACCT_RE = "acct-[0-9]+"
+
+
+def pii_redaction_sql(dialect: str, table: str = "customer") -> str:
+    """PII redaction sweep: synthesize a deterministic contact-note per
+    customer (name-derived e-mail + account number — the PII shapes a
+    real CRM export leaks), then detect-and-mask both patterns with
+    pure-regex rewrites and report per-row redaction counts plus a
+    corpus rollup of the masked text. The regexes use only character
+    classes (no backslash escapes), so the same literal compiles
+    identically under Java regex and RE2.
+
+    Shape: pure per-row projection — no shuffle until the final tiny
+    aggregate; at 100 TB this is a map-only pass that pushes the two
+    source columns down to the scan."""
+    if dialect == "spark":
+        def rep(src: str, pat: str, to: str) -> str:
+            return f"regexp_replace({src}, '{pat}', '{to}')"
+    else:
+        def rep(src: str, pat: str, to: str) -> str:
+            return f"regexp_replace({src}, '{pat}', '{to}', 'g')"
+    cnt = (
+        "size(regexp_extract_all({src}, '{pat}', 0))"
+        if dialect == "spark"
+        else "len(regexp_extract_all({src}, '{pat}'))"
+    )
+    note = (
+        "'contact ' || lower(replace(c_name, '#', '.')) || '@example.com'"
+        " || ' or acct-' || CAST(c_custkey * 7919 + 13 AS VARCHAR)"
+        " || ' (segment ' || c_mktsegment || ')'"
+    )
+    if dialect == "spark":
+        note = note.replace("AS VARCHAR", "AS STRING")
+    masked = rep(rep("note", PII_EMAIL_RE, "[EMAIL]"), PII_ACCT_RE, "[ACCT]")
+    n_email = cnt.format(src="note", pat=PII_EMAIL_RE)
+    n_acct = cnt.format(src="note", pat=PII_ACCT_RE)
+    return f"""
+WITH notes AS (SELECT c_custkey, {note} AS note FROM {table}),
+redacted AS (
+  SELECT c_custkey,
+         {masked} AS masked,
+         CAST({n_email} AS BIGINT) AS n_email,
+         CAST({n_acct} AS BIGINT) AS n_acct
+  FROM notes
+)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(n_email) AS BIGINT) AS total_emails,
+       CAST(SUM(n_acct) AS BIGINT) AS total_accts,
+       CAST(SUM(CASE WHEN masked LIKE '%[EMAIL]%'
+                     AND masked LIKE '%[ACCT]%'
+                THEN 1 ELSE 0 END) AS BIGINT) AS fully_masked,
+       CAST(SUM(CASE WHEN masked LIKE '%@%' THEN 1 ELSE 0 END) AS BIGINT)
+         AS residual_at,
+       CAST(SUM(length(masked)) AS BIGINT) AS masked_chars
+FROM redacted
+"""
+
+
 VOCAB_SIZE = 1000
 
 

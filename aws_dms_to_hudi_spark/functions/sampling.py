@@ -101,3 +101,60 @@ SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, priority
 FROM ranked WHERE rnk <= {k}
 ORDER BY lang, rnk
 """
+
+
+# target mixture weights per language (relative parts, integers)
+MIXTURE_WEIGHTS = (("de", 2), ("en", 4), ("es", 2), ("fr", 1), ("zh", 1))
+
+
+def mixture_balance_sql(
+    dialect: str,
+    table: str = "documents",
+    weights=MIXTURE_WEIGHTS,
+) -> str:
+    """Data-mixture balancing: draw the largest corpus that realizes the
+    target language proportions exactly. The scarcest language relative
+    to its weight sets the scale — ``scale = MIN(available_l / w_l)``
+    (integer division, so the realized mixture is exact) — then each
+    language keeps its top ``w_l · scale`` docs by the same
+    hash-priority order as :func:`weighted_sample_sql` (deterministic on
+    any cluster layout, no RNG).
+
+    Shape at 100 TB: per-language counts are one tiny aggregate; the
+    keep-set is one window per language partition with an early rank
+    cutoff (per-partition top-k heap). The scale scalar broadcasts.
+    Languages absent from the weight table are dropped (weight 0)."""
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {w}" for lang, w in weights
+    )
+    w_expr = f"CASE {cases} ELSE 0 END"
+    key = ("CAST(doc_id AS STRING)" if dialect == "spark"
+           else "CAST(doc_id AS VARCHAR)")
+    h = P.rolling_hash(key, dialect)
+    div = P.int_div("COUNT(*)", "MAX(w)", dialect)
+    return f"""
+WITH wtab AS (SELECT lang, doc_id, {w_expr} AS w, {h} AS hv FROM {table}),
+avail AS (
+  SELECT lang, COUNT(*) AS n_avail, {div} AS per_weight
+  FROM wtab WHERE w > 0 GROUP BY lang
+),
+scale AS (SELECT MIN(per_weight) AS s FROM avail),
+ranked AS (
+  SELECT lang, w, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hv DESC, doc_id)
+           AS rnk
+  FROM wtab WHERE w > 0
+),
+kept AS (
+  SELECT r.lang, r.doc_id
+  FROM ranked r CROSS JOIN scale
+  WHERE r.rnk <= r.w * scale.s
+)
+SELECT a.lang, CAST(a.n_avail AS BIGINT) AS n_avail,
+       CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+       CAST(MIN(k.doc_id) AS BIGINT) AS first_doc,
+       CAST(SUM(k.doc_id) AS BIGINT) AS kept_id_sum
+FROM avail a LEFT JOIN kept k ON a.lang = k.lang
+GROUP BY a.lang, a.n_avail
+ORDER BY a.lang
+"""

@@ -292,3 +292,108 @@ class TestWeightedSample:
         a = [tuple(r) for r in spark.sql(sql).collect()]
         b = [tuple(r) for r in spark.sql(sql).collect()]
         assert a == b and len(a) == 6
+
+
+def _docs(spark, texts, langs=None):
+    langs = langs or ["en"] * len(texts)
+    return spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang=lg, source="s0", n_chars=len(t))
+            for i, (t, lg) in enumerate(zip(texts, langs))
+        ]
+    )
+
+
+class TestGopherQuality:
+    def _run(self, spark, texts):
+        _docs(spark, texts).createOrReplaceTempView("__gq_docs")
+        return {
+            r["doc_id"]: r
+            for r in spark.sql(
+                fn_curation.gopher_quality_sql("spark", table="__gq_docs")
+            ).collect()
+        }
+
+    def test_rule_boundaries(self, spark):
+        # 24 tokens, 22 distinct non-stop + 2 stopword hits, top token
+        # frequency 1/24 (under the 1/8 cap), mean length ≈ 6.6
+        good = "the of " + " ".join(f"token{i:02d}" for i in range(22))
+        rows = self._run(
+            spark,
+            [
+                good,                            # 0: passes every rule
+                "the of " + "x " * 18,           # 1: fails r_top (x dominates)
+                "the of short doc here now",     # 2: fails r_len (6 < 20)
+                " ".join(["a the of"] * 10),     # 3: fails r_mean_len (<4.0)
+            ],
+        )
+        assert rows[0]["keep_doc"] and all(
+            rows[0][r] for r in ("r_len", "r_mean_len", "r_stop", "r_top")
+        )
+        assert not rows[1]["r_top"] and not rows[1]["keep_doc"]
+        assert not rows[2]["r_len"]
+        assert not rows[3]["r_mean_len"]
+
+    def test_stopword_rule(self, spark):
+        # 20+ tokens, healthy lengths, but only one stopword occurrence
+        rows = self._run(
+            spark, ["the " + " ".join(f"token{i} extra" for i in range(12))]
+        )
+        assert rows[0]["stop_hits"] == 1 and not rows[0]["r_stop"]
+
+
+class TestRareBigram:
+    def test_common_vs_rare(self, spark):
+        # 6 copies of one sentence = its bigrams are above the corpus
+        # mean; one outlier doc contributes below-mean bigrams only.
+        common = "alpha beta gamma delta epsilon zeta"
+        rows = _docs(spark, [common] * 6 + ["unique words never repeated here"])
+        rows.createOrReplaceTempView("__rb_docs")
+        out = {
+            r["doc_id"]: r
+            for r in spark.sql(
+                fn_curation.rare_bigram_sql("spark", table="__rb_docs")
+            ).collect()
+        }
+        assert out[0]["rare_frac"] == 0.0 and not out[0]["drop_doc"]
+        assert out[6]["rare_frac"] == 1.0 and out[6]["drop_doc"]
+
+
+class TestPiiRedaction:
+    def test_masking_complete(self, spark):
+        spark.createDataFrame(
+            [
+                Row(
+                    c_custkey=7,
+                    c_name="Customer#000000007",
+                    c_nationkey=1,
+                    c_acctbal=1.0,
+                    c_mktsegment="BUILDING",
+                )
+            ]
+        ).createOrReplaceTempView("__pii_cust")
+        row = spark.sql(
+            fn_curation.pii_redaction_sql("spark", table="__pii_cust")
+        ).collect()[0]
+        assert row["total_emails"] == 1 and row["total_accts"] == 1
+        assert row["fully_masked"] == 1 and row["residual_at"] == 0
+
+
+class TestMixtureBalance:
+    def test_exact_proportions(self, spark):
+        from aws_dms_to_hudi_spark.functions import sampling as fn_sampling
+
+        # en:4 de:2 — de is scarcest relative to weight (5//2 = 2 = scale)
+        texts = ["doc text"] * 25
+        langs = ["en"] * 20 + ["de"] * 5
+        _docs(spark, texts, langs).createOrReplaceTempView("__mix_docs")
+        out = {
+            r["lang"]: r
+            for r in spark.sql(
+                fn_sampling.mixture_balance_sql("spark", table="__mix_docs")
+            ).collect()
+        }
+        scale = min(20 // 4, 5 // 2)  # = 2
+        assert out["en"]["n_kept"] == 4 * scale
+        assert out["de"]["n_kept"] == 2 * scale
+        assert out["en"]["n_avail"] == 20 and out["de"]["n_avail"] == 5
