@@ -1861,12 +1861,13 @@ def _envelope_customer(
     spark: SparkSession, sf_dir: str, fmt: str
 ) -> CuratedTable:
     """Shared fixture: the customer CDC stream landed as stock-DMS
-    ``Op``-envelope CSV or JSON lines (not parquet), ingested through
-    the matching source with its watermark checkpoint: batch 0 via the
-    initial full load, batches 1..N discovered incrementally and
+    ``Op``-envelope CSV, JSON lines, or ORC (not parquet), ingested
+    through the matching source with its watermark checkpoint: batch 0
+    via the initial full load, batches 1..N discovered incrementally and
     upsert-merged."""
     from aws_dms_to_hudi_spark.sources.csv_dfs import CsvDFSSource
     from aws_dms_to_hudi_spark.sources.json_dfs import JsonDFSSource
+    from aws_dms_to_hudi_spark.sources.orc_dfs import OrcDFSSource
 
     key = (id(spark), sf_dir, fmt)
     with _REPLAY_LOCK:
@@ -1895,18 +1896,24 @@ def _envelope_customer(
             out = str(raw / f"batch-{b:05d}")
             if fmt == "csv":
                 w.option("header", "true").csv(out)
+            elif fmt == "orc":
+                w.orc(out)
             else:
                 w.json(out)
 
         land(0)
-        ddl = "Op string, " + ", ".join(
-            f"{c} {t}"
-            for c, t in spark.sql(
-                cdc.batch_sql(rec, 0, src=view)
-            ).drop("_hoodie_is_deleted").dtypes
-        )
-        src_cls = CsvDFSSource if fmt == "csv" else JsonDFSSource
-        src = src_cls(spark, raw, schema=ddl)
+        if fmt == "orc":
+            # ORC embeds its schema — no caller DDL, like the parquet path
+            src = OrcDFSSource(spark, raw)
+        else:
+            ddl = "Op string, " + ", ".join(
+                f"{c} {t}"
+                for c, t in spark.sql(
+                    cdc.batch_sql(rec, 0, src=view)
+                ).drop("_hoodie_is_deleted").dtypes
+            )
+            src_cls = CsvDFSSource if fmt == "csv" else JsonDFSSource
+            src = src_cls(spark, raw, schema=ddl)
         cfg = TableConfig(name=f"env_customer_{fmt}",
                           record_key=list(rec.key_cols))
         table = CuratedTable(spark, tmp / "customer", cfg)
@@ -2201,6 +2208,22 @@ CROSS JOIN stats
 WHERE e.qty * stats.n > stats.total
 ORDER BY s.s_suppkey
 """
+
+
+def q123_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-dedup semantic deduplication (within-cluster
+    exact cosine, min-id canonical keep — functions/similarity.py)."""
+    e = _view(spark, sf_dir, "embeddings", "q123")
+    return spark.sql(fn_sim.semdedup_sql("spark", table=e))
+
+
+def q124_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC Op-envelope landing format through the ORC source's
+    schema-embedded watermark incremental scan + the same merge path —
+    must converge to the replay oracle like q101/q102."""
+    rec = cdc.RECIPES["customer"]
+    table = _envelope_customer(spark, sf_dir, "orc")
+    return table.read().select(*rec.columns, "trx_seq")
 
 
 def q119_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2858,6 +2881,8 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_rare_bigram_filter": q120_rare_bigram_filter,
         "q121_pii_redaction": q121_pii_redaction,
         "q122_mixture_balance": q122_mixture_balance,
+        "q123_semdedup": q123_semdedup,
+        "q124_orc_source": q124_orc_source,
     }
 
 
@@ -3549,6 +3574,8 @@ def oracle_sql() -> dict[str, str]:
         "q120_rare_bigram_filter": fn_curation.rare_bigram_sql("duckdb"),
         "q121_pii_redaction": fn_curation.pii_redaction_sql("duckdb"),
         "q122_mixture_balance": fn_sampling.mixture_balance_sql("duckdb"),
+        "q123_semdedup": fn_sim.semdedup_sql("duckdb"),
+        "q124_orc_source": cdc.replay_sql(cdc.RECIPES["customer"]),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

@@ -610,3 +610,58 @@ FROM best WHERE rn = 1
 GROUP BY true_label, cand
 ORDER BY true_label, assigned_label
 """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (cluster-then-dedup semantic deduplication)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.3
+
+
+def semdedup_sql(
+    dialect: str,
+    table: str = "embeddings",
+    tau: float = SEMDEDUP_TAU,
+) -> str:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by exact
+    pairwise cosine WITHIN clusters only — never across the corpus.
+    A vector is dropped iff some same-cluster vector with a smaller id
+    has cosine ≥ ``tau`` with it (the paper's keep-one-per-ε-ball rule
+    with min-id canonicalization, so the kept set is deterministic and
+    order-free). Emits every vector's verdict plus its canonical
+    partner (the smallest-id duplicate it collapses into; NULL = kept).
+
+    Clusters here are the k-means assignment the fixture carries as
+    ``label`` (q99/q100 verify the M/E steps that produce it). Shape at
+    100 TB — the paper's own cost model: the self-join is an equi-join
+    on the cluster id, so candidate volume is Σ|cluster|², bounded by
+    choosing k ∝ corpus size (cluster size stays ~constant); the cosine
+    is the same bit-identical DOUBLE fold both engines share with the
+    neardup/topk family. One shuffle on cluster id, one on vec_id."""
+    return f"""
+WITH {_normed_cte(dialect, table)},
+lab AS (SELECT vec_id, label FROM {table}),
+pairs AS (
+  SELECT la.label, la.vec_id AS keep_id, lb.vec_id AS dup_id
+  FROM lab la JOIN lab lb
+    ON la.label = lb.label AND la.vec_id < lb.vec_id
+),
+scored AS (
+  SELECT p.label, p.keep_id, p.dup_id,
+         {_pair_cos('ea.embedding', 'ea.nrm', 'eb.embedding', 'eb.nrm',
+                    dialect)} AS cos_sim
+  FROM pairs p
+  JOIN normed ea ON ea.vec_id = p.keep_id
+  JOIN normed eb ON eb.vec_id = p.dup_id
+),
+dup_links AS (
+  SELECT dup_id AS vec_id, MIN(keep_id) AS canonical_id
+  FROM scored WHERE cos_sim >= {tau}
+  GROUP BY dup_id
+)
+SELECT l.vec_id, l.label, d.canonical_id,
+       CAST(d.canonical_id IS NULL AS BOOLEAN) AS kept
+FROM lab l LEFT JOIN dup_links d ON l.vec_id = d.vec_id
+ORDER BY l.vec_id
+"""

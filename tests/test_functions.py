@@ -290,3 +290,36 @@ def test_centroid_assignment_is_diagonal_dominant(spark, sf_correct):
     # 10 labels — far above the 10% random floor, which is the signal
     # this sanity check pins (not classifier accuracy)
     assert total > 0 and diag / total > 0.3, (diag, total)
+
+
+class TestSemDeDup:
+    def test_within_cluster_only_min_id_canonical(self, spark):
+        from aws_dms_to_hudi_spark.functions import similarity as fn_sim
+
+        # cluster 0: vecs 0,1 identical (dup), vec 2 orthogonal;
+        # cluster 1: vec 3 identical to vec 0 but in ANOTHER cluster —
+        # must NOT be dropped (SemDeDup never compares across clusters).
+        def vec(axis):  # DIM-wide one-hot (the fold is fixed at DIM)
+            v = [0.0] * fn_sim.DIM
+            v[axis] = 1.0
+            return v
+
+        rows = [
+            (0, vec(0), 0),
+            (1, vec(0), 0),
+            (2, vec(1), 0),
+            (3, vec(0), 1),
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).createOrReplaceTempView("__sd_emb")
+        out = {
+            r["vec_id"]: r
+            for r in spark.sql(
+                fn_sim.semdedup_sql("spark", table="__sd_emb", tau=0.9)
+            ).collect()
+        }
+        assert out[0]["kept"] and out[0]["canonical_id"] is None
+        assert not out[1]["kept"] and out[1]["canonical_id"] == 0
+        assert out[2]["kept"]
+        assert out[3]["kept"]  # cross-cluster twin survives
