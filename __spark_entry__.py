@@ -2226,6 +2226,13 @@ def q124_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(*rec.columns, "trx_seq")
 
 
+def q125_scalar_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding corpus with per-label
+    reconstruction audit (functions/similarity.py:quantization_sql)."""
+    e = _view(spark, sf_dir, "embeddings", "q125")
+    return spark.sql(fn_sim.quantization_sql("spark", table=e))
+
+
 def q119_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/MassiveText document quality ruleset (exact-integer rule
     boundaries; see functions/curation.py:gopher_quality_sql)."""
@@ -2883,6 +2890,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_mixture_balance": q122_mixture_balance,
         "q123_semdedup": q123_semdedup,
         "q124_orc_source": q124_orc_source,
+        "q125_scalar_quantization": q125_scalar_quantization,
     }
 
 
@@ -3576,6 +3584,7 @@ def oracle_sql() -> dict[str, str]:
         "q122_mixture_balance": fn_sampling.mixture_balance_sql("duckdb"),
         "q123_semdedup": fn_sim.semdedup_sql("duckdb"),
         "q124_orc_source": cdc.replay_sql(cdc.RECIPES["customer"]),
+        "q125_scalar_quantization": fn_sim.quantization_sql("duckdb"),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

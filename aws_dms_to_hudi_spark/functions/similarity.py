@@ -665,3 +665,58 @@ SELECT l.vec_id, l.label, d.canonical_id,
 FROM lab l LEFT JOIN dup_links d ON l.vec_id = d.vec_id
 ORDER BY l.vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (int8 embedding compression)
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 255
+
+
+def quantization_sql(dialect: str, table: str = "embeddings") -> str:
+    """Int8 scalar quantization of the embedding column — the standard
+    4x compression applied before ANN serving (FAISS SQ8 analog): per
+    dimension, code = floor((v - min_d) / (max_d - min_d) · 255 + 0.5),
+    reconstruction = min_d + code/255 · (max_d - min_d). Emits a
+    per-label audit: exact code checksum plus reconstruction MSE and
+    worst-case absolute error.
+
+    Determinism: codes use floor(x + 0.5) (not round(), whose half-way
+    rule differs across engines in principle); the MSE accumulates
+    per-row DECIMAL(18,15) casts of the squared error — the error is
+    bounded by (range/255)² ≪ 1, so the cast is exact-range-safe and
+    the SUM is order-independent.
+
+    Shape at 100 TB: one explode + a DIM-sized min/max aggregate
+    (map-side combined, broadcast back), then a map-only encode pass —
+    the same two-phase stats-then-transform shape as the centroid
+    family; no window, no sort."""
+    from .dedup import _posexplode
+
+    rows = _posexplode(dialect, "vec_id, label", table, "embedding", "dim", "val")
+    return f"""
+WITH iv AS (
+  SELECT vec_id, label, dim, CAST(val AS DOUBLE) AS v FROM ({rows}) er
+),
+rng AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM iv GROUP BY dim),
+codes AS (
+  SELECT i.vec_id, i.label, i.v, r.mn, r.mx,
+         CAST(floor((i.v - r.mn) / (r.mx - r.mn) * {QUANT_LEVELS} + 0.5)
+              AS BIGINT) AS code
+  FROM iv i JOIN rng r ON i.dim = r.dim
+),
+recon AS (
+  SELECT label, vec_id, code,
+         v - (mn + CAST(code AS DOUBLE) / {QUANT_LEVELS} * (mx - mn)) AS err
+  FROM codes
+)
+SELECT label,
+       CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+       CAST(SUM(code) AS BIGINT) AS code_checksum,
+       round(CAST(SUM(CAST(err * err AS DECIMAL(18,15))) AS DOUBLE)
+             / COUNT(*), 9) AS mse,
+       round(MAX(abs(err)), 6) AS max_abs_err
+FROM recon
+GROUP BY label ORDER BY label
+"""
