@@ -53,6 +53,11 @@ PROBE_QUERIES = [
     "q90_vocab_encode", "q97_waiting_suppliers",
     # CDC family — includable since the r3 fixture restripe
     "q06_cdc_precombine", "q07_cdc_merge_replay", "q13_transformer",
+    # r3 additions: TPC-H shapes + curation/similarity operators
+    "q115_disjunctive_pred", "q116_order_count_distribution",
+    "q118_above_avg_part_suppliers", "q119_gopher_quality",
+    "q120_rare_bigram_filter", "q122_mixture_balance",
+    "q123_semdedup", "q125_scalar_quantization",
 ]
 
 VOW = "aeiou"
