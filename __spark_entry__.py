@@ -2264,6 +2264,106 @@ def q122_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_sampling.mixture_balance_sql("spark", table=d))
 
 
+_STATEFUL_CACHE: dict[tuple[int, str], list] = {}
+
+
+def q127_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator through the driver gate:
+    ``applyInPandasWithState`` running per-key totals over the events
+    stream, fed as FOUR separate micro-batches (maxFilesPerTrigger=1) —
+    cross-batch state semantics no windowed agg expresses. The operator
+    accumulates half-up-rounded scaled int64 (streaming/windows.py
+    ``running_totals_exact``), so the final state hash-matches the
+    relational aggregate no matter how the stream was micro-batched;
+    the oracle evaluates the same formula in one pass."""
+    from aws_dms_to_hudi_spark.streaming.windows import running_totals_exact
+
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        rows = _STATEFUL_CACHE.get(key)
+        if rows is None:
+            ev = _events(spark, sf_dir).select(
+                "event_type", "value", F.pmod("event_id", F.lit(4)).alias("b")
+            )
+            tmp = Path(tempfile.mkdtemp(prefix="stateful_"))
+            src = tmp / "stream"
+            # four landed files -> four micro-batches in path order
+            for p in range(4):
+                ev.filter(F.col("b") == p).drop("b").coalesce(1).write.parquet(
+                    str(src / f"batch-{p}")
+                )
+            stream = (
+                spark.readStream.schema("event_type string, value double")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src / "batch-*"))
+            )
+            qname = f"q127_{abs(hash(key)) % 10**8}"
+            q = (
+                running_totals_exact(stream)
+                .writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            w = Window.partitionBy("event_type").orderBy(
+                F.col("num_events").desc()
+            )
+            rows = (
+                spark.table(qname)
+                .withColumn("rn", F.row_number().over(w))
+                .filter("rn = 1")
+                .drop("rn")
+                .collect()
+            )
+            _STATEFUL_CACHE[key] = rows
+    return spark.createDataFrame(rows).orderBy("event_type")
+
+
+def _stream_stateful_oracle_sql() -> str:
+    return """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS num_events,
+       CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_scaled
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _hierarchy_rollup_sql(dialect: str, customer: str = "customer") -> str:
+    """Recursive-CTE hierarchy rollup (the org-chart/BOM shape, newly
+    SQL-expressible in Spark 4's WITH RECURSIVE): each customer's
+    ancestor chain in the implicit binary tree anc -> anc/2, rolled up
+    into per-ancestor descendant counts, subtree depth, and a
+    decimal-exact subtree balance. UNION ALL recursion over a strictly
+    shrinking key terminates in ~log2(max key) rounds on both engines
+    (Spark's recursive CTE supports UNION ALL only — reachability-style
+    UNION-dedup closures stay with the iterative operator, q77)."""
+    div = "(anc div 2)" if dialect == "spark" else "(anc // 2)"
+    return f"""
+WITH RECURSIVE chain(custkey, anc, depth) AS (
+  SELECT c_custkey AS custkey, c_custkey AS anc, 0 AS depth FROM {customer}
+  UNION ALL
+  SELECT custkey, {div}, depth + 1 FROM chain WHERE anc > 1
+)
+SELECT c.anc AS ancestor,
+       CAST(COUNT(*) AS BIGINT) AS n_desc,
+       CAST(MAX(depth) AS BIGINT) AS max_depth,
+       CAST(SUM(CAST(cu.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS subtree_bal
+FROM chain c JOIN {customer} cu ON cu.c_custkey = c.custkey
+WHERE c.anc BETWEEN 2 AND 63
+GROUP BY c.anc ORDER BY c.anc
+"""
+
+
+def q126_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE hierarchy rollup through the SQL surface (D10)."""
+    c = _view(spark, sf_dir, "customer", "q126")
+    return spark.sql(_hierarchy_rollup_sql("spark", customer=c))
+
+
 def q115_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape through the engine's SQL surface (D10)."""
     li = _view(spark, sf_dir, "lineitem", "q115")
@@ -2891,6 +2991,8 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_semdedup": q123_semdedup,
         "q124_orc_source": q124_orc_source,
         "q125_scalar_quantization": q125_scalar_quantization,
+        "q126_recursive_hierarchy": q126_recursive_hierarchy,
+        "q127_stream_stateful": q127_stream_stateful,
     }
 
 
@@ -3585,6 +3687,8 @@ def oracle_sql() -> dict[str, str]:
         "q123_semdedup": fn_sim.semdedup_sql("duckdb"),
         "q124_orc_source": cdc.replay_sql(cdc.RECIPES["customer"]),
         "q125_scalar_quantization": fn_sim.quantization_sql("duckdb"),
+        "q126_recursive_hierarchy": _hierarchy_rollup_sql("duckdb"),
+        "q127_stream_stateful": _stream_stateful_oracle_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

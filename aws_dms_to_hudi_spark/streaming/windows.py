@@ -228,3 +228,61 @@ def dedup_within_watermark(
     return events.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )
+
+
+# -- integer-exact variant for the driver's hash gate -----------------------
+
+EXACT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("num_events", T.LongType()),
+        T.StructField("total_scaled", T.LongType()),
+    ]
+)
+_EXACT_STATE = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total_scaled", T.LongType()),
+    ]
+)
+VALUE_SCALE = 10_000
+
+
+def _update_running_exact(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    n, total = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        # floor(x·S + 0.5): per-row half-up rounding to scaled int64 —
+        # the sum is then exact integer arithmetic, so the running total
+        # is independent of micro-batch boundaries AND matches the same
+        # formula evaluated relationally by the oracle.
+        total += int(
+            np.floor(pdf["value"].to_numpy() * VALUE_SCALE + 0.5)
+            .astype("int64")
+            .sum()
+        )
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"event_type": [key[0]], "num_events": [n], "total_scaled": [total]}
+    )
+
+
+def running_totals_exact(events: DataFrame) -> DataFrame:
+    """Hash-gateable form of :func:`running_totals`: the running sum
+    accumulates half-up-rounded scaled int64 values, so the final state
+    is bit-identical to the relational aggregate no matter how the
+    stream was micro-batched. The ``num_events`` column is monotone per
+    key — consumers pick each key's max-n row as the final state."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_running_exact,
+        outputStructType=EXACT_SCHEMA,
+        stateStructType=_EXACT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
