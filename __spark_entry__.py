@@ -2364,6 +2364,36 @@ def q126_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_hierarchy_rollup_sql("spark", customer=c))
 
 
+def _lateral_topn_sql(
+    customer: str = "customer", orders: str = "orders", n: int = 2
+) -> str:
+    """LATERAL correlated-subquery top-N per group (each customer's
+    ``n`` highest-value orders) — the per-row dependent join Spark 4
+    executes as a decorrelated ranked join. Ties broken by o_orderkey
+    inside the LATERAL ORDER BY, so the cut is deterministic; identical
+    text runs on both engines."""
+    return f"""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM {customer} c,
+LATERAL (
+  SELECT o_orderkey, o_totalprice
+  FROM {orders} o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT {n}
+) t
+WHERE c.c_custkey % 50 = 0
+ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey
+"""
+
+
+def q128_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL dependent join through the SQL surface (D10)."""
+    c = _view(spark, sf_dir, "customer", "q128")
+    o = _view(spark, sf_dir, "orders", "q128")
+    return spark.sql(_lateral_topn_sql(c, o))
+
+
 def q115_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape through the engine's SQL surface (D10)."""
     li = _view(spark, sf_dir, "lineitem", "q115")
@@ -2993,6 +3023,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_scalar_quantization": q125_scalar_quantization,
         "q126_recursive_hierarchy": q126_recursive_hierarchy,
         "q127_stream_stateful": q127_stream_stateful,
+        "q128_lateral_topn": q128_lateral_topn,
     }
 
 
@@ -3689,6 +3720,7 @@ def oracle_sql() -> dict[str, str]:
         "q125_scalar_quantization": fn_sim.quantization_sql("duckdb"),
         "q126_recursive_hierarchy": _hierarchy_rollup_sql("duckdb"),
         "q127_stream_stateful": _stream_stateful_oracle_sql(),
+        "q128_lateral_topn": _lateral_topn_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

@@ -29,6 +29,14 @@ _DEFAULTS = {
     "spark.sql.files.openCostInBytes": "2m",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Shuffle width must scale with data, not sit at the static
+    # shuffle.partitions=32: the 10x probe showed fixed-width shuffles
+    # going superlinear (q13 17.9x, q23 14.8x at 10x data — spill-bound)
+    # while AQE given a 256-partition initial width re-plans them to
+    # 2.7x/1.2x. At sf0.1 AQE coalesces right back down, so the small
+    # scale pays nothing. On a real cluster size this ~2-4x over total
+    # executor cores (Spark's own guidance for AQE).
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.session.timeZone": "UTC",

@@ -24,11 +24,18 @@ and measures LSH candidate volume with the DEFAULT plane count vs the
 documented scale rule (planes += log2(growth), similarity.py:38-42),
 writing per-operator growth exponents to tools/scale_probe_ann.json.
 
-Last measured (local[32], 2026-08, r3): 10x data -> 2.35x total
-wall-clock across 27 queries incl. the CDC family (now modulo-bucketed:
-q06 4.0x / q07 1.8x / q13 2.1x — all at-or-below linear); worst query
-7.3x (q19 shingle-index build — linear in corpus size); full table in
-tools/scale_probe_results.json.
+Last measured (local[32], 2026-08, r3 after adding AQE
+initialPartitionNum=256 to the session defaults): 10x data -> 2.7x
+total wall-clock across 35 queries incl. the CDC family and the r3
+curation/similarity additions. Before that conf, fixed 32-wide shuffles
+went spill-bound superlinear at 10x (q13 17.9x, q23 14.8x); with AQE
+given a wide initial width they re-plan to 1.9x/0.6x. Remaining
+above-linear entries: q19 8.4x (shingle inverted-index build — linear
+work, sf0.1 side underutilizes the cores) and q123 semdedup 10.8x —
+REAL quadratic within-cluster pair growth because the probe corpus
+keeps k=10 clusters while N grows 10x; the operator's documented scale
+knob is k ∝ N (constant cluster size), exactly the published SemDeDup
+cost model. Full table in tools/scale_probe_results.json.
 """
 
 from __future__ import annotations
@@ -140,9 +147,20 @@ def run(spark) -> None:
     print(f"{'query':32s} {'sf0.1':>7s} {'10x':>7s} {'ratio':>6s}")
     tot1 = tot10 = 0.0
     rows = {}
+    meas = {}
     for name in PROBE_QUERIES:
-        a = one(name, SRC)
-        b = one(name, OUT)
+        meas[name] = [one(name, SRC), one(name, OUT)]
+    # The virtualized host shows minute-scale I/O-throttle bursts that
+    # can poison both back-to-back runs of a query (in EITHER scale's
+    # favor). Re-measure outlier ratios once at the end — min with the
+    # earlier numbers — so a burst must span the whole probe to survive.
+    for name in PROBE_QUERIES:
+        a, b = meas[name]
+        r = b / max(a, 0.01)
+        if r > 6 or r < 0.5:
+            meas[name] = [min(a, one(name, SRC)), min(b, one(name, OUT))]
+    for name in PROBE_QUERIES:
+        a, b = meas[name]
         tot1 += a
         tot10 += b
         rows[name] = {"sf0_1": round(a, 2), "x10": round(b, 2),
