@@ -35,6 +35,7 @@ from aws_dms_to_hudi_spark.functions import dedup as fn_dedup
 from aws_dms_to_hudi_spark.functions import incremental as fn_incr
 from aws_dms_to_hudi_spark.functions import multimodal as fn_mm
 from aws_dms_to_hudi_spark.functions import similarity as fn_sim
+from aws_dms_to_hudi_spark.functions import sketches as fn_sk
 from aws_dms_to_hudi_spark.functions import sampling as fn_sampling
 from aws_dms_to_hudi_spark.functions import text as fn_text
 from aws_dms_to_hudi_spark.operators import asof as op_asof
@@ -2364,6 +2365,22 @@ def q126_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_hierarchy_rollup_sql("spark", customer=c))
 
 
+def q129_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass Misra-Gries heavy hitters over the token stream: per-
+    partition mergeable sketches whose union provably covers every
+    global item with freq·k > n, then one exact verification pass — the
+    gated output is the TRUE heavy-hitter set on any cluster layout
+    (functions/sketches.py)."""
+    from aws_dms_to_hudi_spark.functions.portable import tokens as p_tokens
+
+    d = _view(spark, sf_dir, "documents", "q129")
+    toks = spark.sql(
+        f"SELECT t AS token FROM (SELECT {p_tokens('text', 'spark')} AS toks "
+        f"FROM {d}) LATERAL VIEW explode(toks) _x AS t"
+    )
+    return fn_sk.heavy_hitters(toks)
+
+
 def _lateral_topn_sql(
     customer: str = "customer", orders: str = "orders", n: int = 2
 ) -> str:
@@ -3024,6 +3041,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_recursive_hierarchy": q126_recursive_hierarchy,
         "q127_stream_stateful": q127_stream_stateful,
         "q128_lateral_topn": q128_lateral_topn,
+        "q129_heavy_hitters": q129_heavy_hitters,
     }
 
 
@@ -3721,6 +3739,7 @@ def oracle_sql() -> dict[str, str]:
         "q126_recursive_hierarchy": _hierarchy_rollup_sql("duckdb"),
         "q127_stream_stateful": _stream_stateful_oracle_sql(),
         "q128_lateral_topn": _lateral_topn_sql(),
+        "q129_heavy_hitters": fn_sk.heavy_hitters_oracle_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

@@ -323,3 +323,28 @@ class TestSemDeDup:
         assert not out[1]["kept"] and out[1]["canonical_id"] == 0
         assert out[2]["kept"]
         assert out[3]["kept"]  # cross-cluster twin survives
+
+
+class TestHeavyHitters:
+    def test_exact_on_any_layout(self, spark):
+        from aws_dms_to_hudi_spark.functions import sketches as fn_sk
+
+        # 'hot' is 30% of the stream, 'warm' exactly at the strict
+        # threshold boundary (freq*k == n -> excluded), rest unique.
+        k = 10
+        rows = (
+            [("hot",)] * 300 + [("warm",)] * 100  # n=1000 -> warm*10 == 1000
+            + [(f"u{i}",) for i in range(600)]
+        )
+        df = spark.createDataFrame(rows, "token string")
+        for parts in (1, 7, 32):  # layout must not change the answer
+            got = fn_sk.heavy_hitters(df.repartition(parts), k=k).collect()
+            assert [(r["token"], r["freq"]) for r in got] == [("hot", 300)]
+
+    def test_multiple_hitters_ordered(self, spark):
+        from aws_dms_to_hudi_spark.functions import sketches as fn_sk
+
+        rows = [("a",)] * 50 + [("b",)] * 40 + [(f"u{i}",) for i in range(10)]
+        df = spark.createDataFrame(rows, "token string").repartition(5)
+        got = fn_sk.heavy_hitters(df, k=4).collect()  # threshold n/4 = 25
+        assert [(r["token"], r["freq"]) for r in got] == [("a", 50), ("b", 40)]
