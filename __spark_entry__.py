@@ -2381,6 +2381,14 @@ def q129_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fn_sk.heavy_hitters(toks)
 
 
+def q130_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity-resolution join (FastSS deletion-
+    neighborhood blocking + exact levenshtein verify — never a cross
+    product; functions/dedup.py:fuzzy_join_sql)."""
+    c = _view(spark, sf_dir, "customer", "q130")
+    return spark.sql(fn_dedup.fuzzy_join_sql("spark", customer=c))
+
+
 def _lateral_topn_sql(
     customer: str = "customer", orders: str = "orders", n: int = 2
 ) -> str:
@@ -3042,6 +3050,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_stream_stateful": q127_stream_stateful,
         "q128_lateral_topn": q128_lateral_topn,
         "q129_heavy_hitters": q129_heavy_hitters,
+        "q130_fuzzy_join": q130_fuzzy_join,
     }
 
 
@@ -3740,6 +3749,7 @@ def oracle_sql() -> dict[str, str]:
         "q127_stream_stateful": _stream_stateful_oracle_sql(),
         "q128_lateral_topn": _lateral_topn_sql(),
         "q129_heavy_hitters": fn_sk.heavy_hitters_oracle_sql(),
+        "q130_fuzzy_join": fn_dedup.fuzzy_join_sql("duckdb"),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

@@ -615,3 +615,83 @@ def inv_view(
         sizes_df.createOrReplaceTempView(sizes_name)
         _INV_CACHE[key] = (inv_name, sizes_name)
         return inv_name, sizes_name
+
+
+# ---------------------------------------------------------------------------
+# fuzzy entity-resolution join (deletion-neighborhood blocking)
+# ---------------------------------------------------------------------------
+
+FUZZY_MOD = 7          # every 7th customer gets a corrupted variant
+FUZZY_ID_OFFSET = 10_000_000
+
+
+def fuzzy_join_sql(dialect: str, customer: str = "customer") -> str:
+    """Scalable fuzzy join (entity resolution): match corrupted record
+    variants back to the registry at edit distance ≤ 1 WITHOUT a cross
+    product, using deletion-neighborhood blocking (the FastSS/SymSpell
+    scheme): every string emits itself plus each single-character
+    deletion as blocking keys; two strings within edit distance 1
+    necessarily share a key, so the equi-join on keys has perfect
+    recall and the exact levenshtein runs only on blocked candidates.
+
+    The fixture corrupts every ``FUZZY_MOD``-th customer name with one
+    deterministic character substitution (position = custkey mod name
+    length); the query must link every variant to its origin (distance
+    1) plus any genuine distance-≤1 registry neighbors — all exact.
+
+    Shape at 100 TB: keys per row = length+1 (bounded), candidates form
+    on shared keys only (one shuffle on the key hash), verify is a
+    per-pair scalar — the standard blocked similarity join. DISTINCT
+    pair reduction before the levenshtein keeps the verify stage
+    O(candidate pairs)."""
+    if dialect == "spark":
+        def positions(src: str, name_col: str) -> str:
+            return (
+                f"SELECT id, name, i FROM {src} "
+                f"LATERAL VIEW explode(sequence(0, length({name_col}))) _p AS i"
+            )
+    else:
+        def positions(src: str, name_col: str) -> str:
+            return (
+                f"SELECT id, name, unnest(range(0, len({name_col}) + 1)) AS i "
+                f"FROM {src}"
+            )
+    sub = "substr" if dialect == "spark" else "substring"
+    return f"""
+WITH base AS (
+  SELECT c_custkey AS id, lower(c_name) AS name FROM {customer}
+),
+variants AS (
+  -- one deterministic char substitution at position custkey % length
+  SELECT id + {FUZZY_ID_OFFSET} AS id,
+         {sub}(name, 1, CAST(id % length(name) AS INT))
+           || 'x' ||
+         {sub}(name, CAST(id % length(name) AS INT) + 2) AS name
+  FROM base WHERE id % {FUZZY_MOD} = 0
+),
+all_names AS (
+  SELECT id, name FROM base UNION ALL SELECT id, name FROM variants
+),
+keys AS (
+  -- i = 0 keeps the full string; i >= 1 deletes character i. Keys are
+  -- the bare strings (no position tag): substitution pairs meet on the
+  -- same-position deletion, insert/delete pairs meet on full-vs-deleted
+  -- — the full FastSS edit-1 cover; the verify stage kills the rest.
+  SELECT id, name,
+         CASE WHEN i = 0 THEN name
+              ELSE {sub}(name, 1, i - 1) || {sub}(name, i + 1)
+         END AS k
+  FROM ({positions('all_names', 'name')}) pos
+),
+cand AS (
+  SELECT DISTINCT a.id AS base_id, a.name AS base_name,
+                  b.id AS var_id, b.name AS var_name
+  FROM keys a JOIN keys b ON a.k = b.k
+  WHERE a.id < {FUZZY_ID_OFFSET} AND b.id >= {FUZZY_ID_OFFSET}
+)
+SELECT var_id, base_id,
+       CAST(levenshtein(var_name, base_name) AS BIGINT) AS dist
+FROM cand
+WHERE levenshtein(var_name, base_name) <= 1
+ORDER BY var_id, base_id
+"""

@@ -348,3 +348,27 @@ class TestHeavyHitters:
         df = spark.createDataFrame(rows, "token string").repartition(5)
         got = fn_sk.heavy_hitters(df, k=4).collect()  # threshold n/4 = 25
         assert [(r["token"], r["freq"]) for r in got] == [("a", 50), ("b", 40)]
+
+
+class TestFuzzyJoin:
+    def test_edit1_families_covered(self, spark):
+        """Deletion-neighborhood blocking must catch substitution,
+        insertion, AND deletion pairs at distance 1 (FastSS cover)."""
+        from aws_dms_to_hudi_spark.functions import dedup as fn_dedup
+
+        rows = [
+            (0, "Alpha Bravo", 1, 1.0, "SEG"),     # variant: substitution
+            (7, "Charlie Three", 1, 1.0, "SEG"),   # variant: substitution
+        ]
+        spark.createDataFrame(
+            rows,
+            "c_custkey long, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string",
+        ).createOrReplaceTempView("__fz_cust")
+        got = spark.sql(
+            fn_dedup.fuzzy_join_sql("spark", customer="__fz_cust")
+        ).collect()
+        links = {(r["var_id"], r["base_id"]) for r in got}
+        # both corrupted variants must link back to their origins
+        assert (10_000_000, 0) in links and (10_000_007, 7) in links
+        assert all(r["dist"] <= 1 for r in got)
