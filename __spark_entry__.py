@@ -2389,6 +2389,17 @@ def q130_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_dedup.fuzzy_join_sql("spark", customer=c))
 
 
+def q131_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (fixed-point int64, floor division, 3
+    unrolled iterations) over the edit-distance-1 entity graph — the
+    link-analysis primitive for canonical-record selection
+    (functions/components.py:pagerank_sql)."""
+    c = _view(spark, sf_dir, "customer", "q131")
+    return spark.sql(
+        fn_comp.pagerank_sql("spark", fn_dedup.edit1_pairs_sql("spark", c))
+    )
+
+
 def _lateral_topn_sql(
     customer: str = "customer", orders: str = "orders", n: int = 2
 ) -> str:
@@ -3051,6 +3062,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_lateral_topn": q128_lateral_topn,
         "q129_heavy_hitters": q129_heavy_hitters,
         "q130_fuzzy_join": q130_fuzzy_join,
+        "q131_pagerank": q131_pagerank,
     }
 
 
@@ -3750,6 +3762,9 @@ def oracle_sql() -> dict[str, str]:
         "q128_lateral_topn": _lateral_topn_sql(),
         "q129_heavy_hitters": fn_sk.heavy_hitters_oracle_sql(),
         "q130_fuzzy_join": fn_dedup.fuzzy_join_sql("duckdb"),
+        "q131_pagerank": fn_comp.pagerank_sql(
+            "duckdb", fn_dedup.edit1_pairs_sql("duckdb")
+        ),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

@@ -102,3 +102,59 @@ reach(node, r) AS (
 )
 SELECT node, MIN(r) AS component FROM reach GROUP BY node
 """
+
+
+PR_SCALE = 1_000_000_000_000  # 1e12: score fixed-point; see overflow note
+PR_ITERS = 3
+
+
+def pagerank_sql(dialect: str, pairs_sql: str, top: int = 100) -> str:
+    """Integer-exact PageRank over the undirected near-dup pair graph —
+    the canonical "importance in the duplicate cluster" signal (pick the
+    most-linked member as canonical, audit hub documents).
+
+    All arithmetic is fixed-point int64 with explicit floor division:
+    v_{t+1} = (15·SCALE)/100 + (85 · Σ_{u~x} (v_t(u) ÷ deg(u))) ÷ 100.
+    Floor-div + integer sums are bit-identical across engines (no float
+    accumulates anywhere), so ``PR_ITERS`` unrolled iterations land on
+    exactly the same scores. Overflow: Σ over a node's neighbors is
+    ≤ deg_max · SCALE ≈ 2^40·deg_max and 85·that stays < 2^63 for any
+    realistic degree; DuckDB would raise on overflow, Spark wraps —
+    parity is by staying in-range (as the dedup family does).
+
+    Scale: one equi-join + hash aggregate per iteration, shuffled on the
+    node key — the operator form would checkpoint per round like
+    :func:`connected_components`; 3 unrolled rounds are fine for
+    Catalyst. Every node of a pair graph has degree ≥ 1, so there are
+    no dangling-mass corrections."""
+    idiv = (lambda a, b: f"({a} div {b})") if dialect == "spark" else (
+        lambda a, b: f"({a} // {b})")
+    base = idiv(f"15 * {PR_SCALE}", "100")
+    cur = "v0"
+    its = []
+    for k in range(1, PR_ITERS + 1):
+        contrib = idiv("vp.v", "dg.d")
+        its.append(f"""v{k} AS (
+  SELECT u.b AS node,
+         {base} + {idiv(f"85 * SUM({contrib})", "100")} AS v
+  FROM und u
+  JOIN v{k-1} vp ON vp.node = u.a
+  JOIN deg dg ON dg.a = u.a
+  GROUP BY u.b
+)""")
+        cur = f"v{k}"
+    its_sql = ",\n".join(its)
+    return f"""
+WITH pairs AS ({pairs_sql}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),
+v0 AS (SELECT a AS node, CAST({PR_SCALE} AS BIGINT) AS v FROM deg),
+{its_sql}
+SELECT node, CAST(v AS BIGINT) AS score
+FROM {cur}
+ORDER BY score DESC, node
+LIMIT {top}
+"""

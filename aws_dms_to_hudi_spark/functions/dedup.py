@@ -695,3 +695,42 @@ FROM cand
 WHERE levenshtein(var_name, base_name) <= 1
 ORDER BY var_id, base_id
 """
+
+
+def edit1_pairs_sql(dialect: str, customer: str = "customer") -> str:
+    """Registry-internal edit-distance-1 pair graph (doc_a < doc_b) via
+    the same deletion-neighborhood blocking as :func:`fuzzy_join_sql` —
+    the input graph for link-analysis over near-identical entities.
+    Dense customer ids make the name space digit-adjacent, so node
+    degrees genuinely vary (interior digits have ~2x the neighbors of
+    range-boundary ones)."""
+    if dialect == "spark":
+        positions = (
+            "SELECT id, name, i FROM all_names "
+            "LATERAL VIEW explode(sequence(0, length(name))) _p AS i"
+        )
+    else:
+        positions = (
+            "SELECT id, name, unnest(range(0, len(name) + 1)) AS i "
+            "FROM all_names"
+        )
+    sub = "substr" if dialect == "spark" else "substring"
+    return f"""
+WITH all_names AS (
+  SELECT c_custkey AS id, lower(c_name) AS name FROM {customer}
+),
+keys AS (
+  SELECT id, name,
+         CASE WHEN i = 0 THEN name
+              ELSE {sub}(name, 1, i - 1) || {sub}(name, i + 1)
+         END AS k
+  FROM ({positions}) pos
+),
+cand AS (
+  SELECT DISTINCT a.id AS doc_a, a.name AS name_a,
+                  b.id AS doc_b, b.name AS name_b
+  FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id
+)
+SELECT doc_a, doc_b FROM cand
+WHERE levenshtein(name_a, name_b) <= 1
+"""

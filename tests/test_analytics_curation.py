@@ -397,3 +397,35 @@ class TestMixtureBalance:
         assert out["en"]["n_kept"] == 4 * scale
         assert out["de"]["n_kept"] == 2 * scale
         assert out["en"]["n_avail"] == 20 and out["de"]["n_avail"] == 5
+
+
+class TestPageRank:
+    def test_star_beats_leaves_exactly(self, spark):
+        """Star graph: the hub must outscore leaves, and scores must be
+        the exact fixed-point integers the recurrence produces."""
+        from pyspark.sql import Row
+
+        from aws_dms_to_hudi_spark.functions import components as fn_comp
+
+        spark.createDataFrame(
+            [Row(doc_a=1, doc_b=h) for h in (2, 3, 4, 5)]
+        ).createOrReplaceTempView("__pr_pairs")
+        rows = spark.sql(
+            fn_comp.pagerank_sql(
+                "spark", "SELECT doc_a, doc_b FROM __pr_pairs", top=10
+            )
+        ).collect()
+        scores = {r["node"]: r["score"] for r in rows}
+        assert scores[1] > scores[2] == scores[3] == scores[4] == scores[5]
+        # replay the integer recurrence in python: bit-exact contract
+        S = fn_comp.PR_SCALE
+        deg = {1: 4, 2: 1, 3: 1, 4: 1, 5: 1}
+        v = {n: S for n in deg}
+        und = [(1, h) for h in (2, 3, 4, 5)] + [(h, 1) for h in (2, 3, 4, 5)]
+        for _ in range(fn_comp.PR_ITERS):
+            nxt = {}
+            for n in deg:
+                inc = sum(v[a] // deg[a] for a, b in und if b == n)
+                nxt[n] = 15 * S // 100 + 85 * inc // 100
+            v = nxt
+        assert scores == v
