@@ -2389,14 +2389,34 @@ def q130_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_dedup.fuzzy_join_sql("spark", customer=c))
 
 
+_EDIT1_CACHE: dict[tuple[int, str], str] = {}
+
+
 def q131_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (fixed-point int64, floor division, 3
     unrolled iterations) over the edit-distance-1 entity graph — the
     link-analysis primitive for canonical-record selection
-    (functions/components.py:pagerank_sql)."""
-    c = _view(spark, sf_dir, "customer", "q131")
+    (functions/components.py:pagerank_sql).
+
+    The pair graph is materialized ONCE per process (the shared-artifact
+    pattern of the tokhash family): Spark inlines CTEs, so feeding the
+    blocking join's SQL straight into the unrolled recurrence would
+    re-execute it per iteration join (~5x the cost). DuckDB materializes
+    CTEs natively, so the oracle keeps the single-text form — same
+    relation either way."""
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        if key not in _EDIT1_CACHE:
+            c = _view(spark, sf_dir, "customer", "q131")
+            pairs = spark.sql(
+                fn_dedup.edit1_pairs_sql("spark", c)
+            ).localCheckpoint()
+            vname = f"__q131_pairs_{abs(hash(key)) % 10**8}"
+            pairs.createOrReplaceTempView(vname)
+            _EDIT1_CACHE[key] = vname
+        vname = _EDIT1_CACHE[key]
     return spark.sql(
-        fn_comp.pagerank_sql("spark", fn_dedup.edit1_pairs_sql("spark", c))
+        fn_comp.pagerank_sql("spark", f"SELECT doc_a, doc_b FROM {vname}")
     )
 
 

@@ -456,7 +456,16 @@ WITH {th_cte(dialect, table, th_table)},
 dfreq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM th GROUP BY h),
 topv AS (SELECT h, df FROM dfreq ORDER BY df DESC, h LIMIT {vocab_size}),
 vocab AS (
-  SELECT h, row_number() OVER (ORDER BY df DESC, h) AS tok_id FROM topv
+  -- rank-via-count: tok_id = how many vocab entries sort at-or-before
+  -- this one under (df DESC, h). A deliberate V^2 triangular join over
+  -- the LIMITed vocab_size-row relation (broadcast-size) — equivalent
+  -- to row_number() but keeps the unpartitioned-window stage (and its
+  -- WindowExec warning) out of the plan entirely; h is unique, so the
+  -- order is total and the ranks dense on both engines.
+  SELECT a.h, COUNT(*) AS tok_id
+  FROM topv a JOIN topv b
+    ON b.df > a.df OR (b.df = a.df AND b.h <= a.h)
+  GROUP BY a.h
 ),
 enc AS (
   SELECT t.doc_id, t.pos, v.tok_id

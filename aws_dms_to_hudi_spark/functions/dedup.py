@@ -727,10 +727,14 @@ keys AS (
   FROM ({positions}) pos
 ),
 cand AS (
-  SELECT DISTINCT a.id AS doc_a, a.name AS name_a,
-                  b.id AS doc_b, b.name AS name_b
+  -- int-id-only DISTINCT (the same reduction the LSH family uses):
+  -- the dedup shuffle keys two int64s, never the name strings
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
   FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id
 )
-SELECT doc_a, doc_b FROM cand
-WHERE levenshtein(name_a, name_b) <= 1
+SELECT c.doc_a, c.doc_b
+FROM cand c
+JOIN all_names na ON na.id = c.doc_a
+JOIN all_names nb ON nb.id = c.doc_b
+WHERE levenshtein(na.name, nb.name) <= 1
 """
