@@ -2389,6 +2389,82 @@ def q130_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_dedup.fuzzy_join_sql("spark", customer=c))
 
 
+_SSJOIN_CACHE: dict[tuple[int, str], list] = {}
+
+
+def q132_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join through the driver gate: purchases
+    matched to the same user's views in the preceding hour, both sides
+    watermarked, executed as a REAL multi-micro-batch stream
+    (maxFilesPerTrigger=1, availableNow) that must converge to the
+    relational interval-join oracle. The watermark spans the fixture's
+    event-time range because the landed files are not time-ordered —
+    production eviction behavior is exercised separately
+    (tests/test_streaming_windows.py late-row tests); what this gates
+    is the join itself surviving micro-batch boundaries."""
+    from aws_dms_to_hudi_spark.streaming.windows import (
+        view_purchase_attribution,
+    )
+
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        rows = _SSJOIN_CACHE.get(key)
+        if rows is None:
+            ev = _events(spark, sf_dir).select(
+                "event_id", "ts", "user_id", "event_type",
+                F.pmod("event_id", F.lit(4)).alias("b"),
+            )
+            tmp = Path(tempfile.mkdtemp(prefix="ssjoin_"))
+            src = tmp / "stream"
+            for p in range(4):
+                ev.filter(F.col("b") == p).drop("b").coalesce(1).write.parquet(
+                    str(src / f"batch-{p}")
+                )
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long, "
+                    "event_type string"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src / "batch-*"))
+            )
+            joined = view_purchase_attribution(
+                stream.filter(F.col("event_type") == "view"),
+                stream.filter(F.col("event_type") == "purchase"),
+                watermark="3650 days",
+            )
+            qname = f"q132_{abs(hash(key)) % 10**8}"
+            q = (
+                joined.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            rows = (
+                spark.table(qname)
+                .select("user_id", "purchase_id", "view_id")
+                .collect()
+            )
+            _SSJOIN_CACHE[key] = rows
+    return spark.createDataFrame(
+        rows, "user_id long, purchase_id long, view_id long"
+    ).orderBy("purchase_id", "view_id")
+
+
+def _stream_interval_join_oracle_sql() -> str:
+    return """
+SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+FROM events p JOIN events v
+  ON v.user_id = p.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+ORDER BY purchase_id, view_id
+"""
+
+
 _EDIT1_CACHE: dict[tuple[int, str], str] = {}
 
 
@@ -3083,6 +3159,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_heavy_hitters": q129_heavy_hitters,
         "q130_fuzzy_join": q130_fuzzy_join,
         "q131_pagerank": q131_pagerank,
+        "q132_stream_interval_join": q132_stream_interval_join,
     }
 
 
@@ -3785,6 +3862,7 @@ def oracle_sql() -> dict[str, str]:
         "q131_pagerank": fn_comp.pagerank_sql(
             "duckdb", fn_dedup.edit1_pairs_sql("duckdb")
         ),
+        "q132_stream_interval_join": _stream_interval_join_oracle_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "
