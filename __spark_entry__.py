@@ -2389,6 +2389,52 @@ def q130_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_dedup.fuzzy_join_sql("spark", customer=c))
 
 
+def q133_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-quantile sketch under the q12/q87 gate contract: the
+    gated output is the EXACT interpolated quartiles of l_quantity per
+    return flag (integer-valued doubles — every interpolation midpoint
+    is binary-exact, so no rounding hazard) plus a boolean asserting
+    Spark's approx_percentile (GK sketch, accuracy 1000) landed within
+    an absolute band of 2 quantity units. The sketch's merge order
+    varies with partitioning, so its raw value is not hash-stable —
+    the band assertion is, and it is the estimator's actual contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "percentile(l_quantity, array(0.25, 0.5, 0.75))"
+            ).alias("pct"),
+            F.expr(
+                "approx_percentile(l_quantity, 0.5, 1000)"
+            ).alias("approx_med"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.col("pct")[0].alias("q25"),
+            F.col("pct")[1].alias("q50"),
+            F.col("pct")[2].alias("q75"),
+            (F.abs(F.col("approx_med") - F.col("pct")[1]) <= 2).alias(
+                "approx_within_band"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _approx_quantiles_oracle_sql() -> str:
+    return """
+SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.5) AS q50,
+       quantile_cont(l_quantity, 0.75) AS q75,
+       TRUE AS approx_within_band
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 _SSJOIN_CACHE: dict[tuple[int, str], list] = {}
 
 
@@ -3160,6 +3206,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_fuzzy_join": q130_fuzzy_join,
         "q131_pagerank": q131_pagerank,
         "q132_stream_interval_join": q132_stream_interval_join,
+        "q133_approx_quantiles": q133_approx_quantiles,
     }
 
 
@@ -3863,6 +3910,7 @@ def oracle_sql() -> dict[str, str]:
             "duckdb", fn_dedup.edit1_pairs_sql("duckdb")
         ),
         "q132_stream_interval_join": _stream_interval_join_oracle_sql(),
+        "q133_approx_quantiles": _approx_quantiles_oracle_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "
