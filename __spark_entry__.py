@@ -2389,6 +2389,61 @@ def q130_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_dedup.fuzzy_join_sql("spark", customer=c))
 
 
+def q134_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operators (EXCEPT ALL / INTERSECT ALL —
+    multiplicity-aware, unlike q42/q09's distinct forms): order-key
+    multisets from two overlapping order-priority slices. EXCEPT ALL
+    keeps max(m-n, 0) copies, INTERSECT ALL keeps min(m, n) — gated by
+    aggregating each result to (custkey, copies) so the multiset itself
+    is hash-verified."""
+    o = _t(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_orderpriority") <= "3-MEDIUM").select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    exc = (
+        hi.exceptAll(urgent)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_except_all"))
+    )
+    inter = (
+        hi.intersectAll(urgent)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_intersect_all"))
+    )
+    return (
+        exc.join(inter, "o_custkey", "full_outer")
+        .select(
+            "o_custkey",
+            F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+            F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def _bag_set_ops_oracle_sql() -> str:
+    return """
+WITH hi AS (
+  SELECT o_custkey FROM orders WHERE o_orderpriority <= '3-MEDIUM'
+),
+urg AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+exc AS (
+  SELECT o_custkey, COUNT(*) AS n_except_all
+  FROM (SELECT o_custkey FROM hi EXCEPT ALL SELECT o_custkey FROM urg) e
+  GROUP BY o_custkey
+),
+inter AS (
+  SELECT o_custkey, COUNT(*) AS n_intersect_all
+  FROM (SELECT o_custkey FROM hi INTERSECT ALL SELECT o_custkey FROM urg) i
+  GROUP BY o_custkey
+)
+SELECT COALESCE(exc.o_custkey, inter.o_custkey) AS o_custkey,
+       COALESCE(n_except_all, 0) AS n_except_all,
+       COALESCE(n_intersect_all, 0) AS n_intersect_all
+FROM exc FULL OUTER JOIN inter ON exc.o_custkey = inter.o_custkey
+ORDER BY o_custkey
+"""
+
+
 def q133_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate-quantile sketch under the q12/q87 gate contract: the
     gated output is the EXACT interpolated quartiles of l_quantity per
@@ -3207,6 +3262,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_pagerank": q131_pagerank,
         "q132_stream_interval_join": q132_stream_interval_join,
         "q133_approx_quantiles": q133_approx_quantiles,
+        "q134_bag_set_ops": q134_bag_set_ops,
     }
 
 
@@ -3911,6 +3967,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q132_stream_interval_join": _stream_interval_join_oracle_sql(),
         "q133_approx_quantiles": _approx_quantiles_oracle_sql(),
+        "q134_bag_set_ops": _bag_set_ops_oracle_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "
