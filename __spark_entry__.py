@@ -2389,6 +2389,82 @@ def q130_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_dedup.fuzzy_join_sql("spark", customer=c))
 
 
+_REDELIVERY_CACHE: dict[tuple[int, str], list] = {}
+
+
+def q135_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once redelivery dedup through the driver gate: the
+    events source is landed TWICE (every file re-delivered, so each
+    event_id arrives in two different micro-batches) and streamed
+    through ``dropDuplicatesWithinWatermark`` — bounded-state exact
+    dedup. With a span-covering watermark every redelivery falls inside
+    the dedup window, so the output must hash-match the plain distinct
+    aggregate of the ORIGINAL (single-delivery) stream. Gated as
+    per-type counts + an id checksum so the surviving row SET itself is
+    verified, not just its size."""
+    from aws_dms_to_hudi_spark.streaming.windows import (
+        dedup_within_watermark,
+    )
+
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        rows = _REDELIVERY_CACHE.get(key)
+        if rows is None:
+            ev = _events(spark, sf_dir).select(
+                "event_id", "ts", "event_type",
+                F.pmod("event_id", F.lit(2)).alias("b"),
+            )
+            tmp = Path(tempfile.mkdtemp(prefix="redeliver_"))
+            src = tmp / "stream"
+            for p in range(2):  # land once ...
+                ev.filter(F.col("b") == p).drop("b").coalesce(1).write.parquet(
+                    str(src / f"batch-{p}")
+                )
+            for p in range(2):  # ... and re-deliver every file
+                ev.filter(F.col("b") == p).drop("b").coalesce(1).write.parquet(
+                    str(src / f"redeliver-{p}")
+                )
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, event_type string"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src) + "/*")
+            )
+            deduped = dedup_within_watermark(stream, watermark="3650 days")
+            qname = f"q135_{abs(hash(key)) % 10**8}"
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            rows = spark.table(qname).collect()
+            _REDELIVERY_CACHE[key] = rows
+    return (
+        spark.createDataFrame(
+            rows, "event_id long, ts timestamp, event_type string"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("id_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _redelivery_dedup_oracle_sql() -> str:
+    return """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q134_bag_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-semantics set operators (EXCEPT ALL / INTERSECT ALL —
     multiplicity-aware, unlike q42/q09's distinct forms): order-key
@@ -3263,6 +3339,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_stream_interval_join": q132_stream_interval_join,
         "q133_approx_quantiles": q133_approx_quantiles,
         "q134_bag_set_ops": q134_bag_set_ops,
+        "q135_redelivery_dedup": q135_redelivery_dedup,
     }
 
 
@@ -3968,6 +4045,7 @@ def oracle_sql() -> dict[str, str]:
         "q132_stream_interval_join": _stream_interval_join_oracle_sql(),
         "q133_approx_quantiles": _approx_quantiles_oracle_sql(),
         "q134_bag_set_ops": _bag_set_ops_oracle_sql(),
+        "q135_redelivery_dedup": _redelivery_dedup_oracle_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "
