@@ -2389,6 +2389,32 @@ def q130_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_dedup.fuzzy_join_sql("spark", customer=c))
 
 
+def _grouping_marker_sql(orders: str = "orders") -> str:
+    """GROUPING() marker functions over a ROLLUP — how consumers tell a
+    real NULL group from a subtotal row (the gap q10/q30/q51 leave
+    open). The composite id is built portably as 2·GROUPING(a) +
+    GROUPING(b) from the single-argument form both engines share.
+    Identical text on both engines."""
+    return f"""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+       CAST(2 * GROUPING(o_orderpriority) + GROUPING(o_orderstatus)
+            AS BIGINT) AS g_id,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+FROM {orders}
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+ORDER BY g_id DESC, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+def q136_grouping_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping-id markers through the SQL surface (D10)."""
+    o = _view(spark, sf_dir, "orders", "q136")
+    return spark.sql(_grouping_marker_sql(o))
+
+
 _REDELIVERY_CACHE: dict[tuple[int, str], list] = {}
 
 
@@ -3340,6 +3366,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_approx_quantiles": q133_approx_quantiles,
         "q134_bag_set_ops": q134_bag_set_ops,
         "q135_redelivery_dedup": q135_redelivery_dedup,
+        "q136_grouping_markers": q136_grouping_markers,
     }
 
 
@@ -4046,6 +4073,7 @@ def oracle_sql() -> dict[str, str]:
         "q133_approx_quantiles": _approx_quantiles_oracle_sql(),
         "q134_bag_set_ops": _bag_set_ops_oracle_sql(),
         "q135_redelivery_dedup": _redelivery_dedup_oracle_sql(),
+        "q136_grouping_markers": _grouping_marker_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "
