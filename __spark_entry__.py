@@ -3208,21 +3208,22 @@ def q91_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
-    # this dict (r1/r2 both capped there, so q50+ never reached the hard
-    # hash signal). Rotate deterministically per round: entries that have
-    # not yet appeared in any CORRECTNESS_r*.json lead — this round the
-    # new r3 gates (q108+), the storage-service gates (q92–q107), then
-    # q50 onward as far as the window reaches (≈q76); q01–q49
-    # (driver-green twice already) move behind. Next round the remainder
-    # (q77–q91) rotates to the front. The full set is unchanged — pytest
-    # and bench run everything.
+    # this dict. Rotate deterministically per round: entries that have
+    # not yet appeared in any CORRECTNESS_r*.json lead. As of r3 the
+    # cross-round driver-verified union is q01-q54 + q92-q136, so this
+    # round q55-q91 (37 entries, the only never-verified block) lead,
+    # followed by the new r4 gates (q137+) to fill the 50-row window;
+    # everything driver-green already moves behind. The full set is
+    # unchanged — pytest and bench run everything.
+    # tests/test_entry_contract.py::test_driver_window_rotation asserts
+    # the first-50 prefix against the committed CORRECTNESS_r*.json
+    # union so a rotation mistake fails CI instead of costing a round.
     def num(n: str) -> int:
         return int(n.split("_", 1)[0].lstrip("q"))
 
     lead = (
-        [n for n in base if num(n) >= 108]
-        + [n for n in base if 92 <= num(n) <= 107]
-        + [n for n in base if 50 <= num(n) <= 91]
+        [n for n in base if 55 <= num(n) <= 91]
+        + [n for n in base if num(n) >= 137]
     )
     seen = set(lead)
     return {n: base[n] for n in lead + [m for m in base if m not in seen]}

@@ -33,3 +33,31 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert "trx_seq" in df.columns
+
+
+def test_driver_window_rotation():
+    """The driver's CORRECTNESS gate hashes only the FIRST 50 queries()
+    entries. Assert the prefix is exactly the never-driver-verified set
+    (computed from the committed CORRECTNESS_r*.json files), padded with
+    driver-green entries only once every never-verified entry is in the
+    window — so a rotation mistake fails CI instead of costing a round."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            seen |= set(json.load(f))
+    if not seen:
+        pytest.skip("no committed CORRECTNESS_r*.json yet")
+    names = list(QUERIES)
+    never = [n for n in names if n not in seen]
+    window = names[:50]
+    missing = [n for n in never if n not in window and len(never) <= 50]
+    assert not missing, (
+        f"never-driver-verified entries outside the 50-row window: {missing}"
+    )
+    if len(never) > 50:
+        assert window == never[:50]
