@@ -113,14 +113,19 @@ def pagerank_sql(dialect: str, pairs_sql: str, top: int = 100) -> str:
     the canonical "importance in the duplicate cluster" signal (pick the
     most-linked member as canonical, audit hub documents).
 
-    All arithmetic is fixed-point int64 with explicit floor division:
+    All arithmetic is fixed-point with explicit floor division:
     v_{t+1} = (15·SCALE)/100 + (85 · Σ_{u~x} (v_t(u) ÷ deg(u))) ÷ 100.
     Floor-div + integer sums are bit-identical across engines (no float
     accumulates anywhere), so ``PR_ITERS`` unrolled iterations land on
-    exactly the same scores. Overflow: Σ over a node's neighbors is
-    ≤ deg_max · SCALE ≈ 2^40·deg_max and 85·that stays < 2^63 for any
-    realistic degree; DuckDB would raise on overflow, Spark wraps —
-    parity is by staying in-range (as the dedup family does).
+    exactly the same scores. Overflow: per-neighbor contributions are
+    summed as DECIMAL(38,0) (exact to 10^38, far past any hub degree ×
+    score product), and the new score is range-checked back into int64
+    through a dialect-specific guard that RAISES on both engines
+    (``assert_true`` / ``error``) instead of Spark's silent int64 wrap
+    — an out-of-range hub fails loudly and identically rather than
+    surfacing as a hash mismatch. The 85·s/100 step stays exact in
+    decimal: the true quotient has ≤ 2 fractional digits and the
+    guarded operand is < 10^32, within DECIMAL(38,6) exact range.
 
     Scale: one equi-join + hash aggregate per iteration, shuffled on the
     node key — the operator form would checkpoint per round like
@@ -130,13 +135,24 @@ def pagerank_sql(dialect: str, pairs_sql: str, top: int = 100) -> str:
     idiv = (lambda a, b: f"({a} div {b})") if dialect == "spark" else (
         lambda a, b: f"({a} // {b})")
     base = idiv(f"15 * {PR_SCALE}", "100")
+    # int64 guard: 2^62, leaving headroom for base + the guarded term.
+    lim = 4611686018427387903
+    if dialect == "spark":
+        guard = (lambda v: f"(CASE WHEN {v} <= {lim} THEN CAST({v} AS BIGINT)"
+                 f" ELSE CAST(assert_true({v} <= {lim},"
+                 f" 'pagerank int64 overflow') AS BIGINT) END)")
+    else:
+        guard = (lambda v: f"(CASE WHEN {v} <= {lim} THEN CAST({v} AS BIGINT)"
+                 f" ELSE CAST(error('pagerank int64 overflow') AS BIGINT)"
+                 f" END)")
     cur = "v0"
     its = []
     for k in range(1, PR_ITERS + 1):
         contrib = idiv("vp.v", "dg.d")
+        dsum = f"SUM(CAST({contrib} AS DECIMAL(38,0)))"
         its.append(f"""v{k} AS (
   SELECT u.b AS node,
-         {base} + {idiv(f"85 * SUM({contrib})", "100")} AS v
+         {base} + {guard(f"floor(85 * {dsum} / 100)")} AS v
   FROM und u
   JOIN v{k-1} vp ON vp.node = u.a
   JOIN deg dg ON dg.a = u.a

@@ -123,20 +123,30 @@ def mixture_balance_sql(
     Shape at 100 TB: per-language counts are one tiny aggregate; the
     keep-set is one window per language partition with an early rank
     cutoff (per-partition top-k heap). The scale scalar broadcasts.
-    Languages absent from the weight table are dropped (weight 0)."""
+    Languages absent from the weight table are dropped (weight 0).
+    A *weighted* language with zero corpus rows forces scale = 0 (its
+    per_weight is 0 via the weight-list left join below), so the output
+    can never silently violate the exact-proportions contract — the
+    gap surfaces as an all-zero keep-set with the starved language's
+    n_avail = 0 row present."""
     cases = " ".join(
         f"WHEN lang = '{lang}' THEN {w}" for lang, w in weights
     )
     w_expr = f"CASE {cases} ELSE 0 END"
+    wlist = ", ".join(f"('{lang}', {w})" for lang, w in weights)
     key = ("CAST(doc_id AS STRING)" if dialect == "spark"
            else "CAST(doc_id AS VARCHAR)")
     h = P.rolling_hash(key, dialect)
-    div = P.int_div("COUNT(*)", "MAX(w)", dialect)
+    div = P.int_div("COALESCE(c.n_avail, 0)", "wl.w", dialect)
     return f"""
 WITH wtab AS (SELECT lang, doc_id, {w_expr} AS w, {h} AS hv FROM {table}),
+wlist AS (SELECT * FROM (VALUES {wlist}) AS t(lang, w)),
+cnt AS (
+  SELECT lang, COUNT(*) AS n_avail FROM wtab WHERE w > 0 GROUP BY lang
+),
 avail AS (
-  SELECT lang, COUNT(*) AS n_avail, {div} AS per_weight
-  FROM wtab WHERE w > 0 GROUP BY lang
+  SELECT wl.lang, COALESCE(c.n_avail, 0) AS n_avail, {div} AS per_weight
+  FROM wlist wl LEFT JOIN cnt c ON wl.lang = c.lang
 ),
 scale AS (SELECT MIN(per_weight) AS s FROM avail),
 ranked AS (

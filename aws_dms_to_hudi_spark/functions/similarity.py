@@ -683,7 +683,9 @@ def quantization_sql(dialect: str, table: str = "embeddings") -> str:
     worst-case absolute error.
 
     Determinism: codes use floor(x + 0.5) (not round(), whose half-way
-    rule differs across engines in principle); the MSE accumulates
+    rule differs across engines in principle); a constant dimension
+    (max = min) quantizes to code 0 with zero error rather than a
+    silent NULL from division by zero; the MSE accumulates
     per-row DECIMAL(18,15) casts of the squared error — the error is
     bounded by (range/255)² ≪ 1, so the cast is exact-range-safe and
     the SUM is order-independent.
@@ -702,8 +704,10 @@ WITH iv AS (
 rng AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM iv GROUP BY dim),
 codes AS (
   SELECT i.vec_id, i.label, i.v, r.mn, r.mx,
-         CAST(floor((i.v - r.mn) / (r.mx - r.mn) * {QUANT_LEVELS} + 0.5)
-              AS BIGINT) AS code
+         CASE WHEN r.mx = r.mn THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor((i.v - r.mn) / (r.mx - r.mn) * {QUANT_LEVELS}
+                              + 0.5) AS BIGINT)
+         END AS code
   FROM iv i JOIN rng r ON i.dim = r.dim
 ),
 recon AS (

@@ -128,7 +128,7 @@ def main() -> None:
 
     # The host (virtualized) shows minute-scale I/O-throttle bursts that
     # can outlast both back-to-back runs of a query and inflate it >10x.
-    # Re-time the slowest decile once more at the end — min with the
+    # Re-time every query over 1.0s once more at the end — min with the
     # earlier measurement — so a burst must span the whole bench to
     # survive into the recorded number. (Still a real measurement: only
     # ever the min of actual executions.)

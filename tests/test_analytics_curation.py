@@ -390,13 +390,39 @@ class TestMixtureBalance:
         out = {
             r["lang"]: r
             for r in spark.sql(
-                fn_sampling.mixture_balance_sql("spark", table="__mix_docs")
+                fn_sampling.mixture_balance_sql(
+                    "spark",
+                    table="__mix_docs",
+                    weights=(("en", 4), ("de", 2)),
+                )
             ).collect()
         }
         scale = min(20 // 4, 5 // 2)  # = 2
         assert out["en"]["n_kept"] == 4 * scale
         assert out["de"]["n_kept"] == 2 * scale
         assert out["en"]["n_avail"] == 20 and out["de"]["n_avail"] == 5
+
+    def test_starved_language_forces_scale_zero(self, spark):
+        """A weighted language with zero corpus rows must force the
+        whole mixture to scale 0 (surface the gap) rather than silently
+        violating the exact-proportions contract."""
+        from aws_dms_to_hudi_spark.functions import sampling as fn_sampling
+
+        _docs(spark, ["doc text"] * 5, ["en"] * 5).createOrReplaceTempView(
+            "__mix_starved"
+        )
+        out = {
+            r["lang"]: r
+            for r in spark.sql(
+                fn_sampling.mixture_balance_sql(
+                    "spark",
+                    table="__mix_starved",
+                    weights=(("en", 1), ("xx", 1)),
+                )
+            ).collect()
+        }
+        assert out["xx"]["n_avail"] == 0 and out["xx"]["n_kept"] == 0
+        assert out["en"]["n_avail"] == 5 and out["en"]["n_kept"] == 0
 
 
 class TestPageRank:
