@@ -1423,13 +1423,15 @@ def q76_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q77_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup GROUPS: MinHash-LSH pairs (q20) closed into connected
-    components (functions/components.py, iterative min-label
-    propagation) — the keep-one-per-group step of corpus dedup. Output
-    is each component's id (min doc_id), size, and member list."""
+    components (functions/components.py, alternating large-star/
+    small-star — O(log n) rounds regardless of graph diameter, so a
+    100x corpus with chained near-dups cannot outgrow the round
+    budget) — the keep-one-per-group step of corpus dedup. Output is
+    each component's id (min doc_id), size, and member list."""
     pv = fn_dedup.minhash_pairs_view(
         spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
-    labels = fn_comp.connected_components(spark.table(pv))
+    labels = fn_comp.connected_components_star(spark.table(pv))
     return (
         labels.groupBy("component")
         .agg(

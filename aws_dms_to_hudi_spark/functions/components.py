@@ -20,9 +20,10 @@ Scale notes (100 TB corpus, billions of pairs):
   explodes long before data does (the classic iterative-DataFrame trap);
 - the convergence check is a cheap aggregate on the labels diff; a
   fixed ``max_iter`` bounds worst-case (chain-shaped) graphs, for which
-  the alternating large-star/small-star formulation (Kiveris et al.,
-  "Connected Components in MapReduce and Beyond") converges in
-  O(log n) rounds — swap it in if dup graphs ever stop being shallow;
+  :func:`connected_components_star` (the alternating large-star/
+  small-star formulation of Kiveris et al., "Connected Components in
+  MapReduce and Beyond") converges in O(log n) rounds regardless of
+  diameter — that variant is the default for production pair graphs;
 - output is (node, component) with component = min node id reachable:
   deterministic, so representative selection ("keep the min doc_id")
   is reproducible across runs and cluster layouts.
@@ -80,7 +81,98 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the pair graph has a longer diameter than near-dup groups "
-        "should — use the large-star/small-star variant"
+        "should — use the large-star/small-star variant "
+        "(connected_components_star), which is O(log n) rounds"
+    )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components in O(log n) rounds via alternating
+    large-star / small-star (Kiveris et al., "Connected Components in
+    MapReduce and Beyond") — the variant :func:`connected_components`'s
+    own convergence error points at for graphs whose diameter exceeds
+    its round budget (chained near-dups at 100x corpus scale).
+
+    Returns the same ``(node, component)`` contract, component = min
+    node id of the component.
+
+    Each round is two star operations, each one groupBy-min plus one
+    equi-join, all shuffle-partitioned by node — no driver state, no
+    per-component memory. Invariant maintained between rounds: every
+    edge is oriented larger-endpoint-first, so large-star's ``v > u``
+    and small-star's ``min of smaller neighbors`` read directly off the
+    orientation. Fixed point = the edge set is a union of stars rooted
+    at each component's minimum, detected by an (edge count, order-
+    independent hash checksum) pair going stable; every round is
+    materialized (reliable checkpoint when a checkpoint dir is set) to
+    truncate the iterative lineage."""
+    e = _materialize(
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _signature(df: DataFrame) -> tuple:
+        # bit_xor: order-independent, overflow-free (ANSI-safe); edges
+        # are distinct so XOR self-cancellation cannot occur.
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = _signature(e)
+    for _ in range(max_iter):
+        # large-star: every node connects its larger neighbors to the
+        # minimum of its closed neighborhood. Output (v, m) has v > m.
+        und = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        lmins = und.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least(F.col("u"), F.col("mv")).alias("m")
+        )
+        e = (
+            und.join(lmins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: every node connects its smaller neighbors (and
+        # itself) to the minimum among them. Orientation is preserved.
+        smins = e.groupBy("u").agg(F.min("v").alias("m"))
+        joined = e.join(smins, "u")
+        e = _materialize(
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+        new_sig = _signature(e)
+        if new_sig == sig:
+            # stars: every non-root has exactly one edge to its root.
+            non_roots = e.select(
+                F.col("u").alias("node"), F.col("v").alias("component")
+            )
+            roots = (
+                e.select(F.col("v").alias("node")).distinct()
+                .withColumn("component", F.col("node"))
+            )
+            return non_roots.unionByName(roots)
+        sig = new_sig
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} "
+        "rounds — far beyond the O(log n) bound; graph input is suspect"
     )
 
 

@@ -242,6 +242,114 @@ def test_connected_components_diameter_bound(spark):
     assert set(full.values()) == {0}
 
 
+def test_connected_components_star_shapes(spark):
+    """The O(log n)-round large-star/small-star variant labels the same
+    chain/triangle/pair/star fixture identically to min-label."""
+    from pyspark.sql import Row
+
+    from aws_dms_to_hudi_spark.functions.components import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [
+            Row(doc_a=1, doc_b=2),
+            Row(doc_a=2, doc_b=3),
+            Row(doc_a=3, doc_b=4),
+            Row(doc_a=10, doc_b=11),
+            Row(doc_a=11, doc_b=12),
+            Row(doc_a=10, doc_b=12),
+            Row(doc_a=20, doc_b=21),
+            Row(doc_a=31, doc_b=30),
+            Row(doc_a=32, doc_b=30),
+            Row(doc_a=33, doc_b=30),
+        ]
+    )
+    got = {
+        r.node: r.component
+        for r in connected_components_star(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30, 33: 30,
+    }
+
+
+def test_connected_components_star_long_path(spark):
+    """Path graph with diameter 60: the min-label loop refuses at its
+    default 25-round budget; the star variant converges in O(log n)
+    rounds and matches the recursive-CTE oracle."""
+    import duckdb
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from aws_dms_to_hudi_spark.functions.components import (
+        components_oracle_sql,
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 60
+    rows = [Row(doc_a=i, doc_b=i + 1) for i in range(n)]
+    chain = spark.createDataFrame(rows)
+    with _pytest.raises(RuntimeError, match="large-star"):
+        connected_components(chain)
+    got = {
+        r.node: r.component
+        for r in connected_components_star(chain).collect()
+    }
+    pairs_sql = " UNION ALL ".join(
+        f"SELECT {a} AS doc_a, {b} AS doc_b" for a, b in [(i, i + 1) for i in range(n)]
+    )
+    oracle = duckdb.connect().execute(
+        components_oracle_sql(pairs_sql)
+    ).fetchall()
+    assert got == {node: comp for node, comp in oracle}
+    assert set(got.values()) == {0} and len(got) == n + 1
+
+
+def test_connected_components_star_random_vs_union_find(spark):
+    """Deterministic pseudo-random graph vs a Python union-find."""
+    from pyspark.sql import Row
+
+    from aws_dms_to_hudi_spark.functions.components import (
+        connected_components_star,
+    )
+
+    # deterministic LCG so the fixture is stable across runs
+    state, edges = 12345, []
+    for _ in range(300):
+        state = (state * 1103515245 + 12345) % (2**31)
+        a = state % 120
+        state = (state * 1103515245 + 12345) % (2**31)
+        b = state % 120
+        if a != b:
+            edges.append((a, b))
+    parent = list(range(120))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {a for e in edges for a in e}
+    expected = {x: find(x) for x in touched}
+    got = {
+        r.node: r.component
+        for r in connected_components_star(
+            spark.createDataFrame([Row(doc_a=a, doc_b=b) for a, b in edges])
+        ).collect()
+    }
+    assert got == expected
+
+
 def test_batch_tokhash_bit_identical_to_scalar():
     """The Arrow batch path must reproduce the scalar reference hash
     exactly — unicode code points, ASCII-only whitespace splitting,
