@@ -617,12 +617,16 @@ ORDER BY true_label, assigned_label
 # ---------------------------------------------------------------------------
 
 SEMDEDUP_TAU = 0.3
+# Max comparison-group size: clusters above this split into
+# ceil(|cluster|/cap) shards, bounding candidate volume to ~N*cap.
+SEMDEDUP_CAP = 128
 
 
 def semdedup_sql(
     dialect: str,
     table: str = "embeddings",
     tau: float = SEMDEDUP_TAU,
+    max_cluster: int = SEMDEDUP_CAP,
 ) -> str:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by exact
     pairwise cosine WITHIN clusters only — never across the corpus.
@@ -633,19 +637,40 @@ def semdedup_sql(
     partner (the smallest-id duplicate it collapses into; NULL = kept).
 
     Clusters here are the k-means assignment the fixture carries as
-    ``label`` (q99/q100 verify the M/E steps that produce it). Shape at
-    100 TB — the paper's own cost model: the self-join is an equi-join
-    on the cluster id, so candidate volume is Σ|cluster|², bounded by
-    choosing k ∝ corpus size (cluster size stays ~constant); the cosine
-    is the same bit-identical DOUBLE fold both engines share with the
-    neardup/topk family. One shuffle on cluster id, one on vec_id."""
+    ``label`` (q99/q100 verify the M/E steps that produce it). The
+    paper's cost model wants k ∝ corpus size so cluster size stays
+    ~constant; a fixed labeling can't promise that, so the budget is
+    enforced MECHANICALLY: any cluster above ``max_cluster`` members is
+    split into ceil(|cluster|/cap) shards by ``vec_id % n_shards``
+    (deterministic on any layout, no RNG, balanced for dense ids) and
+    pairwise cosine runs within (cluster, shard) only. Candidate
+    volume is then Σ_shards |shard|² ≤ N·cap — linear in the corpus —
+    instead of Σ|cluster|² (quadratic when cluster count is fixed).
+    Cross-shard near-dups inside an oversized cluster are forgone,
+    the same recall trade the paper makes by raising k; clusters at or
+    under the cap (every gate fixture) are bit-identical to the
+    unsharded form. Shape at 100 TB: one tiny per-cluster count
+    aggregate, an equi-join on (cluster, shard), one shuffle on
+    vec_id; the cosine is the same bit-identical DOUBLE fold both
+    engines share with the neardup/topk family."""
     return f"""
 WITH {_normed_cte(dialect, table)},
 lab AS (SELECT vec_id, label FROM {table}),
+csz AS (
+  SELECT label,
+         CAST(ceil(COUNT(*) / CAST({max_cluster} AS DOUBLE)) AS BIGINT)
+           AS n_shards
+  FROM lab GROUP BY label
+),
+labx AS (
+  SELECT l.vec_id, l.label, l.vec_id % c.n_shards AS shard
+  FROM lab l JOIN csz c ON l.label = c.label
+),
 pairs AS (
   SELECT la.label, la.vec_id AS keep_id, lb.vec_id AS dup_id
-  FROM lab la JOIN lab lb
-    ON la.label = lb.label AND la.vec_id < lb.vec_id
+  FROM labx la JOIN labx lb
+    ON la.label = lb.label AND la.shard = lb.shard
+   AND la.vec_id < lb.vec_id
 ),
 scored AS (
   SELECT p.label, p.keep_id, p.dup_id,

@@ -30,12 +30,13 @@ total wall-clock across 35 queries incl. the CDC family and the r3
 curation/similarity additions. Before that conf, fixed 32-wide shuffles
 went spill-bound superlinear at 10x (q13 17.9x, q23 14.8x); with AQE
 given a wide initial width they re-plan to 1.9x/0.6x. Remaining
-above-linear entries: q19 8.4x (shingle inverted-index build — linear
-work, sf0.1 side underutilizes the cores) and q123 semdedup 10.8x —
-REAL quadratic within-cluster pair growth because the probe corpus
-keeps k=10 clusters while N grows 10x; the operator's documented scale
-knob is k ∝ N (constant cluster size), exactly the published SemDeDup
-cost model. Full table in tools/scale_probe_results.json.
+above-linear entry: q19 8.4x (shingle inverted-index build — linear
+work, sf0.1 side underutilizes the cores). q123 semdedup was 10.8x in
+r3 (real quadratic within-cluster pair growth with a fixed k=10
+labeling); since r4 the operator enforces its own budget — clusters
+above SEMDEDUP_CAP split into vec_id-modulo shards, bounding
+candidates to ~N*cap — and probes at 1.2x. Full table in
+tools/scale_probe_results.json.
 """
 
 from __future__ import annotations
