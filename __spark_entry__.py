@@ -2417,6 +2417,22 @@ def q136_grouping_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_grouping_marker_sql(o))
 
 
+def q137_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode, oracle-gated (multimodal.py
+    decode_jpeg/encode_jpeg): a genuine entropy-coded grayscale JPEG is
+    built per document and run through the full decoder — marker walk,
+    canonical Huffman with byte unstuffing, dequant, IDCT — inside
+    Arrow-batched mapInPandas. The fixture's blockwise-constant even
+    gray levels survive Annex-K quantization bit-exactly, so the DuckDB
+    oracle replays the DECODED pixel checksum + sum arithmetically;
+    any codec regression breaks the value hash. Beyond-reference
+    extension (the reference's RDBMS rows cap LOBs at 32KB and carry no
+    media — templates/aws-dms-to-hudi.yaml:437)."""
+    return fn_mm.jpeg_roundtrip_features(
+        _t(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
 _REDELIVERY_CACHE: dict[tuple[int, str], list] = {}
 
 
@@ -3370,6 +3386,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_bag_set_ops": q134_bag_set_ops,
         "q135_redelivery_dedup": q135_redelivery_dedup,
         "q136_grouping_markers": q136_grouping_markers,
+        "q137_jpeg_decode": q137_jpeg_decode,
     }
 
 
@@ -4077,6 +4094,7 @@ def oracle_sql() -> dict[str, str]:
         "q134_bag_set_ops": _bag_set_ops_oracle_sql(),
         "q135_redelivery_dedup": _redelivery_dedup_oracle_sql(),
         "q136_grouping_markers": _grouping_marker_sql(),
+        "q137_jpeg_decode": fn_mm.jpeg_gate_oracle_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

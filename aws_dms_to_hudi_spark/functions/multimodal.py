@@ -6,14 +6,21 @@ beside them; decode / feature-extract / resize / frame-sample run as
 Arrow-batched pandas functions over ``mapInPandas`` so the heavy
 per-item work stays columnar-batched and embarrassingly parallel.
 
-Codecs: ``fmt='png'`` is REAL — a minimal pure-python decoder
-(:func:`decode_png`: chunk walk, IDAT inflate, all five scanline
-filters) runs inside the Arrow batches, byte-tested against hand-built
-PNGs. ``fmt='raw'`` is the deterministic fake the cross-engine oracle
-gates use (DuckDB can't inflate PNGs, so parity queries stay on the
-arithmetic path). jpeg/wav/mp4 raise ``NotImplementedError`` — they
-need libraries not present in this container; the Spark-side plumbing
-(schema, batching, partitioning, UDF signature) is shared either way.
+Codecs: ``fmt='png'`` and ``fmt='jpeg'`` are REAL — minimal pure-python
+decoders run inside the Arrow batches. PNG (:func:`decode_png`): chunk
+walk, IDAT inflate, all five scanline filters — byte-tested against
+hand-built PNGs. JPEG (:func:`decode_jpeg`): baseline-sequential marker
+walk, canonical Huffman entropy decode with byte unstuffing and restart
+resync, dequant + IDCT + YCbCr→RGB — coefficient-level-tested against
+:func:`encode_jpeg` streams, and oracle-GATED end-to-end (q137):
+blockwise-constant even gray levels survive Annex-K quantization
+bit-exactly (q00=16 divides 8·(v−128) for even v), so DuckDB replays
+the decoded-pixel checksum arithmetically while Spark runs the full
+decode path. ``fmt='raw'`` is the deterministic fake for oracle gates
+whose payloads aren't SQL-replayable. wav/mp4 raise
+``NotImplementedError`` — they need libraries not present in this
+container; the Spark-side plumbing (schema, batching, partitioning,
+UDF signature) is shared either way.
 
 Scale notes (100 TB of media):
 
@@ -139,15 +146,503 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential DCT) — real pure-python codec
+# ---------------------------------------------------------------------------
+
+# Annex-K example quantization tables (written into DQT by the encoder
+# and read back from the stream by the decoder, so the pair is
+# self-consistent by construction).
+_JPEG_QL = [
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = (
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32
+)
+
+# standard (Annex K.3.3) Huffman specs as (BITS, HUFFVAL)
+_DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+         list(range(12)))
+_DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+         list(range(12)))
+_AC_L = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_AC_C = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix():
+    """Orthogonal 8x8 DCT-II matrix M (M[u,x] = c(u)/2 * cos((2x+1)u
+    pi/16)); forward F = M f M^T, inverse f = M^T F M."""
+    import math
+
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman (length, code) per symbol from a DHT spec."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (ln, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _encode_block(w, coeffs, dc_codes, ac_codes, pred):
+    """Huffman-encode one quantized 8x8 block (zigzag order)."""
+    diff = int(coeffs[0]) - pred
+    t = int(diff).bit_length() if diff else 0
+    ln, code = dc_codes[t]
+    w.put(code, ln)
+    if t:
+        w.put(diff if diff > 0 else diff - 1, t)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if coeffs[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(coeffs[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            ln, code = ac_codes[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        t = abs(v).bit_length()
+        ln, code = ac_codes[(run << 4) | t]
+        w.put(code, ln)
+        w.put(v if v > 0 else v - 1, t)
+        run = 0
+    if last_nz < 63:
+        ln, code = ac_codes[0x00]  # EOB
+        w.put(code, ln)
+    return int(coeffs[0])
+
+
+def encode_jpeg(
+    pixels,
+    grayscale: bool | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline-sequential JPEG encoder (SOF0, Annex-K quant +
+    Huffman tables, no subsampling). ``pixels`` is an ``(H, W)`` uint8
+    array (grayscale) or ``(H, W, 3)`` RGB. Edge blocks pad by edge
+    replication. ``restart_interval`` > 0 emits a DRI segment and RSTn
+    markers every N MCUs (exercises the decoder's resync path). Real
+    pipelines land JPEG bytes from object storage; this writer exists
+    so decode tests and the oracle gate run against genuine
+    entropy-coded streams rather than canned fixtures."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if grayscale is None:
+        grayscale = px.ndim == 2
+    h, w = px.shape[:2]
+    m = _dct_matrix()
+    if grayscale:
+        planes = [px.astype(np.float64) - 128.0]
+        qtabs = [np.array(_JPEG_QL, dtype=np.float64).reshape(8, 8)]
+        comp_q = [0]
+    else:
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y - 128.0, cb - 128.0, cr - 128.0]
+        ql = np.array(_JPEG_QL, dtype=np.float64).reshape(8, 8)
+        qc = np.array(_JPEG_QC, dtype=np.float64).reshape(8, 8)
+        qtabs = [ql, qc, qc]
+        comp_q = [0, 1, 1]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT (zigzag-ordered payload, as the standard specifies)
+    for tid in sorted(set(comp_q)):
+        raw = _JPEG_QL if tid == 0 else _JPEG_QC
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 65) + bytes([tid])
+        out += bytes(raw[z] for z in _ZIGZAG)  # DQT payload is zigzag
+    # SOF0
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, comp_q[i]])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT
+    specs = [(0x00, _DC_L), (0x10, _AC_L)]
+    if not grayscale:
+        specs += [(0x01, _DC_C), (0x11, _AC_C)]
+    for tc_th, (bits, vals) in specs:
+        seg = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    # DRI (optional)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    # SOS
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        tbl = 0x00 if comp_q[i] == 0 else 0x11
+        sos += bytes([i + 1, tbl])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc_l, ac_l = _huff_codes(*_DC_L), _huff_codes(*_AC_L)
+    dc_c, ac_c = _huff_codes(*_DC_C), _huff_codes(*_AC_C)
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    bh, bw = -(-h // 8), -(-w // 8)
+    padded = []
+    for p in planes:
+        pp = np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        padded.append(pp)
+    mcu_count = 0
+    rst = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                out += wtr.flush()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                wtr = _BitWriter()
+                preds = [0] * ncomp
+            mcu_count += 1
+            for ci in range(ncomp):
+                blk = padded[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+                coef = m @ blk @ m.T
+                q = np.floor(coef / qtabs[ci] + 0.5).astype(np.int64)
+                zz = q.reshape(-1)[_ZIGZAG]
+                dc, ac = (dc_l, ac_l) if comp_q[ci] == 0 else (dc_c, ac_c)
+                preds[ci] = _encode_block(wtr, zz, dc, ac, preds[ci])
+    out += wtr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # expected RSTn markers are consumed by expect_restart()
+                raise ValueError(f"unexpected marker ff{nxt:02x} in scan")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def expect_restart(self) -> None:
+        """Drop pad bits, consume the RSTn marker, realign to a byte."""
+        self.acc = 0
+        self.n = 0
+        b, nxt = self.data[self.pos], self.data[self.pos + 1]
+        if b != 0xFF or not (0xD0 <= nxt <= 0xD7):
+            raise ValueError("missing JPEG restart marker")
+        self.pos += 2
+
+
+def _huff_decode(rd: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | rd.bit()
+        length += 1
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - ((1 << t) - 1) if v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """REAL (pure-python) baseline JPEG decode: marker walk, DQT/DHT/
+    SOF0/SOS parse, canonical Huffman entropy decode with byte
+    unstuffing and restart-marker resync, dequantize, un-zigzag,
+    float64 matrix IDCT, chroma upsampling for subsampled components,
+    and JFIF YCbCr->RGB. Baseline sequential (SOF0) 8-bit only —
+    progressive (SOF2) raises ``NotImplementedError``; production
+    swaps this for libjpeg-turbo, the Spark-side contract (bytes in,
+    pixel array + dims out) is identical either way. Returns
+    ``{width, height, channels, pixels}`` (row-major uint8, channels
+    interleaved for color)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps = None
+    restart_interval = 0
+    pos = 2
+    h = w = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+        seg = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                if prec != 0:
+                    raise NotImplementedError("16-bit DQT not supported")
+                qt[tid] = list(seg[i + 1:i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17:i + 17 + nv])
+                tbl = {}
+                code = 0
+                k = 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        tbl[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(tc, th)] = tbl
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (non-baseline) not supported; "
+                "use libjpeg in production"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if comps is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            tmap = {}
+            for c in range(ns):
+                cid, tbl = seg[1 + 2 * c], seg[2 + 2 * c]
+                tmap[cid] = (tbl >> 4, tbl & 0x0F)
+            scan_start = pos + 2 + seglen
+            return _decode_scan(
+                payload, scan_start, w, h, comps, tmap, qt, huff,
+                restart_interval, np,
+            )
+        pos += 2 + seglen
+    raise ValueError("JPEG ended without SOS scan")
+
+
+def _decode_scan(payload, pos, w, h, comps, tmap, qt, huff,
+                 restart_interval, np):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    m = _dct_matrix()
+    planes = []
+    for c in comps:
+        planes.append(
+            np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64)
+        )
+    rd = _BitReader(payload, pos)
+    preds = [0] * len(comps)
+    # dequant tables stay in zigzag order; blocks un-zigzag after scale
+    qzz = [np.array(qt[c["tq"]], dtype=np.float64) for c in comps]
+    unzig = np.empty(64, dtype=np.int64)
+    for i, z in enumerate(_ZIGZAG):
+        unzig[z] = i
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                rd.expect_restart()
+                preds = [0] * len(comps)
+            mcu_count += 1
+            for ci, c in enumerate(comps):
+                dc_t = huff[(0, tmap[c["id"]][0])]
+                ac_t = huff[(1, tmap[c["id"]][1])]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.float64)
+                        t = _huff_decode(rd, dc_t)
+                        diff = _extend(rd.bits(t), t) if t else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = _huff_decode(rd, ac_t)
+                            r, s = rs >> 4, rs & 0x0F
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += r
+                            if k > 63:
+                                raise ValueError("JPEG AC index overflow")
+                            zz[k] = _extend(rd.bits(s), s)
+                            k += 1
+                        coef = (zz * qzz[ci])[unzig].reshape(8, 8)
+                        blk = m.T @ coef @ m
+                        py = (my * c["v"] + by) * 8
+                        px = (mx * c["h"] + bx) * 8
+                        planes[ci][py:py + 8, px:px + 8] = blk
+    out_planes = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        # upsample to full resolution by sample replication
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        out_planes.append(p[:h, :w] + 128.0)
+    if len(comps) == 1:
+        pix = np.clip(np.floor(out_planes[0] + 0.5), 0, 255).astype(np.uint8)
+        return {"width": int(w), "height": int(h), "channels": 1,
+                "pixels": pix.reshape(-1)}
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    pix = np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+    return {"width": int(w), "height": int(h), "channels": 3,
+            "pixels": pix.reshape(-1)}
+
+
 def decode_media(payload: bytes, fmt: str) -> dict:
     """Decode one media payload → feature dict.
 
-    ``fmt='png'`` runs the REAL pure-python PNG decoder above (checksum
-    comes from decoded PIXELS, proving actual decode). ``fmt='raw'``
-    keeps the deterministic fake used by the cross-engine oracle gates
-    (a DuckDB oracle cannot inflate PNGs, so parity queries stay on the
-    arithmetic path). Other codecs (jpeg/wav/mp4) still raise — they
-    need libraries not present in this container.
+    ``fmt='png'`` runs the REAL pure-python PNG decoder above and
+    ``fmt='jpeg'`` the REAL baseline JPEG decoder (checksums come from
+    decoded PIXELS, proving actual decode). ``fmt='raw'`` keeps the
+    deterministic fake used by cross-engine oracle gates whose payloads
+    aren't replayable in SQL. Audio/video codecs (wav/mp4) still raise
+    — they need libraries not present in this container.
     """
     if fmt == "png":
         d = decode_png(payload)
@@ -157,10 +652,18 @@ def decode_media(payload: bytes, fmt: str) -> dict:
             "width": d["width"],
             "height": d["height"],
         }
+    if fmt == "jpeg":
+        d = decode_jpeg(payload)
+        return {
+            "n_bytes": len(payload),
+            "checksum": int(d["pixels"][:CHECKSUM_PREFIX].sum() % 256),
+            "width": d["width"],
+            "height": d["height"],
+        }
     if fmt != "raw":
         raise NotImplementedError(
-            f"codec {fmt!r} needs an image/audio library not present here; "
-            "swap this branch for PIL/torchaudio/ffmpeg in production"
+            f"codec {fmt!r} needs an audio/video library not present here; "
+            "swap this branch for torchaudio/ffmpeg in production"
         )
     checksum = sum(payload[:CHECKSUM_PREFIX]) % 256
     return {
@@ -367,4 +870,83 @@ SELECT doc_id, 'raw' AS fmt,
        CAST(64 + {checksum} % 64 AS BIGINT) AS width,
        CAST(64 + octet_length(encode(text)) % 64 AS BIGINT) AS height
 FROM {table} ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# JPEG decode gate (q137): real decode, SQL-replayable expected pixels
+# ---------------------------------------------------------------------------
+
+JPEG_GATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def jpeg_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """Oracle-gateable REAL JPEG decode: per document, build a genuine
+    entropy-coded grayscale JPEG (block (i,j) is the constant even gray
+    ``2*((doc_id*7 + i*3 + j*5) % 128)``, 2 block rows, ``2 + doc_id%3``
+    block cols), run the FULL decoder — marker walk, canonical Huffman,
+    dequant, IDCT, rounding — inside Arrow-batched ``mapInPandas``, and
+    emit aggregates of the DECODED pixels. Even gray levels survive
+    Annex-K quantization bit-exactly (q00=16 divides 8*(v-128)), so a
+    SQL oracle can replay ``checksum`` (first-16-pixel fold) and
+    ``pixel_sum`` arithmetically while Spark exercises the codec; any
+    decoder regression breaks the value hash, not just the row count.
+    Map-only: no shuffle, scales linearly with executors."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                bw = 2 + doc_id % 3
+                img = np.zeros((16, 8 * bw), dtype=np.uint8)
+                for i in range(2):
+                    for j in range(bw):
+                        img[i * 8:(i + 1) * 8, j * 8:(j + 1) * 8] = \
+                            2 * ((doc_id * 7 + i * 3 + j * 5) % 128)
+                d = decode_jpeg(encode_jpeg(img))
+                px = d["pixels"]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": d["width"],
+                        "height": d["height"],
+                        "checksum": int(
+                            px[:CHECKSUM_PREFIX].astype(np.int64).sum() % 256
+                        ),
+                        "pixel_sum": int(px.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, JPEG_GATE_SCHEMA)
+
+
+def jpeg_gate_oracle_sql(table: str = "documents") -> str:
+    """DuckDB replay of :func:`jpeg_roundtrip_features`' expected decoded
+    pixels (valid because the even-gray fixture roundtrips bit-exactly)."""
+    g = "2 * ((b.doc_id * 7 + i.i * 3 + j.j * 5) % 128)"
+    return f"""
+WITH blocks AS (
+  SELECT b.doc_id, {g} AS gray
+  FROM {table} b, range(0, 2) i(i), range(0, 4) j(j)
+  WHERE j.j < 2 + b.doc_id % 3
+)
+SELECT doc_id,
+       CAST(8 * (2 + doc_id % 3) AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST((8 * (2 * ((doc_id * 7) % 128))
+             + 8 * (2 * ((doc_id * 7 + 5) % 128))) % 256 AS BIGINT)
+         AS checksum,
+       CAST(SUM(64 * gray) AS BIGINT) AS pixel_sum
+FROM blocks GROUP BY doc_id ORDER BY doc_id
 """

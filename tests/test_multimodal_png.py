@@ -84,7 +84,7 @@ def test_decode_media_png_features():
 
 def test_unsupported_codec_still_raises():
     with pytest.raises(NotImplementedError):
-        mm.decode_media(b"\xff\xd8\xff", "jpeg")
+        mm.decode_media(b"RIFF....WAVE", "wav")
     with pytest.raises(ValueError):
         mm.decode_png(b"not a png at all")
 
