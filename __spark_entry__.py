@@ -2267,7 +2267,7 @@ def q122_mixture_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_sampling.mixture_balance_sql("spark", table=d))
 
 
-_STATEFUL_CACHE: dict[tuple[int, str], list] = {}
+_STATEFUL_CACHE: dict[tuple[int, str], str] = {}  # -> update-sink path
 
 
 def q127_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2283,8 +2283,8 @@ def q127_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (id(spark), sf_dir)
     with _REPLAY_LOCK:
-        rows = _STATEFUL_CACHE.get(key)
-        if rows is None:
+        out = _STATEFUL_CACHE.get(key)
+        if out is None:
             ev = _events(spark, sf_dir).select(
                 "event_type", "value", F.pmod("event_id", F.lit(4)).alias("b")
             )
@@ -2300,29 +2300,41 @@ def q127_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .option("maxFilesPerTrigger", "1")
                 .parquet(str(src / "batch-*"))
             )
-            qname = f"q127_{abs(hash(key)) % 10**8}"
+            # update-mode state can't use the append-only file sink, so
+            # each micro-batch's updates land as parquet via
+            # foreachBatch — executor-side writes, no driver-side row
+            # materialization; the final per-key state is reduced back
+            # DataFrame-side below (the pattern transfers to
+            # production-size streams, unlike a memory sink).
+            out = str(tmp / "updates")
+
+            def _sink(batch_df, batch_id):
+                batch_df.withColumn(
+                    "batch_id", F.lit(batch_id)
+                ).write.mode("append").parquet(out)
+
             q = (
                 running_totals_exact(stream)
-                .writeStream.format("memory")
-                .queryName(qname)
+                .writeStream.foreachBatch(_sink)
                 .outputMode("update")
                 .option("checkpointLocation", str(tmp / "ckpt"))
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination(300)
-            w = Window.partitionBy("event_type").orderBy(
-                F.col("num_events").desc()
-            )
-            rows = (
-                spark.table(qname)
-                .withColumn("rn", F.row_number().over(w))
-                .filter("rn = 1")
-                .drop("rn")
-                .collect()
-            )
-            _STATEFUL_CACHE[key] = rows
-    return spark.createDataFrame(rows).orderBy("event_type")
+            _STATEFUL_CACHE[key] = out
+    w = Window.partitionBy("event_type").orderBy(F.col("num_events").desc())
+    return (
+        spark.read.schema(
+            "event_type string, num_events long, total_scaled long, "
+            "batch_id long"
+        )
+        .parquet(out)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("event_type", "num_events", "total_scaled")
+        .orderBy("event_type")
+    )
 
 
 def _stream_stateful_oracle_sql() -> str:
@@ -2433,7 +2445,7 @@ def q137_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-_REDELIVERY_CACHE: dict[tuple[int, str], list] = {}
+_REDELIVERY_CACHE: dict[tuple[int, str], str] = {}  # -> sink path
 
 
 def q135_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2452,8 +2464,8 @@ def q135_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (id(spark), sf_dir)
     with _REPLAY_LOCK:
-        rows = _REDELIVERY_CACHE.get(key)
-        if rows is None:
+        out = _REDELIVERY_CACHE.get(key)
+        if out is None:
             ev = _events(spark, sf_dir).select(
                 "event_id", "ts", "event_type",
                 F.pmod("event_id", F.lit(2)).alias("b"),
@@ -2476,22 +2488,23 @@ def q135_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .parquet(str(src) + "/*")
             )
             deduped = dedup_within_watermark(stream, watermark="3650 days")
-            qname = f"q135_{abs(hash(key)) % 10**8}"
+            # append-mode survivors land straight in a parquet file
+            # sink (executor-side, no driver materialization) and are
+            # read back as a DataFrame for the gate aggregate.
+            out = str(tmp / "survivors")
             q = (
-                deduped.writeStream.format("memory")
-                .queryName(qname)
+                deduped.writeStream.format("parquet")
+                .option("path", out)
                 .outputMode("append")
                 .option("checkpointLocation", str(tmp / "ckpt"))
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination(300)
-            rows = spark.table(qname).collect()
-            _REDELIVERY_CACHE[key] = rows
+            _REDELIVERY_CACHE[key] = out
     return (
-        spark.createDataFrame(
-            rows, "event_id long, ts timestamp, event_type string"
-        )
+        spark.read.schema("event_id long, ts timestamp, event_type string")
+        .parquet(out)
         .groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -2610,7 +2623,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
-_SSJOIN_CACHE: dict[tuple[int, str], list] = {}
+_SSJOIN_CACHE: dict[tuple[int, str], str] = {}  # -> sink path
 
 
 def q132_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2629,8 +2642,8 @@ def q132_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = (id(spark), sf_dir)
     with _REPLAY_LOCK:
-        rows = _SSJOIN_CACHE.get(key)
-        if rows is None:
+        out = _SSJOIN_CACHE.get(key)
+        if out is None:
             ev = _events(spark, sf_dir).select(
                 "event_id", "ts", "user_id", "event_type",
                 F.pmod("event_id", F.lit(4)).alias("b"),
@@ -2654,25 +2667,24 @@ def q132_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 stream.filter(F.col("event_type") == "purchase"),
                 watermark="3650 days",
             )
-            qname = f"q132_{abs(hash(key)) % 10**8}"
+            # append-mode join output lands in a parquet file sink
+            # (executor-side, no driver materialization).
+            out = str(tmp / "joined")
             q = (
-                joined.writeStream.format("memory")
-                .queryName(qname)
+                joined.writeStream.format("parquet")
+                .option("path", out)
                 .outputMode("append")
                 .option("checkpointLocation", str(tmp / "ckpt"))
                 .trigger(availableNow=True)
                 .start()
             )
             q.awaitTermination(300)
-            rows = (
-                spark.table(qname)
-                .select("user_id", "purchase_id", "view_id")
-                .collect()
-            )
-            _SSJOIN_CACHE[key] = rows
-    return spark.createDataFrame(
-        rows, "user_id long, purchase_id long, view_id long"
-    ).orderBy("purchase_id", "view_id")
+            _SSJOIN_CACHE[key] = out
+    return (
+        spark.read.parquet(out)
+        .select("user_id", "purchase_id", "view_id")
+        .orderBy("purchase_id", "view_id")
+    )
 
 
 def _stream_interval_join_oracle_sql() -> str:
