@@ -2445,6 +2445,479 @@ def q137_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q138_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, FORWARD direction with a tolerance window: each view
+    matched to the same user's next purchase, nulled when it falls more
+    than 2h later (operators/asof.py — union + running-first window,
+    one shuffle, no inequality join; the pandas merge_asof
+    direction='forward'/tolerance contract). q31 gates backward; this
+    gates the forward + tolerance paths the operator also ships."""
+    e = _t(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    return (
+        op_asof.asof_join(
+            views,
+            purchases,
+            on=["user_id"],
+            carry={"purchase_ts": "ts"},
+            direction="forward",
+            tolerance_seconds=7200,
+        )
+        .select(
+            "event_id", "user_id", F.col("ts").alias("view_ts"),
+            "purchase_ts",
+        )
+        .orderBy("event_id")
+    )
+
+
+def _regr_family_sql(lineitem: str = "lineitem") -> str:
+    """Linear-regression aggregates (regr_slope/intercept/r2/count) —
+    the bivariate-fit family q39's percentile/stddev/corr set leaves
+    out. One hash aggregate, map-side combinable; rounding absorbs
+    accumulation-order noise (~1e-11 relative on 6e4 rows)."""
+    x = "l_quantity"
+    y = "l_extendedprice"
+    return f"""
+SELECT l_returnflag,
+       CAST(regr_count({y}, {x}) AS BIGINT) AS n_pairs,
+       round(regr_slope({y}, {x}), 4) AS slope,
+       round(regr_intercept({y}, {x}), 3) AS intercept,
+       round(regr_r2({y}, {x}), 6) AS r2
+FROM {lineitem}
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q139_regr_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregate family through the SQL surface."""
+    li = _view(spark, sf_dir, "lineitem", "q139")
+    return spark.sql(_regr_family_sql(li))
+
+
+def _bitwise_agg_sql(events: str = "events") -> str:
+    """Bitwise aggregates (bit_and/bit_or/bit_xor) — exact, order-free,
+    mergeable per partition (the same sketch-merge shape as Misra-Gries
+    but for bit masks: feature-flag rollups, id-space audits)."""
+    return f"""
+SELECT event_type,
+       CAST(bit_and(event_id) AS BIGINT) AS id_and,
+       CAST(bit_or(event_id) AS BIGINT) AS id_or,
+       CAST(bit_xor(event_id) AS BIGINT) AS id_xor,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM {events}
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def q140_bitwise_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family through the SQL surface."""
+    e = _view(spark, sf_dir, "events", "q140")
+    return spark.sql(_bitwise_agg_sql(e))
+
+
+def _median_mode_sql(customer: str = "customer") -> str:
+    """Exact median (interpolated, identical in both engines) plus a
+    DETERMINISTIC mode: the builtin mode() breaks frequency ties in
+    engine-specific order, so the mode here is computed as min value
+    among the max-frequency group — reproducible on any layout."""
+    return f"""
+WITH cnt AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nk, COUNT(*) AS n
+  FROM {customer} GROUP BY c_mktsegment, c_nationkey
+),
+mx AS (SELECT seg, MAX(n) AS mn FROM cnt GROUP BY seg),
+md AS (
+  SELECT c.seg, MIN(c.nk) AS mode_nk
+  FROM cnt c JOIN mx ON c.seg = mx.seg AND c.n = mx.mn
+  GROUP BY c.seg
+),
+me AS (
+  SELECT c_mktsegment AS seg, round(median(c_acctbal), 4) AS median_bal,
+         CAST(COUNT(*) AS BIGINT) AS n_customers
+  FROM {customer} GROUP BY c_mktsegment
+)
+SELECT me.seg AS segment, me.median_bal,
+       CAST(md.mode_nk AS BIGINT) AS mode_nation, me.n_customers
+FROM me JOIN md ON me.seg = md.seg
+ORDER BY me.seg
+"""
+
+
+def q141_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + deterministic mode through the SQL surface."""
+    c = _view(spark, sf_dir, "customer", "q141")
+    return spark.sql(_median_mode_sql(c))
+
+
+def q142_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per-source language histograms built
+    as real MapType columns (map_from_entries over collect_list),
+    filtered with a map lambda (map_filter), then exploded back to
+    rows for the cross-engine compare — the map round-trip is the
+    operator under test; the oracle states the equivalent relational
+    HAVING. Maps stay per-group small (language cardinality), never
+    holding unbounded data."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    m = per.groupBy("source").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("lang", "n"))
+        ).alias("lang_counts")
+    )
+    f = m.select(
+        "source",
+        F.map_filter("lang_counts", lambda k, v: v >= F.lit(5)).alias("kept"),
+    )
+    return (
+        f.select("source", F.explode("kept").alias("lang", "n_docs"))
+        .select("source", "lang", F.col("n_docs").cast("long").alias("n_docs"))
+        .orderBy("source", "lang")
+    )
+
+
+def _resample_interpolate_sql(dialect: str, events: str = "events") -> str:
+    """Time-grid resampling with linear interpolation — the sensor/
+    metric alignment op of a training-data timeseries pipeline: an
+    hourly epoch grid per event type, each grid instant valued by
+    linearly interpolating between the surrounding events.
+
+    Shape: grid rows union event rows, then two windows per type
+    (prev = last event at-or-before via ASC ordering, next = first
+    event at-or-after via DESC-tag ordering) — one shuffle keyed on
+    event type, no inequality join; epochs are integer seconds so the
+    interpolation weights are exact ratios. Scale caveat, stated
+    honestly: event_type is low-cardinality, so each window partition
+    holds a whole series — fine for per-entity series (key on the
+    entity), but a 100 TB single-series resample needs the segmented
+    two-pass form (per-time-bucket first/last aggregates + a prefix
+    scan over bucket summaries) in place of one window; the algebra is
+    unchanged. IGNORE NULLS window syntax differs per engine (after
+    the call in Spark, inside it in DuckDB)."""
+    if dialect == "spark":
+        epoch = "CAST(ts AS BIGINT)"
+        grid = (
+            "SELECT event_type, lo + 3600 * k AS t FROM bounds "
+            "LATERAL VIEW explode(sequence(0, CAST((hi - lo) div 3600 AS INT))) s AS k"
+        )
+        # Spark puts IGNORE NULLS after the call, DuckDB inside it
+        def lastnn(expr):
+            return f"last_value({expr}) IGNORE NULLS"
+
+        def firstnn(expr):
+            return f"first_value({expr}) IGNORE NULLS"
+    else:
+        # floor(): duckdb CAST rounds, spark CAST truncates
+        epoch = "CAST(floor(epoch(ts)) AS BIGINT)"
+        grid = (
+            "SELECT event_type, lo + 3600 * unnest(range(0, (hi - lo) // 3600 + 1)) AS t "
+            "FROM bounds"
+        )
+
+        def lastnn(expr):
+            return f"last_value({expr} IGNORE NULLS)"
+
+        def firstnn(expr):
+            return f"first_value({expr} IGNORE NULLS)"
+    tq = "CASE WHEN value IS NOT NULL THEN t END"
+    return f"""
+WITH ev AS (SELECT event_type, {epoch} AS t, value FROM {events}),
+bounds AS (SELECT event_type, MIN(t) AS lo, MAX(t) AS hi
+           FROM ev GROUP BY event_type),
+grid AS ({grid}),
+allpts AS (
+  SELECT event_type, t, value, 0 AS isgrid FROM ev
+  UNION ALL
+  SELECT event_type, t, CAST(NULL AS DOUBLE), 1 FROM grid
+),
+braced AS (
+  SELECT event_type, t, isgrid,
+         {lastnn('value')} OVER (
+           PARTITION BY event_type ORDER BY t, isgrid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         {lastnn(tq)} OVER (
+           PARTITION BY event_type ORDER BY t, isgrid
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         {firstnn('value')} OVER (
+           PARTITION BY event_type ORDER BY t, isgrid DESC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         {firstnn(tq)} OVER (
+           PARTITION BY event_type ORDER BY t, isgrid DESC
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+  FROM allpts
+)
+SELECT event_type, CAST(t AS BIGINT) AS grid_epoch,
+       round(CASE WHEN nt = pt THEN pv
+                  ELSE pv + (nv - pv) * (t - pt) / (nt - pt) END, 6)
+         AS interp_value
+FROM braced WHERE isgrid = 1
+ORDER BY event_type, grid_epoch
+"""
+
+
+def q143_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-grid linear interpolation per event type."""
+    e = _view(spark, sf_dir, "events", "q143")
+    return spark.sql(_resample_interpolate_sql("spark", e))
+
+
+def _entropy_gini_sql(documents: str = "documents") -> str:
+    """Per-source language-distribution metrics: Shannon entropy, Gini
+    impurity — the category-balance diagnostics of corpus curation.
+    Two tiny aggregates; the per-source term count is language
+    cardinality, so round(6) absorbs order noise."""
+    return f"""
+WITH c AS (SELECT source, lang, COUNT(*) AS n
+           FROM {documents} GROUP BY source, lang),
+tot AS (SELECT source, SUM(n) AS tn FROM c GROUP BY source)
+SELECT c.source, CAST(tot.tn AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_langs,
+       round(-SUM((CAST(c.n AS DOUBLE) / tot.tn)
+                  * ln(CAST(c.n AS DOUBLE) / tot.tn)), 6) AS lang_entropy,
+       round(1 - SUM((CAST(c.n AS DOUBLE) / tot.tn)
+                     * (CAST(c.n AS DOUBLE) / tot.tn)), 6) AS gini
+FROM c JOIN tot ON c.source = tot.source
+GROUP BY c.source, tot.tn
+ORDER BY c.source
+"""
+
+
+def q144_entropy_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy + Gini impurity of language mix per source."""
+    d = _view(spark, sf_dir, "documents", "q144")
+    return spark.sql(_entropy_gini_sql(d))
+
+
+def _null_safe_join_sql(customer: str = "customer",
+                        nation: str = "nation") -> str:
+    """Null-safe equi-join (IS NOT DISTINCT FROM): NULL keys match each
+    other — the SCD/dimension-reconcile join CDC pipelines need when a
+    key column is nullable. Spark compiles null-safe equality to a
+    HASH-joinable EqualNullSafe (not a nested loop), so the plan is the
+    same shuffled hash join as a plain equi-join. Decimal-cast balance
+    sum keeps the aggregate order-free exact."""
+    return f"""
+WITH l AS (SELECT NULLIF(c_nationkey, 3) AS nk, c_acctbal FROM {customer}),
+r AS (SELECT NULLIF(n_nationkey, 3) AS nk, n_name FROM {nation})
+SELECT r.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       round(CAST(SUM(CAST(l.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS total_bal
+FROM r JOIN l ON l.nk IS NOT DISTINCT FROM r.nk
+GROUP BY r.n_name
+ORDER BY r.n_name
+"""
+
+
+def q145_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join through the SQL surface."""
+    c = _view(spark, sf_dir, "customer", "q145")
+    n = _view(spark, sf_dir, "nation", "q145")
+    return spark.sql(_null_safe_join_sql(c, n))
+
+
+def _weighted_percentile_sql(lineitem: str = "lineitem") -> str:
+    """Weighted percentiles (lower weighted median / p90): smallest
+    value whose cumulative weight reaches the target share. Weights are
+    integer quantities, so the running sum is exact and the threshold
+    tests are INTEGER comparisons (2*cw >= tw) — no float cumsum at a
+    boundary, deterministic on any layout. One per-group window sort,
+    parallel across groups."""
+    return f"""
+WITH w AS (
+  SELECT l_returnflag AS rf, l_extendedprice AS v,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM {lineitem}
+),
+tot AS (SELECT rf, SUM(wt) AS tw FROM w GROUP BY rf),
+cum AS (
+  SELECT w.rf, w.v, tot.tw,
+         SUM(w.wt) OVER (PARTITION BY w.rf ORDER BY w.v, w.wt
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw
+  FROM w JOIN tot ON w.rf = tot.rf
+)
+SELECT rf AS l_returnflag,
+       round(MIN(CASE WHEN 2 * cw >= tw THEN v END), 2) AS wmedian,
+       round(MIN(CASE WHEN 10 * cw >= 9 * tw THEN v END), 2) AS wp90
+FROM cum GROUP BY rf ORDER BY rf
+"""
+
+
+def q146_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median / p90 via integer cumulative weights."""
+    li = _view(spark, sf_dir, "lineitem", "q146")
+    return spark.sql(_weighted_percentile_sql(li))
+
+
+def _pareto_frontier_sql(customer: str = "customer",
+                         orders: str = "orders") -> str:
+    """2D Pareto frontier (skyline) per nation over (acctbal, order
+    count) WITHOUT a pairwise dominance join: collapse to per-(nation,
+    bal) maxima, one window pass takes the running max order count over
+    strictly-higher balances (ROWS ... 1 PRECEDING on the collapsed
+    relation, where balance ties are already merged), and a point
+    survives iff nothing strictly above it has >= orders and it is the
+    max at its own balance. O(n log n) per nation vs the O(n^2)
+    textbook anti-join — the formulation that survives wide groups."""
+    return f"""
+WITH pts AS (
+  SELECT c.c_nationkey AS nk, c.c_custkey, c.c_acctbal AS bal,
+         COUNT(o.o_orderkey) AS n_orders
+  FROM {customer} c LEFT JOIN {orders} o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_nationkey, c.c_custkey, c.c_acctbal
+),
+grp AS (SELECT nk, bal, MAX(n_orders) AS gmax FROM pts GROUP BY nk, bal),
+runs AS (
+  SELECT nk, bal, gmax,
+         MAX(gmax) OVER (PARTITION BY nk ORDER BY bal DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS better_max
+  FROM grp
+)
+SELECT CAST(p.nk AS BIGINT) AS nationkey, p.c_custkey,
+       round(p.bal, 2) AS acctbal, CAST(p.n_orders AS BIGINT) AS n_orders
+FROM pts p
+JOIN runs r ON p.nk = r.nk AND p.bal = r.bal
+WHERE p.n_orders = r.gmax
+  AND (r.better_max IS NULL OR r.better_max < p.n_orders)
+ORDER BY nationkey, acctbal DESC, p.c_custkey
+"""
+
+
+def q147_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Pareto frontier via sorted running max (no O(n^2))."""
+    c = _view(spark, sf_dir, "customer", "q147")
+    o = _view(spark, sf_dir, "orders", "q147")
+    return spark.sql(_pareto_frontier_sql(c, o))
+
+
+def _equiwidth_histogram_sql(orders: str = "orders", k: int = 20) -> str:
+    """Equi-width histogram, two-phase: a 1-row min/max stats aggregate
+    broadcast back (scalar cross join), then a map-only bucket assign —
+    the stats-then-transform shape shared with int8 quantization
+    (q125). Bucket boundaries are pure double arithmetic on identical
+    inputs, bit-identical across engines."""
+    return f"""
+WITH stats AS (
+  SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM {orders}
+)
+SELECT CAST(least({k - 1},
+            CAST(floor((o.o_totalprice - s.lo) / (s.hi - s.lo) * {k})
+                 AS BIGINT)) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS revenue
+FROM {orders} o CROSS JOIN stats s
+GROUP BY 1
+ORDER BY bucket
+"""
+
+
+def q148_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase equi-width histogram through the SQL surface."""
+    o = _view(spark, sf_dir, "orders", "q148")
+    return spark.sql(_equiwidth_histogram_sql(o))
+
+
+def q149_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-eval lift table WITHOUT a global sort: customers sorted
+    into acctbal deciles via q74's two-pass percentile-cut assignment
+    (9 driver-side cut points, then a map-only 9-element fold), each
+    customer's response = having a finished ('F') order; per decile the
+    response rate plus, scanning deciles best-first, the cumulative
+    capture rate and lift over the base rate. A 10-row window does the
+    cumulative pass. Cut points round to 4dp on both engines so an ulp
+    of interpolation can't flip a boundary row."""
+    c = _t(spark, sf_dir, "customer")
+    qs = [i / 10 for i in range(1, 10)]
+    cuts = c.agg(
+        F.expr(
+            "percentile(c_acctbal, array("
+            + ", ".join(str(q) for q in qs)
+            + "))"
+        ).alias("cs")
+    ).collect()[0]["cs"]
+    cut_arr = "array(" + ", ".join(f"{round(x, 4)}D" for x in cuts) + ")"
+    o = _t(spark, sf_dir, "orders")
+    resp = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .select("o_custkey")
+        .distinct()
+        .withColumn("responded", F.lit(1))
+    )
+    scored = (
+        c.join(resp, c.c_custkey == resp.o_custkey, "left")
+        .select(
+            F.expr(
+                f"aggregate({cut_arr}, 0, (acc, x) -> "
+                "acc + IF(c_acctbal > x, 1, 0))"
+            ).cast("long").alias("decile"),
+            F.coalesce(F.col("responded"), F.lit(0)).alias("responded"),
+        )
+    )
+    per = scored.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("responded").alias("n_resp"),
+    )
+    w = Window.orderBy(F.col("decile").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy()
+    return (
+        per.select(
+            "decile",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.col("n_resp").cast("long").alias("n_resp"),
+            F.round(
+                (F.sum("n_resp").over(w) / F.sum("n_customers").over(w))
+                / (F.sum("n_resp").over(tot) / F.sum("n_customers").over(tot)),
+                6,
+            ).alias("cum_lift"),
+        )
+        .orderBy(F.col("decile").desc())
+    )
+
+
+def _decile_lift_oracle_sql() -> str:
+    return """
+WITH cuts AS (
+  SELECT list_transform(
+    quantile_cont(c_acctbal, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+    x -> round(x, 4)) AS cs
+  FROM customer
+),
+resp AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+scored AS (
+  SELECT len(list_filter(cs, x -> c.c_acctbal > x)) AS decile,
+         CASE WHEN r.o_custkey IS NULL THEN 0 ELSE 1 END AS responded
+  FROM customer c CROSS JOIN cuts
+  LEFT JOIN resp r ON r.o_custkey = c.c_custkey
+),
+per AS (
+  SELECT decile, COUNT(*) AS n_customers, SUM(responded) AS n_resp
+  FROM scored GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_customers AS BIGINT) AS n_customers,
+       CAST(n_resp AS BIGINT) AS n_resp,
+       round((SUM(n_resp) OVER (ORDER BY decile DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0
+              / SUM(n_customers) OVER (ORDER BY decile DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             / (SUM(n_resp) OVER () * 1.0 / SUM(n_customers) OVER ()), 6)
+         AS cum_lift
+FROM per ORDER BY decile DESC
+"""
+
+
 _REDELIVERY_CACHE: dict[tuple[int, str], str] = {}  # -> sink path
 
 
@@ -3399,6 +3872,18 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_redelivery_dedup": q135_redelivery_dedup,
         "q136_grouping_markers": q136_grouping_markers,
         "q137_jpeg_decode": q137_jpeg_decode,
+        "q138_asof_forward": q138_asof_forward,
+        "q139_regr_family": q139_regr_family,
+        "q140_bitwise_agg": q140_bitwise_agg,
+        "q141_median_mode": q141_median_mode,
+        "q142_map_ops": q142_map_ops,
+        "q143_resample_interpolate": q143_resample_interpolate,
+        "q144_entropy_gini": q144_entropy_gini,
+        "q145_null_safe_join": q145_null_safe_join,
+        "q146_weighted_percentile": q146_weighted_percentile,
+        "q147_pareto_frontier": q147_pareto_frontier,
+        "q148_equiwidth_histogram": q148_equiwidth_histogram,
+        "q149_decile_lift": q149_decile_lift,
     }
 
 
@@ -4107,6 +4592,32 @@ def oracle_sql() -> dict[str, str]:
         "q135_redelivery_dedup": _redelivery_dedup_oracle_sql(),
         "q136_grouping_markers": _grouping_marker_sql(),
         "q137_jpeg_decode": fn_mm.jpeg_gate_oracle_sql(),
+        "q138_asof_forward": (
+            "SELECT v.event_id, v.user_id, v.ts AS view_ts, "
+            "CASE WHEN p.ts > v.ts + INTERVAL 7200 SECOND THEN NULL "
+            "     ELSE p.ts END AS purchase_ts "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "      WHERE event_type = 'view') v "
+            "ASOF LEFT JOIN (SELECT user_id, ts FROM events "
+            "      WHERE event_type = 'purchase') p "
+            "ON v.user_id = p.user_id AND v.ts <= p.ts "
+            "ORDER BY v.event_id"
+        ),
+        "q139_regr_family": _regr_family_sql(),
+        "q140_bitwise_agg": _bitwise_agg_sql(),
+        "q141_median_mode": _median_mode_sql(),
+        "q142_map_ops": (
+            "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY source, lang "
+            "HAVING COUNT(*) >= 5 ORDER BY source, lang"
+        ),
+        "q143_resample_interpolate": _resample_interpolate_sql("duckdb"),
+        "q144_entropy_gini": _entropy_gini_sql(),
+        "q145_null_safe_join": _null_safe_join_sql(),
+        "q146_weighted_percentile": _weighted_percentile_sql(),
+        "q147_pareto_frontier": _pareto_frontier_sql(),
+        "q148_equiwidth_histogram": _equiwidth_histogram_sql(),
+        "q149_decile_lift": _decile_lift_oracle_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "
