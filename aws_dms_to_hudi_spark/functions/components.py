@@ -205,19 +205,25 @@ def pagerank_sql(dialect: str, pairs_sql: str, top: int = 100) -> str:
     the canonical "importance in the duplicate cluster" signal (pick the
     most-linked member as canonical, audit hub documents).
 
-    All arithmetic is fixed-point with explicit floor division:
+    All arithmetic is fixed-point int64 with explicit floor division:
     v_{t+1} = (15·SCALE)/100 + (85 · Σ_{u~x} (v_t(u) ÷ deg(u))) ÷ 100.
     Floor-div + integer sums are bit-identical across engines (no float
     accumulates anywhere), so ``PR_ITERS`` unrolled iterations land on
-    exactly the same scores. Overflow: per-neighbor contributions are
-    summed as DECIMAL(38,0) (exact to 10^38, far past any hub degree ×
-    score product), and the new score is range-checked back into int64
-    through a dialect-specific guard that RAISES on both engines
-    (``assert_true`` / ``error``) instead of Spark's silent int64 wrap
-    — an out-of-range hub fails loudly and identically rather than
-    surfacing as a hash mismatch. The 85·s/100 step stays exact in
-    decimal: the true quotient has ≤ 2 fractional digits and the
-    guarded operand is < 10^32, within DECIMAL(38,6) exact range.
+    exactly the same scores.
+
+    Overflow safety without 128-bit cost: every score is range-checked
+    after each iteration against an A-PRIORI bound B = (2^63-1) ÷
+    (85·deg_max), with deg_max taken from the graph itself (a 1-row
+    scalar cross join). While every input score is ≤ B, the iteration's
+    SUM of per-neighbor contributions is ≤ deg_max·B and 85·SUM ≤
+    2^63-1 — the whole recurrence provably stays in int64, so the hot
+    aggregation remains a plain BIGINT SUM (a DECIMAL(38,0) sum was
+    measured 2x slower end-to-end). A score exceeding B RAISES on both
+    engines (``assert_true`` / ``error``) instead of Spark's silent
+    wrap — conservative (it refuses some still-representable states on
+    extreme-degree graphs; lower PR_SCALE there) but never silently
+    wrong, and an out-of-range hub fails loudly and identically rather
+    than surfacing as a hash mismatch.
 
     Scale: one equi-join + hash aggregate per iteration, shuffled on the
     node key — the operator form would checkpoint per round like
@@ -227,31 +233,31 @@ def pagerank_sql(dialect: str, pairs_sql: str, top: int = 100) -> str:
     idiv = (lambda a, b: f"({a} div {b})") if dialect == "spark" else (
         lambda a, b: f"({a} // {b})")
     base = idiv(f"15 * {PR_SCALE}", "100")
-    # int64 guard: 2^62, leaving headroom for base + the guarded term.
-    lim = 4611686018427387903
+    lim = idiv("9223372036854775807", "(85 * bb.m)")
     if dialect == "spark":
         guard = (lambda v: f"(CASE WHEN {v} <= {lim} THEN CAST({v} AS BIGINT)"
                  f" ELSE CAST(assert_true({v} <= {lim},"
-                 f" 'pagerank int64 overflow') AS BIGINT) END)")
+                 f" 'pagerank int64 overflow bound') AS BIGINT) END)")
     else:
         guard = (lambda v: f"(CASE WHEN {v} <= {lim} THEN CAST({v} AS BIGINT)"
-                 f" ELSE CAST(error('pagerank int64 overflow') AS BIGINT)"
-                 f" END)")
+                 f" ELSE CAST(error('pagerank int64 overflow bound')"
+                 f" AS BIGINT) END)")
     cur = "v0"
     its = []
     for k in range(1, PR_ITERS + 1):
         contrib = idiv("vp.v", "dg.d")
-        dsum = f"SUM(CAST({contrib} AS DECIMAL(38,0)))"
         its.append(f"""v{k} AS (
   SELECT u.b AS node,
-         {base} + {guard(f"floor(85 * {dsum} / 100)")} AS v
+         {guard(f"{base} + {idiv(f'85 * SUM({contrib})', '100')}")} AS v
   FROM und u
   JOIN v{k-1} vp ON vp.node = u.a
   JOIN deg dg ON dg.a = u.a
-  GROUP BY u.b
+  CROSS JOIN bound bb
+  GROUP BY u.b, bb.m
 )""")
         cur = f"v{k}"
     its_sql = ",\n".join(its)
+    v0 = guard(f"CAST({PR_SCALE} AS BIGINT)")
     return f"""
 WITH pairs AS ({pairs_sql}),
 und AS (
@@ -259,7 +265,8 @@ und AS (
   UNION SELECT doc_b, doc_a FROM pairs
 ),
 deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),
-v0 AS (SELECT a AS node, CAST({PR_SCALE} AS BIGINT) AS v FROM deg),
+bound AS (SELECT MAX(d) AS m FROM deg),
+v0 AS (SELECT a AS node, {v0} AS v FROM deg CROSS JOIN bound bb),
 {its_sql}
 SELECT node, CAST(v AS BIGINT) AS score
 FROM {cur}

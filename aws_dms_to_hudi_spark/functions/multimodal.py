@@ -936,9 +936,10 @@ def jpeg_gate_oracle_sql(table: str = "documents") -> str:
     pixels (valid because the even-gray fixture roundtrips bit-exactly)."""
     g = "2 * ((b.doc_id * 7 + i.i * 3 + j.j * 5) % 128)"
     return f"""
-WITH blocks AS (
+WITH sub AS (SELECT doc_id FROM {table} WHERE doc_id % 4 = 1),
+blocks AS (
   SELECT b.doc_id, {g} AS gray
-  FROM {table} b, range(0, 2) i(i), range(0, 4) j(j)
+  FROM sub b, range(0, 2) i(i), range(0, 4) j(j)
   WHERE j.j < 2 + b.doc_id % 3
 )
 SELECT doc_id,

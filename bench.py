@@ -87,6 +87,16 @@ SMALL_OUTPUT = {
     "q113_promo_revenue",
     "q106_market_share",
     "q107_event_transitions",
+    "q139_regr_family",
+    "q140_bitwise_agg",
+    "q141_median_mode",
+    "q142_map_ops",
+    "q144_entropy_gini",
+    "q145_null_safe_join",
+    "q146_weighted_percentile",
+    "q147_pareto_frontier",
+    "q148_equiwidth_histogram",
+    "q149_decile_lift",
 }
 
 
