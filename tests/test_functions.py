@@ -91,8 +91,12 @@ def test_exact_dedup_no_collisions(spark, sf_correct):
 
 
 def test_multimodal_stub_gate():
-    with pytest.raises(NotImplementedError):
+    # jpeg is REAL since r4 (bad bytes -> ValueError from the decoder);
+    # the remaining stubbed codecs raise NotImplementedError.
+    with pytest.raises(ValueError):
         fn_mm.decode_media(b"\x00\x01", "jpeg")
+    with pytest.raises(NotImplementedError):
+        fn_mm.decode_media(b"\x00\x01", "wav")
 
 
 def test_multimodal_feature_determinism():

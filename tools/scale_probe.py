@@ -66,6 +66,10 @@ PROBE_QUERIES = [
     "q118_above_avg_part_suppliers", "q119_gopher_quality",
     "q120_rare_bigram_filter", "q122_mixture_balance",
     "q123_semdedup", "q125_scalar_quantization",
+    # r4 additions: star CC (q77 now runs it), resample window shape,
+    # frontier running-max, null-safe hash join, weighted percentiles
+    "q143_resample_interpolate", "q145_null_safe_join",
+    "q146_weighted_percentile", "q147_pareto_frontier",
 ]
 
 VOW = "aeiou"
