@@ -2728,31 +2728,80 @@ def q145_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_null_safe_join_sql(c, n))
 
 
-def _weighted_percentile_sql(lineitem: str = "lineitem") -> str:
+def _weighted_percentile_sql(lineitem: str = "lineitem",
+                             n_buckets: int = 1024) -> str:
     """Weighted percentiles (lower weighted median / p90): smallest
     value whose cumulative weight reaches the target share. Weights are
-    integer quantities, so the running sum is exact and the threshold
-    tests are INTEGER comparisons (2*cw >= tw) — no float cumsum at a
-    boundary, deterministic on any layout. One per-group window sort,
-    parallel across groups."""
+    integer quantities, so every cumulative sum is exact and every
+    threshold test is an INTEGER comparison (den*cw >= num*tw) — no
+    float cumsum at a boundary, deterministic on any layout.
+
+    SEGMENTED two-phase form (the naive one-window version probed 8.2x
+    at 10x data — a 3-value partition key means each window partition
+    holds a whole group): values hash into {n_buckets} equi-width
+    buckets (a parallel aggregate), a prefix sum over the TINY
+    per-(group, bucket) summary finds the bucket where each threshold
+    crosses, and the exact within-bucket scan — the only row-level
+    window — touches ~n/{n_buckets} rows. Work is one extra aggregate;
+    the unbounded per-group sort is gone."""
+    b = n_buckets
     return f"""
 WITH w AS (
   SELECT l_returnflag AS rf, l_extendedprice AS v,
          CAST(l_quantity AS BIGINT) AS wt
   FROM {lineitem}
 ),
-tot AS (SELECT rf, SUM(wt) AS tw FROM w GROUP BY rf),
+st AS (SELECT rf, MIN(v) AS lo, MAX(v) AS hi, SUM(wt) AS tw
+       FROM w GROUP BY rf),
+wb AS (
+  SELECT w.rf, w.v, w.wt, st.tw,
+         CASE WHEN st.hi = st.lo THEN 0
+              ELSE least({b - 1},
+                   CAST(floor((w.v - st.lo) / (st.hi - st.lo) * {b})
+                        AS BIGINT))
+         END AS bk
+  FROM w JOIN st ON w.rf = st.rf
+),
+bs AS (SELECT rf, bk, SUM(wt) AS bw FROM wb GROUP BY rf, bk),
+bp AS (
+  SELECT rf, bk, bw,
+         SUM(bw) OVER (PARTITION BY rf ORDER BY bk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS upto_w
+  FROM bs
+),
+th AS (SELECT * FROM (VALUES (1, 2), (9, 10)) AS t(num, den)),
+tb AS (
+  SELECT bp.rf, th.num, th.den, MIN(bp.bk) AS bk
+  FROM bp JOIN st ON bp.rf = st.rf CROSS JOIN th
+  WHERE th.den * bp.upto_w >= th.num * st.tw
+  GROUP BY bp.rf, th.num, th.den
+),
+cand AS (
+  -- before_w = prefix weight of all earlier (possibly sparse) buckets:
+  -- the candidate bucket's own bp row carries it as upto_w - bw
+  SELECT wb.rf, tb.num, tb.den, wb.v, wb.wt, wb.tw,
+         bpx.upto_w - bpx.bw AS before_w
+  FROM wb
+  JOIN tb ON wb.rf = tb.rf AND wb.bk = tb.bk
+  JOIN bp bpx ON bpx.rf = wb.rf AND bpx.bk = wb.bk
+),
 cum AS (
-  SELECT w.rf, w.v, tot.tw,
-         SUM(w.wt) OVER (PARTITION BY w.rf ORDER BY w.v, w.wt
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-           AS cw
-  FROM w JOIN tot ON w.rf = tot.rf
+  SELECT rf, num, den, v, tw,
+         before_w + SUM(wt) OVER (
+           PARTITION BY rf, num, den ORDER BY v, wt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM cand
+),
+res AS (
+  SELECT rf, num,
+         MIN(CASE WHEN den * cw >= num * tw THEN v END) AS val
+  FROM cum GROUP BY rf, num
 )
 SELECT rf AS l_returnflag,
-       round(MIN(CASE WHEN 2 * cw >= tw THEN v END), 2) AS wmedian,
-       round(MIN(CASE WHEN 10 * cw >= 9 * tw THEN v END), 2) AS wp90
-FROM cum GROUP BY rf ORDER BY rf
+       round(MAX(CASE WHEN num = 1 THEN val END), 2) AS wmedian,
+       round(MAX(CASE WHEN num = 9 THEN val END), 2) AS wp90
+FROM res GROUP BY rf ORDER BY rf
 """
 
 
