@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from aws_dms_to_hudi_spark import cdc
 from aws_dms_to_hudi_spark.config import TableConfig
 from aws_dms_to_hudi_spark.functions import analytics as fn_analytics
+from aws_dms_to_hudi_spark.functions import bloom as fn_bloom
 from aws_dms_to_hudi_spark.functions import components as fn_comp
 from aws_dms_to_hudi_spark.functions import curation as fn_curation
 from aws_dms_to_hudi_spark.functions import dedup as fn_dedup
@@ -2972,6 +2973,227 @@ FROM per ORDER BY decile DESC
 """
 
 
+def _product_profit_sql(
+    lineitem: str = "lineitem",
+    part: str = "part",
+    supplier: str = "supplier",
+    nation: str = "nation",
+) -> str:
+    """TPC-H Q9 shape (product-type profit), adapted to this schema:
+    there is no partsupp, so unit cost proxies as 10% of p_retailprice.
+    Profit by supplier nation x ship year for a LIKE-filtered part
+    family — the 4-way join + expression-profit + year-extract shape.
+    Decimal per-row cast keeps the SUM order-independent."""
+    return f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity * 0.1
+                AS DECIMAL(18,4))) AS DOUBLE) AS sum_profit
+FROM {lineitem}
+JOIN {part} ON p_partkey = l_partkey
+JOIN {supplier} ON s_suppkey = l_suppkey
+JOIN {nation} ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+ORDER BY nation, o_year
+"""
+
+
+def q150_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape through the engine's SQL surface (D10). part /
+    supplier / nation all broadcast under AQE; the only shuffle is the
+    final (nation, year) aggregate — 25 x 8 groups."""
+    li = _view(spark, sf_dir, "lineitem", "q150")
+    p = _view(spark, sf_dir, "part", "q150")
+    s = _view(spark, sf_dir, "supplier", "q150")
+    n = _view(spark, sf_dir, "nation", "q150")
+    return spark.sql(_product_profit_sql(li, p, s, n))
+
+
+def _important_parts_sql(
+    lineitem: str = "lineitem",
+    part: str = "part",
+    supplier: str = "supplier",
+    nation: str = "nation",
+) -> str:
+    """TPC-H Q11 shape (important stock), adapted: per-part shipped
+    value (l_quantity * p_retailprice) from one nation's suppliers,
+    HAVING-filtered against a global-total scalar subquery. The CTE is
+    referenced twice; Spark inlines it (two evaluations of a cheap
+    aggregate) while DuckDB materializes — results identical because
+    the decimal accumulation is exact. Threshold compare happens in
+    DOUBLE after one exact decimal SUM on both engines."""
+    return f"""
+WITH val AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity * p_retailprice AS DECIMAL(18,4))) AS v
+  FROM {lineitem}
+  JOIN {part} ON p_partkey = l_partkey
+  JOIN {supplier} ON s_suppkey = l_suppkey
+  JOIN {nation} ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, CAST(v AS DOUBLE) AS total_value
+FROM val
+WHERE CAST(v AS DOUBLE) >
+      (SELECT CAST(SUM(v) AS DOUBLE) * 0.002 FROM val)
+ORDER BY total_value DESC, partkey
+"""
+
+
+def q151_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape through the engine's SQL surface (D10)."""
+    li = _view(spark, sf_dir, "lineitem", "q151")
+    p = _view(spark, sf_dir, "part", "q151")
+    s = _view(spark, sf_dir, "supplier", "q151")
+    n = _view(spark, sf_dir, "nation", "q151")
+    return spark.sql(_important_parts_sql(li, p, s, n))
+
+
+def _priority_class_sql(
+    orders: str = "orders", lineitem: str = "lineitem"
+) -> str:
+    """TPC-H Q12 shape (shipmode priority classes), adapted: no
+    l_shipmode column, so lines group by l_returnflag; the CASE'd
+    priority split (URGENT/HIGH vs rest) over a ship-date year is the
+    shape. Pure int counting — no float determinism concerns."""
+    return f"""
+SELECT l_returnflag AS return_flag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM {orders}
+JOIN {lineitem} ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q152_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape through the engine's SQL surface (D10)."""
+    o = _view(spark, sf_dir, "orders", "q152")
+    li = _view(spark, sf_dir, "lineitem", "q152")
+    return spark.sql(_priority_class_sql(o, li))
+
+
+def _supplier_relationship_sql(
+    lineitem: str = "lineitem",
+    part: str = "part",
+    supplier: str = "supplier",
+) -> str:
+    """TPC-H Q16 shape (parts/supplier relationship), adapted: supplier
+    exclusion is s_acctbal < 0 (no s_comment column), counting DISTINCT
+    suppliers able to ship each (brand, type, size) slice through the
+    NOT IN sub-select. COUNT(DISTINCT) after a de-correlated NOT IN —
+    the partial-agg-unfriendly shape Q16 exists to exercise."""
+    return f"""
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM {lineitem}
+JOIN {part} ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN
+      (SELECT s_suppkey FROM {supplier} WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q153_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape through the engine's SQL surface (D10)."""
+    li = _view(spark, sf_dir, "lineitem", "q153")
+    p = _view(spark, sf_dir, "part", "q153")
+    s = _view(spark, sf_dir, "supplier", "q153")
+    return spark.sql(_supplier_relationship_sql(li, p, s))
+
+
+def _small_qty_revenue_sql(
+    lineitem: str = "lineitem", part: str = "part"
+) -> str:
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if small orders (below 20% of that part's mean
+    quantity) were dropped. The correlated scalar AVG subquery is the
+    point — both engines de-correlate it to an aggregate + re-join.
+    l_quantity is integral, so AVG is exact in DOUBLE on both engines
+    and the 0.2x threshold compare cannot ulp-flip."""
+    return f"""
+SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+             AS DOUBLE) / 7.0, 4) AS avg_yearly
+FROM {lineitem} l
+JOIN {part} p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#12'
+  AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                      FROM {lineitem} l2
+                      WHERE l2.l_partkey = p.p_partkey)
+"""
+
+
+def q154_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape through the engine's SQL surface (D10)."""
+    li = _view(spark, sf_dir, "lineitem", "q154")
+    p = _view(spark, sf_dir, "part", "q154")
+    return spark.sql(_small_qty_revenue_sql(li, p))
+
+
+def q155_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al exact-substring dedup signal: per-doc fraction of
+    5-token spans that occur verbatim elsewhere in the corpus
+    (arXiv:2107.06499). Engine side reuses the cached token-hash view
+    (tokenize-once artifact shared with q19/q20/q21/q77)."""
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(fn_dedup.repeated_ngram_sql("spark", th_table=th))
+
+
+def q156_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction (runtime row-level filtering):
+    lineitem is pre-filtered map-side through a bitmap built from the
+    small-part key set before the exact semi join, so the big-side
+    shuffle carries only probable matches. Output is bit-identical to
+    the plain semi join — the DuckDB oracle IS the plain semi join
+    (``functions/bloom.py`` for the 100 TB sizing math)."""
+    li = _t(spark, sf_dir, "lineitem")
+    small = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    reduced = fn_bloom.bloom_semi_join(li, small, "l_partkey", "p_partkey")
+    return (
+        reduced.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                  "revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _bloom_semijoin_oracle_sql() -> str:
+    return """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 10)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def q157_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota (CommonCrawl-style "≤ N pages per domain"):
+    salted two-phase rank on the engine side (no one-task-per-domain
+    straggler) vs the single-window oracle — identical keep-set."""
+    return fn_sampling.domain_cap(_t(spark, sf_dir, "documents"))
+
+
 _REDELIVERY_CACHE: dict[tuple[int, str], str] = {}  # -> sink path
 
 
@@ -3938,6 +4160,14 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_pareto_frontier": q147_pareto_frontier,
         "q148_equiwidth_histogram": q148_equiwidth_histogram,
         "q149_decile_lift": q149_decile_lift,
+        "q150_product_profit": q150_product_profit,
+        "q151_important_parts": q151_important_parts,
+        "q152_priority_class": q152_priority_class,
+        "q153_supplier_relationship": q153_supplier_relationship,
+        "q154_small_qty_revenue": q154_small_qty_revenue,
+        "q155_repeated_ngrams": q155_repeated_ngrams,
+        "q156_bloom_semijoin": q156_bloom_semijoin,
+        "q157_domain_caps": q157_domain_caps,
     }
 
 
@@ -4672,6 +4902,14 @@ def oracle_sql() -> dict[str, str]:
         "q147_pareto_frontier": _pareto_frontier_sql(),
         "q148_equiwidth_histogram": _equiwidth_histogram_sql(),
         "q149_decile_lift": _decile_lift_oracle_sql(),
+        "q150_product_profit": _product_profit_sql(),
+        "q151_important_parts": _important_parts_sql(),
+        "q152_priority_class": _priority_class_sql(),
+        "q153_supplier_relationship": _supplier_relationship_sql(),
+        "q154_small_qty_revenue": _small_qty_revenue_sql(),
+        "q155_repeated_ngrams": fn_dedup.repeated_ngram_sql("duckdb"),
+        "q156_bloom_semijoin": _bloom_semijoin_oracle_sql(),
+        "q157_domain_caps": fn_sampling.domain_cap_sql("duckdb"),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

@@ -236,6 +236,42 @@ co AS (
 {_pairs_select(threshold)}"""
 
 
+def repeated_ngram_sql(
+    dialect: str,
+    table: str = "documents",
+    n: int = 5,
+    th_table: str | None = None,
+) -> str:
+    """Per-document repeated-span profile — the exact-substring dedup
+    signal of Lee et al., "Deduplicating Training Data Makes Language
+    Models Better" (arXiv:2107.06499): an ``n``-token span that occurs
+    verbatim in more than one document is memorization fuel, and the
+    fraction of a doc's spans that are corpus-repeated is the score a
+    pipeline thresholds to drop or trim boilerplate-heavy docs.
+
+    Relational formulation (no suffix array needed for the profile):
+    the per-doc DISTINCT ``n``-gram shingle set (the same windowed
+    Horner combine as MinHash/Jaccard, linear in corpus tokens) joins a
+    shingle→doc-frequency aggregate of itself. Both stages are hash
+    shuffles on the shingle key — at 100 TB this is two map-reduce
+    passes over the token index, with map-side partial aggregation on
+    the doc-frequency groupBy; nothing is quadratic because docs never
+    pair up (contrast the Jaccard pairs join).
+    """
+    return f"""
+WITH {shingle_cte(dialect, table, n, th_table)},
+docfreq AS (SELECT g, COUNT(*) AS ndocs FROM sh GROUP BY g)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeated,
+       round(CAST(SUM(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS repeated_frac
+FROM sh s JOIN docfreq d ON s.g = d.g
+GROUP BY s.doc_id
+ORDER BY s.doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

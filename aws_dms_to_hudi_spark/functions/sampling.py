@@ -17,7 +17,7 @@ filters like ``split = 'train'`` are ordinary pushed-down predicates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import portable as P
@@ -168,3 +168,66 @@ FROM avail a LEFT JOIN kept k ON a.lang = k.lang
 GROUP BY a.lang, a.n_avail
 ORDER BY a.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# per-domain quota (web-corpus domain caps)
+# ---------------------------------------------------------------------------
+
+DOMAIN_CAP = 10
+DOMAIN_SALT = 64
+
+
+def domain_cap_sql(dialect: str, table: str = "documents",
+                   domain: str = "source", key: str = "doc_id",
+                   cap: int = DOMAIN_CAP) -> str:
+    """Oracle form of the per-domain quota: keep at most ``cap`` docs
+    per domain, chosen by the deterministic hash-priority order (same
+    reproducibility contract as :func:`weighted_sample_sql` — no RNG,
+    layout-independent). One window over the whole table — correct, but
+    a hot domain serializes into a single partition, which is why the
+    engine side uses the salted two-phase form below."""
+    kcast = (f"CAST({key} AS STRING)" if dialect == "spark"
+             else f"CAST({key} AS VARCHAR)")
+    h = P.rolling_hash(kcast, dialect)
+    return f"""
+SELECT {domain} AS domain, doc_id
+FROM (
+  SELECT {domain}, {key} AS doc_id,
+         row_number() OVER (PARTITION BY {domain}
+                            ORDER BY ({h}), {key}) AS rn
+  FROM {table}
+) t WHERE rn <= {cap}
+ORDER BY domain, doc_id
+"""
+
+
+def domain_cap(df: DataFrame, domain: str = "source", key: str = "doc_id",
+               cap: int = DOMAIN_CAP, salt: int = DOMAIN_SALT) -> DataFrame:
+    """Per-domain quota, salted two-phase — the CommonCrawl-style cap
+    ("at most N pages per registrable domain") that keeps one hot
+    domain from dominating a training mix.
+
+    A single ``row_number() OVER (PARTITION BY domain)`` puts every row
+    of a domain in one task: at 100 TB a 100M-page domain is a straggler.
+    Instead: phase 1 ranks within ``(domain, hash(key) % salt)`` — each
+    salted slice holds ~1/salt of the domain, spread across the cluster
+    — and keeps ``cap`` per slice (a superset of the true winners,
+    because the global top-``cap`` rows land in ≤ cap distinct slices…
+    each contributing them to its local top-``cap``). Phase 2 re-ranks
+    only the ≤ ``salt·cap`` survivors per domain. Result is *identical*
+    to the single-window form (the oracle), never shuffles more than
+    survivors into one task, and stays deterministic on any layout.
+    """
+    h = F.expr(P.rolling_hash(f"CAST({key} AS STRING)", "spark"))
+    df = df.select(F.col(domain).alias("domain"),
+                   F.col(key).alias("doc_id"), h.alias("_h"))
+    w1 = Window.partitionBy("domain", F.pmod(F.col("_h"), F.lit(salt))) \
+               .orderBy("_h", "doc_id")
+    cand = (df.withColumn("_rn1", F.row_number().over(w1))
+              .filter(F.col("_rn1") <= cap))
+    w2 = Window.partitionBy("domain").orderBy("_h", "doc_id")
+    return (cand.withColumn("_rn2", F.row_number().over(w2))
+                .filter(F.col("_rn2") <= cap)
+                .select("domain", "doc_id")
+                .orderBy("domain", "doc_id"))

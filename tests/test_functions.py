@@ -484,3 +484,28 @@ class TestFuzzyJoin:
         # both corrupted variants must link back to their origins
         assert (10_000_000, 0) in links and (10_000_007, 7) in links
         assert all(r["dist"] <= 1 for r in got)
+
+
+def test_repeated_ngrams_planted_spans(spark):
+    """Two docs sharing a verbatim 6-token span and one unique doc:
+    only the sharers report repeated 5-gram shingles, and the unique
+    doc reports zero (arXiv:2107.06499 exact-substring signal)."""
+    span = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        (1, f"one two three {span} four five six"),
+        (2, f"seven eight {span} nine ten eleven twelve"),
+        (3, "完全 unique words only nothing shared here at all friend"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).createOrReplaceTempView(
+        "__rng_docs"
+    )
+    out = {
+        r["doc_id"]: (r["n_repeated"], r["repeated_frac"])
+        for r in spark.sql(
+            fn_dedup.repeated_ngram_sql("spark", table="__rng_docs")
+        ).collect()
+    }
+    # a shared 6-token run yields exactly two repeated 5-gram shingles
+    assert out[1][0] == 2 and out[2][0] == 2
+    assert out[3] == (0, 0.0)
+    assert 0 < out[1][1] < 1

@@ -62,3 +62,54 @@ def test_stratified_sample_rate_and_determinism(spark):
 def test_stratified_pct_bounds():
     with pytest.raises(ValueError, match="pct"):
         sampling.stratified_keep_expr("doc_id", 101, "spark")
+
+
+# ---------------------------------------------------------------------------
+# per-domain quota (domain_cap)
+# ---------------------------------------------------------------------------
+
+
+def test_domain_cap_matches_single_window(spark):
+    """The salted two-phase rank must return exactly the single-window
+    keep-set (same rows the oracle SQL selects)."""
+    from pyspark.sql import Window
+
+    df = spark.range(3000).select(
+        F.concat(F.lit("dom"), (F.col("id") % 7)).alias("source"),
+        F.col("id").alias("doc_id"),
+    )
+    got = sampling.domain_cap(df, cap=10)
+    h = F.expr(
+        sampling.P.rolling_hash("CAST(doc_id AS STRING)", "spark")
+    )
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    want = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("source").alias("domain"), "doc_id")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_domain_cap_layout_independent(spark):
+    """Same keep-set on any partitioning of the input."""
+    df = spark.range(1000).select(
+        F.concat(F.lit("d"), (F.col("id") % 3)).alias("source"),
+        F.col("id").alias("doc_id"),
+    )
+    a = sampling.domain_cap(df.repartition(1), cap=5).collect()
+    b = sampling.domain_cap(df.repartition(17, "doc_id"), cap=5).collect()
+    assert a == b
+
+
+def test_domain_cap_small_domains_kept_whole(spark):
+    """A domain with fewer than cap docs keeps every doc."""
+    df = spark.createDataFrame(
+        [("tiny", i) for i in range(3)] + [("big", 100 + i) for i in range(50)],
+        ["source", "doc_id"],
+    )
+    out = sampling.domain_cap(df, cap=10)
+    counts = {r["domain"]: r["n"] for r in
+              out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"tiny": 3, "big": 10}
