@@ -3187,6 +3187,20 @@ ORDER BY l_returnflag
 """
 
 
+def q158_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RIFF/PCM16 WAV decode, oracle-gated (multimodal.py
+    decode_wav/encode_wav): a genuine WAV stream is built per document
+    and run through the full container walk + frame parse inside
+    Arrow-batched mapInPandas; the gated aggregates come from the
+    DECODED samples (integer PCM end to end, so DuckDB replays them
+    arithmetically). 1-in-4 document subset, mirroring the q137 JPEG
+    gate. Beyond-reference extension — the reference's RDBMS rows carry
+    no media (templates/aws-dms-to-hudi.yaml:437)."""
+    return fn_mm.wav_roundtrip_features(
+        _t(spark, sf_dir, "documents").filter(F.pmod("doc_id", F.lit(4)) == 2)
+    ).orderBy("doc_id")
+
+
 def q157_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota (CommonCrawl-style "≤ N pages per domain"):
     salted two-phase rank on the engine side (no one-task-per-domain
@@ -4168,6 +4182,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_repeated_ngrams": q155_repeated_ngrams,
         "q156_bloom_semijoin": q156_bloom_semijoin,
         "q157_domain_caps": q157_domain_caps,
+        "q158_wav_decode": q158_wav_decode,
     }
 
 
@@ -4910,6 +4925,7 @@ def oracle_sql() -> dict[str, str]:
         "q155_repeated_ngrams": fn_dedup.repeated_ngram_sql("duckdb"),
         "q156_bloom_semijoin": _bloom_semijoin_oracle_sql(),
         "q157_domain_caps": fn_sampling.domain_cap_sql("duckdb"),
+        "q158_wav_decode": fn_mm.wav_gate_oracle_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

@@ -17,10 +17,12 @@ blockwise-constant even gray levels survive Annex-K quantization
 bit-exactly (q00=16 divides 8·(v−128) for even v), so DuckDB replays
 the decoded-pixel checksum arithmetically while Spark runs the full
 decode path. ``fmt='raw'`` is the deterministic fake for oracle gates
-whose payloads aren't SQL-replayable. wav/mp4 raise
-``NotImplementedError`` — they need libraries not present in this
-container; the Spark-side plumbing (schema, batching, partitioning,
-UDF signature) is shared either way.
+whose payloads aren't SQL-replayable. WAV (:func:`decode_wav`) is REAL
+too: RIFF container walk (any chunk order, odd-size pad bytes), PCM16
+frame parse — byte-tested and oracle-gated (q158) on aggregates of the
+decoded samples. Only mp4 still raises ``NotImplementedError`` (a video
+codec genuinely needs ffmpeg); the Spark-side plumbing (schema,
+batching, partitioning, UDF signature) is shared either way.
 
 Scale notes (100 TB of media):
 
@@ -660,10 +662,21 @@ def decode_media(payload: bytes, fmt: str) -> dict:
             "width": d["width"],
             "height": d["height"],
         }
+    if fmt == "wav":
+        d = decode_wav(payload)
+        samples = d["samples"]
+        # FEATURE_SCHEMA is image-shaped; for audio, width carries the
+        # frame count and height the channel count.
+        return {
+            "n_bytes": len(payload),
+            "checksum": int(abs(int(samples.sum())) % 256),
+            "width": int(samples.shape[0]),
+            "height": int(d["channels"]),
+        }
     if fmt != "raw":
         raise NotImplementedError(
-            f"codec {fmt!r} needs an audio/video library not present here; "
-            "swap this branch for torchaudio/ffmpeg in production"
+            f"codec {fmt!r} needs a video library not present here; "
+            "swap this branch for ffmpeg in production"
         )
     checksum = sum(payload[:CHECKSUM_PREFIX]) % 256
     return {
@@ -950,4 +963,157 @@ SELECT doc_id,
          AS checksum,
        CAST(SUM(64 * gray) AS BIGINT) AS pixel_sum
 FROM blocks GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/PCM) codec: real encode/decode, SQL-replayable expected samples
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples, sample_rate: int, channels: int = 1) -> bytes:
+    """Minimal but genuine RIFF/WAVE writer: PCM (format 1), 16-bit
+    little-endian, interleaved frames. ``samples`` is an int-like numpy
+    array shaped (n,) for mono or (n, channels)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.shape[1] != channels:
+        raise ValueError(
+            f"samples have {arr.shape[1]} channels, expected {channels}"
+        )
+    if np.any(arr > 32767) or np.any(arr < -32768):
+        raise ValueError("sample out of int16 range")
+    data = arr.astype("<i2").tobytes()
+    block_align = 2 * channels
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")  # RIFF chunks pad to even
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """REAL RIFF/WAVE parser: container walk (any chunk order, unknown
+    chunks skipped with the mandatory odd-size pad byte), fmt-chunk
+    validation (PCM, 16-bit), then the data chunk parsed as interleaved
+    little-endian int16 frames. Returns
+    ``{samples: (n, channels) int16 ndarray, sample_rate, channels}``.
+    Compressed formats (IEEE float, A-law, …) raise
+    ``NotImplementedError`` — same contract as the PNG/JPEG decoders."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    (riff_size,) = struct.unpack("<I", payload[4:8])
+    if riff_size + 8 > len(payload):
+        raise ValueError("truncated RIFF stream")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= riff_size + 8:
+        cid = payload[pos:pos + 4]
+        (csize,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + csize]
+        if len(body) < csize:
+            raise ValueError(f"truncated chunk {cid!r}")
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize % 2)  # odd chunks carry a pad byte
+    if fmt is None or data is None:
+        raise ValueError("missing fmt / data chunk")
+    audio_format, channels, sample_rate, _, block_align, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM 16-bit supported (format={audio_format}, bits={bits})"
+        )
+    if block_align != 2 * channels:
+        raise ValueError("block align inconsistent with 16-bit frames")
+    n_frames = len(data) // block_align
+    samples = np.frombuffer(
+        data[: n_frames * block_align], dtype="<i2"
+    ).reshape(n_frames, channels)
+    return {
+        "samples": samples,
+        "sample_rate": sample_rate,
+        "channels": channels,
+    }
+
+
+WAV_GATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("abs_sum", T.LongType()),
+        T.StructField("peak", T.LongType()),
+    ]
+)
+
+
+def wav_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """Oracle-gateable REAL WAV decode (q158): per document, write a
+    genuine RIFF/PCM16 stream whose sample ``i`` is the integer
+    ``((doc_id*31 + i*17) % 2001) - 1000`` (n = 40 + doc_id%25 frames,
+    rate = 8000 + 4000*(doc_id%3)), run the full container walk +
+    frame parse inside Arrow-batched ``mapInPandas``, and emit
+    aggregates of the DECODED samples — integer arithmetic end to end,
+    so a SQL oracle replays ``abs_sum`` / ``peak`` exactly while Spark
+    exercises the codec. Map-only: no shuffle, linear in executors."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 40 + doc_id % 25
+                rate = 8000 + 4000 * (doc_id % 3)
+                i = np.arange(n, dtype=np.int64)
+                samples = (doc_id * 31 + i * 17) % 2001 - 1000
+                d = decode_wav(encode_wav(samples, rate))
+                got = d["samples"][:, 0].astype(np.int64)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_samples": int(got.shape[0]),
+                        "sample_rate": int(d["sample_rate"]),
+                        "abs_sum": int(np.abs(got).sum()),
+                        "peak": int(np.abs(got).max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, WAV_GATE_SCHEMA)
+
+
+def wav_gate_oracle_sql(table: str = "documents") -> str:
+    """DuckDB replay of :func:`wav_roundtrip_features`' expected decoded
+    samples (valid because the fixture is integer PCM end to end)."""
+    s = "((b.doc_id * 31 + i.i * 17) % 2001) - 1000"
+    return f"""
+WITH sub AS (SELECT doc_id FROM {table} WHERE doc_id % 4 = 2),
+samp AS (
+  SELECT b.doc_id, {s} AS s
+  FROM sub b, range(0, 65) i(i)
+  WHERE i.i < 40 + b.doc_id % 25
+)
+SELECT doc_id,
+       CAST(40 + doc_id % 25 AS BIGINT) AS n_samples,
+       CAST(8000 + 4000 * (doc_id % 3) AS BIGINT) AS sample_rate,
+       CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum,
+       CAST(MAX(ABS(s)) AS BIGINT) AS peak
+FROM samp GROUP BY doc_id ORDER BY doc_id
 """

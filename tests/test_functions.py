@@ -91,12 +91,14 @@ def test_exact_dedup_no_collisions(spark, sf_correct):
 
 
 def test_multimodal_stub_gate():
-    # jpeg is REAL since r4 (bad bytes -> ValueError from the decoder);
-    # the remaining stubbed codecs raise NotImplementedError.
+    # jpeg and wav are REAL since r4 (bad bytes -> ValueError from the
+    # decoder); the one remaining stubbed codec raises NotImplementedError.
     with pytest.raises(ValueError):
         fn_mm.decode_media(b"\x00\x01", "jpeg")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         fn_mm.decode_media(b"\x00\x01", "wav")
+    with pytest.raises(NotImplementedError):
+        fn_mm.decode_media(b"\x00\x01", "mp4")
 
 
 def test_multimodal_feature_determinism():
