@@ -52,3 +52,19 @@ def test_bitmap_is_bounded(spark):
     m_bits = 1 << 12
     bf = bloom.build_bloom(small, "sk", m_bits=m_bits)
     assert bf.count() <= m_bits // 64
+
+
+def test_prefilter_plan_is_broadcast_only(spark):
+    """The probe joins must all plan as broadcast hash joins — the big
+    side is never shuffled by the prefilter (that is the point of the
+    reduction)."""
+    big = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    small = spark.range(0, 10_000, 11).withColumnRenamed("id", "sk")
+    bf = bloom.build_bloom(small, "sk")
+    plan = bloom.bloom_prefilter(big, "k", bf)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # no Exchange on the big-side lineage: the only exchanges allowed
+    # are the bitmap build's tiny aggregation + broadcasts
+    assert "ShuffledHashJoin" not in plan

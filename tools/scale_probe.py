@@ -70,6 +70,9 @@ PROBE_QUERIES = [
     # frontier running-max, null-safe hash join, weighted percentiles
     "q143_resample_interpolate", "q145_null_safe_join",
     "q146_weighted_percentile", "q147_pareto_frontier",
+    # r4 batch 2: repeated-span profile (two shuffles over the token
+    # index), bloom semi-join reduction, salted per-domain caps
+    "q155_repeated_ngrams", "q156_bloom_semijoin", "q157_domain_caps",
 ]
 
 VOW = "aeiou"
