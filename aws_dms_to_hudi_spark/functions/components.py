@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import _materialize
+from .dedup import materialize
 
 
 def connected_components(
@@ -53,8 +53,8 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
     )
-    und = _materialize(und)
-    labels = _materialize(
+    und = materialize(und)
+    labels = materialize(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
@@ -64,7 +64,7 @@ def connected_components(
             und.join(labels, und.b == labels.node)
             .select(F.col("a").alias("node"), "component")
         )
-        new_labels = _materialize(  # truncate iterative lineage
+        new_labels = materialize(  # truncate iterative lineage
             labels.unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
@@ -111,7 +111,7 @@ def connected_components_star(
     independent hash checksum) pair going stable; every round is
     materialized (reliable checkpoint when a checkpoint dir is set) to
     truncate the iterative lineage."""
-    e = _materialize(
+    e = materialize(
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
             F.least(F.col(src), F.col(dst)).alias("v"),
@@ -152,7 +152,7 @@ def connected_components_star(
         # itself) to the minimum among them. Orientation is preserved.
         smins = e.groupBy("u").agg(F.min("v").alias("m"))
         joined = e.join(smins, "u")
-        e = _materialize(
+        e = materialize(
             joined.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smins.select("u", F.col("m").alias("v")))

@@ -490,7 +490,7 @@ def _batch_tokhash(texts) -> list:
     return [hashes[offs[i]: offs[i + 1]] for i in range(len(norms))]
 
 
-def _materialize(df):
+def materialize(df):
     """Eagerly materialize a shared artifact and truncate its lineage.
 
     Uses RELIABLE ``checkpoint()`` (replicated to the configured
@@ -557,7 +557,7 @@ def tokhash_view(spark, docs, cache_key: str, tag: str = "tokhash") -> str:
         # Materialized (not mere persist): truncates the logical plan to
         # a LogicalRDD so every consumer carries a tiny plan instead of
         # re-analyzing (and shipping) the whole derivation tree.
-        df = _materialize(df)
+        df = materialize(df)
         df.createOrReplaceTempView(view)
         _TOKHASH_CACHE[key] = view
         return view
@@ -583,7 +583,7 @@ def minhash_pairs_view(spark, docs, cache_key: str) -> str:
         if cached is not None:
             return cached
         name = f"__mh_pairs_{abs(hash(key)) % 10**8}"
-        df = _materialize(spark.sql(sql))  # eager + plan-truncating
+        df = materialize(spark.sql(sql))  # eager + plan-truncating
         df.createOrReplaceTempView(name)
         _PAIRS_CACHE[key] = name
         return name
@@ -609,7 +609,7 @@ def simhash_view(spark, docs, cache_key: str) -> str:
         if cached is not None:
             return cached
         name = f"__simhash_{abs(hash(key)) % 10**8}"
-        df = _materialize(spark.sql(sql))  # eager + plan-truncating
+        df = materialize(spark.sql(sql))  # eager + plan-truncating
         df.createOrReplaceTempView(name)
         _SIMHASH_CACHE[key] = name
         return name
@@ -642,9 +642,9 @@ def inv_view(
         cached = _INV_CACHE.get(key)
         if cached is not None:
             return cached
-        inv_df = _materialize(spark.sql(sql))  # eager + plan-truncating
+        inv_df = materialize(spark.sql(sql))  # eager + plan-truncating
         inv_df.createOrReplaceTempView(inv_name)
-        sizes_df = _materialize(
+        sizes_df = materialize(
             spark.table(inv_name).groupBy("doc_id").count()
             .withColumnRenamed("count", "n")
         )

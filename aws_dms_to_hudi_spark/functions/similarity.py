@@ -749,3 +749,119 @@ SELECT label,
 FROM recon
 GROUP BY label ORDER BY label
 """
+
+
+# ---------------------------------------------------------------------------
+# power iteration (dominant eigenvector / PCA first component direction)
+# ---------------------------------------------------------------------------
+
+PI_SCALE = 1000     # |x| < 1 in this corpus -> scaled coords < ~1000
+PI_ITERS = 2        # fixed, unrolled: output is defined as "v after k
+# steps", not "converged v" — the determinism contract of q131 PageRank.
+
+
+def _pi_iv_sql(dialect: str, table: str) -> str:
+    """(vec_id, dim, x): exploded embedding, coordinate scaled to exact
+    int64 at PI_SCALE (coarser than CENTROID_SCALE because iteration
+    products compound: |w| <= N * DIM * PI_SCALE^2 * max|x|^2 stays
+    far under 2^63 even at 10^9 rows)."""
+    from .dedup import _posexplode
+
+    rows = _posexplode(dialect, "vec_id", table, "embedding", "dim", "val")
+    return (
+        f"SELECT vec_id, dim, "
+        f"CAST(ROUND(CAST(val AS DOUBLE) * {PI_SCALE}) AS BIGINT) AS x "
+        f"FROM ({rows}) er"
+    )
+
+
+def power_iteration_sql(dialect: str, table: str = "embeddings",
+                        iters: int = PI_ITERS) -> str:
+    """Oracle form of :func:`power_iteration` — the same fixed-point
+    arithmetic as CTEs (DuckDB materializes each CTE once, so the
+    multiple references cost nothing; Spark would inline them, which is
+    why the engine side steps iteration-by-iteration instead).
+
+    The operator: v_{k+1} = rescale(Aᵀ(A v_k)) on the N×DIM scaled
+    integer matrix A — the distributed power-iteration step behind
+    PCA's first component / spectral embedding quality checks. Every
+    product and sum is int64; rescaling is truncating division by
+    g = max(1, max|w| trunc-div PI_SCALE), so the result is
+    bit-identical on any engine and any accumulation order."""
+    parts = [f"iv AS ({_pi_iv_sql(dialect, table)})"]
+    prev = None
+    for k in range(1, iters + 1):
+        y_src = (
+            f"SELECT vec_id, SUM(x * {PI_SCALE}) AS y FROM iv GROUP BY vec_id"
+            if prev is None else
+            f"SELECT iv.vec_id, SUM(iv.x * {prev}.v) AS y "
+            f"FROM iv JOIN {prev} ON iv.dim = {prev}.dim GROUP BY iv.vec_id"
+        )
+        parts.append(f"y{k} AS ({y_src})")
+        parts.append(
+            f"w{k} AS (SELECT iv.dim, SUM(iv.x * y{k}.y) AS w "
+            f"FROM iv JOIN y{k} ON iv.vec_id = y{k}.vec_id GROUP BY iv.dim)"
+        )
+        parts.append(
+            f"g{k} AS (SELECT GREATEST(1, "
+            f"{P.int_div(f'MAX(ABS(w))', str(PI_SCALE), dialect)}) AS g "
+            f"FROM w{k})"
+        )
+        parts.append(
+            f"v{k} AS (SELECT dim, {P.int_div('w', 'g', dialect)} AS v "
+            f"FROM w{k}, g{k})"
+        )
+        prev = f"v{k}"
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT CAST(dim AS BIGINT) AS dim, CAST(v AS BIGINT) AS v "
+          f"FROM {prev} ORDER BY dim"
+    )
+
+
+def power_iteration(spark, table: str, iters: int = PI_ITERS):
+    """Engine-side power iteration: materialize the scaled coordinate
+    relation ONCE (plan-truncating checkpoint, shared by every pass),
+    then per iteration run one distributed two-aggregate pass
+    (y = A v as a map + vec_id aggregate; w = Aᵀ y as a dim aggregate)
+    and collect w — DIM rows, a bounded driver transfer like the
+    percentile cut points — to fold the rescale and feed v back as a
+    broadcast literal. At 100 TB each iteration is two hash shuffles
+    (vec_id, then dim) over the persisted relation; v itself is 64
+    integers and never a distributed join partner."""
+    from .dedup import materialize
+
+    iv = materialize(spark.sql(_pi_iv_sql("spark", table)))
+    view = f"__pi_iv_{abs(hash((id(spark), table))) % 10**8}"
+    iv.createOrReplaceTempView(view)
+
+    def trunc_div(a: int, b: int) -> int:
+        # DuckDB's // truncates toward zero; Python's floors — pin
+        # truncation so engine and oracle agree on negative components.
+        return abs(a) // b * (1 if a >= 0 else -1)
+
+    v: list[int] | None = None
+    for _ in range(iters):
+        if v is None:
+            y = f"SELECT vec_id, SUM(x * {PI_SCALE}) AS y FROM {view} GROUP BY vec_id"
+        else:
+            arr = "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in v) + ")"
+            y = (
+                f"SELECT vec_id, SUM(x * element_at({arr}, "
+                f"CAST(dim + 1 AS INT))) AS y FROM {view} GROUP BY vec_id"
+            )
+        rows = spark.sql(
+            f"WITH y AS ({y}) "
+            f"SELECT iv.dim, SUM(iv.x * y.y) AS w FROM {view} iv "
+            f"JOIN y ON iv.vec_id = y.vec_id GROUP BY iv.dim"
+        ).collect()
+        w = {r["dim"]: r["w"] for r in rows}
+        ws = [w[d] for d in sorted(w)]
+        g = max(1, trunc_div(max(abs(x) for x in ws), PI_SCALE))
+        v = [trunc_div(x, g) for x in ws]
+    import pandas as pd_  # local: avoid polluting module namespace
+
+    out = spark.createDataFrame(
+        [(int(d), int(x)) for d, x in enumerate(v)], "dim BIGINT, v BIGINT"
+    )
+    return out.orderBy("dim")

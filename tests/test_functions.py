@@ -511,3 +511,41 @@ def test_repeated_ngrams_planted_spans(spark):
     assert out[1][0] == 2 and out[2][0] == 2
     assert out[3] == (0, 0.0)
     assert 0 < out[1][1] < 1
+
+
+def test_power_iteration_finds_dominant_direction(spark):
+    """Vectors drawn along a known dominant axis (plus small fixed
+    off-axis noise): after two iterations v must align with that axis —
+    the dominant coordinate dwarfs every other (sign-insensitive)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    d, n = 8, 300
+    axis = np.zeros(d)
+    axis[3] = 1.0
+    rows = []
+    for i in range(n):
+        vec = (rng.randn() * 0.5) * axis + rng.randn(d) * 0.02
+        rows.append((i, [float(x) for x in vec]))
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>"
+    ).createOrReplaceTempView("__pi_docs")
+    out = fn_sim.power_iteration(spark, "__pi_docs").collect()
+    v = np.array([r["v"] for r in sorted(out, key=lambda r: r["dim"])],
+                 dtype=np.float64)
+    cos = abs(v[3]) / np.sqrt((v ** 2).sum())
+    assert cos > 0.95, (cos, v)
+
+
+def test_power_iteration_layout_independent(spark):
+    """Identical output on any input partitioning — integer sums are
+    order-immune, so the result is a pure function of the data."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    outs = []
+    for parts in (1, 13):
+        emb.repartition(parts).createOrReplaceTempView(f"__pi_l{parts}")
+        outs.append(tuple(
+            (r["dim"], r["v"])
+            for r in fn_sim.power_iteration(spark, f"__pi_l{parts}").collect()
+        ))
+    assert outs[0] == outs[1]

@@ -125,3 +125,85 @@ def test_state_diff_tags_insert_update_delete(spark):
     assert out["B"]["change_type"] == "update" and out["B"]["new_total"] == 7.5
     assert out["C"]["change_type"] == "delete" and out["C"]["new_n"] is None
     assert out["D"]["change_type"] == "insert" and out["D"]["old_n"] is None
+
+
+# ---------------------------------------------------------------------------
+# join-view maintenance (maintain_join_view)
+# ---------------------------------------------------------------------------
+
+
+def _ldf(spark, rows):
+    return spark.createDataFrame(
+        rows, "ok int, ck int, amt double, trx_seq string, "
+        "_hoodie_is_deleted boolean"
+    )
+
+
+def _rdf(spark, rows):
+    return spark.createDataFrame(
+        rows, "ck int, seg string, trx_seq string, "
+        "_hoodie_is_deleted boolean"
+    )
+
+
+def _jv_full(lt, rt, lv, rv):
+    return fn_incr.join_view(
+        lt.read(version=lv), rt.read(version=rv),
+        "ck", "ck", ["ok", "ck", "amt"], ["seg"],
+    )
+
+
+def test_join_view_tracks_full_recompute(spark, tmp_path):
+    """Maintained join view == full re-join through: left update, left
+    delete, left row MOVING to another join key, right attribute
+    update (fan-out re-join), right delete (orphans leave the inner
+    join), and a brand-new right key adopting an existing orphan."""
+    lt = CuratedTable(
+        spark, tmp_path / "l",
+        TableConfig(name="l", record_key=["ok"],
+                    source_ordering_field="trx_seq"),
+    )
+    rt = CuratedTable(
+        spark, tmp_path / "r",
+        TableConfig(name="r", record_key=["ck"],
+                    source_ordering_field="trx_seq"),
+    )
+    lc0 = lt.bulk_insert(_ldf(spark, [
+        (1, 10, 1.0, "001", False),
+        (2, 10, 2.0, "002", False),
+        (3, 20, 3.0, "003", False),
+        (4, 30, 4.0, "004", False),
+        (5, 99, 5.0, "005", False),   # orphan: no right key 99 yet
+    ]))
+    rc0 = rt.bulk_insert(_rdf(spark, [
+        (10, "a", "001", False),
+        (20, "b", "002", False),
+        (30, "c", "003", False),
+    ]))
+    state = _jv_full(lt, rt, lc0.version, rc0.version)
+
+    # round 1: left update (1), left delete (2), left key-move (3: 20→30)
+    lc1 = lt.upsert(_ldf(spark, [
+        (1, 10, 1.5, "011", False),
+        (2, 10, 2.0, "012", True),
+        (3, 30, 3.0, "013", False),
+    ]))
+    # right: seg update on 30 (fan-out), delete 20, new key 99
+    rc1 = rt.upsert(_rdf(spark, [
+        (30, "c2", "011", False),
+        (20, "b", "012", True),
+        (99, "z", "013", False),
+    ]))
+    state = fn_incr.maintain_join_view(
+        lt, rt, state, "ck", ["ok", "ck", "amt"], ["seg"],
+        lc0.version, lc1.version, rc0.version, rc1.version,
+    )
+    assert _rows(state) == _rows(_jv_full(lt, rt, lc1.version, rc1.version))
+
+    # round 2: left-only changes (right side quiet)
+    lc2 = lt.upsert(_ldf(spark, [(6, 30, 6.0, "021", False)]))
+    state = fn_incr.maintain_join_view(
+        lt, rt, state, "ck", ["ok", "ck", "amt"], ["seg"],
+        lc1.version, lc2.version, rc1.version, rc1.version,
+    )
+    assert _rows(state) == _rows(_jv_full(lt, rt, lc2.version, rc1.version))

@@ -83,8 +83,12 @@ def test_decode_media_png_features():
 
 
 def test_unsupported_codec_still_raises():
-    with pytest.raises(NotImplementedError):
+    # wav is REAL since r4: malformed bytes surface as a decoder
+    # ValueError (truncated RIFF), not a stub NotImplementedError
+    with pytest.raises(ValueError):
         mm.decode_media(b"RIFF....WAVE", "wav")
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"\x00\x01", "mp4")
     with pytest.raises(ValueError):
         mm.decode_png(b"not a png at all")
 
