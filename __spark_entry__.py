@@ -3260,6 +3260,19 @@ def q159_delta_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_delta_revenue_sql(li))
 
 
+def q163_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF (MP4) container walk, oracle-gated (multimodal.py
+    parse_mp4/encode_mp4): a genuine boxed stream is built per document
+    and parsed back inside Arrow-batched mapInPandas — ftyp brand, mvhd
+    timescale/duration, trak count, mdat length, all integer metadata
+    the SQL oracle replays. 1-in-4 document subset (doc_id%4==3),
+    completing the per-format gate family (q25 raw, q137 jpeg, q158
+    wav); only codec-payload decode inside mdat remains stubbed."""
+    return fn_mm.mp4_roundtrip_features(
+        _t(spark, sf_dir, "documents").filter(F.pmod("doc_id", F.lit(4)) == 3)
+    ).orderBy("doc_id")
+
+
 def q161_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed power iteration (dominant-eigenvector direction of
     the embedding matrix — the PCA-first-component / spectral-quality
@@ -4384,6 +4397,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q160_bucketed_join": q160_bucketed_join,
         "q161_power_iteration": q161_power_iteration,
         "q162_join_view_maintenance": q162_join_view_maintenance,
+        "q163_mp4_probe": q163_mp4_probe,
     }
 
 
@@ -5131,6 +5145,7 @@ def oracle_sql() -> dict[str, str]:
         "q160_bucketed_join": _bucketed_join_oracle_sql(),
         "q161_power_iteration": fn_sim.power_iteration_sql("duckdb"),
         "q162_join_view_maintenance": _join_view_oracle_sql(),
+        "q163_mp4_probe": fn_mm.mp4_gate_oracle_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

@@ -20,8 +20,11 @@ decode path. ``fmt='raw'`` is the deterministic fake for oracle gates
 whose payloads aren't SQL-replayable. WAV (:func:`decode_wav`) is REAL
 too: RIFF container walk (any chunk order, odd-size pad bytes), PCM16
 frame parse — byte-tested and oracle-gated (q158) on aggregates of the
-decoded samples. Only mp4 still raises ``NotImplementedError`` (a video
-codec genuinely needs ffmpeg); the Spark-side plumbing (schema,
+decoded samples. MP4 (:func:`parse_mp4`) gets a REAL ISO-BMFF container
+walk (32/64-bit/to-EOF box sizes, ftyp brand, mvhd v0/v1
+timescale+duration, trak count, mdat length — oracle-gated q163); only
+the codec payload inside mdat still raises ``NotImplementedError``
+(H.264 decode genuinely needs ffmpeg). The Spark-side plumbing (schema,
 batching, partitioning, UDF signature) is shared either way.
 
 Scale notes (100 TB of media):
@@ -673,9 +676,16 @@ def decode_media(payload: bytes, fmt: str) -> dict:
             "width": int(samples.shape[0]),
             "height": int(d["channels"]),
         }
+    if fmt == "mp4":
+        d = parse_mp4(payload)  # real container walk (metadata only)
+        raise NotImplementedError(
+            f"mp4 container parsed (brand={d['brand']}, "
+            f"{d['n_tracks']} tracks) but codec-payload decode needs "
+            "ffmpeg; swap this branch in production"
+        )
     if fmt != "raw":
         raise NotImplementedError(
-            f"codec {fmt!r} needs a video library not present here; "
+            f"codec {fmt!r} needs a library not present here; "
             "swap this branch for ffmpeg in production"
         )
     checksum = sum(payload[:CHECKSUM_PREFIX]) % 256
@@ -1116,4 +1126,139 @@ SELECT doc_id,
        CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum,
        CAST(MAX(ABS(s)) AS BIGINT) AS peak
 FROM samp GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# MP4 (ISO-BMFF) container walk: real box parsing, SQL-replayable metadata
+# ---------------------------------------------------------------------------
+
+
+def encode_mp4(brand: bytes, timescale: int, duration: int,
+               n_tracks: int, mdat: bytes) -> bytes:
+    """Minimal but genuine ISO-BMFF writer: ftyp + moov(mvhd v0 +
+    empty trak boxes) + mdat, all with big-endian 32-bit box sizes."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0) + brand)
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"                      # version 0 + flags
+        + struct.pack(">II", 0, 0)               # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + b"\x00" * 80,                          # rate..next_track_id
+    )
+    moov = box(b"moov", mvhd + b"".join(box(b"trak", b"") for _ in range(n_tracks)))
+    return ftyp + moov + box(b"mdat", mdat)
+
+
+def _walk_boxes(data: bytes, pos: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in
+    [pos, end) — 64-bit largesize and to-end-of-file sizes included."""
+    import struct
+
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        btype = data[pos + 4:pos + 8]
+        head = 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", data[pos + 8:pos + 16])
+            head = 16
+        elif size == 0:
+            size = end - pos
+        if size < head or pos + size > end:
+            raise ValueError(f"malformed box {btype!r} at {pos}")
+        yield btype, pos + head, pos + size
+        pos += size
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """REAL ISO-BMFF container walk: top-level box iteration (32-bit,
+    64-bit largesize, and run-to-EOF sizes), ftyp major brand, moov
+    recursion for the mvhd movie header (v0 and v1 timescale/duration)
+    and trak count, mdat byte length. Returns ``{brand, timescale,
+    duration, n_tracks, mdat_bytes}``. Decoding the CODEC PAYLOAD
+    inside mdat (H.264 etc.) still raises via :func:`decode_media` —
+    that genuinely needs ffmpeg; the container metadata path, which is
+    what a 100 TB media-curation pipeline filters and routes on, is
+    real and byte-tested."""
+    import struct
+
+    out = {"brand": None, "timescale": None, "duration": None,
+           "n_tracks": 0, "mdat_bytes": 0}
+    seen = set()
+    for btype, s, e in _walk_boxes(payload, 0, len(payload)):
+        seen.add(btype)
+        if btype == b"ftyp":
+            out["brand"] = payload[s:s + 4].decode("latin-1")
+        elif btype == b"mdat":
+            out["mdat_bytes"] += e - s
+        elif btype == b"moov":
+            for ityp, i0, i1 in _walk_boxes(payload, s, e):
+                if ityp == b"trak":
+                    out["n_tracks"] += 1
+                elif ityp == b"mvhd":
+                    version = payload[i0]
+                    if version == 1:
+                        ts, dur = struct.unpack(
+                            ">IQ", payload[i0 + 20:i0 + 32])
+                    else:
+                        ts, dur = struct.unpack(
+                            ">II", payload[i0 + 12:i0 + 20])
+                    out["timescale"], out["duration"] = ts, dur
+    if b"moov" not in seen:
+        raise ValueError("not an ISO-BMFF stream (no moov box)")
+    return out
+
+
+MP4_GATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("brand", T.StringType()),
+        T.StructField("timescale", T.LongType()),
+        T.StructField("duration", T.LongType()),
+        T.StructField("n_tracks", T.LongType()),
+        T.StructField("mdat_bytes", T.LongType()),
+    ]
+)
+
+
+def mp4_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """Oracle-gateable REAL MP4 container walk (q163): per document,
+    write a genuine ISO-BMFF stream (brand 'isom', timescale 1000,
+    duration = doc_id*7 % 100000, 1 + doc_id%3 tracks, mdat of
+    10 + doc_id%50 bytes) and parse it back inside Arrow-batched
+    ``mapInPandas`` — integer metadata end to end, so a SQL oracle
+    replays every field while Spark exercises the box walk."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = encode_mp4(
+                    b"isom", 1000, doc_id * 7 % 100000,
+                    1 + doc_id % 3, b"\x00" * (10 + doc_id % 50),
+                )
+                d = parse_mp4(payload)
+                rows.append({"doc_id": doc_id, **d})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, MP4_GATE_SCHEMA)
+
+
+def mp4_gate_oracle_sql(table: str = "documents") -> str:
+    """DuckDB replay of :func:`mp4_roundtrip_features`' expected parsed
+    metadata (valid because the fixture is integer arithmetic)."""
+    return f"""
+SELECT doc_id,
+       'isom' AS brand,
+       CAST(1000 AS BIGINT) AS timescale,
+       CAST(doc_id * 7 % 100000 AS BIGINT) AS duration,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+       CAST(10 + doc_id % 50 AS BIGINT) AS mdat_bytes
+FROM {table} WHERE doc_id % 4 = 3 ORDER BY doc_id
 """

@@ -91,14 +91,18 @@ def test_exact_dedup_no_collisions(spark, sf_correct):
 
 
 def test_multimodal_stub_gate():
-    # jpeg and wav are REAL since r4 (bad bytes -> ValueError from the
-    # decoder); the one remaining stubbed codec raises NotImplementedError.
+    # jpeg/wav decode and the mp4 container walk are REAL since r4
+    # (bad bytes -> ValueError from the parser); a VALID mp4 container
+    # still raises NotImplementedError at the codec-payload boundary.
     with pytest.raises(ValueError):
         fn_mm.decode_media(b"\x00\x01", "jpeg")
     with pytest.raises(ValueError):
         fn_mm.decode_media(b"\x00\x01", "wav")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         fn_mm.decode_media(b"\x00\x01", "mp4")
+    valid = fn_mm.encode_mp4(b"isom", 1000, 42, 1, b"xx")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        fn_mm.decode_media(valid, "mp4")
 
 
 def test_multimodal_feature_determinism():

@@ -83,12 +83,15 @@ def test_decode_media_png_features():
 
 
 def test_unsupported_codec_still_raises():
-    # wav is REAL since r4: malformed bytes surface as a decoder
-    # ValueError (truncated RIFF), not a stub NotImplementedError
+    # wav and the mp4 container walk are REAL since r4: malformed bytes
+    # surface as parser ValueErrors; a valid mp4 container still raises
+    # NotImplementedError at the codec-payload boundary
     with pytest.raises(ValueError):
         mm.decode_media(b"RIFF....WAVE", "wav")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         mm.decode_media(b"\x00\x01", "mp4")
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(mm.encode_mp4(b"isom", 1, 1, 1, b""), "mp4")
     with pytest.raises(ValueError):
         mm.decode_png(b"not a png at all")
 
