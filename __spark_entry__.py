@@ -3260,6 +3260,121 @@ def q159_delta_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_delta_revenue_sql(li))
 
 
+_SESSION_STREAM_CACHE: dict[tuple[int, str], str] = {}
+_SESSION_GAP_MICROS = 6 * 3600 * 1_000_000
+
+
+def q164_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows through the driver gate — the
+    watermark-driven APPEND-emission path the batch q29 shape cannot
+    exercise: per-user 6h-gap sessions over the events stream, landed
+    as four time-ordered micro-batches (so sessions genuinely span
+    batch boundaries and the watermark advances monotonically) plus a
+    far-future flush sentinel that closes every real session. Each
+    session row is emitted exactly once when the watermark passes its
+    close (streaming/windows.py user_sessions); the gate rolls the
+    emitted rows up per user and must hash-match the relational
+    gaps-and-islands oracle — verifying both the session merge state
+    machine and the completeness of append-mode emission."""
+    from aws_dms_to_hudi_spark.streaming.windows import user_sessions
+
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        out = _SESSION_STREAM_CACHE.get(key)
+        if out is None:
+            ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+            lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+            span = (hi - lo) / 4
+            tmp = Path(tempfile.mkdtemp(prefix="sessions_"))
+            src = tmp / "stream"
+            for p in range(4):  # time-ordered slices: watermark advances
+                cond = F.col("ts") >= F.lit(lo + p * span)
+                if p < 3:
+                    cond = cond & (F.col("ts") < F.lit(lo + (p + 1) * span))
+                ev.filter(cond).coalesce(1).write.parquet(
+                    str(src / f"batch-{p}")
+                )
+            flush = spark.createDataFrame(
+                [(-1, hi + __import__("datetime").timedelta(days=31), 0.0)],
+                "user_id long, ts timestamp, value double",
+            )
+            flush.coalesce(1).write.parquet(str(src / "batch-4"))
+            stream = (
+                spark.readStream.schema(
+                    "user_id long, ts timestamp, value double"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src / "batch-*"))
+            )
+            out = str(tmp / "sessions")
+            q = (
+                user_sessions(stream)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            _SESSION_STREAM_CACHE[key] = out
+    s = spark.read.schema(
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, total_scaled long"
+    ).parquet(out).filter(F.col("user_id") >= 0)
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_scaled").alias("total_scaled"),
+            (
+                F.sum(
+                    F.unix_micros("session_end")
+                    - F.unix_micros("session_start")
+                )
+                - F.count("*") * F.lit(_SESSION_GAP_MICROS)
+            ).alias("active_micros"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _stream_sessions_oracle_sql() -> str:
+    g = _SESSION_GAP_MICROS
+    return f"""
+WITH e AS (
+  SELECT user_id, ts,
+         CAST(floor(value * 10000 + 0.5) AS BIGINT) AS sv
+  FROM events
+),
+o AS (
+  SELECT user_id, ts, sv,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {g}
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+s AS (
+  SELECT user_id, ts, sv,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+grp AS (
+  SELECT user_id, sid, COUNT(*) AS n, SUM(sv) AS tv,
+         MIN(ts) AS mn, MAX(ts) AS mx
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(tv) AS BIGINT) AS total_scaled,
+       CAST(SUM(epoch_us(mx) - epoch_us(mn)) AS BIGINT) AS active_micros
+FROM grp GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q163_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL ISO-BMFF (MP4) container walk, oracle-gated (multimodal.py
     parse_mp4/encode_mp4): a genuine boxed stream is built per document
@@ -4398,6 +4513,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_power_iteration": q161_power_iteration,
         "q162_join_view_maintenance": q162_join_view_maintenance,
         "q163_mp4_probe": q163_mp4_probe,
+        "q164_stream_session_windows": q164_stream_session_windows,
     }
 
 
@@ -5146,6 +5262,7 @@ def oracle_sql() -> dict[str, str]:
         "q161_power_iteration": fn_sim.power_iteration_sql("duckdb"),
         "q162_join_view_maintenance": _join_view_oracle_sql(),
         "q163_mp4_probe": fn_mm.mp4_gate_oracle_sql(),
+        "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

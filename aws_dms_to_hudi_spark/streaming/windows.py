@@ -108,6 +108,36 @@ def session_counts(
     )
 
 
+def user_sessions(
+    events: DataFrame,
+    gap: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user gap-based sessions (the streaming twin of the batch
+    q29 shape), with integer-exact value accumulation so the emitted
+    rows hash-match a relational islands oracle regardless of
+    micro-batch boundaries. Append mode: a session row is emitted
+    exactly once, when the watermark passes its close — the property
+    the streaming gate (q164) verifies end to end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)")
+            ).alias("total_scaled"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_scaled",
+        )
+    )
+
+
 RUNNING_SCHEMA = T.StructType(
     [
         T.StructField("event_type", T.StringType()),
