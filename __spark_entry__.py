@@ -3260,6 +3260,69 @@ def q159_delta_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_delta_revenue_sql(li))
 
 
+def q165_cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC dead-letter quarantine (operators/quarantine.py): the
+    orders change stream is deterministically corrupted (unknown Op
+    code on keys %97==0, NULL record key on keys %89==3 — replication
+    glitches and serialization bugs in miniature), split into clean vs
+    quarantined-with-reason, and summarized per reason with a key
+    checksum — proving nothing is silently dropped and the clean
+    subset is exactly the mergeable complement. One map-side scan, no
+    shuffle until the 3-row summary. The reference stack would fail
+    the whole step on such rows (emr1.json:124-130 catch-all); this is
+    the dead-letter alternative."""
+    from aws_dms_to_hudi_spark.operators import quarantine as op_q
+
+    rec = cdc.RECIPES["orders"]
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q165_orders")
+    env = spark.sql(
+        f"""
+SELECT CASE WHEN _hoodie_is_deleted THEN 'D'
+            WHEN o_orderkey % 97 = 0 THEN 'X' ELSE 'U' END AS Op,
+       CASE WHEN o_orderkey % 89 = 3 THEN NULL
+            ELSE o_orderkey END AS o_orderkey,
+       trx_seq
+FROM ({cdc.stream_sql(rec, src="__q165_orders")}) s
+"""
+    )
+    clean, dlq = op_q.split_quarantine(env, ["o_orderkey"])
+    tagged = clean.select(
+        F.lit("clean").alias("reason"), "o_orderkey"
+    ).unionByName(
+        dlq.select(F.col(op_q.REASON_COL).alias("reason"), "o_orderkey")
+    )
+    return (
+        tagged.groupBy("reason")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.coalesce("o_orderkey", F.lit(0))).alias("key_sum"),
+        )
+        .orderBy("reason")
+    )
+
+
+def _cdc_quarantine_oracle_sql() -> str:
+    rec = cdc.RECIPES["orders"]
+    return f"""
+WITH env AS (
+  SELECT CASE WHEN _hoodie_is_deleted THEN 'D'
+              WHEN o_orderkey % 97 = 0 THEN 'X' ELSE 'U' END AS op,
+         CASE WHEN o_orderkey % 89 = 3 THEN NULL
+              ELSE o_orderkey END AS k
+  FROM ({cdc.stream_sql(rec)}) s
+),
+tagged AS (
+  SELECT CASE WHEN op IS NULL OR op NOT IN ('I', 'U', 'D') THEN 'bad_op'
+              WHEN k IS NULL THEN 'null_key'
+              ELSE 'clean' END AS reason, k
+  FROM env
+)
+SELECT reason, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(COALESCE(k, 0)) AS BIGINT) AS key_sum
+FROM tagged GROUP BY reason ORDER BY reason
+"""
+
+
 _SESSION_STREAM_CACHE: dict[tuple[int, str], str] = {}
 _SESSION_GAP_MICROS = 6 * 3600 * 1_000_000
 
@@ -4514,6 +4577,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_join_view_maintenance": q162_join_view_maintenance,
         "q163_mp4_probe": q163_mp4_probe,
         "q164_stream_session_windows": q164_stream_session_windows,
+        "q165_cdc_quarantine": q165_cdc_quarantine,
     }
 
 
@@ -5263,6 +5327,7 @@ def oracle_sql() -> dict[str, str]:
         "q162_join_view_maintenance": _join_view_oracle_sql(),
         "q163_mp4_probe": fn_mm.mp4_gate_oracle_sql(),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
+        "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

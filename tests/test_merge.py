@@ -168,3 +168,47 @@ def test_scd2_history_invariants(spark, sf_smoke):
     merged = apply_deletes(merged)
     latest = {(r.o_orderkey, r.trx_seq) for r in merged.collect()}
     assert current == latest
+
+
+# ---------------------------------------------------------------------------
+# dead-letter quarantine (operators/quarantine.py)
+# ---------------------------------------------------------------------------
+
+
+def test_quarantine_split_is_exhaustive_and_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    from aws_dms_to_hudi_spark.operators.quarantine import split_quarantine
+
+    df = spark.createDataFrame(
+        [
+            ("I", 1, "a"),
+            ("U", 2, "b"),
+            ("D", 3, "c"),
+            ("X", 4, "d"),        # bad op
+            (None, 5, "e"),       # null op
+            ("U", None, "f"),     # null key
+            ("Z", None, "g"),     # both -> bad_op wins (fixed order)
+        ],
+        "Op string, k int, payload string",
+    )
+    clean, dlq = split_quarantine(df, ["k"])
+    assert clean.count() + dlq.count() == df.count()
+    assert {r["k"] for r in clean.collect()} == {1, 2, 3}
+    reasons = {r["payload"]: r["dlq_reason"] for r in dlq.collect()}
+    assert reasons == {"d": "bad_op", "e": "bad_op",
+                       "f": "null_key", "g": "bad_op"}
+    # no shuffle: the split is two filters over one scan
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_quarantine_without_op_column(spark):
+    from aws_dms_to_hudi_spark.operators.quarantine import split_quarantine
+
+    df = spark.createDataFrame(
+        [(1, "x"), (None, "y")], "k int, payload string"
+    )
+    clean, dlq = split_quarantine(df, ["k"])
+    assert clean.count() == 1
+    assert dlq.collect()[0]["dlq_reason"] == "null_key"
