@@ -367,6 +367,18 @@ def q19_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q166_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered all-pairs Jaccard (Bayardo et al. WWW'07): the
+    candidate join runs on the rarest-first PREFIX slice of the
+    inverted index only; exact verification on the full index. Output
+    is provably identical to the q19 all-shingles self-join — the
+    oracle IS the plain formulation — while candidate volume collapses
+    at scale (dedup.prefix_jaccard_sql)."""
+    return spark.sql(
+        fn_dedup.prefix_jaccard_sql("spark", inv_tables=_inv(spark, sf_dir))
+    )
+
+
 def q20_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures + banded LSH candidates + exact verify. The
     verified pair set is persisted once per process (shared with q77's
@@ -4578,6 +4590,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_mp4_probe": q163_mp4_probe,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
+        "q166_prefix_jaccard": q166_prefix_jaccard,
     }
 
 
@@ -5328,6 +5341,9 @@ def oracle_sql() -> dict[str, str]:
         "q163_mp4_probe": fn_mm.mp4_gate_oracle_sql(),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
+        # the oracle is deliberately the PLAIN all-shingles q19
+        # formulation: prefix filtering must not change the result set
+        "q166_prefix_jaccard": fn_dedup.ngram_jaccard_sql("duckdb"),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

@@ -236,6 +236,59 @@ co AS (
 {_pairs_select(threshold)}"""
 
 
+def prefix_jaccard_sql(
+    dialect: str,
+    table: str = "documents",
+    threshold: float = 0.5,
+    th_table: str | None = None,
+    inv_tables: tuple[str, str] | None = None,
+) -> str:
+    """Jaccard-similar pairs via PREFIX FILTERING (Bayardo/Ma/Srikant
+    "Scaling Up All Pairs Similarity Search", WWW'07; the candidate
+    principle behind PPJoin): under any fixed global ordering of
+    shingles, a pair with Jaccard ≥ t must share an element inside
+    each doc's first ``|d| - ceil(t·|d|) + 1`` shingles (if all of A's
+    matches hid outside its prefix, the intersection could reach at
+    most ``ceil(t·|A|) - 1 < t·|A| ≤ |A∩B|`` — contradiction). So the
+    candidate join runs on the PREFIX index only — ordered rarest-first
+    (ascending document frequency), the prefix index is a small, low-df
+    slice of the full inverted index, and candidate volume collapses
+    versus the all-shingles self-join (q19) while the output stays
+    IDENTICAL: exact intersection counting and the threshold test run
+    on the full index for candidates only.
+
+    This is the 100 TB upgrade path for the Jaccard family: the full
+    self-join's cost is Σ df(g)² over every shingle; the prefix join's
+    is Σ df(g)² over low-df prefix shingles only. The oracle is the
+    plain q19 formulation — equality is the theorem."""
+    return f"""
+WITH {_inv_cte(dialect, table, None, th_table, inv_tables)},
+gdf AS (SELECT g, COUNT(*) AS df FROM inv GROUP BY g),
+ranked AS (
+  SELECT i.doc_id, i.g,
+         row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.g)
+           AS rk
+  FROM inv i JOIN gdf d ON i.g = d.g
+),
+pinv AS (
+  SELECT r.doc_id, r.g
+  FROM ranked r JOIN sizes s ON r.doc_id = s.doc_id
+  WHERE r.rk <= s.n - CAST(ceil({threshold} * s.n) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pinv a JOIN pinv b ON a.g = b.g AND a.doc_id < b.doc_id
+),
+co AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN inv ia ON ia.doc_id = c.doc_a
+  JOIN inv ib ON ib.doc_id = c.doc_b AND ib.g = ia.g
+  GROUP BY c.doc_a, c.doc_b
+)
+{_pairs_select(threshold)}"""
+
+
 def repeated_ngram_sql(
     dialect: str,
     table: str = "documents",

@@ -553,3 +553,37 @@ def test_power_iteration_layout_independent(spark):
             for r in fn_sim.power_iteration(spark, f"__pi_l{parts}").collect()
         ))
     assert outs[0] == outs[1]
+
+
+def test_prefix_jaccard_equals_plain_and_prunes(spark, docs_view):
+    """Prefix filtering must return exactly the plain all-shingles
+    result (the WWW'07 theorem) while generating strictly fewer
+    candidate pairs than the full inverted-index self-join."""
+    plain = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.sql(
+            fn_dedup.ngram_jaccard_sql("spark", table=docs_view)
+        ).collect()
+    }
+    pref = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.sql(
+            fn_dedup.prefix_jaccard_sql("spark", table=docs_view)
+        ).collect()
+    }
+    assert pref == plain and plain
+    # candidate volume: prefix-index self-join pairs vs full-index pairs
+    full_sql = fn_dedup.prefix_jaccard_sql("spark", table=docs_view)
+    n_pref = spark.sql(
+        full_sql.split("cand AS (")[0]
+        + "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM pinv a JOIN pinv b ON a.g = b.g AND a.doc_id < b.doc_id)\n"
+        "SELECT COUNT(*) AS n FROM cand"
+    ).collect()[0]["n"]
+    n_full = spark.sql(
+        full_sql.split("gdf AS (")[0]
+        + "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id)\n"
+        "SELECT COUNT(*) AS n FROM cand"
+    ).collect()[0]["n"]
+    assert n_pref < n_full

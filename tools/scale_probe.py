@@ -73,6 +73,8 @@ PROBE_QUERIES = [
     # r4 batch 2: repeated-span profile (two shuffles over the token
     # index), bloom semi-join reduction, salted per-domain caps
     "q155_repeated_ngrams", "q156_bloom_semijoin", "q157_domain_caps",
+    # prefix-filtered all-pairs Jaccard: same output as q19, pruned candidates
+    "q166_prefix_jaccard",
 ]
 
 VOW = "aeiou"
