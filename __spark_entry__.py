@@ -3272,6 +3272,45 @@ def q159_delta_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_delta_revenue_sql(li))
 
 
+_PDELETE_CACHE: dict[tuple[int, str], CuratedTable] = {}
+_ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"]
+
+
+def q167_predicate_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate delete through the real storage path (storage.py
+    delete_where — the Hudi DELETE FROM / GDPR-retention analog):
+    orders is bulk-loaded, high-value rows are deleted by predicate
+    via a synthesized tombstone batch through the regular merge (new
+    version, real changelog with retractions, pruned rewrite), and the
+    surviving state must equal the oracle's complement filter."""
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        table = _PDELETE_CACHE.get(key)
+        if table is None or not table.root.exists():
+            cfg = TableConfig(
+                name="pdelete_orders",
+                record_key=["o_orderkey"],
+                source_ordering_field="trx_seq",
+            )
+            tmp = tempfile.mkdtemp(prefix="pdelete_")
+            table = CuratedTable(spark, Path(tmp) / "orders", cfg)
+            base = _t(spark, sf_dir, "orders").withColumn(
+                "trx_seq", F.lit("00000000")
+            )
+            table.bulk_insert(base)
+            table.delete_where("o_totalprice > 300000")
+            _PDELETE_CACHE[key] = table
+    return table.read().select(*_ORDER_COLS).orderBy("o_orderkey")
+
+
+def _predicate_delete_oracle_sql() -> str:
+    return (
+        "SELECT " + ", ".join(_ORDER_COLS)
+        + " FROM orders WHERE o_totalprice <= 300000 ORDER BY o_orderkey"
+    )
+
+
 def q165_cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC dead-letter quarantine (operators/quarantine.py): the
     orders change stream is deterministically corrupted (unknown Op
@@ -4591,6 +4630,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
+        "q167_predicate_delete": q167_predicate_delete,
     }
 
 
@@ -5344,6 +5384,7 @@ def oracle_sql() -> dict[str, str]:
         # the oracle is deliberately the PLAIN all-shingles q19
         # formulation: prefix filtering must not change the result set
         "q166_prefix_jaccard": fn_dedup.ngram_jaccard_sql("duckdb"),
+        "q167_predicate_delete": _predicate_delete_oracle_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

@@ -457,6 +457,36 @@ class CuratedTable:
         self._write_commit(commit)
         return commit
 
+    def delete_where(
+        self, predicate: str, checkpoint: dict[str, Any] | None = None
+    ) -> Commit:
+        """Predicate delete (Hudi ``DELETE FROM`` / GDPR-retention
+        analog): synthesize a tombstone batch from the current
+        snapshot's rows matching ``predicate`` and run it through the
+        regular upsert path — versioning, per-commit changelog
+        (downstream IVM sees real retractions), partition/bucket
+        pruning, and MOR deltas all apply exactly as for any CDC batch.
+
+        No ordering bump is needed: :func:`~.operators.merge.
+        upsert_merge` breaks ordering ties in favor of the INCOMING
+        row, so a tombstone carrying the row's existing ordering value
+        wins deterministically.
+
+        Scale: the doomed set comes from one predicate-pruned snapshot
+        scan (filters push down to parquet); the rewrite then touches
+        only the partitions/buckets containing matches — retention
+        sweeps over a date-partitioned table rewrite the expiring
+        partitions, nothing else."""
+        from aws_dms_to_hudi_spark.operators.merge import DELETED_COL
+
+        cur = self.read()
+        if cur is None:
+            raise ValueError(f"{self.config.name}: nothing to delete from")
+        doomed = cur.filter(predicate)
+        return self.upsert(
+            doomed.withColumn(DELETED_COL, F.lit(True)), checkpoint
+        )
+
     def _append_delta(
         self,
         batch: DataFrame,

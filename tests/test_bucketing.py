@@ -124,3 +124,34 @@ def test_zorder_cluster_prunes_on_both_dimensions(spark, tmp_path):
     assert t.read().count() == 64 * 64
     # and a y-range scan prunes too (z-order helps BOTH dims)
     assert _matching_files(t.read().filter(F.col("y") < 8)) <= 6
+
+
+def test_delete_where_rewrites_only_touched_buckets(spark, sf_smoke, table):
+    """Predicate delete flows through the pruned upsert: only buckets
+    holding doomed keys are rewritten, the changelog carries real
+    tombstones, and the surviving state is the complement filter."""
+    from pyspark.sql import functions as F
+
+    table.upsert(_batch(spark, sf_smoke, 0))
+    before = table.read()
+    doomed_keys = {
+        r[0] for r in before.filter("o_totalprice > 200000")
+        .select("o_orderkey").collect()
+    }
+    assert doomed_keys, "fixture should contain high-value orders"
+    c = table.delete_where("o_totalprice > 200000")
+    # only the doomed keys' buckets were rewritten in the new version
+    vdir = f"v{c.version:08d}"
+    rewritten = {d for d in c.data.values() if d.startswith(vdir)}
+    assert 0 < len(rewritten) < N_BUCKETS + 1
+    # state == complement
+    after = table.read()
+    assert after.filter("o_totalprice > 200000").count() == 0
+    assert after.count() == before.count() - len(doomed_keys)
+    # changelog carries the tombstones for downstream IVM
+    ch = table.read_incremental(
+        begin_version=c.version - 1, drop_deleted=False
+    )
+    dels = ch.filter(F.col("_hoodie_is_deleted"))
+    assert {r["o_orderkey"] for r in dels.select("o_orderkey").collect()} \
+        == doomed_keys
