@@ -4281,6 +4281,56 @@ def _mor_lineitem(spark: SparkSession, sf_dir: str) -> CuratedTable:
         return table
 
 
+_MOR_RO_CACHE: dict[tuple[int, str], CuratedTable] = {}
+
+
+def q168_mor_read_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi's READ-OPTIMIZED query type on a MERGE_ON_READ table
+    (storage.py read(read_optimized=True)): supplier is bulk-loaded
+    then upserted with row deltas that are deliberately NOT compacted;
+    the read-optimized view must serve exactly the base files — the
+    bulk-insert state, i.e. the replay at batch 0 — while the snapshot
+    view (gated by q93's family) merges the deltas. Completes the Hudi
+    query-type triple: snapshot / incremental (q33) / read-optimized."""
+    rec = cdc.RECIPES["supplier"]
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        table = _MOR_RO_CACHE.get(key)
+        if table is None or not table.root.exists():
+            _t(spark, sf_dir, "supplier").createOrReplaceTempView(
+                "__morro_supplier"
+            )
+            cfg = TableConfig(
+                name="morro_supplier",
+                record_key=list(rec.key_cols),
+                table_type="MERGE_ON_READ",
+            )
+            tmp = Path(tempfile.mkdtemp(prefix="morro_supplier_"))
+            table = CuratedTable(spark, tmp / "supplier", cfg)
+            for b in range(cdc.N_BATCHES):
+                batch = spark.sql(
+                    cdc.batch_sql(rec, b, src="__morro_supplier")
+                )
+                table.bulk_insert(batch) if b == 0 else table.upsert(batch)
+            assert table.latest_commit().deltas  # uncompacted on purpose
+            _MOR_RO_CACHE[key] = table
+    return (
+        table.read(read_optimized=True)
+        .select(*rec.columns, "trx_seq")
+        .orderBy(*rec.key_cols)
+    )
+
+
+def _mor_read_optimized_oracle_sql() -> str:
+    rec = cdc.RECIPES["supplier"]
+    cols = ", ".join(rec.columns)
+    keys = ", ".join(rec.key_cols)
+    return (
+        f"SELECT {cols}, trx_seq FROM ({cdc.replay_sql(rec, 0)}) s "
+        f"ORDER BY {keys}"
+    )
+
+
 _CLUSTERED: set[tuple[int, str]] = set()
 _GC_CACHE: dict[tuple[int, str], CuratedTable] = {}
 _EVOLVE_CACHE: dict[tuple[int, str], CuratedTable] = {}
@@ -4631,6 +4681,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
         "q167_predicate_delete": q167_predicate_delete,
+        "q168_mor_read_optimized": q168_mor_read_optimized,
     }
 
 
@@ -5385,6 +5436,7 @@ def oracle_sql() -> dict[str, str]:
         # formulation: prefix filtering must not change the result set
         "q166_prefix_jaccard": fn_dedup.ngram_jaccard_sql("duckdb"),
         "q167_predicate_delete": _predicate_delete_oracle_sql(),
+        "q168_mor_read_optimized": _mor_read_optimized_oracle_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

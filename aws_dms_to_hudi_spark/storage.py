@@ -231,17 +231,25 @@ class CuratedTable:
 
     # ---------- read path ----------
 
-    def read(self, version: int | None = None) -> DataFrame | None:
+    def read(
+        self, version: int | None = None, read_optimized: bool = False
+    ) -> DataFrame | None:
         """Current (or historical) state as a DataFrame.
 
         COW: union of the manifest's partition dirs. MOR: base ∪ deltas with
-        merge-on-read precombine so readers always see merged state.
+        merge-on-read precombine so readers always see merged state
+        (Hudi's SNAPSHOT query type). ``read_optimized=True`` is Hudi's
+        READ-OPTIMIZED query type: base files only, skipping the delta
+        merge — stale by up to the un-compacted delta window, but a pure
+        columnar scan with no merge cost (what latency-sensitive BI
+        readers point at between compactions). On COW tables the two
+        modes are identical, as in Hudi.
         """
         commit = self._commit_at(version)
         if commit is None:
             return None
         base = self._read_dirs(list(commit.data.values()))
-        if commit.deltas:
+        if commit.deltas and not read_optimized:
             deltas = self._read_dirs(commit.deltas)
             base = upsert_merge(
                 base,

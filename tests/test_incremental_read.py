@@ -156,3 +156,41 @@ def test_downstream_table_chains_off_incremental_reads(spark, tmp_path):
     up_state = {(r["k"], r["v"]) for r in up.read().collect()}
     dn_state = {(r["k"], r["v"]) for r in dn.read().collect()}
     assert up_state == dn_state == {(2, "b1"), (3, "c1")}
+
+
+def test_read_optimized_vs_snapshot(spark, tmp_path):
+    """On MOR, read_optimized serves base files only (stale by the
+    uncompacted deltas); snapshot merges them; after compaction the two
+    modes converge. On COW they are always identical."""
+    from aws_dms_to_hudi_spark.config import TableConfig
+    from aws_dms_to_hudi_spark.storage import CuratedTable
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.select("k", "v").collect())
+
+    base = spark.createDataFrame(
+        [(1, "a", "001", False), (2, "b", "002", False)],
+        "k int, v string, trx_seq string, _hoodie_is_deleted boolean",
+    )
+    delta = spark.createDataFrame(
+        [(2, "B2", "011", False), (3, "c", "012", False)],
+        "k int, v string, trx_seq string, _hoodie_is_deleted boolean",
+    )
+    for ttype in ("MERGE_ON_READ", "COPY_ON_WRITE"):
+        t = CuratedTable(
+            spark, tmp_path / ttype,
+            TableConfig(name=f"t_{ttype}", record_key=["k"],
+                        source_ordering_field="trx_seq",
+                        table_type=ttype),
+        )
+        t.bulk_insert(base)
+        t.upsert(delta)
+        snap = rows(t.read())
+        ro = rows(t.read(read_optimized=True))
+        assert snap == [(1, "a"), (2, "B2"), (3, "c")]
+        if ttype == "MERGE_ON_READ":
+            assert ro == [(1, "a"), (2, "b")]  # base only, delta unseen
+            t.compact()
+            assert rows(t.read(read_optimized=True)) == snap
+        else:
+            assert ro == snap
