@@ -63,6 +63,13 @@ class TableConfig:
     # keys fall into. Alternative to num_buckets (range locality instead
     # of hash spread); non-partitioned tables only.
     key_range_groups: int | None = None
+    # Dead-letter quarantine (beyond-reference): when true, malformed
+    # change rows (unknown Op codes, NULL record keys) are split out of
+    # each batch map-side and landed under the table's `_quarantine/`
+    # dir with a reason column instead of failing the step or merging
+    # garbage (operators/quarantine.py; the reference's only answer is
+    # the Step Function catch-all failure path, emr1.json:124-130).
+    quarantine_bad_rows: bool = False
 
     def __post_init__(self) -> None:
         if not self.record_key:
@@ -123,6 +130,7 @@ class TableConfig:
                 int(hudi["key_range_groups"])
                 if "key_range_groups" in hudi else None
             ),
+            quarantine_bad_rows=bool(hudi.get("quarantine_bad_rows", False)),
         )
 
 

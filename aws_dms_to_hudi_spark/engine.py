@@ -190,6 +190,21 @@ class Engine:
             return None
         batch = apply_transformer_sql(self.spark, batch, plan.config.transformer_sql)
 
+        if plan.config.quarantine_bad_rows:
+            # Dead-letter split (D20): malformed rows leave the batch
+            # map-side and land with a reason column; the clean subset
+            # merges. Append-mode so every sync round's rejects accrue
+            # under one auditable location.
+            from aws_dms_to_hudi_spark.operators.quarantine import (
+                split_quarantine,
+            )
+
+            batch, dlq = split_quarantine(batch, plan.config.record_key)
+            if not dlq.isEmpty():  # don't litter clean rounds
+                dlq.write.mode("append").parquet(
+                    str(Path(plan.target_root) / "_quarantine")
+                )
+
         if plan.operation == "bulk_insert" or table.latest_commit() is None:
             commit = table.bulk_insert(batch, checkpoint=ckpt)
         else:

@@ -219,3 +219,66 @@ def test_disabled_table_skipped(spark, tmp_path):
         curated_root=tmp_path / "curated",
     )
     assert [p.step_name for p in engine.plan("hudi_delta")] == ["public.orders"]
+
+
+def test_quarantine_bad_rows_through_engine(spark, sf_smoke, tmp_path):
+    """quarantine_bad_rows=True (D20): a landed batch containing
+    NULL-key rows must not fail the step or merge garbage — the bad
+    rows land under <table>/_quarantine with a reason, the clean rows
+    merge, and the state equals the oracle over the clean subset."""
+    from pyspark.sql import functions as F
+
+    table = "orders"
+    recipe = cdc.RECIPES[table]
+    engine = make_engine(
+        spark,
+        tmp_path,
+        {table: {"record_key": "o_orderkey", "is_partitioned": False,
+                 "quarantine_bad_rows": True}},
+    )
+    land_batches(spark, sf_smoke, tmp_path, table, 0)
+    assert engine.run("hudi_bulk_insert").succeeded
+
+    # land batch 1 with three rows' keys nulled out
+    b1 = cdc.generate_batch(spark, sf_smoke, recipe, 1)
+    doomed = [r[0] for r in b1.select("o_orderkey").limit(3).collect()]
+    corrupted = b1.withColumn(
+        "o_orderkey",
+        F.when(F.col("o_orderkey").isin(doomed), None)
+        .otherwise(F.col("o_orderkey")),
+    )
+    out = (tmp_path / "raw" / "tpch" / "public" / table / "batch-00001")
+    corrupted.write.mode("overwrite").parquet(str(out))
+
+    r = engine.run("hudi_delta")
+    assert r.succeeded, r.steps
+
+    # quarantined rows are there, with the reason
+    qdir = (tmp_path / "curated" / "default" / f"tpch_public_{table}"
+            / "_quarantine")
+    dlq = spark.read.parquet(str(qdir))
+    # each nulled key may carry several change rows in the batch
+    assert dlq.count() >= 3
+    assert {x["dlq_reason"] for x in dlq.collect()} == {"null_key"}
+
+    # exact oracle: replay of batch 0 ∪ (batch 1 minus the nulled keys)
+    con = duck_con(sf_smoke)
+    keys = ", ".join(str(k) for k in doomed)
+    oracle = con.execute(
+        f"""
+        WITH st AS (
+          SELECT * FROM ({cdc.batch_sql(recipe, 0)})
+          UNION ALL
+          SELECT * FROM ({cdc.batch_sql(recipe, 1)})
+          WHERE o_orderkey NOT IN ({keys})
+        ),
+        r AS (
+          SELECT *, row_number() OVER (
+            PARTITION BY o_orderkey ORDER BY trx_seq DESC) AS rn
+          FROM st
+        )
+        SELECT {", ".join(recipe.columns)}, trx_seq
+        FROM r WHERE rn = 1 AND NOT _hoodie_is_deleted
+        """
+    ).df()
+    assert_same(read_state(engine, table), oracle)
