@@ -368,12 +368,14 @@ def q19_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q166_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Prefix-filtered all-pairs Jaccard (Bayardo et al. WWW'07): the
-    candidate join runs on the rarest-first PREFIX slice of the
+    """Prefix-filtered all-pairs Jaccard (Bayardo et al. WWW'07) at the
+    high-threshold regime (t=0.8) where the principle actually pays:
+    the candidate join runs on the rarest-fifth PREFIX slice of the
     inverted index only; exact verification on the full index. Output
-    is provably identical to the q19 all-shingles self-join — the
-    oracle IS the plain formulation — while candidate volume collapses
-    at scale (dedup.prefix_jaccard_sql)."""
+    is provably identical to the plain all-shingles self-join at the
+    same threshold — the oracle IS that formulation — while candidate
+    volume collapses at scale (dedup.prefix_jaccard_sql documents the
+    probe-measured t tradeoff)."""
     return spark.sql(
         fn_dedup.prefix_jaccard_sql("spark", inv_tables=_inv(spark, sf_dir))
     )
@@ -3374,6 +3376,83 @@ FROM tagged GROUP BY reason ORDER BY reason
 """
 
 
+_STREAM_STATIC_CACHE: dict[tuple[int, str], str] = {}
+
+
+def q169_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join through the driver gate — the one
+    streaming join shape q132's stream-stream gate doesn't cover: the
+    events stream (four real micro-batches) inner-joins the static
+    customer dimension, which Spark re-resolves per micro-batch (the
+    dimension-refresh contract; the static side broadcasts, so the
+    stream is never shuffled). Joined rows land in an append file sink
+    with no watermark (stateless join); the gate aggregates the sink
+    per market segment and must hash-match the relational join oracle
+    — verifying no micro-batch dropped or duplicated enrichments."""
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        out = _STREAM_STATIC_CACHE.get(key)
+        if out is None:
+            ev = _events(spark, sf_dir).select(
+                "event_id", "user_id", "value",
+                F.pmod("event_id", F.lit(4)).alias("b"),
+            )
+            tmp = Path(tempfile.mkdtemp(prefix="streamstatic_"))
+            src = tmp / "stream"
+            for p in range(4):
+                ev.filter(F.col("b") == p).drop("b").coalesce(1).write.parquet(
+                    str(src / f"batch-{p}")
+                )
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, user_id long, value double"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src / "batch-*"))
+            )
+            dim = _t(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            )
+            joined = stream.join(
+                F.broadcast(dim), stream["user_id"] == dim["c_custkey"]
+            ).select("event_id", "c_mktsegment", "value")
+            out = str(tmp / "joined")
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            _STREAM_STATIC_CACHE[key] = out
+    s = spark.read.schema(
+        "event_id long, c_mktsegment string, value double"
+    ).parquet(out)
+    return (
+        s.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.expr("CAST(floor(value * 10000 + 0.5) AS BIGINT)")
+            ).alias("total_scaled"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _stream_static_oracle_sql() -> str:
+    return """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_scaled
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 _SESSION_STREAM_CACHE: dict[tuple[int, str], str] = {}
 _SESSION_GAP_MICROS = 6 * 3600 * 1_000_000
 
@@ -4682,6 +4761,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_prefix_jaccard": q166_prefix_jaccard,
         "q167_predicate_delete": q167_predicate_delete,
         "q168_mor_read_optimized": q168_mor_read_optimized,
+        "q169_stream_static_join": q169_stream_static_join,
     }
 
 
@@ -5432,11 +5512,15 @@ def oracle_sql() -> dict[str, str]:
         "q163_mp4_probe": fn_mm.mp4_gate_oracle_sql(),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
-        # the oracle is deliberately the PLAIN all-shingles q19
-        # formulation: prefix filtering must not change the result set
-        "q166_prefix_jaccard": fn_dedup.ngram_jaccard_sql("duckdb"),
+        # the oracle is deliberately the PLAIN all-shingles formulation
+        # at the same threshold: prefix filtering must not change the
+        # result set
+        "q166_prefix_jaccard": fn_dedup.ngram_jaccard_sql(
+            "duckdb", threshold=fn_dedup.PREFIX_JACCARD_T
+        ),
         "q167_predicate_delete": _predicate_delete_oracle_sql(),
         "q168_mor_read_optimized": _mor_read_optimized_oracle_sql(),
+        "q169_stream_static_join": _stream_static_oracle_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

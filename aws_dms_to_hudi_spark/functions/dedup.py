@@ -236,10 +236,13 @@ co AS (
 {_pairs_select(threshold)}"""
 
 
+PREFIX_JACCARD_T = 0.8
+
+
 def prefix_jaccard_sql(
     dialect: str,
     table: str = "documents",
-    threshold: float = 0.5,
+    threshold: float = PREFIX_JACCARD_T,
     th_table: str | None = None,
     inv_tables: tuple[str, str] | None = None,
 ) -> str:
@@ -257,10 +260,23 @@ def prefix_jaccard_sql(
     IDENTICAL: exact intersection counting and the threshold test run
     on the full index for candidates only.
 
-    This is the 100 TB upgrade path for the Jaccard family: the full
-    self-join's cost is Σ df(g)² over every shingle; the prefix join's
-    is Σ df(g)² over low-df prefix shingles only. The oracle is the
-    plain q19 formulation — equality is the theorem."""
+    This is the 100 TB upgrade path for the Jaccard family AT HIGH
+    THRESHOLDS: the full self-join's cost is Σ df(g)² over every
+    shingle; the prefix join's is Σ df(g)² over the ``(1-t)·|d|+1``
+    lowest-df shingles only, which shrinks with ``1-t`` — at t=0.8 the
+    prefix is the rarest fifth of each doc (df mostly 1-2, candidates
+    ≈ true near-dups), while at t≤0.5 the prefix is half the index and
+    the plain direct-count join (q19) is the better plan. The verify
+    stage counts intersections with the SAME direct-count shape as
+    q19 but over the index restricted to candidate docs, then keeps
+    candidate pairs — so it collapses with candidate sparsity and is
+    never asymptotically costlier than the plain join even when every
+    doc has a near-dup. (The r4 scale probe caught both design
+    mistakes this paragraph encodes: t=0.5 probed 13.4× wall at 10×
+    data, and a per-pair doc-expansion verify added a ×|doc| blowup —
+    the probe is what set this default and this verify shape.) The
+    oracle is the plain q19 formulation at the same threshold —
+    equality is the theorem."""
     return f"""
 WITH {_inv_cte(dialect, table, None, th_table, inv_tables)},
 gdf AS (SELECT g, COUNT(*) AS df FROM inv GROUP BY g),
@@ -279,12 +295,22 @@ cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM pinv a JOIN pinv b ON a.g = b.g AND a.doc_id < b.doc_id
 ),
+cdocs AS (
+  SELECT doc_a AS doc_id FROM cand
+  UNION
+  SELECT doc_b AS doc_id FROM cand
+),
+sinv AS (
+  SELECT i.doc_id, i.g FROM inv i JOIN cdocs d ON i.doc_id = d.doc_id
+),
+co0 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sinv a JOIN sinv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
 co AS (
-  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
-  FROM cand c
-  JOIN inv ia ON ia.doc_id = c.doc_a
-  JOIN inv ib ON ib.doc_id = c.doc_b AND ib.g = ia.g
-  GROUP BY c.doc_a, c.doc_b
+  SELECT co0.doc_a, co0.doc_b, co0.inter
+  FROM co0 JOIN cand c ON co0.doc_a = c.doc_a AND co0.doc_b = c.doc_b
 )
 {_pairs_select(threshold)}"""
 

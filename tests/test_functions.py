@@ -562,7 +562,9 @@ def test_prefix_jaccard_equals_plain_and_prunes(spark, docs_view):
     plain = {
         (r.doc_a, r.doc_b, r.jaccard)
         for r in spark.sql(
-            fn_dedup.ngram_jaccard_sql("spark", table=docs_view)
+            fn_dedup.ngram_jaccard_sql(
+                "spark", table=docs_view,
+                threshold=fn_dedup.PREFIX_JACCARD_T)
         ).collect()
     }
     pref = {
