@@ -3581,6 +3581,15 @@ def q163_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q170_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the LSH ANN index vs the exact brute-force
+    ranking (similarity.recall_audit_sql) — the index-quality monitor
+    run on every index rebuild; hash-exact because both candidate
+    programs are deterministic and the audit is integer counting."""
+    v = _view(spark, sf_dir, "embeddings", "q170")
+    return spark.sql(fn_sim.recall_audit_sql("spark", table=v))
+
+
 def q161_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed power iteration (dominant-eigenvector direction of
     the embedding matrix — the PCA-first-component / spectral-quality
@@ -4762,6 +4771,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_predicate_delete": q167_predicate_delete,
         "q168_mor_read_optimized": q168_mor_read_optimized,
         "q169_stream_static_join": q169_stream_static_join,
+        "q170_ann_recall_audit": q170_ann_recall_audit,
     }
 
 
@@ -5521,6 +5531,7 @@ def oracle_sql() -> dict[str, str]:
         "q167_predicate_delete": _predicate_delete_oracle_sql(),
         "q168_mor_read_optimized": _mor_read_optimized_oracle_sql(),
         "q169_stream_static_join": _stream_static_oracle_sql(),
+        "q170_ann_recall_audit": fn_sim.recall_audit_sql("duckdb"),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

@@ -865,3 +865,41 @@ def power_iteration(spark, table: str, iters: int = PI_ITERS):
         [(int(d), int(x)) for d, x in enumerate(v)], "dim BIGINT, v BIGINT"
     )
     return out.orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# ANN recall audit (index-quality monitoring)
+# ---------------------------------------------------------------------------
+
+
+def recall_audit_sql(dialect: str, table: str = "embeddings",
+                     num_queries: int = 5, k: int = 3) -> str:
+    """Recall@k of the LSH ANN index against the exact brute-force
+    ranking, as one relational program — the index-quality monitor a
+    production similarity service runs on every index rebuild (the
+    measured counterpart of the recall FLOORS asserted in tests).
+
+    Per query: |approx ∩ exact| / |exact|; the audit emits the query
+    count, micro-averaged recall, and the worst per-query recall.
+    Everything downstream of the two candidate programs is integer
+    counting + one final division, so the audit itself is hash-exact
+    across engines (both engines run the same deterministic exact and
+    ANN programs). Scale: both sides are the already-scale-shaped
+    operators; the audit adds one broadcast-size join over 2·Q·k rows.
+    """
+    exact = cosine_topk_sql(dialect, table, num_queries, k)
+    approx = ann_lsh_sql(dialect, table, num_queries, k)
+    return f"""
+WITH e AS ({exact}),
+a AS ({approx}),
+hit AS (
+  SELECT e.q_id, COUNT(a.neighbor_id) AS hits, COUNT(*) AS n
+  FROM e LEFT JOIN a
+    ON e.q_id = a.q_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY e.q_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       round(CAST(SUM(hits) AS DOUBLE) / SUM(n), 6) AS micro_recall,
+       round(MIN(CAST(hits AS DOUBLE) / n), 6) AS worst_recall
+FROM hit
+"""
