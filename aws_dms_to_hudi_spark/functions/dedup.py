@@ -245,6 +245,7 @@ def prefix_jaccard_sql(
     threshold: float = PREFIX_JACCARD_T,
     th_table: str | None = None,
     inv_tables: tuple[str, str] | None = None,
+    subset: str | None = None,
 ) -> str:
     """Jaccard-similar pairs via PREFIX FILTERING (Bayardo/Ma/Srikant
     "Scaling Up All Pairs Similarity Search", WWW'07; the candidate
@@ -276,29 +277,70 @@ def prefix_jaccard_sql(
     data, and a per-pair doc-expansion verify added a ×|doc| blowup —
     the probe is what set this default and this verify shape.) The
     oracle is the plain q19 formulation at the same threshold —
-    equality is the theorem."""
+    equality is the theorem.
+
+    ``subset`` (a predicate over ``doc_id``) restricts the corpus when
+    the caller gates over a deterministic slice; it filters the cached
+    inverted-index views directly, so no second index is built."""
+    base = _prefix_base_cte(dialect, table, th_table, inv_tables, subset)
+    return (
+        f"WITH {base},\n"
+        f"cand AS ({prefix_jaccard_cand_body(threshold)})"
+        + prefix_jaccard_verify_sql("cand", threshold)
+    )
+
+
+def _prefix_base_cte(
+    dialect: str,
+    table: str,
+    th_table: str | None,
+    inv_tables: tuple[str, str] | None,
+    subset: str | None,
+) -> str:
+    if subset is not None and inv_tables is not None:
+        inv_t, sizes_t = inv_tables
+        return (
+            f"inv AS (SELECT doc_id, g FROM {inv_t} WHERE {subset}),\n"
+            f"sizes AS (SELECT doc_id, n FROM {sizes_t} WHERE {subset})"
+        )
+    return _inv_cte(dialect, table, None, th_table, inv_tables)
+
+
+def prefix_jaccard_cand_body(threshold: float) -> str:
+    """The candidate derivation (df rank -> prefix index -> self-join),
+    as a SELECT body expecting ``inv``/``sizes`` CTEs in scope. Split
+    out so the Spark side can MATERIALIZE the (small) candidate pair
+    set once — the verify text references it three times, and Spark's
+    CTE inlining would otherwise re-run this whole derivation each
+    time (measured 3.2s -> 1.2s at sf0.1)."""
     return f"""
-WITH {_inv_cte(dialect, table, None, th_table, inv_tables)},
-gdf AS (SELECT g, COUNT(*) AS df FROM inv GROUP BY g),
-ranked AS (
-  SELECT i.doc_id, i.g,
-         row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.g)
-           AS rk
-  FROM inv i JOIN gdf d ON i.g = d.g
-),
-pinv AS (
-  SELECT r.doc_id, r.g
-  FROM ranked r JOIN sizes s ON r.doc_id = s.doc_id
-  WHERE r.rk <= s.n - CAST(ceil({threshold} * s.n) AS BIGINT) + 1
-),
-cand AS (
+  WITH gdf AS (SELECT g, COUNT(*) AS df FROM inv GROUP BY g),
+  ranked AS (
+    SELECT i.doc_id, i.g,
+           row_number() OVER (PARTITION BY i.doc_id ORDER BY d.df, i.g)
+             AS rk
+    FROM inv i JOIN gdf d ON i.g = d.g
+  ),
+  pinv AS (
+    SELECT r.doc_id, r.g
+    FROM ranked r JOIN sizes s ON r.doc_id = s.doc_id
+    WHERE r.rk <= s.n - CAST(ceil({threshold} * s.n) AS BIGINT) + 1
+  )
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM pinv a JOIN pinv b ON a.g = b.g AND a.doc_id < b.doc_id
-),
+"""
+
+
+def prefix_jaccard_verify_sql(cand: str, threshold: float) -> str:
+    """Verify tail over a candidate relation: restrict the index to
+    candidate docs, direct-count intersections (the q19 shape — never
+    asymptotically costlier than the plain join), keep candidate
+    pairs, threshold. Expects ``inv``/``sizes`` CTEs in scope."""
+    return f""",
 cdocs AS (
-  SELECT doc_a AS doc_id FROM cand
+  SELECT doc_a AS doc_id FROM {cand}
   UNION
-  SELECT doc_b AS doc_id FROM cand
+  SELECT doc_b AS doc_id FROM {cand}
 ),
 sinv AS (
   SELECT i.doc_id, i.g FROM inv i JOIN cdocs d ON i.doc_id = d.doc_id
@@ -310,7 +352,7 @@ co0 AS (
 ),
 co AS (
   SELECT co0.doc_a, co0.doc_b, co0.inter
-  FROM co0 JOIN cand c ON co0.doc_a = c.doc_a AND co0.doc_b = c.doc_b
+  FROM co0 JOIN {cand} c ON co0.doc_a = c.doc_a AND co0.doc_b = c.doc_b
 )
 {_pairs_select(threshold)}"""
 

@@ -575,17 +575,15 @@ def test_prefix_jaccard_equals_plain_and_prunes(spark, docs_view):
     }
     assert pref == plain and plain
     # candidate volume: prefix-index self-join pairs vs full-index pairs
-    full_sql = fn_dedup.prefix_jaccard_sql("spark", table=docs_view)
+    base = fn_dedup._prefix_base_cte("spark", docs_view, None, None, None)
     n_pref = spark.sql(
-        full_sql.split("cand AS (")[0]
-        + "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-        "FROM pinv a JOIN pinv b ON a.g = b.g AND a.doc_id < b.doc_id)\n"
-        "SELECT COUNT(*) AS n FROM cand"
+        f"WITH {base}\nSELECT COUNT(*) AS n FROM ("
+        + fn_dedup.prefix_jaccard_cand_body(fn_dedup.PREFIX_JACCARD_T)
+        + ") c"
     ).collect()[0]["n"]
     n_full = spark.sql(
-        full_sql.split("gdf AS (")[0]
-        + "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-        "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id)\n"
-        "SELECT COUNT(*) AS n FROM cand"
+        f"WITH {base}\nSELECT COUNT(*) AS n FROM ("
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id) c"
     ).collect()[0]["n"]
     assert n_pref < n_full
