@@ -3634,6 +3634,17 @@ def q163_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q171_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization + asymmetric-distance search (Jégou et al.
+    TPAMI 2011, the FAISS PQ index; similarity.pq_adc): integer-exact
+    subspace codebooks trained relationally (seed + one k-means step),
+    vectors coded to PQ_M small ints, queries ranked by summed
+    distance-table lookups over CODES only. Completes the ANN family's
+    compression axis next to LSH (q23), IVF (q34), and SQ8 (q125)."""
+    v = _view(spark, sf_dir, "embeddings", "q171")
+    return fn_sim.pq_adc(spark, v)
+
+
 def q170_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k audit of the LSH ANN index vs the exact brute-force
     ranking (similarity.recall_audit_sql) — the index-quality monitor
@@ -4825,6 +4836,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_mor_read_optimized": q168_mor_read_optimized,
         "q169_stream_static_join": q169_stream_static_join,
         "q170_ann_recall_audit": q170_ann_recall_audit,
+        "q171_pq_adc": q171_pq_adc,
     }
 
 
@@ -5587,6 +5599,7 @@ def oracle_sql() -> dict[str, str]:
         "q168_mor_read_optimized": _mor_read_optimized_oracle_sql(),
         "q169_stream_static_join": _stream_static_oracle_sql(),
         "q170_ann_recall_audit": fn_sim.recall_audit_sql("duckdb"),
+        "q171_pq_adc": fn_sim.pq_adc_sql("duckdb"),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

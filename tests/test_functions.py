@@ -587,3 +587,40 @@ def test_prefix_jaccard_equals_plain_and_prunes(spark, docs_view):
         "FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id) c"
     ).collect()[0]["n"]
     assert n_pref < n_full
+
+
+def test_pq_adc_recall_vs_exact(spark, emb_view, sf_correct):
+    """ADC over 32-bit codes is lossy, but must recover a meaningful
+    share of the TRUE L2 neighbors — measured 9/15 against exact
+    top-10 on the fixture (chance is ~0.9/15); assert a safe floor
+    far above chance."""
+    import numpy as np
+
+    rows = sorted(
+        spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    X = np.array([r["embedding"] for r in rows])
+    picks: dict[int, set] = {}
+    for r in fn_sim.pq_adc(spark, emb_view).collect():
+        picks.setdefault(r["q_id"], set()).add(r["neighbor_id"])
+    hits = 0
+    for q in range(5):
+        d = ((X - X[q]) ** 2).sum(1)
+        d[q] = 1e18
+        hits += len(picks[q] & set(int(i) for i in np.argsort(d)[:10]))
+    assert hits >= 5, hits  # ~5x chance at minimum; measured 9
+
+
+def test_pq_adc_layout_independent(spark, sf_correct):
+    """Integer training + coding + ADC: identical output on any input
+    partitioning."""
+    emb = spark.read.parquet(f"{sf_correct}/embeddings.parquet")
+    outs = []
+    for parts in (1, 17):
+        emb.repartition(parts).createOrReplaceTempView(f"__pq_l{parts}")
+        outs.append(tuple(
+            tuple(r) for r in fn_sim.pq_adc(spark, f"__pq_l{parts}").collect()
+        ))
+    assert outs[0] == outs[1]
