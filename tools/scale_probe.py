@@ -75,6 +75,8 @@ PROBE_QUERIES = [
     "q155_repeated_ngrams", "q156_bloom_semijoin", "q157_domain_caps",
     # prefix-filtered all-pairs Jaccard: same output as q19, pruned candidates
     "q166_prefix_jaccard",
+    # PQ codebook training + code-scan ADC search (N*DIM*K-row hash aggs)
+    "q171_pq_adc",
 ]
 
 VOW = "aeiou"
