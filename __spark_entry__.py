@@ -3640,8 +3640,11 @@ def q171_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace codebooks trained relationally (seed + one k-means step),
     vectors coded to PQ_M small ints, queries ranked by summed
     distance-table lookups over CODES only. Completes the ANN family's
-    compression axis next to LSH (q23), IVF (q34), and SQ8 (q125)."""
-    v = _view(spark, sf_dir, "embeddings", "q171")
+    compression axis next to LSH (q23), IVF (q34), and SQ8 (q125).
+    The view name carries the corpus identity because the PQ training
+    artifacts cache per (session, view)."""
+    v = _view(spark, sf_dir, "embeddings",
+              f"q171_{abs(hash(sf_dir)) % 10**6}")
     return fn_sim.pq_adc(spark, v)
 
 

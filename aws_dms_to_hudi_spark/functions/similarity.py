@@ -1046,17 +1046,28 @@ def pq_adc_sql(dialect: str, table: str = "embeddings",
     )
 
 
+_PQ_LOCK = __import__("threading").Lock()
+_PQ_CACHE: dict[tuple[int, str], tuple[str, str]] = {}  # -> (iv, c1) views
+
+
 def pq_adc(spark, table: str, num_queries: int = 5, k: int = 3):
     """Engine-side PQ: materialize the exploded scaled relation and the
-    512-row refined codebook once (plan truncation — see
-    :func:`pq_adc_sql`), then run encode + ADC over the cached views."""
+    refined codebook ONCE per (session, corpus) — training is the
+    index-build you persist, not a per-query cost (the tokhash-view
+    pattern) — then run encode + ADC over the cached views."""
     from .dedup import materialize
 
-    key = abs(hash((id(spark), table))) % 10**8
-    iv = materialize(spark.sql(_pq_iv_sql("spark", table)))
-    ivv = f"__pq_iv_{key}"
-    iv.createOrReplaceTempView(ivv)
-    c1 = materialize(spark.sql(_pq_c1_sql("spark", ivv)))
-    c1v = f"__pq_c1_{key}"
-    c1.createOrReplaceTempView(c1v)
-    return spark.sql(_pq_main_sql(ivv, c1v, num_queries, k))
+    key = (id(spark), table)
+    with _PQ_LOCK:
+        views = _PQ_CACHE.get(key)
+        if views is None:
+            tag = abs(hash(key)) % 10**8
+            iv = materialize(spark.sql(_pq_iv_sql("spark", table)))
+            ivv = f"__pq_iv_{tag}"
+            iv.createOrReplaceTempView(ivv)
+            c1 = materialize(spark.sql(_pq_c1_sql("spark", ivv)))
+            c1v = f"__pq_c1_{tag}"
+            c1.createOrReplaceTempView(c1v)
+            views = (ivv, c1v)
+            _PQ_CACHE[key] = views
+    return spark.sql(_pq_main_sql(views[0], views[1], num_queries, k))
