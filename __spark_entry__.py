@@ -1715,6 +1715,74 @@ ORDER BY o.o_orderkey
 """
 
 
+def q172_join_view_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed for the maintained JOIN view (q162's state) —
+    the q104 analog on the join side: the insert/update/delete diff
+    between the initial join view and the fully maintained one, keyed
+    by the view's row key (o_orderkey), published so downstream
+    consumers of the enriched view can themselves be incremental.
+    Oracle: full-outer join of the two replay-derived join states.
+    At scale both diff inputs are the view states, not base data, and
+    the diff is one full-outer hash join on the row key."""
+    lt, lv = _replayed_orders(spark, sf_dir)
+    rt, rv = _replayed_customer(spark, sf_dir)
+    s0 = fn_incr.join_view(
+        lt.read(version=lv[0]), rt.read(version=rv[0]),
+        "o_custkey", "c_custkey", _JV_LEFT_COLS, _JV_RIGHT_COLS,
+    )
+    state = s0
+    for (lp, lc), (rp, rc) in zip(zip(lv, lv[1:]), zip(rv, rv[1:])):
+        state = fn_incr.maintain_join_view(
+            lt, rt, state, "o_custkey", _JV_LEFT_COLS, _JV_RIGHT_COLS,
+            lp, lc, rp, rc,
+        )
+    return fn_incr.state_diff(
+        s0, state, "o_orderkey",
+        ["o_custkey", "o_totalprice", "c_mktsegment", "c_acctbal"],
+    )
+
+
+def _join_view_change_feed_oracle_sql() -> str:
+    ro0 = cdc.replay_sql(cdc.RECIPES["orders"], 0)
+    rc0 = cdc.replay_sql(cdc.RECIPES["customer"], 0)
+    ro = cdc.replay_sql(cdc.RECIPES["orders"])
+    rc = cdc.replay_sql(cdc.RECIPES["customer"])
+    vals = ["o_custkey", "o_totalprice", "c_mktsegment", "c_acctbal"]
+    old_cols = ", ".join(f"o.{c} AS old_{c}" for c in vals)
+    new_cols = ", ".join(f"n.{c} AS new_{c}" for c in vals)
+    changed = " OR ".join(
+        f"(o.{c} IS DISTINCT FROM n.{c})" for c in vals
+    )
+    sel_old = ", ".join(f"old_{c}" for c in vals)
+    sel_new = ", ".join(f"new_{c}" for c in vals)
+    return f"""
+WITH b0o AS (SELECT * FROM ({ro0}) s),
+b0c AS (SELECT * FROM ({rc0}) s),
+v0 AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+         c.c_mktsegment, c.c_acctbal
+  FROM b0o o JOIN b0c c ON o.o_custkey = c.c_custkey
+),
+vn AS (
+  SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+         c.c_mktsegment, c.c_acctbal
+  FROM ({ro}) o JOIN ({rc}) c ON o.o_custkey = c.c_custkey
+),
+j AS (
+  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+         CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         {old_cols}, {new_cols},
+         (o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR {changed})
+           AS is_changed
+  FROM v0 o FULL OUTER JOIN vn n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey, change_type, {sel_old}, {sel_new}
+FROM j WHERE is_changed ORDER BY o_orderkey
+"""
+
+
 def q33_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hudi incremental-query analog through the real storage path: bulk
     insert batch 0, upsert batches 1..N, then read ONLY the keys changed
@@ -4840,6 +4908,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_stream_static_join": q169_stream_static_join,
         "q170_ann_recall_audit": q170_ann_recall_audit,
         "q171_pq_adc": q171_pq_adc,
+        "q172_join_view_change_feed": q172_join_view_change_feed,
     }
 
 
@@ -5603,6 +5672,7 @@ def oracle_sql() -> dict[str, str]:
         "q169_stream_static_join": _stream_static_oracle_sql(),
         "q170_ann_recall_audit": fn_sim.recall_audit_sql("duckdb"),
         "q171_pq_adc": fn_sim.pq_adc_sql("duckdb"),
+        "q172_join_view_change_feed": _join_view_change_feed_oracle_sql(),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "
