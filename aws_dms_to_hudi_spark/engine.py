@@ -258,9 +258,13 @@ class Engine:
         registrations to survive restarts; see Catalog.sync_metastore."""
         return self.catalog.sync_metastore_all(self.spark, self, database)
 
-    def read_table(self, table_name: str) -> DataFrame | None:
+    def read_table(
+        self, table_name: str, read_optimized: bool = False
+    ) -> DataFrame | None:
+        """Snapshot read; ``read_optimized=True`` is Hudi's RO query
+        type on MOR tables (base files only — see CuratedTable.read)."""
         t = self._curated(table_name)
-        return t.read() if t else None
+        return t.read(read_optimized=read_optimized) if t else None
 
     def read_table_incremental(
         self,

@@ -102,3 +102,51 @@ def test_delete_then_reinsert_same_batch(spark):
     state = upsert_merge(None, df, ["k"], "trx_seq")
     got = {(r.k, r.val) for r in state.collect()}
     assert got == {(1, 30)}
+
+
+# ---------------------------------------------------------------------------
+# quarantine split invariants (operators/quarantine.py)
+# ---------------------------------------------------------------------------
+
+_ROW = st.tuples(
+    st.one_of(st.none(),
+              st.sampled_from(["I", "U", "D", "X", "d", "", "insert"])),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=50)),
+    st.text(alphabet="abc", max_size=3),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(rows=st.lists(_ROW, min_size=0, max_size=40))
+def test_quarantine_partitions_any_batch(spark, rows):
+    """For ANY batch: clean ∪ quarantine ≡ input (nothing dropped or
+    duplicated), the two parts are disjoint by construction, every
+    quarantined row carries a reason, and no clean row has a bad Op or
+    NULL key."""
+    from aws_dms_to_hudi_spark.operators.quarantine import (
+        VALID_OPS,
+        split_quarantine,
+    )
+
+    df = spark.createDataFrame(
+        rows, "Op string, k long, payload string"
+    )
+    clean, dlq = split_quarantine(df, ["k"])
+    n_clean, n_dlq = clean.count(), dlq.count()
+    assert n_clean + n_dlq == len(rows)
+    for r in clean.collect():
+        assert r["Op"] in VALID_OPS and r["k"] is not None
+    for r in dlq.collect():
+        assert r["dlq_reason"] in ("bad_op", "null_key")
+        if r["dlq_reason"] == "null_key":
+            assert r["k"] is None and r["Op"] in VALID_OPS
+        else:
+            assert r["Op"] not in VALID_OPS
+    # exact multiset identity on the payload projection (None-safe sort)
+    keyf = lambda t: (t[0] is None, t[0] or "", t[1] is None, t[1] or 0, t[2])
+    both = sorted(
+        [(r["Op"], r["k"], r["payload"]) for r in clean.collect()]
+        + [(r["Op"], r["k"], r["payload"]) for r in dlq.collect()],
+        key=keyf,
+    )
+    assert both == sorted(rows, key=keyf)
