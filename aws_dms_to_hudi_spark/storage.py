@@ -338,6 +338,22 @@ class CuratedTable:
 
     # ---------- write path ----------
 
+
+    def _partition_sorted(self, df: DataFrame, pcol: str,
+                          sort_cols: list[str]) -> DataFrame:
+        """PARTITION_SORT layout with write parallelism decoupled from
+        the partition-value count. ``repartition(pcol)`` alone caps the
+        write at one task per distinct partition value — a 3-partition
+        table writes 100 TB with 3 tasks. Range-repartitioning on
+        (pcol, sort keys) keeps every output file inside one partition
+        AND internally sorted (each task holds a contiguous slice of
+        the global (pcol, key) order) while using full cluster width;
+        as a bonus the per-file key ranges are disjoint, which is
+        exactly what column-stats / key-range pruning wants."""
+        n = max(self.spark.sparkContext.defaultParallelism, 1)
+        cols = [F.col(pcol)] + [F.col(c) for c in sort_cols]
+        return df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+
     def bulk_insert(
         self, df: DataFrame, checkpoint: dict[str, Any] | None = None
     ) -> Commit:
@@ -357,8 +373,8 @@ class CuratedTable:
         df = apply_deletes(df)
         pcol = self._pcol
         if pcol is not None:
-            out = self._bucketize(df).repartition(F.col(pcol)).sortWithinPartitions(
-                *cfg.record_key
+            out = self._partition_sorted(
+                self._bucketize(df), pcol, list(cfg.record_key)
             )
             out.write.mode("overwrite").partitionBy(pcol).parquet(
                 str(self.root / vdir)
@@ -431,8 +447,7 @@ class CuratedTable:
                 existing, batch, cfg.record_key, cfg.source_ordering_field
             )
             (
-                merged.repartition(F.col(pcol))
-                .sortWithinPartitions(*cfg.record_key)
+                self._partition_sorted(merged, pcol, list(cfg.record_key))
                 .write.mode("overwrite")
                 .partitionBy(pcol)
                 .parquet(str(self.root / vdir))
@@ -535,9 +550,9 @@ class CuratedTable:
         pcol = self._pcol
         if pcol is not None:
             (
-                self._bucketize(merged)
-                .repartition(F.col(pcol))
-                .sortWithinPartitions(*cfg.record_key)
+                self._partition_sorted(
+                    self._bucketize(merged), pcol, list(cfg.record_key)
+                )
                 .write.mode("overwrite")
                 .partitionBy(pcol)
                 .parquet(str(self.root / vdir))
@@ -638,8 +653,8 @@ class CuratedTable:
         else:
             sort_cols = list(cfg.record_key)
         if pcol is not None:
-            out = self._bucketize(df).repartition(F.col(pcol)).sortWithinPartitions(
-                *sort_cols
+            out = self._partition_sorted(
+                self._bucketize(df), pcol, list(sort_cols)
             )
             if zorder_by:
                 out = out.drop(zcol)
