@@ -3725,6 +3725,30 @@ def q170_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_sim.recall_audit_sql("spark", table=v))
 
 
+def q173_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency service over the token stream
+    (sketches.count_min_sql): a D×W cell grid built in one map-side-
+    combined aggregate pass — the sketch stays 4×512 cells at any
+    corpus size and broadcasts to answer point queries. The gate
+    audits a deterministic probe subset against exact counts; the CM
+    one-sided guarantee (est ≥ exact) is asserted in tests."""
+    d = _view(spark, sf_dir, "documents", "q173")
+    return spark.sql(fn_sk.count_min_sql("spark", table=d))
+
+
+def q174_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k theta sketch (sketches.kmv_sql): distinct
+    cardinality of orders.o_custkey, customer.c_custkey, and their
+    intersection estimated from the 256 smallest key hashes —
+    all-integer estimator, per-partition bounded top-k physical plan
+    (TakeOrderedAndProject), O(k) final state. The join-cardinality
+    estimation primitive a planner consults before choosing a join
+    strategy at 100 TB."""
+    o = _view(spark, sf_dir, "orders", "q174")
+    c = _view(spark, sf_dir, "customer", "q174")
+    return spark.sql(fn_sk.kmv_sql("spark", orders=o, customer=c))
+
+
 def q161_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed power iteration (dominant-eigenvector direction of
     the embedding matrix — the PCA-first-component / spectral-quality
@@ -4909,6 +4933,8 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_ann_recall_audit": q170_ann_recall_audit,
         "q171_pq_adc": q171_pq_adc,
         "q172_join_view_change_feed": q172_join_view_change_feed,
+        "q173_count_min_sketch": q173_count_min_sketch,
+        "q174_kmv_distinct_sketch": q174_kmv_distinct_sketch,
     }
 
 
@@ -5673,6 +5699,8 @@ def oracle_sql() -> dict[str, str]:
         "q170_ann_recall_audit": fn_sim.recall_audit_sql("duckdb"),
         "q171_pq_adc": fn_sim.pq_adc_sql("duckdb"),
         "q172_join_view_change_feed": _join_view_change_feed_oracle_sql(),
+        "q173_count_min_sketch": fn_sk.count_min_sql("duckdb"),
+        "q174_kmv_distinct_sketch": fn_sk.kmv_sql("duckdb"),
         "q110_auto_salted_join": (
             "WITH hot AS (SELECT l_orderkey % 4 AS hot_key, "
             "l_extendedprice, l_discount FROM lineitem), "

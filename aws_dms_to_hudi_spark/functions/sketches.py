@@ -106,3 +106,186 @@ GROUP BY token
 HAVING COUNT(*) * {k} > MAX(tot.n_total)
 ORDER BY freq DESC, token
 """
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (bounded-memory frequency estimation service)
+# ---------------------------------------------------------------------------
+
+CMS_W = 16         # buckets per row (gate-sized: vocab 31 → real collisions)
+CMS_D = 4          # hash rows
+LEHMER = 48271     # MINSTD multiplier — full-period permutation mod 2^31-1
+
+
+def _mix(h: str) -> str:
+    """Uniformize a raw rolling hash: two Lehmer LCG steps
+    (x → x·48271 mod 2³¹−1, a bijection of [1, P−1] with good spectral
+    spread). The raw polynomial hash of a SHORT string is numerically
+    small (a 5-char key stays ≪ P), which would wreck any
+    order-statistic estimator (KMV's τ); the mix restores uniformity
+    over [0, P) while staying all-integer and engine-portable
+    ((h+1)·48271 < 2⁴⁷ — no overflow)."""
+    from . import portable as P
+
+    step1 = f"((({h}) + 1) * {LEHMER}) % {P.HASH_P}"
+    return f"((({step1}) * {LEHMER}) % {P.HASH_P})"
+
+
+def count_min_sql(dialect: str, table: str = "documents") -> str:
+    """Count-min sketch over the document token stream, audited against
+    exact counts (Cormode-Muthukrishnan CM sketch; the streaming-
+    frequency analog of q129's Misra-Gries).
+
+    Build: one pass over the token stream emits (row i, bucket_i) for
+    each of ``CMS_D`` universal hashes derived from the single portable
+    base hash (h·(2i+1) + i·salt mod P mod W — the token is hashed
+    ONCE, rows differ by integer mixing only), then a GROUP BY
+    (i, bucket) count. The sketch is exactly ``CMS_D × CMS_W`` cells
+    regardless of corpus size — map-side partial aggregation collapses
+    each partition to ≤ D·W rows before the only shuffle, and the
+    finished sketch broadcasts to serve point queries.
+
+    Query: for each probe token, estimate = MIN over rows of the
+    addressed cell; CM guarantees estimate ≥ exact always, and
+    ≤ exact + 2n/W with probability 1 − 2^−D. The gate probes the
+    full gate-scale vocabulary (31 tokens; W=16 so collisions — and
+    therefore genuine over-estimates — actually occur) and emits
+    (token, exact, est, over_err); the test asserts the one-sided
+    bound. The exact side is the gate-scale audit (a full token
+    aggregate the sketch exists to avoid; at 100 TB only the D·W-cell
+    sketch and a bounded probe list survive — W scales to 2/ε cells,
+    independent of corpus size).
+
+    Determinism: all-integer arithmetic on the shared rolling hash —
+    bit-identical across engines on any partition layout (GROUP BY
+    sums are order-independent).
+    """
+    from . import portable as P
+
+    toks = P.tokens("text", dialect)
+    if dialect == "spark":
+        tok_rows = (
+            f"SELECT t AS token FROM (SELECT {toks} AS toks FROM {table}) "
+            "LATERAL VIEW explode(toks) _x AS t"
+        )
+    else:
+        tok_rows = f"SELECT unnest({toks}) AS token FROM {table}"
+    hv = P.rolling_hash("token", dialect)
+    depth = ", ".join(f"({i})" for i in range(CMS_D))
+    bucket = (
+        f"((hv * (2 * d.i + 1) + d.i * 12582917) % {P.HASH_P}) % {CMS_W}"
+    )
+    return f"""
+WITH tok AS ({tok_rows}),
+h AS (SELECT token, {hv} AS hv FROM tok),
+depth AS (SELECT * FROM (VALUES {depth}) AS t(i)),
+cms AS (
+  SELECT d.i AS i, {bucket} AS bucket, COUNT(*) AS cnt
+  FROM h CROSS JOIN depth d
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT token, hv, COUNT(*) AS exact
+  FROM h GROUP BY token, hv
+)
+SELECT p.token AS token,
+       CAST(p.exact AS BIGINT) AS exact,
+       CAST(MIN(c.cnt) AS BIGINT) AS est,
+       CAST(MIN(c.cnt) - p.exact AS BIGINT) AS over_err
+FROM probe p
+CROSS JOIN depth d
+JOIN cms c
+  ON c.i = d.i
+ AND c.bucket = ((p.hv * (2 * d.i + 1) + d.i * 12582917) % {P.HASH_P}) % {CMS_W}
+GROUP BY p.token, p.exact
+ORDER BY token
+"""
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-cardinality / intersection sketch
+# ---------------------------------------------------------------------------
+
+KMV_K = 256
+
+
+def kmv_sql(
+    dialect: str, orders: str = "orders", customer: str = "customer"
+) -> str:
+    """KMV (k-minimum-values / bottom-k theta) sketch estimating the
+    distinct cardinality of two key sets AND their intersection from
+    O(k) state — the set-expression sketch (Beyer et al., "On synopses
+    for distinct-value estimation"; the DataSketches theta-sketch
+    family): A = distinct ``o_custkey`` of every third order (a proper
+    subset of the customer base, so the intersection estimate is
+    non-degenerate), B = distinct ``c_custkey`` of customer.
+
+    Method: hash every key with the shared portable hash uniformized
+    by :func:`_mix` (raw polynomial hashes of short keys are
+    numerically small, which would bias τ); keep the ``KMV_K`` smallest
+    distinct hash values of A ∪ B. With τ = the k-th smallest,
+    distinct(A∪B) ≈ (k−1)·P/τ, and the intersection scales that by the
+    fraction of the k-sample present in both sets. All-integer
+    estimator: est_inter = matched·(k−1)·P div (k·τ) — deterministic
+    across engines (matched·(k−1)·P < 2^48, no overflow).
+
+    Gate output is one row: sample stats (k_a, k_b, matched, tau),
+    integer estimates (est_union, est_inter), and the exact audit
+    values — the test asserts the estimates land within a fixed
+    relative band of exact (k=256 → σ ≈ 1/√254 ≈ 6%).
+
+    Shape at 100 TB: the bottom-k of a set is a per-partition bounded
+    heap merged associatively — Spark's ORDER BY + LIMIT k physical
+    plan (TakeOrderedAndProject) already computes per-partition top-k
+    and merges k·P_parts rows at the driver; the preceding DISTINCT is
+    a map-side partial aggregate. No full key set ever crosses the
+    network un-reduced, and the finished sketch is k rows — the shape
+    that lets a 1000-executor cluster estimate join cardinalities
+    before planning the join itself.
+    """
+    from . import portable as P
+
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    ha = _mix(P.rolling_hash(f"CAST(o_custkey AS {s})", dialect))
+    hb = _mix(P.rolling_hash(f"CAST(c_custkey AS {s})", dialect))
+    est_u = P.int_div(
+        f"({KMV_K} - 1) * CAST({P.HASH_P} AS BIGINT)", "tau", dialect
+    )
+    est_i = P.int_div(
+        f"matched * ({KMV_K} - 1) * CAST({P.HASH_P} AS BIGINT)",
+        f"({KMV_K} * tau)",
+        dialect,
+    )
+    return f"""
+WITH a AS (
+  SELECT DISTINCT {ha} AS hv FROM {orders} WHERE o_orderkey % 3 = 0
+),
+b AS (SELECT DISTINCT {hb} AS hv FROM {customer}),
+u AS (
+  SELECT hv, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT hv, 1 AS in_a, 0 AS in_b FROM a
+    UNION ALL
+    SELECT hv, 0 AS in_a, 1 AS in_b FROM b
+  ) both_sets
+  GROUP BY hv
+),
+kmin AS (SELECT * FROM u ORDER BY hv LIMIT {KMV_K}),
+stats AS (
+  SELECT CAST(SUM(in_a) AS BIGINT) AS k_a,
+         CAST(SUM(in_b) AS BIGINT) AS k_b,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS matched,
+         CAST(MAX(hv) AS BIGINT) AS tau
+  FROM kmin
+),
+exact AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS exact_union,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS exact_inter
+  FROM u
+)
+SELECT s.k_a, s.k_b, s.matched, s.tau,
+       CAST({est_u} AS BIGINT) AS est_union,
+       CAST({est_i} AS BIGINT) AS est_inter,
+       e.exact_union, e.exact_inter
+FROM stats s CROSS JOIN exact e
+"""

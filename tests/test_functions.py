@@ -624,3 +624,51 @@ def test_pq_adc_layout_independent(spark, sf_correct):
             tuple(r) for r in fn_sim.pq_adc(spark, f"__pq_l{parts}").collect()
         ))
     assert outs[0] == outs[1]
+
+
+class TestCountMinSketch:
+    def test_one_sided_bound_and_real_collisions(self):
+        """CM guarantee: est >= exact for every probe; with W=16 and a
+        31-token vocab, collisions (genuine over-estimates) must occur.
+        DuckDB-side (the SQL is dialect-shared; engine parity is pinned
+        by the entry contract test)."""
+        import duckdb
+
+        from aws_dms_to_hudi_spark.functions import sketches as fn_sk
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+        )
+        pdf = con.execute(fn_sk.count_min_sql("duckdb")).fetchdf()
+        assert len(pdf) == pdf["token"].nunique() > 0
+        assert (pdf["over_err"] >= 0).all()          # one-sided bound
+        assert (pdf["est"] - pdf["exact"] == pdf["over_err"]).all()
+        assert (pdf["over_err"] > 0).any()           # sketch, not a count
+
+
+class TestKmvSketch:
+    def test_estimates_within_band(self):
+        """k=256 -> sigma ~ 1/sqrt(254) ~ 6%; assert a 4-sigma band on
+        both the union and intersection estimates, and the subset
+        invariants (A proper subset of B => matched <= k, exact_inter
+        <= exact_union)."""
+        import duckdb
+
+        from aws_dms_to_hudi_spark.functions import sketches as fn_sk
+
+        con = duckdb.connect()
+        for t in ("orders", "customer"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+            )
+        r = con.execute(fn_sk.kmv_sql("duckdb")).fetchdf().iloc[0]
+        assert r["k_a"] <= fn_sk.KMV_K and r["k_b"] <= fn_sk.KMV_K
+        assert r["matched"] <= min(r["k_a"], r["k_b"])
+        assert r["exact_inter"] <= r["exact_union"]
+        for est, exact in (("est_union", "exact_union"),
+                           ("est_inter", "exact_inter")):
+            rel = abs(r[est] - r[exact]) / r[exact]
+            assert rel < 0.25, (est, r[est], r[exact])
