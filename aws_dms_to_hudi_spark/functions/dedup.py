@@ -444,6 +444,88 @@ co AS (
 {_pairs_select(threshold)}"""
 
 
+def incremental_minhash_sql(
+    dialect: str,
+    table: str = "documents",
+    threshold: float = 0.5,
+    delta_mod: int = 10,
+    th_table: str | None = None,
+    inv_tables: tuple[str, str] | None = None,
+) -> str:
+    """Ingest-time incremental near-dup detection: every INCOMING
+    (delta) document gets a keep/drop verdict against the EXISTING
+    corpus — (doc_id, is_dup, best_match, best_jaccard), best match =
+    highest exact Jaccard, doc-id tiebreak. The gate's delta is the
+    deterministic ``doc_id % delta_mod = 0`` slice; production swaps in
+    the new batch.
+
+    Same machinery as :func:`minhash_lsh_sql` (inverted index → MinHash
+    signatures → banded LSH buckets → exact-Jaccard verify) with ONE
+    structural change: the candidate join is delta-bands × base-bands,
+    never base × base. That makes per-batch dedup cost O(|delta| ×
+    bucket hit rate): the corpus side is the maintained index artifact
+    (the cached inv/sig views — what a 100 TB pipeline persists and
+    appends to between batches), only the delta's shingles are hashed
+    fresh, and re-scanning or re-pairing the corpus against itself
+    never happens. In-batch (delta × delta) duplicates are q19/q20's
+    precombine job, deliberately out of contract here.
+
+    Keeps (is_dup = false) emit NULL match columns, so the verdict set
+    covers the whole delta — the row count is the batch size on any
+    engine.
+    """
+    sig_cols = ", ".join(
+        f"MIN(({a} * g + {b}) % {P.HASH_P}) AS m{j}"
+        for j, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ") AS bkey FROM sig"
+        for b in range(NUM_BANDS)
+    )
+    return f"""
+WITH {_inv_cte(dialect, table, None, th_table, inv_tables)},
+sig AS (SELECT doc_id, {sig_cols} FROM inv GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id % {delta_mod} = 0 AND b.doc_id % {delta_mod} <> 0
+),
+co AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+  FROM cand c
+  JOIN inv ia ON ia.doc_id = c.doc_a
+  JOIN inv ib ON ib.doc_id = c.doc_b AND ib.g = ia.g
+  GROUP BY c.doc_a, c.doc_b
+),
+pairs AS (
+  SELECT co.doc_a, co.doc_b, {_JACCARD} AS jaccard
+  FROM co
+  JOIN sizes sa ON co.doc_a = sa.doc_id
+  JOIN sizes sb ON co.doc_b = sb.doc_id
+  WHERE {_JACCARD_PRED} >= {threshold}
+),
+best AS (
+  SELECT doc_a, doc_b, jaccard,
+         row_number() OVER (
+           PARTITION BY doc_a ORDER BY jaccard DESC, doc_b
+         ) AS rn
+  FROM pairs
+),
+delta AS (SELECT doc_id FROM {table} WHERE doc_id % {delta_mod} = 0)
+SELECT d.doc_id AS doc_id,
+       (b.doc_b IS NOT NULL) AS is_dup,
+       b.doc_b AS best_match,
+       b.jaccard AS best_jaccard
+FROM delta d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_a
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

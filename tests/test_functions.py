@@ -672,3 +672,35 @@ class TestKmvSketch:
                            ("est_inter", "exact_inter")):
             rel = abs(r[est] - r[exact]) / r[exact]
             assert rel < 0.25, (est, r[est], r[exact])
+
+
+class TestIncrementalIngestDedup:
+    def test_delta_vs_base_only(self, spark):
+        """Verdicts cover the whole delta; matches link delta->base
+        only — base x base and delta x delta duplicates must NOT leak
+        into the output (in-batch dedup is q19/q20's contract)."""
+        from aws_dms_to_hudi_spark.functions import dedup as fn_dedup
+
+        dup = "the quick brown fox jumps over the lazy dog tonight"
+        rows = [
+            (1, dup),                                        # base
+            (2, dup),                                        # base twin
+            (3, "completely different base text about spark shuffles"),
+            (10, dup),                                       # delta: dup of base
+            (20, "a unique incoming document with fresh tokens only"),
+            (30, "identical incoming pair alpha beta gamma delta epsilon"),
+            (40, "identical incoming pair alpha beta gamma delta epsilon"),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .createOrReplaceTempView("__inc_docs")
+        out = {
+            r["doc_id"]: r
+            for r in spark.sql(
+                fn_dedup.incremental_minhash_sql("spark", table="__inc_docs")
+            ).collect()
+        }
+        assert set(out) == {10, 20, 30, 40}          # whole delta, only delta
+        assert out[10]["is_dup"] and out[10]["best_jaccard"] == 1.0
+        assert out[10]["best_match"] in (1, 2)
+        assert not out[20]["is_dup"] and out[20]["best_match"] is None
+        assert not out[30]["is_dup"] and not out[40]["is_dup"]  # delta x delta excluded

@@ -77,6 +77,11 @@ PROBE_QUERIES = [
     "q166_prefix_jaccard",
     # PQ codebook training + code-scan ADC search (N*DIM*K-row hash aggs)
     "q171_pq_adc",
+    # r4 batch 3: bounded-state sketches (CM grid + KMV bottom-k — both
+    # should be ~flat-output linear passes) and incremental ingest dedup
+    # (delta x base candidates only; cost tracks the delta slice)
+    "q173_count_min_sketch", "q174_kmv_distinct_sketch",
+    "q175_incremental_ingest_dedup",
 ]
 
 VOW = "aeiou"
