@@ -3711,9 +3711,29 @@ def q163_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     timescale/duration, trak count, mdat length, all integer metadata
     the SQL oracle replays. 1-in-4 document subset (doc_id%4==3),
     completing the per-format gate family (q25 raw, q137 jpeg, q158
-    wav); only codec-payload decode inside mdat remains stubbed."""
+    wav); q176 decodes the codec payload too for MJPEG tracks."""
     return fn_mm.mp4_roundtrip_features(
         _t(spark, sf_dir, "documents").filter(F.pmod("doc_id", F.lit(4)) == 3)
+    ).orderBy("doc_id")
+
+
+def q176_mjpeg_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end VIDEO decode, oracle-gated (multimodal.py
+    encode_mjpeg_mp4/decode_mjpeg): per document a genuine MJPEG-in-MP4
+    is written (one video trak with real stsd/stts/stsc/stsz/stco
+    sample tables, mdat of entropy-coded JPEG frames, multi-chunk so
+    stsc run-length expansion is exercised), demuxed back via the
+    sample tables, and every frame run through the full baseline JPEG
+    decoder — all inside Arrow-batched mapInPandas. The even-gray
+    fixture roundtrips Annex-K quantization bit-exactly (q137's
+    invariant), so the oracle replays decoded-pixel aggregates
+    arithmetically. Closes the last stubbed multimodal leaf: only
+    non-MJPEG codecs (avc1…) still refuse, honestly, at the stsd
+    fourcc. Map-only — no shuffle, linear in executors; at 100 TB the
+    per-row work is bounded by frame count × frame size, and blobs
+    never enter a join or groupBy key."""
+    return fn_mm.mjpeg_roundtrip_features(
+        _t(spark, sf_dir, "documents").filter(F.pmod("doc_id", F.lit(4)) == 2)
     ).orderBy("doc_id")
 
 
@@ -4957,6 +4977,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_power_iteration": q161_power_iteration,
         "q162_join_view_maintenance": q162_join_view_maintenance,
         "q163_mp4_probe": q163_mp4_probe,
+        "q176_mjpeg_video_decode": q176_mjpeg_video_decode,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -5717,6 +5738,7 @@ def oracle_sql() -> dict[str, str]:
         "q161_power_iteration": fn_sim.power_iteration_sql("duckdb"),
         "q162_join_view_maintenance": _join_view_oracle_sql(),
         "q163_mp4_probe": fn_mm.mp4_gate_oracle_sql(),
+        "q176_mjpeg_video_decode": fn_mm.mjpeg_gate_oracle_sql(),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

@@ -22,9 +22,12 @@ too: RIFF container walk (any chunk order, odd-size pad bytes), PCM16
 frame parse — byte-tested and oracle-gated (q158) on aggregates of the
 decoded samples. MP4 (:func:`parse_mp4`) gets a REAL ISO-BMFF container
 walk (32/64-bit/to-EOF box sizes, ftyp brand, mvhd v0/v1
-timescale+duration, trak count, mdat length — oracle-gated q163); only
-the codec payload inside mdat still raises ``NotImplementedError``
-(H.264 decode genuinely needs ffmpeg). The Spark-side plumbing (schema,
+timescale+duration, trak count, mdat length — oracle-gated q163), and
+since r4's third batch the CODEC PAYLOAD decodes too for MJPEG tracks
+(:func:`decode_mjpeg`, oracle-gated q176): real stsd/stsz/stsc/stco
+sample-table demux feeding the baseline JPEG decoder frame by frame.
+Only non-MJPEG codecs (H.264 etc.) raise ``NotImplementedError`` —
+those genuinely need ffmpeg. The Spark-side plumbing (schema,
 batching, partitioning, UDF signature) is shared either way.
 
 Scale notes (100 TB of media):
@@ -646,8 +649,9 @@ def decode_media(payload: bytes, fmt: str) -> dict:
     ``fmt='jpeg'`` the REAL baseline JPEG decoder (checksums come from
     decoded PIXELS, proving actual decode). ``fmt='raw'`` keeps the
     deterministic fake used by cross-engine oracle gates whose payloads
-    aren't replayable in SQL. Audio/video codecs (wav/mp4) still raise
-    — they need libraries not present in this container.
+    aren't replayable in SQL. ``fmt='wav'`` decodes RIFF/PCM16 for
+    real, and ``fmt='mp4'`` demuxes + decodes MJPEG video tracks for
+    real; only non-MJPEG mp4 codecs raise — they need ffmpeg.
     """
     if fmt == "png":
         d = decode_png(payload)
@@ -677,12 +681,22 @@ def decode_media(payload: bytes, fmt: str) -> dict:
             "height": int(d["channels"]),
         }
     if fmt == "mp4":
-        d = parse_mp4(payload)  # real container walk (metadata only)
-        raise NotImplementedError(
-            f"mp4 container parsed (brand={d['brand']}, "
-            f"{d['n_tracks']} tracks) but codec-payload decode needs "
-            "ffmpeg; swap this branch in production"
-        )
+        d = parse_mp4(payload)  # real container walk (any codec)
+        try:
+            v = decode_mjpeg(payload)  # REAL decode for MJPEG tracks
+        except ValueError:
+            raise NotImplementedError(
+                f"mp4 container parsed (brand={d['brand']}, "
+                f"{d['n_tracks']} tracks) but has no MJPEG video trak; "
+                "other codecs need ffmpeg; swap this branch in production"
+            ) from None
+        px0 = v["frames"][0]
+        return {
+            "n_bytes": len(payload),
+            "checksum": int(px0[:CHECKSUM_PREFIX].sum() % 256),
+            "width": v["width"],
+            "height": v["height"],
+        }
     if fmt != "raw":
         raise NotImplementedError(
             f"codec {fmt!r} needs a library not present here; "
@@ -1261,4 +1275,306 @@ SELECT doc_id,
        CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
        CAST(10 + doc_id % 50 AS BIGINT) AS mdat_bytes
 FROM {table} WHERE doc_id % 4 = 3 ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-MP4: real video sample tables + real codec-payload decode (q176)
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+# identity transform matrix for tkhd (16.16 / 2.30 fixed point)
+_TKHD_MATRIX = (
+    b"\x00\x01\x00\x00" + b"\x00" * 12
+    + b"\x00\x01\x00\x00" + b"\x00" * 12
+    + b"\x40\x00\x00\x00"
+)
+
+
+def encode_mjpeg_mp4(
+    frames,
+    timescale: int = 1000,
+    frame_delta: int = 40,
+    samples_per_chunk: int = 0,
+) -> bytes:
+    """Genuine MJPEG-in-MP4 writer: one video trak whose stbl carries
+    REAL sample tables (stsd 'jpeg' VisualSampleEntry, stts, stsc,
+    stsz, stco) and whose mdat is the concatenation of
+    :func:`encode_jpeg` streams — Motion JPEG, the one ISO-BMFF codec
+    whose payload this repo can decode end to end without ffmpeg.
+    ``samples_per_chunk`` splits the mdat into multiple chunks (stco
+    entries) to exercise the demuxer's stsc run-length expansion; 0
+    packs all frames into a single chunk. Two-pass layout: moov is
+    built once with zeroed chunk offsets to learn its size, then
+    rebuilt with absolute offsets (stco is absolute-file-offset)."""
+    import struct
+
+    import numpy as np
+
+    jfrs = [encode_jpeg(np.asarray(f, dtype=np.uint8)) for f in frames]
+    n = len(jfrs)
+    spc = samples_per_chunk or n
+    h, w = np.asarray(frames[0], dtype=np.uint8).shape[:2]
+    dur = n * frame_delta
+    n_chunks = (n + spc - 1) // spc
+    # intra-mdat byte offset of each chunk's first sample
+    intra, pos = [], 0
+    for c in range(n_chunks):
+        intra.append(pos)
+        for j in jfrs[c * spc:(c + 1) * spc]:
+            pos += len(j)
+
+    def moov_for(chunk_offsets):
+        entry = (
+            struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6
+            + struct.pack(">H", 1)          # data_reference_index
+            + b"\x00" * 16                  # pre_defined / reserved
+            + struct.pack(">HH", w, h)
+            + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+            + b"\x00" * 4 + struct.pack(">H", 1)          # frame_count
+            + b"\x00" * 32                  # compressorname
+            + struct.pack(">Hh", 24, -1)    # depth, pre_defined
+        )
+        stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+        stts = _box(
+            b"stts", b"\x00" * 4 + struct.pack(">III", 1, n, frame_delta)
+        )
+        runs = [(1, spc, 1)]
+        if n % spc and n_chunks > 1:
+            runs.append((n_chunks, n - spc * (n_chunks - 1), 1))
+        stsc = _box(
+            b"stsc",
+            b"\x00" * 4 + struct.pack(">I", len(runs))
+            + b"".join(struct.pack(">III", *r) for r in runs),
+        )
+        stsz = _box(
+            b"stsz",
+            b"\x00" * 4 + struct.pack(">II", 0, n)
+            + b"".join(struct.pack(">I", len(j)) for j in jfrs),
+        )
+        stco = _box(
+            b"stco",
+            b"\x00" * 4 + struct.pack(">I", n_chunks)
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+        )
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        url = _box(b"url ", b"\x00\x00\x00\x01")  # self-contained
+        dinf = _box(
+            b"dinf",
+            _box(b"dref", b"\x00" * 4 + struct.pack(">I", 1) + url),
+        )
+        vmhd = _box(b"vmhd", b"\x00\x00\x00\x01" + b"\x00" * 8)
+        minf = _box(b"minf", vmhd + dinf + stbl)
+        hdlr = _box(
+            b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12 + b"mjpeg\x00"
+        )
+        mdhd = _box(
+            b"mdhd",
+            b"\x00" * 4 + struct.pack(">IIII", 0, 0, timescale, dur)
+            + struct.pack(">HH", 0x55C4, 0),  # lang 'und'
+        )
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        tkhd = _box(
+            b"tkhd",
+            b"\x00\x00\x00\x07"
+            + struct.pack(">IIIII", 0, 0, 1, 0, dur)
+            + b"\x00" * 8 + struct.pack(">HHHH", 0, 0, 0, 0)
+            + _TKHD_MATRIX
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        trak = _box(b"trak", tkhd + mdia)
+        mvhd = _box(
+            b"mvhd",
+            b"\x00" * 4 + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, dur) + b"\x00" * 80,
+        )
+        return _box(b"moov", mvhd + trak)
+
+    ftyp = _box(b"ftyp", b"isom" + b"\x00\x00\x00\x00" + b"isom")
+    base = len(ftyp) + len(moov_for(intra)) + 8  # + mdat header
+    moov = moov_for([base + o for o in intra])
+    return ftyp + moov + _box(b"mdat", b"".join(jfrs))
+
+
+def mp4_sample_table(payload: bytes) -> dict:
+    """Expand the first video trak's stbl into per-sample absolute
+    ``(offset, size)`` pairs — the real demux step: stsd sample-entry
+    fourcc + dimensions, stsz sizes (fixed or per-sample), stco/co64
+    chunk offsets, and stsc run-length chunk→sample-count mapping.
+    Raises ``ValueError`` on a missing video trak or an inconsistent
+    sample table (stsc/stco not covering every stsz sample)."""
+    import struct
+
+    def children(span):
+        return list(_walk_boxes(payload, *span))
+
+    def child(boxes, t):
+        for bt, s, e in boxes:
+            if bt == t:
+                return s, e
+        raise ValueError(f"missing {t.decode('latin-1')!r} box")
+
+    top = children((0, len(payload)))
+    for bt, ts, te in children(child(top, b"moov")):
+        if bt != b"trak":
+            continue
+        mboxes = children(child(children((ts, te)), b"mdia"))
+        hs, _he = child(mboxes, b"hdlr")
+        if payload[hs + 8:hs + 12] != b"vide":
+            continue
+        sboxes = children(child(children(child(mboxes, b"minf")), b"stbl"))
+        ss, _se = child(sboxes, b"stsd")
+        codec = payload[ss + 12:ss + 16].decode("latin-1")
+        w, h = struct.unpack(">HH", payload[ss + 40:ss + 44])
+        zs, _ze = child(sboxes, b"stsz")
+        fixed, cnt = struct.unpack(">II", payload[zs + 4:zs + 12])
+        sizes = (
+            [fixed] * cnt if fixed
+            else list(struct.unpack(f">{cnt}I", payload[zs + 12:zs + 12 + 4 * cnt]))
+        )
+        try:
+            cs, _ce = child(sboxes, b"stco")
+            (nch,) = struct.unpack(">I", payload[cs + 4:cs + 8])
+            offs = struct.unpack(f">{nch}I", payload[cs + 8:cs + 8 + 4 * nch])
+        except ValueError:
+            cs, _ce = child(sboxes, b"co64")
+            (nch,) = struct.unpack(">I", payload[cs + 4:cs + 8])
+            offs = struct.unpack(f">{nch}Q", payload[cs + 8:cs + 8 + 8 * nch])
+        ks, _ke = child(sboxes, b"stsc")
+        (nsc,) = struct.unpack(">I", payload[ks + 4:ks + 8])
+        runs = [
+            struct.unpack(">III", payload[ks + 8 + 12 * i:ks + 20 + 12 * i])
+            for i in range(nsc)
+        ]
+        spc_by_chunk = []
+        for i, (first, spc, _sdi) in enumerate(runs):
+            last = runs[i + 1][0] - 1 if i + 1 < len(runs) else nch
+            spc_by_chunk += [spc] * (last - first + 1)
+        samples, si = [], 0
+        for c, off in enumerate(offs):
+            pos = off
+            for _ in range(spc_by_chunk[c] if c < len(spc_by_chunk) else 0):
+                if si >= cnt:
+                    break
+                samples.append((pos, sizes[si]))
+                pos += sizes[si]
+                si += 1
+        if si != cnt:
+            raise ValueError(
+                f"sample table inconsistent: stsc/stco cover {si} of "
+                f"{cnt} stsz samples"
+            )
+        return {"codec": codec, "width": w, "height": h, "samples": samples}
+    raise ValueError("no video trak in moov")
+
+
+def decode_mjpeg(payload: bytes) -> dict:
+    """REAL video decode for MJPEG-in-MP4: demux via
+    :func:`mp4_sample_table`, then run the full baseline JPEG decoder
+    on every frame's byte range. Non-MJPEG sample entries (avc1/hev1…)
+    raise ``NotImplementedError`` — those genuinely need ffmpeg; MJPEG
+    is the one video codec whose payload is decodable here, and it
+    makes the mdat path real instead of stubbed."""
+    st = mp4_sample_table(payload)
+    if st["codec"] != "jpeg":
+        raise NotImplementedError(
+            f"codec {st['codec']!r} inside mdat needs ffmpeg; MJPEG "
+            "('jpeg' sample entries) decodes here"
+        )
+    frames = [decode_jpeg(payload[o:o + s])["pixels"] for o, s in st["samples"]]
+    return {**st, "n_frames": len(frames), "frames": frames}
+
+
+MJPEG_GATE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("codec", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def mjpeg_roundtrip_features(docs: DataFrame) -> DataFrame:
+    """Oracle-gateable REAL video decode (q176): per document, write a
+    genuine MJPEG-in-MP4 (``2 + doc_id % 3`` 16×16 grayscale frames;
+    frame k's 8×8 block (i,j) is the constant even gray
+    ``2*((doc_id*11 + k*13 + i*3 + j*5) % 128)``; chunked every 2
+    frames so stsc expansion is on the hot path), then demux the
+    sample tables and run the FULL JPEG decoder on every frame inside
+    Arrow-batched ``mapInPandas``. Even gray levels survive Annex-K
+    quantization bit-exactly (the q137 invariant), so the SQL oracle
+    replays the decoded-pixel aggregates arithmetically while Spark
+    exercises container walk + demux + entropy decode + IDCT.
+    Map-only: no shuffle, linear in executors."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                frs = []
+                for k in range(2 + doc_id % 3):
+                    img = np.zeros((16, 16), dtype=np.uint8)
+                    for i in range(2):
+                        for j in range(2):
+                            img[i * 8:(i + 1) * 8, j * 8:(j + 1) * 8] = (
+                                2 * ((doc_id * 11 + k * 13 + i * 3 + j * 5)
+                                     % 128)
+                            )
+                    frs.append(img)
+                d = decode_mjpeg(encode_mjpeg_mp4(frs, samples_per_chunk=2))
+                px0 = d["frames"][0]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "codec": d["codec"],
+                        "n_frames": d["n_frames"],
+                        "width": d["width"],
+                        "height": d["height"],
+                        "checksum": int(
+                            px0[:CHECKSUM_PREFIX].astype(np.int64).sum() % 256
+                        ),
+                        "pixel_sum": int(
+                            sum(f.astype(np.int64).sum() for f in d["frames"])
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, MJPEG_GATE_SCHEMA)
+
+
+def mjpeg_gate_oracle_sql(table: str = "documents") -> str:
+    """DuckDB replay of :func:`mjpeg_roundtrip_features`' decoded-pixel
+    aggregates (valid because the even-gray fixture roundtrips the
+    JPEG quantizer bit-exactly)."""
+    g = "2 * ((b.doc_id * 11 + k.k * 13 + i.i * 3 + j.j * 5) % 128)"
+    return f"""
+WITH sub AS (SELECT doc_id FROM {table} WHERE doc_id % 4 = 2),
+blocks AS (
+  SELECT b.doc_id, {g} AS gray
+  FROM sub b, range(0, 4) k(k), range(0, 2) i(i), range(0, 2) j(j)
+  WHERE k.k < 2 + b.doc_id % 3
+)
+SELECT doc_id,
+       'jpeg' AS codec,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST((8 * (2 * ((doc_id * 11) % 128))
+             + 8 * (2 * ((doc_id * 11 + 5) % 128))) % 256 AS BIGINT)
+         AS checksum,
+       CAST(SUM(64 * gray) AS BIGINT) AS pixel_sum
+FROM blocks GROUP BY doc_id ORDER BY doc_id
 """

@@ -91,9 +91,10 @@ def test_exact_dedup_no_collisions(spark, sf_correct):
 
 
 def test_multimodal_stub_gate():
-    # jpeg/wav decode and the mp4 container walk are REAL since r4
-    # (bad bytes -> ValueError from the parser); a VALID mp4 container
-    # still raises NotImplementedError at the codec-payload boundary.
+    # jpeg/wav decode, the mp4 container walk, and MJPEG-in-MP4 codec
+    # decode are REAL since r4 (bad bytes -> ValueError from the
+    # parser); a valid mp4 WITHOUT an MJPEG video trak still raises
+    # NotImplementedError at the codec boundary (needs ffmpeg).
     with pytest.raises(ValueError):
         fn_mm.decode_media(b"\x00\x01", "jpeg")
     with pytest.raises(ValueError):

@@ -74,3 +74,106 @@ def test_gate_features_match_fixture_arithmetic(spark):
         assert r["duration"] == doc_id * 7 % 100000
         assert r["n_tracks"] == 1 + doc_id % 3
         assert r["mdat_bytes"] == 10 + doc_id % 50
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-MP4: real sample tables + real codec-payload decode
+# ---------------------------------------------------------------------------
+
+
+def _gray_frames(doc_id: int, nf: int):
+    import numpy as np
+
+    frames = []
+    for k in range(nf):
+        img = np.zeros((16, 16), np.uint8)
+        for i in range(2):
+            for j in range(2):
+                img[i * 8:(i + 1) * 8, j * 8:(j + 1) * 8] = (
+                    2 * ((doc_id * 11 + k * 13 + i * 3 + j * 5) % 128)
+                )
+        frames.append(img)
+    return frames
+
+
+def test_mjpeg_roundtrip_bit_exact_single_chunk():
+    import numpy as np
+
+    frames = _gray_frames(7, 3)
+    d = mm.decode_mjpeg(mm.encode_mjpeg_mp4(frames))
+    assert (d["codec"], d["n_frames"], d["width"], d["height"]) == \
+        ("jpeg", 3, 16, 16)
+    for k, f in enumerate(d["frames"]):
+        assert (f == frames[k].reshape(-1)).all(), k
+    assert isinstance(d["frames"][0], np.ndarray)
+
+
+def test_mjpeg_multi_chunk_stsc_expansion():
+    # 5 frames chunked by 2 -> chunks of 2/2/1: stsc needs TWO runs and
+    # the demuxer must walk stco offsets with per-chunk sample counts.
+    frames = _gray_frames(3, 5)
+    payload = mm.encode_mjpeg_mp4(frames, samples_per_chunk=2)
+    st = mm.mp4_sample_table(payload)
+    assert len(st["samples"]) == 5
+    sizes = [s for _o, s in st["samples"]]
+    direct = [len(mm.encode_jpeg(f)) for f in frames]
+    assert sizes == direct
+    d = mm.decode_mjpeg(payload)
+    for k, f in enumerate(d["frames"]):
+        assert (f == frames[k].reshape(-1)).all(), k
+
+
+def test_mjpeg_frame_slices_are_standalone_jpegs():
+    frames = _gray_frames(11, 4)
+    payload = mm.encode_mjpeg_mp4(frames, samples_per_chunk=3)
+    for (off, size), f in zip(mm.mp4_sample_table(payload)["samples"], frames):
+        blob = payload[off:off + size]
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        assert (mm.decode_jpeg(blob)["pixels"] == f.reshape(-1)).all()
+
+
+def test_mjpeg_container_still_parses_generically():
+    meta = mm.parse_mp4(mm.encode_mjpeg_mp4(_gray_frames(1, 2)))
+    assert meta["brand"] == "isom"
+    assert meta["n_tracks"] == 1
+    assert meta["timescale"] == 1000 and meta["duration"] == 80
+    assert meta["mdat_bytes"] > 0
+
+
+def test_non_mjpeg_codec_raises_not_implemented():
+    # swap the stsd fourcc to avc1: demux succeeds, decode refuses
+    payload = bytearray(mm.encode_mjpeg_mp4(_gray_frames(2, 2)))
+    idx = payload.find(b"stsd")
+    fourcc = payload.find(b"jpeg", idx)
+    payload[fourcc:fourcc + 4] = b"avc1"
+    st = mm.mp4_sample_table(bytes(payload))
+    assert st["codec"] == "avc1" and len(st["samples"]) == 2
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        mm.decode_mjpeg(bytes(payload))
+
+
+def test_decode_media_mp4_mjpeg_checksum_from_decoded_pixels():
+    frames = _gray_frames(5, 2)
+    feat = mm.decode_media(mm.encode_mjpeg_mp4(frames), "mp4")
+    expect = int(frames[0].reshape(-1)[:mm.CHECKSUM_PREFIX].sum()) % 256
+    assert feat["checksum"] == expect
+    assert (feat["width"], feat["height"]) == (16, 16)
+
+
+def test_mjpeg_gate_features_match_fixture_arithmetic(spark):
+    rows = [(i,) for i in range(2, 40, 4)]
+    docs = spark.createDataFrame(rows, "doc_id long")
+    out = {r["doc_id"]: r for r in mm.mjpeg_roundtrip_features(docs).collect()}
+    for (doc_id,) in rows:
+        nf = 2 + doc_id % 3
+        import numpy as np
+
+        frames = _gray_frames(doc_id, nf)
+        r = out[doc_id]
+        assert r["codec"] == "jpeg" and r["n_frames"] == nf
+        assert r["pixel_sum"] == sum(
+            int(f.astype(np.int64).sum()) for f in frames
+        )
+        assert r["checksum"] == int(
+            frames[0].reshape(-1)[:mm.CHECKSUM_PREFIX].astype(np.int64).sum()
+        ) % 256
