@@ -1889,6 +1889,40 @@ def q85_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_curation.tfidf_search_sql("spark", table=v))
 
 
+def q177_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-k relevance ranking (curation.bm25_search_sql):
+    q85's TF-IDF upgraded with the k1/b length normalization behind
+    Lucene's default similarity — exact integer tf/df/dl aggregates,
+    one fixed IEEE expression tree per term score, DECIMAL-accumulated
+    per-doc sum, 6dp round. At 100 TB the token stream is materialized
+    once and the idf relation is broadcast-sized."""
+    v = _view(spark, sf_dir, "documents", "q177")
+    return spark.sql(fn_curation.bm25_search_sql("spark", table=v))
+
+
+def q178_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle counting + global clustering coefficient
+    on the parts-sharing-an-order co-purchase graph
+    (components.triangle_count_sql, Schank-Wagner orientation): wedges
+    enumerate only from each node's out-edges in (degree, id) rank
+    order, bounding fan-out by O(sqrt(m)) under power-law skew — the
+    reason this survives hub nodes at 100 TB. All-integer output."""
+    v = _view(spark, sf_dir, "lineitem", "q178")
+    return spark.sql(fn_comp.triangle_count_sql("spark", lineitem=v))
+
+
+def q179_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection 64->16 dims with a
+    per-vector distortion audit (similarity.jl_projection_sql,
+    Achlioptas ±1 matrix synthesized from the Lehmer-mixed hash — never
+    materialized). Integer-exact projections/norms/checksums; the
+    distortion ratio is the one float op, FLOOR-truncated identically
+    on both engines. Map-side combine collapses the explode x K fanout
+    to N x K rows before the only shuffle."""
+    v = _view(spark, sf_dir, "embeddings", "q179")
+    return spark.sql(fn_sim.jl_projection_sql("spark", table=v))
+
+
 def q84_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): status-conditional counts widened per priority,
     then unpivoted back to (priority, status, cnt) rows — the inverse
@@ -4978,6 +5012,9 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q162_join_view_maintenance": q162_join_view_maintenance,
         "q163_mp4_probe": q163_mp4_probe,
         "q176_mjpeg_video_decode": q176_mjpeg_video_decode,
+        "q177_bm25_search": q177_bm25_search,
+        "q178_triangle_count": q178_triangle_count,
+        "q179_jl_projection": q179_jl_projection,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -5739,6 +5776,9 @@ def oracle_sql() -> dict[str, str]:
         "q162_join_view_maintenance": _join_view_oracle_sql(),
         "q163_mp4_probe": fn_mm.mp4_gate_oracle_sql(),
         "q176_mjpeg_video_decode": fn_mm.mjpeg_gate_oracle_sql(),
+        "q177_bm25_search": fn_curation.bm25_search_sql("duckdb"),
+        "q178_triangle_count": fn_comp.triangle_count_sql("duckdb"),
+        "q179_jl_projection": fn_sim.jl_projection_sql("duckdb"),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

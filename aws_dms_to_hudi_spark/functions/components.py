@@ -273,3 +273,74 @@ FROM {cur}
 ORDER BY score DESC, node
 LIMIT {top}
 """
+
+
+def triangle_count_sql(dialect: str, lineitem: str = "lineitem") -> str:
+    """Degree-ordered triangle counting + global clustering coefficient
+    over the co-purchase graph (parts that share an order — the
+    market-basket projection of lineitem).
+
+    Algorithm (Schank–Wagner / Cohen's MapReduce orientation): orient
+    every undirected edge from its lower-(degree, id) endpoint to the
+    higher one, enumerate wedges only from each node's OUT-edges with
+    the two out-neighbors in rank order, and close each wedge against
+    the oriented edge set. Each triangle is counted exactly once (from
+    its minimum-rank vertex), and the wedge fan-out per node is
+    bounded by its OUT-degree ≤ O(√m) — the orientation is what makes
+    all-pairs-of-neighbors survive power-law degree skew at 100 TB,
+    where a hub with degree 10⁶ would otherwise emit 10¹² wedges.
+
+    Edge build: per-order pair expansion is C(items_per_order, 2),
+    bounded (≤ 7 lineitems/order in TPC-H-shaped data); a production
+    run on unbounded baskets would cap or sample basket size first.
+    Everything else is equi-joins + hash aggregates on integer keys;
+    all-integer output (gcc in ppm via truncating div), so the result
+    is bit-identical across engines and partition layouts.
+
+    Output: one row — nodes, edges, wedges, triangles, and the global
+    clustering coefficient 3·Δ/wedges in ppm."""
+    from . import portable as P
+
+    lower = "(du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)"
+    wedges = P.int_div("d * (d - 1)", "2", dialect)
+    gcc = P.int_div("3000000 * t.n_tri", "w.w", dialect)
+    return f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM {lineitem}
+),
+edges AS (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges) n
+  GROUP BY node
+),
+oriented AS (
+  SELECT CASE WHEN {lower} THEN e.u ELSE e.v END AS s,
+         CASE WHEN {lower} THEN e.v ELSE e.u END AS t,
+         CASE WHEN {lower} THEN dv.d ELSE du.d END AS td
+  FROM edges e
+  JOIN deg du ON e.u = du.node
+  JOIN deg dv ON e.v = dv.node
+),
+tri AS (
+  SELECT COUNT(*) AS n_tri
+  FROM oriented o1
+  JOIN oriented o2
+    ON o1.s = o2.s
+   AND (o1.td < o2.td OR (o1.td = o2.td AND o1.t < o2.t))
+  JOIN oriented o3 ON o3.s = o1.t AND o3.t = o2.t
+),
+w AS (SELECT SUM({wedges}) AS w FROM deg)
+SELECT CAST(nn.n AS BIGINT) AS n_nodes,
+       CAST(ne.n AS BIGINT) AS n_edges,
+       CAST(w.w AS BIGINT) AS n_wedges,
+       CAST(t.n_tri AS BIGINT) AS n_triangles,
+       CAST({gcc} AS BIGINT) AS gcc_ppm
+FROM tri t
+CROSS JOIN (SELECT COUNT(*) AS n FROM deg) nn
+CROSS JOIN (SELECT COUNT(*) AS n FROM edges) ne
+CROSS JOIN w
+"""

@@ -478,3 +478,71 @@ SELECT doc_id, COUNT(*) AS n_tokens,
          AS enc_checksum
 FROM enc GROUP BY doc_id ORDER BY doc_id
 """
+
+
+def bm25_search_sql(
+    dialect: str,
+    table: str = "documents",
+    terms: tuple[str, ...] = SEARCH_TERMS,
+    k: int = 20,
+) -> str:
+    """Okapi BM25 relevance top-k for a fixed term list (Robertson &
+    Walker; the ranking function behind Lucene/Elasticsearch defaults)
+    — the length-normalized upgrade of q85's raw TF-IDF.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df + ½)/(df + ½) + 1)  (the non-negative variant),
+    k1 = 1.2, b = 0.75.
+
+    Engine determinism: every input (tf, df, dl, N, Σdl) is an exact
+    integer aggregate; avgdl and the per-term score evaluate through
+    ONE fixed IEEE-double expression tree (identical on both engines —
+    the q76/q85 contract, ln being correctly-rounded libm), per-doc
+    accumulation is DECIMAL so partial-agg order can't reorder float
+    adds, and the 6dp round happens once at the end.
+
+    Scale: two passes over the token stream (doc lengths + term hits);
+    `tok` is referenced by both — at 100 TB materialize it (the
+    dedup.materialize pattern) so Spark's CTE inlining can't double
+    tokenize. Joins after `tf` touch only matched (doc, term) rows and
+    the |terms|-row idf relation (broadcast-sized)."""
+    toks = P.tokens("text", dialect)
+    tok_rows = _explode(dialect, "doc_id", "toked", "toks", "t")
+    term_list = ", ".join(f"'{t}'" for t in terms)
+    half = "(CAST(5 AS DOUBLE) / 10)"
+    k1 = "(CAST(12 AS DOUBLE) / 10)"
+    k1p1 = "(CAST(22 AS DOUBLE) / 10)"
+    b = "(CAST(75 AS DOUBLE) / 100)"
+    one = "CAST(1 AS DOUBLE)"
+    tfd = "CAST(tf.tf AS DOUBLE)"
+    dl_ratio = "(CAST(dl.dl AS DOUBLE) / s.avgdl)"
+    denom = f"({tfd} + {k1} * (({one} - {b}) + {b} * {dl_ratio}))"
+    term_score = f"idf.idf * ({tfd} * {k1p1}) / {denom}"
+    return f"""
+WITH toked AS (SELECT doc_id, {toks} AS toks FROM {table}),
+tok AS ({tok_rows}),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n
+  FROM dl
+),
+hits AS (SELECT doc_id, t FROM tok WHERE t IN ({term_list})),
+tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM hits GROUP BY doc_id, t),
+idf AS (
+  SELECT t,
+         ln((s.n - COUNT(DISTINCT doc_id) + {half})
+            / (COUNT(DISTINCT doc_id) + {half}) + {one}) AS idf
+  FROM hits CROSS JOIN stats s
+  GROUP BY t, s.n
+)
+SELECT tf.doc_id,
+       ROUND(CAST(SUM(CAST({term_score} AS DECIMAL(18,9))) AS DOUBLE), 6)
+         AS score
+FROM tf
+JOIN idf ON tf.t = idf.t
+JOIN dl ON tf.doc_id = dl.doc_id
+CROSS JOIN stats s
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id
+LIMIT {k}
+"""

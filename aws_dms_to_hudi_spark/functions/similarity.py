@@ -1071,3 +1071,63 @@ def pq_adc(spark, table: str, num_queries: int = 5, k: int = 3):
             views = (ivv, c1v)
             _PQ_CACHE[key] = views
     return spark.sql(_pq_main_sql(views[0], views[1], num_queries, k))
+
+
+JL_K = 16  # target dimensionality of the sign random projection
+
+
+def jl_projection_sql(dialect: str, table: str = "embeddings") -> str:
+    """Johnson–Lindenstrauss sign random projection (Achlioptas 2003:
+    ±1 entries suffice) from DIM=64 to ``JL_K``=16 dimensions, with a
+    per-vector distortion audit — the dimensionality-reduction
+    preprocessing step ahead of ANN indexing / clustering at 100 TB
+    (4× fewer bytes per vector before LSH/IVF/PQ even start).
+
+    The projection matrix is never materialized: entry sign(d, k) =
+    1 − 2·(mix(d·K + k) mod 2), with the Lehmer double-mix from the
+    sketch family (sketches._mix) decorrelating the small integer
+    inputs — fully deterministic, engine-portable, and identical on
+    any partition layout. Coordinates ride the exact int64 scaling of
+    :func:`_emb_rows`, so projections, norms, and checksums are
+    all-integer; the only float op is the final distortion ratio,
+    one fixed IEEE expression tree + FLOOR (truncation is explicit
+    because DuckDB rounds on double→BIGINT casts while Spark
+    truncates).
+
+    E[‖proj‖²] = K·‖x‖², so distortion_ppm = 10⁶·‖proj‖²/(K·‖x‖²)
+    concentrates around 10⁶ — the audit column the JL lemma bounds.
+
+    Scale: one explode (N·DIM rows) cross-joined with the K-row VALUES
+    list, collapsed by map-side partial aggregation to N·K rows before
+    the only shuffle (a vector's rows are co-partitioned after the
+    explode, so combiners do the full collapse); per-row cost is
+    DIM·K integer multiply-adds. No UDFs, no driver loops."""
+    from .sketches import _mix
+
+    ks = ", ".join(f"({k})" for k in range(JL_K))
+    sign = f"(1 - 2 * ({_mix(f'CAST(iv.dim * {JL_K} + ks.k AS BIGINT)')} % 2))"
+    ratio = (
+        f"FLOOR(CAST(p2.normp2 AS DOUBLE) * CAST(1000000 AS DOUBLE)"
+        f" / (CAST({JL_K} AS DOUBLE) * CAST(n2.norm2 AS DOUBLE)))"
+    )
+    return f"""
+WITH iv AS ({_emb_rows(dialect, table)}),
+ks AS (SELECT * FROM (VALUES {ks}) AS t(k)),
+proj AS (
+  SELECT iv.vec_id, ks.k, SUM({sign} * iv.x) AS p
+  FROM iv CROSS JOIN ks
+  GROUP BY iv.vec_id, ks.k
+),
+n2 AS (SELECT vec_id, SUM(x * x) AS norm2 FROM iv GROUP BY vec_id),
+p2 AS (
+  SELECT vec_id, SUM(p * p) AS normp2, SUM(p * (k + 1)) AS proj_checksum
+  FROM proj GROUP BY vec_id
+)
+SELECT n2.vec_id AS vec_id,
+       CAST(n2.norm2 AS BIGINT) AS norm2,
+       CAST(p2.normp2 AS BIGINT) AS normp2,
+       CAST(p2.proj_checksum AS BIGINT) AS proj_checksum,
+       CAST({ratio} AS BIGINT) AS distortion_ppm
+FROM n2 JOIN p2 ON n2.vec_id = p2.vec_id
+ORDER BY vec_id
+"""

@@ -705,3 +705,62 @@ class TestIncrementalIngestDedup:
         assert out[10]["best_match"] in (1, 2)
         assert not out[20]["is_dup"] and out[20]["best_match"] is None
         assert not out[30]["is_dup"] and not out[40]["is_dup"]  # delta x delta excluded
+
+
+class TestBm25:
+    def test_length_normalization_beats_tfidf(self, spark):
+        """Same tf, different doc length: BM25 must score the SHORT doc
+        higher (the k1/b normalization raw TF-IDF lacks)."""
+        from aws_dms_to_hudi_spark.functions import curation as fn_c
+
+        filler = " ".join(f"w{i}" for i in range(200))
+        rows = [
+            (1, "spark join spark"),                  # short, tf=2
+            (2, "spark join spark " + filler),        # long, same tf
+            (3, filler),                              # no hit
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .createOrReplaceTempView("__bm25_docs")
+        out = spark.sql(
+            fn_c.bm25_search_sql("spark", table="__bm25_docs")
+        ).collect()
+        got = {r["doc_id"]: r["score"] for r in out}
+        assert set(got) == {1, 2}
+        assert got[1] > got[2] > 0
+
+
+class TestTriangleCount:
+    def test_hand_counted_fixture(self, spark):
+        """Baskets {1,2,3}, {1,2,3,4}, {4,5}, {5,6}, {6,1}: 9 edges,
+        triangles 123/124/134/234 = 4, wedges 20, gcc 0.6."""
+        from aws_dms_to_hudi_spark.functions import components as fn_cp
+
+        rows = [(10, 1), (10, 2), (10, 3), (20, 1), (20, 2), (20, 3),
+                (20, 4), (30, 4), (30, 5), (40, 5), (40, 6), (50, 6),
+                (50, 1)]
+        spark.createDataFrame(rows, "l_orderkey long, l_partkey long") \
+            .createOrReplaceTempView("__tri_li")
+        [r] = spark.sql(
+            fn_cp.triangle_count_sql("spark", lineitem="__tri_li")
+        ).collect()
+        assert (r["n_nodes"], r["n_edges"], r["n_wedges"],
+                r["n_triangles"], r["gcc_ppm"]) == (6, 9, 20, 4, 600000)
+
+
+class TestJlProjection:
+    def test_distortion_concentrates_and_layout_independent(self, spark):
+        from aws_dms_to_hudi_spark.functions import similarity as fn_s
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        emb.createOrReplaceTempView("__jl_emb")
+        rows = spark.sql(
+            fn_s.jl_projection_sql("spark", table="__jl_emb")
+        ).collect()
+        assert all(r["norm2"] > 0 and r["normp2"] >= 0 for r in rows)
+        mean_ppm = sum(r["distortion_ppm"] for r in rows) / len(rows)
+        assert 700_000 < mean_ppm < 1_300_000  # E[ratio]=1, chi^2_16 tails
+        emb.repartition(7).createOrReplaceTempView("__jl_emb")
+        again = spark.sql(
+            fn_s.jl_projection_sql("spark", table="__jl_emb")
+        ).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
