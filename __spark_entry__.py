@@ -1923,6 +1923,99 @@ def q179_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_sim.jl_projection_sql("spark", table=v))
 
 
+def q180_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from the customer CDC stream
+    (incremental.scd2_history): one validity interval per (key,
+    change) with valid_from/valid_to commit versions and is_current —
+    in-batch precombine (max trx_seq, the D4 rule), deletes close
+    intervals without opening one, re-inserts open fresh intervals.
+    Exercised by the fixture's full event mix: double-update in batch
+    1 (%10=3 then %100=3), hard delete in batch 2 (%10=7), reinsert in
+    batch 3 (%20=7). Oracle: the same 4 shared-dialect batch
+    definitions replayed with window functions in DuckDB. One shuffle
+    on the record key; per-key window state is the key's change count,
+    never a global sort."""
+    rec = cdc.RECIPES["customer"]
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__scd2_customer")
+    batches = [
+        (b, spark.sql(cdc.batch_sql(rec, b, src="__scd2_customer")))
+        for b in range(cdc.N_BATCHES)
+    ]
+    return fn_incr.scd2_history(
+        batches, ["c_custkey"], ["c_acctbal", "c_mktsegment"]
+    ).orderBy("c_custkey", "valid_from")
+
+
+def _scd2_oracle_sql() -> str:
+    rec = cdc.RECIPES["customer"]
+    parts = ",\n".join(
+        f"b{b} AS ({cdc.batch_sql(rec, b)})" for b in range(cdc.N_BATCHES)
+    )
+    union = " UNION ALL ".join(
+        f"SELECT c_custkey, c_acctbal, c_mktsegment, trx_seq, "
+        f"_hoodie_is_deleted AS del, {b} AS v FROM b{b}"
+        for b in range(cdc.N_BATCHES)
+    )
+    return f"""
+WITH {parts},
+tagged AS ({union}),
+latest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY c_custkey, v ORDER BY trx_seq DESC) AS rn
+    FROM tagged) t WHERE rn = 1
+),
+closed AS (
+  SELECT *, lead(v) OVER (PARTITION BY c_custkey ORDER BY v) AS valid_to
+  FROM latest
+)
+SELECT c_custkey, c_acctbal, c_mktsegment,
+       CAST(v AS BIGINT) AS valid_from, CAST(valid_to AS BIGINT) AS valid_to,
+       valid_to IS NULL AS is_current
+FROM closed WHERE NOT del ORDER BY c_custkey, valid_from
+"""
+
+
+def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positive PMI token co-occurrence (curation.ppmi_pairs_sql,
+    Church & Hanks association): window-2 position self-join (fan-out
+    ≤ 2 per token, co-partitioned on doc_id with the explode — never
+    token × token), exact integer pair/unigram/total counts, one ln
+    per reported pair. The phrase-detection / embedding-prep step."""
+    v = _view(spark, sf_dir, "documents", "q181")
+    return spark.sql(fn_curation.ppmi_pairs_sql("spark", table=v))
+
+
+def q182_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL crawl dedup (curation.canonical_url_sql): messy
+    fixture URLs (case noise, www., explicit :443, utm_* tracking
+    params, unsorted query, fragments) REALLY parsed and normalized
+    with regexp component extraction + split/filter/sort/join — no
+    UDFs, whole-stage codegen. The fixture's moduli make doc d and
+    d+420 true refetches, so dup groups are exercised. One map pass +
+    one hash-agg on the canonical string."""
+    v = _view(spark, sf_dir, "documents", "q182")
+    return spark.sql(fn_curation.canonical_url_sql("spark", table=v))
+
+
+def q183_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (curation.dq_audit_sql,
+    the dbt-test/Deequ analog): referential, key, domain, and temporal
+    rules fused as conditional aggregates into ONE pass per fact table
+    — 3 scans instead of rules × scans at 100 TB; dimensions ride the
+    join build side. Zero-violation rows prove constraints held over
+    n_checked rows; the ships-within-90d rule is genuinely violated,
+    proving the counting path is live."""
+    return spark.sql(fn_curation.dq_audit_sql(
+        "spark",
+        orders=_view(spark, sf_dir, "orders", "q183"),
+        customer=_view(spark, sf_dir, "customer", "q183"),
+        lineitem=_view(spark, sf_dir, "lineitem", "q183"),
+        nation=_view(spark, sf_dir, "nation", "q183"),
+        part=_view(spark, sf_dir, "part", "q183"),
+    ))
+
+
 def q84_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): status-conditional counts widened per priority,
     then unpivoted back to (priority, status, cnt) rows — the inverse
@@ -5015,6 +5108,10 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_bm25_search": q177_bm25_search,
         "q178_triangle_count": q178_triangle_count,
         "q179_jl_projection": q179_jl_projection,
+        "q180_scd2_history": q180_scd2_history,
+        "q181_ppmi_pairs": q181_ppmi_pairs,
+        "q182_canonical_url_dedup": q182_canonical_url_dedup,
+        "q183_dq_audit": q183_dq_audit,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -5779,6 +5876,10 @@ def oracle_sql() -> dict[str, str]:
         "q177_bm25_search": fn_curation.bm25_search_sql("duckdb"),
         "q178_triangle_count": fn_comp.triangle_count_sql("duckdb"),
         "q179_jl_projection": fn_sim.jl_projection_sql("duckdb"),
+        "q180_scd2_history": _scd2_oracle_sql(),
+        "q181_ppmi_pairs": fn_curation.ppmi_pairs_sql("duckdb"),
+        "q182_canonical_url_dedup": fn_curation.canonical_url_sql("duckdb"),
+        "q183_dq_audit": fn_curation.dq_audit_sql("duckdb"),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

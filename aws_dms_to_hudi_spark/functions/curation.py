@@ -546,3 +546,215 @@ GROUP BY tf.doc_id
 ORDER BY score DESC, tf.doc_id
 LIMIT {k}
 """
+
+
+PMI_WINDOW = 2    # co-occurrence window: tokens ≤ 2 positions apart
+PMI_MIN_PAIRS = 5  # noise floor for reported pairs
+PMI_TOP_K = 30
+
+
+def ppmi_pairs_sql(dialect: str, table: str = "documents") -> str:
+    """Positive PMI token co-occurrence (the word2vec/GloVe-era PPMI
+    matrix; Church & Hanks association scores): pairs of tokens within
+    ``PMI_WINDOW`` positions in a document, scored by
+    max(0, ln(p(a,b) / (p(a)·p(b)))) with unigram marginals, top
+    ``PMI_TOP_K`` by score — the association-mining step of an
+    embedding/phrase-detection pipeline.
+
+    Counts (pair, unigram, totals) are exact integer aggregates; the
+    single ln evaluates one fixed IEEE expression tree from those
+    integers (the q76/q85 libm contract), rounded to 6dp. The pair is
+    canonicalized (lexicographic min/max), so (a,b) and (b,a) merge.
+
+    Scale: positions self-join fans out ≤ PMI_WINDOW rows per token
+    (join on doc_id + bounded position offset — never token × token),
+    unigram counts are one hash-agg, and the final join attaches two
+    broadcast-sized marginal relations. At 100 TB the position join
+    shuffles on doc_id, i.e. stays co-partitioned with the explode."""
+    from .dedup import _posexplode
+
+    toks = P.tokens("text", dialect)
+    rows = _posexplode(
+        dialect, "doc_id", f"(SELECT doc_id, {toks} AS toks FROM {table}) s",
+        "toks", "pos", "t"
+    )
+    arg = (
+        "(CAST(pc.n AS DOUBLE) * CAST(nt.n AS DOUBLE) * CAST(nt.n AS DOUBLE))"
+        " / (CAST(pt.n AS DOUBLE) * CAST(ua.n AS DOUBLE)"
+        " * CAST(ub.n AS DOUBLE))"
+    )
+    return f"""
+WITH tok AS ({rows}),
+uni AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+nt AS (SELECT COUNT(*) AS n FROM tok),
+pairs AS (
+  SELECT CASE WHEN a.t < b.t THEN a.t ELSE b.t END AS tok_a,
+         CASE WHEN a.t < b.t THEN b.t ELSE a.t END AS tok_b
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id
+   AND b.pos > a.pos AND b.pos <= a.pos + {PMI_WINDOW}
+   AND a.t <> b.t
+),
+pc AS (SELECT tok_a, tok_b, COUNT(*) AS n FROM pairs GROUP BY tok_a, tok_b),
+pt AS (SELECT COUNT(*) AS n FROM pairs)
+SELECT pc.tok_a, pc.tok_b, CAST(pc.n AS BIGINT) AS n_pairs,
+       ROUND(GREATEST(CAST(0 AS DOUBLE), ln({arg})), 6) AS ppmi
+FROM pc
+JOIN uni ua ON pc.tok_a = ua.t
+JOIN uni ub ON pc.tok_b = ub.t
+CROSS JOIN nt CROSS JOIN pt
+WHERE pc.n >= {PMI_MIN_PAIRS}
+ORDER BY ppmi DESC, tok_a, tok_b
+LIMIT {PMI_TOP_K}
+"""
+
+
+def canonical_url_sql(dialect: str, table: str = "documents") -> str:
+    """Canonical-URL deduplication (the web-crawl precursor to text
+    dedup: CommonCrawl-style pipelines drop refetches of the same
+    resource before ever reading bodies). Each document's URL — the
+    fixture synthesizes one deterministically from doc fields with
+    messy casing, a www. prefix, an explicit default port, tracking
+    parameters, unsorted query params, and a fragment — is REALLY
+    parsed and normalized:
+
+      scheme/host lowercased, 'www.' stripped, default :443 port
+      stripped, fragment dropped, utm_* tracking params removed,
+      remaining query parameters sorted.
+
+    Output: one row per canonical URL with its refetch count and the
+    kept representative (min doc_id); the fixture's moduli guarantee
+    genuine collisions (doc d and d+420 canonicalize identically), so
+    the dedup path is exercised, not vacuous. Pure string expressions
+    (regexp component extraction + split/filter/sort/join on params) —
+    JVM codegen on Spark, no UDFs; exact string equality across
+    engines.
+
+    Scale: per-row map work then one hash-agg on the canonical string;
+    at 100 TB this groupBy shuffles the (short) canonical key, and the
+    agg is map-side-combinable. The canonical key ALSO becomes the
+    natural partition/bucket column for downstream near-dup passes."""
+    cast_s = "STRING" if dialect == "spark" else "VARCHAR"
+    # Spark string literals process backslash escapes; DuckDB's do not
+    # (the norm_text trap) -- bs renders ONE regex backslash per dialect.
+    bs = "\\\\" if dialect == "spark" else "\\"
+
+    def canon_params(q: str) -> str:
+        kept = P.filter_(q, "x", "x NOT LIKE 'utm_%'", dialect)
+        if dialect == "spark":
+            return f"array_join(array_sort({kept}), '&')"
+        return f"array_to_string(list_sort({kept}), '&')"
+
+    split = "split" if dialect == "spark" else "string_split"
+    url = (
+        "concat(CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END,"
+        " CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END,"
+        " 'Src-', source, '.Example.com',"
+        " CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,"
+        f" '/articles/', CAST(doc_id % 5 AS {cast_s}),"
+        f" '?utm_source=feed', '&b=', CAST(doc_id % 3 AS {cast_s}),"
+        f" '&a=', CAST(doc_id % 7 AS {cast_s}), '&utm_campaign=news',"
+        " CASE WHEN doc_id % 4 = 0 THEN '#section' ELSE '' END)"
+    )
+    scheme = "lower(regexp_extract(url, '^([A-Za-z]+)://', 1))"
+    hostport = "lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1))"
+    host = (
+        f"regexp_replace(regexp_replace({hostport}, '^www{bs}.', ''),"
+        " ':443$', '')"
+    )
+    path = "regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)"
+    query = f"regexp_extract(url, '{bs}?([^#]*)', 1)"
+    params = canon_params(f"{split}({query}, '&')")
+    canon = (
+        f"concat({scheme}, '://', {host}, {path},"
+        f" CASE WHEN {params} = '' THEN '' "
+        f"ELSE concat('?', {params}) END)"
+    )
+    return f"""
+WITH urls AS (SELECT doc_id, {url} AS url FROM {table}),
+canon AS (SELECT doc_id, {canon} AS canonical_url FROM urls)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+FROM canon
+GROUP BY canonical_url
+ORDER BY canonical_url
+"""
+
+
+def dq_audit_sql(
+    dialect: str,
+    orders: str = "orders",
+    customer: str = "customer",
+    lineitem: str = "lineitem",
+    nation: str = "nation",
+    part: str = "part",
+) -> str:
+    """Declarative data-quality audit (the dbt-test / Deequ
+    constraint-suite analog): referential integrity, key, domain, and
+    temporal-ordering rules evaluated in ONE fused pass per fact table
+    — every rule on a table rides the same scan/join as conditional
+    aggregates instead of one query per rule, which is the difference
+    between 3 passes and 3 × |rules| passes over 100 TB.
+
+    Output: (rule, violations, n_checked) — zero-violation rows prove
+    the constraint HELD over n_checked rows (absence as evidence, the
+    audit contract); the ships-within-90-days rule is genuinely violated
+    in TPC-H-shaped data (shipdate spreads to orderdate+121d), proving the counting path is live.
+
+    Scale: referential checks are left joins with the dimension on the
+    build side (customer/nation broadcast-sized relative to facts;
+    orders⋈lineitem shuffles on the join key); the duplicate-key rule
+    is one hash-agg. All-integer output, engine-identical."""
+    return f"""
+WITH li AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orphan,
+         SUM(CASE WHEN l.l_quantity <= 0 THEN 1 ELSE 0 END) AS negqty,
+         SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM {lineitem} l LEFT JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+),
+ord AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS orphan,
+         SUM(CASE WHEN o.o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos,
+         SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS nullkey
+  FROM {orders} o LEFT JOIN {customer} c ON o.o_custkey = c.c_custkey
+),
+cust AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN nt.n_nationkey IS NULL THEN 1 ELSE 0 END) AS orphan
+  FROM {customer} c LEFT JOIN {nation} nt ON c.c_nationkey = nt.n_nationkey
+),
+pdup AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dups
+  FROM (SELECT p_partkey, COUNT(*) AS cnt FROM {part} GROUP BY p_partkey) g
+)
+SELECT 'customer_orphan_nationkey' AS rule,
+       CAST(cust.orphan AS BIGINT) AS violations,
+       CAST(cust.n AS BIGINT) AS n_checked FROM cust
+UNION ALL
+SELECT 'lineitem_ships_within_90d', CAST(li.late AS BIGINT),
+       CAST(li.n AS BIGINT) FROM li
+UNION ALL
+SELECT 'lineitem_nonpositive_qty', CAST(li.negqty AS BIGINT),
+       CAST(li.n AS BIGINT) FROM li
+UNION ALL
+SELECT 'lineitem_orphan_orderkey', CAST(li.orphan AS BIGINT),
+       CAST(li.n AS BIGINT) FROM li
+UNION ALL
+SELECT 'orders_nonpositive_totalprice', CAST(ord.nonpos AS BIGINT),
+       CAST(ord.n AS BIGINT) FROM ord
+UNION ALL
+SELECT 'orders_null_key', CAST(ord.nullkey AS BIGINT),
+       CAST(ord.n AS BIGINT) FROM ord
+UNION ALL
+SELECT 'orders_orphan_custkey', CAST(ord.orphan AS BIGINT),
+       CAST(ord.n AS BIGINT) FROM ord
+UNION ALL
+SELECT 'part_duplicate_pkey', CAST(pdup.dups AS BIGINT),
+       CAST(pdup.n AS BIGINT) FROM pdup
+ORDER BY rule
+"""

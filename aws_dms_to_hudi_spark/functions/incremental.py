@@ -41,6 +41,7 @@ from __future__ import annotations
 from typing import TYPE_CHECKING
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 if TYPE_CHECKING:
     from pyspark.sql import Column, DataFrame
@@ -252,3 +253,65 @@ def maintain_join_view(
     # `on=`-style joins reorder columns (join key first); pin the view's
     # declared projection order
     return kept.unionByName(fresh).select(*left_cols, *right_cols)
+
+
+def scd2_history(
+    batches: list[tuple[int, "DataFrame"]],
+    key_cols: list[str],
+    tracked_cols: list[str],
+    precombine: str = "trx_seq",
+    delete_col: str = "_hoodie_is_deleted",
+) -> "DataFrame":
+    """Slowly-changing-dimension Type-2 history from CDC batches: one
+    validity interval per (key, change) — ``valid_from`` = the commit
+    version that made the value active, ``valid_to`` = the version that
+    superseded it (NULL while current), ``is_current`` flag. Deletes
+    CLOSE the open interval without opening one (a later re-insert
+    opens a fresh interval), matching the dimension-table treatment of
+    hard deletes. Every upsert event opens a new interval, mirroring
+    commit semantics (no value-diff suppression — a no-op update is
+    still a new version, as in Hudi's timeline).
+
+    Plan shape: union of batch changelogs tagged with their version,
+    in-batch precombine (max ``precombine`` per key per version — the
+    D4 rule), then ONE window per key ordered by version for the
+    lead() that closes intervals. Both windows partition by the record
+    key, so state per task is a key's history (bounded by change
+    count), never a global sort — the same per-key-window contract as
+    the retention/funnel family. At 100 TB this is one shuffle on the
+    key, and incremental maintenance appends only the new version's
+    keys (close-and-open touches lead()-adjacent rows of changed keys
+    only)."""
+    from functools import reduce
+
+    tagged = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            df.select(
+                *key_cols, *tracked_cols, precombine,
+                F.col(delete_col).cast("boolean").alias("__del"),
+                F.lit(int(v)).alias("__v"),
+            )
+            for v, df in batches
+        ],
+    )
+    w_pre = Window.partitionBy(*key_cols, "__v").orderBy(
+        F.col(precombine).desc()
+    )
+    latest = (
+        tagged.withColumn("__rn", F.row_number().over(w_pre))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", precombine)
+    )
+    w_key = Window.partitionBy(*key_cols).orderBy("__v")
+    closed = latest.withColumn("valid_to", F.lead("__v").over(w_key))
+    return (
+        closed.filter(~F.col("__del"))
+        .select(
+            *key_cols,
+            *tracked_cols,
+            F.col("__v").cast("long").alias("valid_from"),
+            F.col("valid_to").cast("long"),
+            F.col("valid_to").isNull().alias("is_current"),
+        )
+    )
