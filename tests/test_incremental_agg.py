@@ -207,3 +207,90 @@ def test_join_view_tracks_full_recompute(spark, tmp_path):
         lc1.version, lc2.version, rc1.version, rc1.version,
     )
     assert _rows(state) == _rows(_jv_full(lt, rt, lc2.version, rc1.version))
+
+
+# --- SCD Type-2 history (scd2_history) ---------------------------------
+
+
+def _scd2(spark, batches):
+    dfs = [
+        (
+            v,
+            spark.createDataFrame(
+                rows,
+                "k int, val string, trx_seq string, "
+                "_hoodie_is_deleted boolean",
+            ),
+        )
+        for v, rows in batches
+    ]
+    return {
+        tuple(r)
+        for r in fn_incr.scd2_history(dfs, ["k"], ["val"]).collect()
+    }
+
+
+def test_scd2_insert_update_chain(spark):
+    got = _scd2(
+        spark,
+        [
+            (0, [(1, "a", "t0", False)]),
+            (1, [(1, "b", "t1", False)]),
+            (2, [(1, "c", "t2", False)]),
+        ],
+    )
+    assert got == {
+        (1, "a", 0, 1, False),
+        (1, "b", 1, 2, False),
+        (1, "c", 2, None, True),
+    }
+
+
+def test_scd2_delete_closes_without_opening(spark):
+    """A hard delete ends the open interval; no row represents the
+    deleted state, and nothing is current afterwards."""
+    got = _scd2(
+        spark,
+        [
+            (0, [(1, "a", "t0", False)]),
+            (1, [(1, "a", "t1", True)]),
+        ],
+    )
+    assert got == {(1, "a", 0, 1, False)}
+
+
+def test_scd2_reinsert_opens_fresh_interval(spark):
+    got = _scd2(
+        spark,
+        [
+            (0, [(1, "a", "t0", False)]),
+            (1, [(1, "a", "t1", True)]),
+            (2, [(1, "z", "t2", False)]),
+        ],
+    )
+    assert got == {(1, "a", 0, 1, False), (1, "z", 2, None, True)}
+
+
+def test_scd2_in_batch_precombine_picks_max_seq(spark):
+    """Two changes to one key inside one batch: only the max-trx_seq
+    row opens the interval (the D4 rule)."""
+    got = _scd2(
+        spark,
+        [(0, [(1, "first", "t0", False), (1, "second", "t1", False)])],
+    )
+    assert got == {(1, "second", 0, None, True)}
+
+
+def test_scd2_keys_are_independent(spark):
+    got = _scd2(
+        spark,
+        [
+            (0, [(1, "a", "t0", False), (2, "x", "t0", False)]),
+            (1, [(1, "b", "t1", False)]),
+        ],
+    )
+    assert got == {
+        (1, "a", 0, 1, False),
+        (1, "b", 1, None, True),
+        (2, "x", 0, None, True),
+    }
