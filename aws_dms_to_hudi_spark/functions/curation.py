@@ -758,3 +758,70 @@ SELECT 'part_duplicate_pkey', CAST(pdup.dups AS BIGINT),
        CAST(pdup.n AS BIGINT) FROM pdup
 ORDER BY rule
 """
+
+
+CHUNK_SIZE = 32    # tokens per chunk
+CHUNK_STRIDE = 16  # tokens between chunk starts (SIZE-STRIDE overlap)
+
+
+def chunk_documents_sql(dialect: str, table: str = "documents") -> str:
+    """Sliding-window document chunking (the LLM context-prep step:
+    RAG indexing and long-document training both shard documents into
+    overlapping token windows). Chunk c of a document covers token
+    positions [c·STRIDE, c·STRIDE + SIZE); each token therefore lands
+    in at most SIZE/STRIDE chunks — a CONSTANT fan-out (2× at the
+    defaults), expressed as a per-token chunk-id range explode, never a
+    token × chunk join. Trailing partial chunks are kept (they are the
+    document tail). Output: one row per chunk with its token count,
+    position bounds, and an order-sensitive content signature
+    Σ (offset+1)·tokenhash mod p — token hashes are computed ONCE per
+    token, before the chunk fan-out.
+
+    Scale: the chunk-id grouping key is (doc_id, chunk), co-partitioned
+    with the tokenize explode, so the hash-agg is map-side combinable
+    and the only shuffle is the final doc_id-keyed agg — the same
+    per-document contract as the shingle family. All-integer output."""
+    from .dedup import _posexplode
+
+    toks = P.tokens("text", dialect)
+    rows = _posexplode(
+        dialect, "doc_id", f"(SELECT doc_id, {toks} AS toks FROM {table}) s",
+        "toks", "pos", "t"
+    )
+    h = P.rolling_hash("t", dialect)
+    # ceil((pos-SIZE+1)/STRIDE) for the smallest covering chunk; all
+    # operands nonnegative under the CASE, so trunc-div == floor-div in
+    # both engines (the Python-vs-DuckDB // trap does not bite).
+    lo = (
+        f"CASE WHEN pos + 1 <= {CHUNK_SIZE} THEN 0 ELSE "
+        + P.int_div(
+            f"(pos - {CHUNK_SIZE} + {CHUNK_STRIDE})", str(CHUNK_STRIDE), dialect
+        )
+        + " END"
+    )
+    hi = P.int_div("pos", str(CHUNK_STRIDE), dialect)
+    if dialect == "spark":
+        fan = f"explode(sequence({lo}, {hi}))"
+        chunk_rows = (
+            f"SELECT doc_id, pos, h, chunk FROM th "
+            f"LATERAL VIEW {fan} _c AS chunk"
+        )
+    else:
+        chunk_rows = (
+            f"SELECT doc_id, pos, h, unnest(generate_series({lo}, {hi})) "
+            f"AS chunk FROM th"
+        )
+    return f"""
+WITH tok AS ({rows}),
+th AS (SELECT doc_id, pos, {h} AS h FROM tok),
+ch AS ({chunk_rows})
+SELECT doc_id, CAST(chunk AS BIGINT) AS chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(MIN(pos) AS BIGINT) AS first_pos,
+       CAST(MAX(pos) AS BIGINT) AS last_pos,
+       CAST(SUM((pos - chunk * {CHUNK_STRIDE} + 1) * h) % {P.HASH_P}
+            AS BIGINT) AS sig
+FROM ch
+GROUP BY doc_id, chunk
+ORDER BY doc_id, chunk_id
+"""

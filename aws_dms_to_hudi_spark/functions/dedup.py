@@ -977,3 +977,62 @@ JOIN all_names na ON na.id = c.doc_a
 JOIN all_names nb ON nb.id = c.doc_b
 WHERE levenshtein(na.name, nb.name) <= 1
 """
+
+
+SNM_WINDOW = 4  # sorted-neighborhood comparison window
+
+
+def snm_pairs_sql(dialect: str, table: str = "part") -> str:
+    """Multi-pass sorted-neighborhood entity resolution (Hernández &
+    Stolfo SIGMOD'95, the merge/purge method) — the sort-order
+    counterpart of q130's deletion-neighborhood blocking: records are
+    sorted by a blocking key and only a sliding window of SNM_WINDOW
+    neighbors is ever compared, so candidate volume is O(N·w), never
+    N². Two passes with different keys (the name, and its reverse —
+    front-typo and back-typo sensitive respectively) patch the classic
+    SNM miss where near-duplicates sort far apart under one key; the
+    union of both passes is deduplicated on the detected key pair.
+
+    Plan shape: per pass, ONE window partitioned by the key's first
+    character (never a global sort — blocks sort independently, the
+    two-pass union already tolerates block-boundary misses) producing
+    SNM_WINDOW lead() columns, stacked by UNION ALL (no self-join, no
+    block × block shuffle); exact levenshtein only on stacked
+    neighbors. Output: matched name pairs (edit distance 1-2) with
+    their supporting record-pair counts — all ties broken by key, so
+    the neighborhood itself is deterministic on any cluster layout."""
+    _lead_src = {"spark", "duckdb"}
+    if dialect not in _lead_src:
+        raise ValueError(f"unsupported dialect: {dialect}")
+
+    def pass_sql(blk: str, order: str) -> str:
+        leads = ", ".join(
+            f"lead(k,{i}) OVER (PARTITION BY blk ORDER BY {order}, k) AS k{i},"
+            f" lead(nm,{i}) OVER (PARTITION BY blk ORDER BY {order}, k)"
+            f" AS n{i}"
+            for i in range(1, SNM_WINDOW + 1)
+        )
+        stack = " UNION ALL ".join(
+            f"SELECT nm, k, n{i} AS nm2, k{i} AS k2 FROM l "
+            f"WHERE n{i} IS NOT NULL"
+            for i in range(1, SNM_WINDOW + 1)
+        )
+        return f"""
+WITH b AS (SELECT p_partkey AS k, p_name AS nm, {blk} AS blk FROM {table}),
+l AS (SELECT k, nm, {leads} FROM b)
+{stack}
+"""
+
+    return f"""
+WITH c1 AS ({pass_sql("substr(nm, 1, 1)", "nm")}),
+c2 AS ({pass_sql("substr(reverse(nm), 1, 1)", "reverse(nm)")}),
+cand AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+m AS (
+  SELECT DISTINCT LEAST(nm, nm2) AS name_a, GREATEST(nm, nm2) AS name_b,
+         CASE WHEN nm < nm2 THEN k ELSE k2 END AS ka,
+         CASE WHEN nm < nm2 THEN k2 ELSE k END AS kb
+  FROM cand WHERE levenshtein(nm, nm2) BETWEEN 1 AND 2
+)
+SELECT name_a, name_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM m GROUP BY name_a, name_b ORDER BY name_a, name_b
+"""

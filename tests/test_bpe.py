@@ -1,0 +1,84 @@
+"""BPE tokenizer training (functions/bpe.py): the Spark training loop,
+the DuckDB unrolled oracle, and an independent pure-Python greedy BPE
+must agree — including the self-pair (a = b) run case where greedy
+leftmost merging is non-trivial (matches overlap inside runs)."""
+
+import re
+from collections import Counter
+
+import duckdb
+import pytest
+
+from aws_dms_to_hudi_spark.functions import bpe
+
+
+def python_bpe(texts: list[str], rounds: int) -> list[tuple]:
+    """Independent greedy-leftmost BPE on normalized words."""
+    words = []
+    for t in texts:
+        t = re.sub(r"\s+", " ", t.strip().lower())
+        words.extend(list(w) for w in t.split(" ") if w)
+    merges = []
+    for r in range(rounds):
+        c: Counter = Counter()
+        for w in words:
+            for i in range(len(w) - 1):
+                c[(w[i], w[i + 1])] += 1
+        if not c:
+            break
+        (a, b), n = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((r, a, b, n))
+        for w in words:
+            i = 0
+            while i < len(w) - 1:
+                if w[i] == a and w[i + 1] == b:
+                    w[i : i + 2] = [a + b]
+                i += 1
+    return merges
+
+
+CORPORA = {
+    # self-pair runs: best pair is (a, a); "aaaa" must become "aa","aa"
+    # (two merges), "aaa" must become "aa","a" (one) — parity, not count
+    "runs": ["aaaa aaa aa xy", "aaaa aaa xy xy"],
+    # alternating pattern: non-overlapping matches of an a≠b pair
+    "alternating": ["ababab abab", "ababab ab cd"],
+    # multi-round chaining: early merges feed later pair counts
+    "chain": ["the thermal theory", "the theater there other ether"],
+}
+
+
+def _fixture_rows(texts):
+    # doc_ids 0..n-1 stay inside the BPE_SAMPLE_MOD sample for n ≤ 2
+    assert len(texts) <= bpe.BPE_SAMPLE_KEEP
+    return [(i, t) for i, t in enumerate(texts)]
+
+
+@pytest.mark.parametrize("name", sorted(CORPORA))
+def test_oracle_matches_python_reference(name):
+    texts = CORPORA[name]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", _fixture_rows(texts)
+    )
+    got = [tuple(r) for r in con.execute(bpe.bpe_oracle_sql(rounds=4)).fetchall()]
+    assert got == python_bpe(texts, 4)
+
+
+@pytest.mark.parametrize("name", sorted(CORPORA))
+def test_spark_train_matches_python_reference(spark, name):
+    texts = CORPORA[name]
+    spark.createDataFrame(
+        _fixture_rows(texts), "doc_id long, text string"
+    ).createOrReplaceTempView("__bpe_test_docs")
+    got = [
+        tuple(r)
+        for r in bpe.bpe_train(spark, "__bpe_test_docs", rounds=4).collect()
+    ]
+    assert got == python_bpe(texts, 4)
+
+
+def test_merge_literal_escaping():
+    assert bpe._lit("a'b") == "'a\\'b'"
+    assert bpe._lit("a\\b") == "'a\\\\b'"
