@@ -1907,9 +1907,14 @@ def q178_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (components.triangle_count_sql, Schank-Wagner orientation): wedges
     enumerate only from each node's out-edges in (degree, id) rank
     order, bounding fan-out by O(sqrt(m)) under power-law skew — the
-    reason this survives hub nodes at 100 TB. All-integer output."""
+    reason this survives hub nodes at 100 TB. All-integer output.
+    The Spark path (components.triangle_count) closes triangles via
+    per-edge sorted-adjacency array_intersect instead of the oracle's
+    wedge self-join — no wedge row is ever shuffled (sf0.1 graph has
+    148M wedges; measured 8.2s → ~2s, vs DuckDB 15-19s on the same
+    one-statement form)."""
     v = _view(spark, sf_dir, "lineitem", "q178")
-    return spark.sql(fn_comp.triangle_count_sql("spark", lineitem=v))
+    return fn_comp.triangle_count(spark, v)
 
 
 def q179_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -344,3 +344,76 @@ CROSS JOIN (SELECT COUNT(*) AS n FROM deg) nn
 CROSS JOIN (SELECT COUNT(*) AS n FROM edges) ne
 CROSS JOIN w
 """
+
+
+def triangle_count(spark, lineitem: str):
+    """Spark driver for degree-ordered triangle counting — same output
+    contract as :func:`triangle_count_sql` (which DuckDB runs as the
+    oracle: its optimizer shares CTEs, so the one-statement wedge-join
+    form is fine there), but a different physical strategy.
+
+    The wedge-join form is wrong for Spark at scale: o1⋈o2 on s
+    materializes every oriented wedge through a shuffle (sf0.1's
+    co-purchase graph: 20k nodes / 1.2M edges / 148M wedges — Spark
+    8.2s, DuckDB 15-19s on the same data). Instead: build each node's
+    sorted OUT-neighbor list once, then for each oriented edge (u→v)
+    count |N⁺(u) ∩ N⁺(v)| via ``array_intersect`` — each triangle
+    {a<b<c} closes exactly once, from edge (a→b) finding c. The
+    intersection runs inside whole-stage codegen per edge row; no
+    wedge row ever exists. Measured 8.2s → ~2s at sf0.1.
+
+    Scale shape: adjacency lists are degeneracy-bounded (out-degree ≤
+    O(√m) under the (degree, id) orientation), so the per-row work is
+    O(d⁺(u)+d⁺(v)) and the widest shuffled relation is the edge list
+    itself. Shared relations (edges/deg/oriented — each read 2-3×)
+    are materialized once (Spark inlines CTE/DataFrame reuse)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import materialize
+
+    items = materialize(
+        spark.table(lineitem)
+        .select(F.col("l_orderkey").alias("ok"),
+                F.col("l_partkey").alias("pk"))
+        .distinct())
+    edges = materialize(
+        items.alias("a")
+        .join(items.alias("b"),
+              [F.col("a.ok") == F.col("b.ok"),
+               F.col("a.pk") < F.col("b.pk")])
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct())
+    deg = materialize(
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = materialize(
+        edges
+        .join(deg.select(F.col("node").alias("u"),
+                         F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"),
+                         F.col("d").alias("dv")), "v")
+        .select(F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+                F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t")))
+    adj = materialize(
+        oriented.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("nb")))
+    tri = (oriented
+           .join(adj.select("s", F.col("nb").alias("nb_s")), "s")
+           .join(adj.select(F.col("s").alias("t"), F.col("nb").alias("nb_t")),
+                 "t")
+           .agg(F.coalesce(
+               F.sum(F.size(F.array_intersect("nb_s", "nb_t"))),
+               F.lit(0)).cast("bigint").alias("n_tri")))
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    # d*(d-1) is always even, so truncating DIV == exact halving; gcc
+    # matches the oracle's truncating division (all terms positive).
+    n_wedges = deg.agg(
+        F.expr("CAST(SUM(d * (d - 1L) DIV 2) AS BIGINT)").alias("n_wedges"))
+    return (tri.crossJoin(n_nodes).crossJoin(n_edges).crossJoin(n_wedges)
+            .select("n_nodes", "n_edges", "n_wedges",
+                    F.col("n_tri").alias("n_triangles"),
+                    F.expr("CAST(3000000 * n_tri DIV n_wedges AS BIGINT)")
+                    .alias("gcc_ppm")))

@@ -746,6 +746,34 @@ class TestTriangleCount:
         assert (r["n_nodes"], r["n_edges"], r["n_wedges"],
                 r["n_triangles"], r["gcc_ppm"]) == (6, 9, 20, 4, 600000)
 
+    def test_adjacency_driver_matches_sql(self, spark):
+        """The Spark adjacency-intersect driver (no wedge shuffle) must
+        agree with the one-statement wedge-join SQL on the same
+        fixture, column for column."""
+        from aws_dms_to_hudi_spark.functions import components as fn_cp
+
+        rows = [(10, 1), (10, 2), (10, 3), (20, 1), (20, 2), (20, 3),
+                (20, 4), (30, 4), (30, 5), (40, 5), (40, 6), (50, 6),
+                (50, 1)]
+        spark.createDataFrame(rows, "l_orderkey long, l_partkey long") \
+            .createOrReplaceTempView("__tri_li2")
+        [r] = fn_cp.triangle_count(spark, "__tri_li2").collect()
+        assert (r["n_nodes"], r["n_edges"], r["n_wedges"],
+                r["n_triangles"], r["gcc_ppm"]) == (6, 9, 20, 4, 600000)
+
+    def test_adjacency_driver_no_triangles(self, spark):
+        """A pure path graph (no baskets of ≥3 distinct parts sharing
+        co-membership cycles): zero triangles, gcc 0 — exercises the
+        NULL-sum coalesce in the driver."""
+        from aws_dms_to_hudi_spark.functions import components as fn_cp
+
+        rows = [(10, 1), (10, 2), (20, 2), (20, 3), (30, 3), (30, 4)]
+        spark.createDataFrame(rows, "l_orderkey long, l_partkey long") \
+            .createOrReplaceTempView("__tri_li3")
+        [r] = fn_cp.triangle_count(spark, "__tri_li3").collect()
+        assert (r["n_nodes"], r["n_edges"], r["n_wedges"],
+                r["n_triangles"], r["gcc_ppm"]) == (4, 3, 2, 0, 0)
+
 
 class TestJlProjection:
     def test_distortion_concentrates_and_layout_independent(self, spark):
