@@ -2064,6 +2064,34 @@ def q186_snm_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_dedup.snm_pairs_sql("spark", table=v))
 
 
+def q188_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup cut list (dedup.dup_span_sql, Lee et al.
+    arXiv:2107.06499): maximal per-doc token ranges covered by 5-gram
+    shingles with corpus doc-frequency ≥ 2 — the spans a pipeline
+    subtracts from training text. Positional shingles + docfreq
+    self-aggregate + per-doc gaps-and-islands merge; linear in corpus
+    tokens, documents never pair up. Engine side reuses the cached
+    tokenize-once token-hash view (q19/q20/q21/q77/q155 artifact)."""
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(fn_dedup.dup_span_sql("spark", th_table=th))
+
+
+def q189_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet paragraph-granularity dedup profile
+    (dedup.paragraph_dedup_sql, Wenzek et al. arXiv:1911.00359):
+    non-overlapping 8-token blocks, each block hash kept only at its
+    first corpus occurrence (min doc, then min block — deterministic
+    keeper). Keeper selection is two MIN aggregates, map-side
+    combinable — a hot boilerplate block never funnels a fat window
+    partition. Shares the tokenize-once token-hash artifact."""
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(fn_dedup.paragraph_dedup_sql("spark", th_table=th))
+
+
 def q84_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): status-conditional counts widened per priority,
     then unpivoted back to (priority, status, cnt) rows — the inverse
@@ -3391,6 +3419,87 @@ WHERE p_name LIKE '%red%'
 GROUP BY 1, 2
 ORDER BY nation, o_year
 """
+
+
+def _min_cost_supplier_ps_sql(lineitem: str = "lineitem") -> str:
+    """The derived part-supplier cost relation for the Q2 shape: no
+    partsupp table in this schema, so supply cost proxies as the
+    cheapest line price each supplier has ever shipped that part at.
+    MIN over doubles is order-independent — hash-stable on any
+    partition layout."""
+    return (
+        "SELECT l_partkey AS pk, l_suppkey AS sk, "
+        f"MIN(l_extendedprice) AS cost FROM {lineitem} "
+        "GROUP BY l_partkey, l_suppkey"
+    )
+
+
+def _min_cost_supplier_select_sql(
+    ps: str,
+    part: str = "part",
+    supplier: str = "supplier",
+    nation: str = "nation",
+    region: str = "region",
+) -> str:
+    """TPC-H Q2 shape (minimum-cost supplier): region-filtered 5-way
+    join with a correlated scalar MIN subquery re-joining the same
+    part-supplier relation — the classic decorrelation test. Total
+    sort order is unique (s_name unique, p_partkey breaks the rest),
+    so the LIMIT picks a deterministic set."""
+    return f"""
+SELECT s.s_acctbal, s.s_name, n.n_name AS nation,
+       p.p_partkey, p.p_name, ps.cost AS supply_cost
+FROM {part} p
+JOIN {ps} ps ON ps.pk = p.p_partkey
+JOIN {supplier} s ON s.s_suppkey = ps.sk
+JOIN {nation} n ON n.n_nationkey = s.s_nationkey
+JOIN {region} r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_type = 'STANDARD' AND p.p_size <= 10 AND r.r_name = 'EUROPE'
+  AND ps.cost = (
+    SELECT MIN(ps2.cost) FROM {ps} ps2
+    JOIN {supplier} s2 ON s2.s_suppkey = ps2.sk
+    JOIN {nation} n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN {region} r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE ps2.pk = p.p_partkey AND r2.r_name = 'EUROPE')
+ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+def _min_cost_supplier_sql(
+    lineitem: str = "lineitem",
+    part: str = "part",
+    supplier: str = "supplier",
+    nation: str = "nation",
+    region: str = "region",
+) -> str:
+    """One-statement Q2 for the DuckDB oracle (shares the ps CTE)."""
+    return (
+        f"WITH ps AS ({_min_cost_supplier_ps_sql(lineitem)})\n"
+        + _min_cost_supplier_select_sql("ps", part, supplier, nation, region)
+    )
+
+
+def q187_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — the last of the 22 classic query silhouettes
+    (completes the set alongside q02/q69/q112/q45/q159/q105/q106/q150/
+    q70/q151/q152/q116/q113/q117/q153/q154/q111/q115/q118/q97/q98).
+    The derived ps relation is referenced twice (outer join tree +
+    correlated MIN): Spark inlines CTEs, so the engine side
+    materializes ps once; supplier/nation/region all broadcast under
+    AQE, and the correlated scalar decorrelates to a per-part MIN
+    aggregate joined back — no per-row subquery execution."""
+    ps = fn_dedup.materialize(
+        spark.sql(_min_cost_supplier_ps_sql(_view(spark, sf_dir, "lineitem", "q187")))
+    )
+    ps.createOrReplaceTempView("__q187_ps")
+    return spark.sql(_min_cost_supplier_select_sql(
+        "__q187_ps",
+        _view(spark, sf_dir, "part", "q187"),
+        _view(spark, sf_dir, "supplier", "q187"),
+        _view(spark, sf_dir, "nation", "q187"),
+        _view(spark, sf_dir, "region", "q187"),
+    ))
 
 
 def q150_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5163,6 +5272,9 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_bpe_train": q184_bpe_train,
         "q185_chunk_documents": q185_chunk_documents,
         "q186_snm_entity_resolution": q186_snm_entity_resolution,
+        "q187_min_cost_supplier": q187_min_cost_supplier,
+        "q188_dup_spans": q188_dup_spans,
+        "q189_paragraph_dedup": q189_paragraph_dedup,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -5934,6 +6046,9 @@ def oracle_sql() -> dict[str, str]:
         "q184_bpe_train": fn_bpe.bpe_oracle_sql(),
         "q185_chunk_documents": fn_curation.chunk_documents_sql("duckdb"),
         "q186_snm_entity_resolution": fn_dedup.snm_pairs_sql("duckdb"),
+        "q187_min_cost_supplier": _min_cost_supplier_sql(),
+        "q188_dup_spans": fn_dedup.dup_span_sql("duckdb"),
+        "q189_paragraph_dedup": fn_dedup.paragraph_dedup_sql("duckdb"),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

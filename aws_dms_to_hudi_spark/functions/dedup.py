@@ -393,6 +393,115 @@ GROUP BY s.doc_id
 ORDER BY s.doc_id"""
 
 
+def dup_span_sql(
+    dialect: str,
+    table: str = "documents",
+    n: int = 5,
+    th_table: str | None = None,
+    min_docs: int = 2,
+) -> str:
+    """Maximal duplicated-span extraction — the *cut list* half of Lee
+    et al. exact-substring dedup (arXiv:2107.06499; the profile half is
+    :func:`repeated_ngram_sql`): for every document, the maximal token
+    ranges covered by ``n``-gram shingles whose document frequency is
+    ≥ ``min_docs``. A pipeline subtracts these spans from the training
+    text instead of dropping whole documents.
+
+    Relational formulation (no suffix array): positional shingles keep
+    their start ``pos``; a shingle→distinct-doc-frequency self-
+    aggregate marks duplicated positions; consecutive duplicated
+    positions merge into maximal spans with the gaps-and-islands
+    ``pos - ROW_NUMBER()`` trick, partitioned per doc. Every stage is
+    a hash aggregate or a per-doc window — two shuffles on the shingle
+    key plus one on doc_id, all map-side combinable; nothing pairs
+    documents, so 100 TB cost is linear in corpus tokens. Overlapping
+    n-grams merge because adjacent start positions are consecutive:
+    span_end = last duplicated start + n - 1."""
+    g = "h"
+    for k in range(1, n):
+        g = f"(({g}) * {SH_A} + lead(h, {k}) OVER w) % {P.HASH_P}"
+    return f"""
+WITH {th_cte(dialect, table, th_table)},
+shp AS (
+  SELECT doc_id, pos, {g} AS g FROM th
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shv AS (SELECT doc_id, pos, g FROM shp WHERE g IS NOT NULL),
+docfreq AS (SELECT g, COUNT(DISTINCT doc_id) AS ndocs FROM shv GROUP BY g),
+dup AS (
+  SELECT s.doc_id, s.pos FROM shv s
+  JOIN docfreq d ON s.g = d.g WHERE d.ndocs >= {min_docs}
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {n} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + {n} AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_id, grp
+ORDER BY doc_id, span_start"""
+
+
+def paragraph_dedup_sql(
+    dialect: str,
+    table: str = "documents",
+    unit: int = 8,
+    th_table: str | None = None,
+) -> str:
+    """CCNet-style paragraph-granularity exact dedup profile
+    (Wenzek et al., arXiv:1911.00359: dedup at paragraph level before
+    language filtering): documents split into non-overlapping
+    ``unit``-token blocks; each block hash keeps only its FIRST corpus
+    occurrence (min doc_id, then min block index within that doc —
+    a deterministic canonical keeper on any partition layout). Output
+    is the per-doc retention profile the pipeline thresholds.
+
+    The block hash is an order-weighted sum Σ h·A^(u-1-pos%u) mod P —
+    commutative per block, so it needs only a GROUP BY, not a window;
+    every term stays < P·P < 2^62. Keeper selection is two map-side-
+    combinable MIN aggregates (never a per-hash ROW_NUMBER window — a
+    boilerplate block shared by millions of docs would funnel one fat
+    window partition; MIN pre-aggregates in the map stage instead)."""
+    idiv = P.int_div("pos", str(unit), dialect)
+    pw = " ".join(
+        f"WHEN {j} THEN {pow(SH_A, unit - 1 - j, P.HASH_P)}"
+        for j in range(unit)
+    )
+    term = f"(h * (CASE pos % {unit} {pw} END)) % {P.HASH_P}"
+    return f"""
+WITH {th_cte(dialect, table, th_table)},
+u AS (
+  SELECT doc_id, {idiv} AS unit_idx,
+         SUM({term}) % {P.HASH_P} AS g, COUNT(*) AS nt
+  FROM th GROUP BY doc_id, {idiv}
+),
+fu AS (SELECT doc_id, unit_idx, g FROM u WHERE nt = {unit}),
+kd AS (SELECT g, MIN(doc_id) AS kdoc FROM fu GROUP BY g),
+ku AS (
+  SELECT f.g, f.doc_id, MIN(f.unit_idx) AS kunit
+  FROM fu f JOIN kd ON f.g = kd.g AND f.doc_id = kd.kdoc
+  GROUP BY f.g, f.doc_id
+),
+fl AS (
+  SELECT f.doc_id, f.unit_idx,
+         CASE WHEN ku.kunit IS NOT NULL THEN 1 ELSE 0 END AS kept
+  FROM fu f
+  LEFT JOIN ku ON f.g = ku.g AND f.doc_id = ku.doc_id
+              AND f.unit_idx = ku.kunit
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_units,
+       CAST(SUM(1 - kept) AS BIGINT) AS n_dup_units,
+       round(CAST(SUM(kept) AS DOUBLE) / COUNT(*), 6) AS retained_frac
+FROM fl
+GROUP BY doc_id
+ORDER BY doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
