@@ -2042,6 +2042,22 @@ def q184_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(_BPE_CACHE[key], fn_bpe.MERGES_SCHEMA)
 
 
+def q192_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer inference (functions/bpe.py bpe_encode): replay
+    q184's trained merge table over the FULL corpus with the same
+    greedy-leftmost relational merge — O(rounds) document-partitioned
+    passes, symbol table materialized per round — and profile each
+    doc's encoding (token count, merged-symbol count, conserved char
+    total). Oracle: training + application unrolled in one DuckDB
+    statement, so both engines derive the merges independently."""
+    key = (id(spark), sf_dir)
+    if key not in _BPE_CACHE:
+        v = _view(spark, sf_dir, "documents", "q184")
+        _BPE_CACHE[key] = fn_bpe.bpe_train(spark, v).collect()
+    v = _view(spark, sf_dir, "documents", "q192")
+    return fn_bpe.bpe_encode(spark, v, _BPE_CACHE[key])
+
+
 def q185_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking with overlap
     (curation.chunk_documents_sql): token windows of CHUNK_SIZE every
@@ -2090,6 +2106,38 @@ def q189_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
     return spark.sql(fn_dedup.paragraph_dedup_sql("spark", th_table=th))
+
+
+def q190_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship after entity resolution (dedup.golden_record_sql):
+    q186's SNM matched-name pairs close into clusters via large-star/
+    small-star components (O(log n) rounds), then each cluster merges
+    to one golden record under per-attribute rules (longest name,
+    mode brand, MIN size, MAX price). Oracle recomputes the labels
+    with the recursive-CTE reachability closure over the same pair
+    SQL."""
+    v = _view(spark, sf_dir, "part", "q190")
+    pairs = spark.sql(
+        "SELECT name_a AS doc_a, name_b AS doc_b FROM ("
+        + fn_dedup.snm_pairs_sql("spark", table=v) + ")"
+    )
+    labels = fn_comp.connected_components_star(pairs)
+    labels.createOrReplaceTempView("__q190_lbl")
+    return spark.sql(
+        fn_dedup.golden_record_sql("spark", part=v, labels="__q190_lbl")
+    )
+
+
+def q191_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling on the co-purchase graph (components.kcore):
+    5 rounds of drop-degree-<80 + survivor semi-joins, edge set
+    materialized per round (truncated lineage, monotonically
+    shrinking). Contract = state after exactly 5 peels, so both
+    engines agree without a convergence test; oracle unrolls the same
+    rounds as MATERIALIZED CTEs. The density-subgraph counterpart of
+    q178's triangle counting (shared copurchase_edges build)."""
+    v = _view(spark, sf_dir, "lineitem", "q191")
+    return fn_comp.kcore(spark, v)
 
 
 def q84_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5275,6 +5323,9 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_min_cost_supplier": q187_min_cost_supplier,
         "q188_dup_spans": q188_dup_spans,
         "q189_paragraph_dedup": q189_paragraph_dedup,
+        "q190_golden_record": q190_golden_record,
+        "q191_kcore": q191_kcore,
+        "q192_bpe_encode": q192_bpe_encode,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6049,6 +6100,14 @@ def oracle_sql() -> dict[str, str]:
         "q187_min_cost_supplier": _min_cost_supplier_sql(),
         "q188_dup_spans": fn_dedup.dup_span_sql("duckdb"),
         "q189_paragraph_dedup": fn_dedup.paragraph_dedup_sql("duckdb"),
+        "q190_golden_record": fn_dedup.golden_record_sql(
+            "duckdb",
+            labels="(" + fn_comp.components_oracle_sql(
+                "SELECT name_a AS doc_a, name_b AS doc_b FROM ("
+                + fn_dedup.snm_pairs_sql("duckdb") + ")") + ")",
+        ),
+        "q191_kcore": fn_comp.kcore_oracle_sql(),
+        "q192_bpe_encode": fn_bpe.bpe_encode_oracle_sql(),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

@@ -55,16 +55,20 @@ BPE_SAMPLE_KEEP = 2  # train on doc_id % 10 IN (0, 1) — a 20% sample
 MERGES_SCHEMA = "round BIGINT, tok_a STRING, tok_b STRING, n_pairs BIGINT"
 
 
-def symbols0_sql(dialect: str, table: str = "documents") -> str:
+def symbols0_sql(dialect: str, table: str = "documents",
+                 sample: bool = True) -> str:
     """Initial symbol table: one row per character per word,
     ``(doc_id, wid, pos, s)`` with wid = word index in the document and
-    pos = character position in the word."""
+    pos = character position in the word. ``sample=True`` applies the
+    training hash-sample; encoding (:func:`bpe_encode`) reads the full
+    corpus."""
     split = "split" if dialect == "spark" else "string_split"
     toks = P.tokens("text", dialect)
-    sampled = (
-        f"(SELECT doc_id, {toks} AS toks FROM {table} "
-        f"WHERE doc_id % {BPE_SAMPLE_MOD} < {BPE_SAMPLE_KEEP}) tsrc"
+    pred = (
+        f"WHERE doc_id % {BPE_SAMPLE_MOD} < {BPE_SAMPLE_KEEP} "
+        if sample else ""
     )
+    sampled = f"(SELECT doc_id, {toks} AS toks FROM {table} {pred}) tsrc"
     words = _posexplode(dialect, "doc_id", sampled, "toks", "wid", "w")
     chars = (
         f"(SELECT doc_id, wid, {split}(w, '') AS cs "
@@ -146,6 +150,48 @@ def bpe_train(
     return spark.createDataFrame(merges, MERGES_SCHEMA)
 
 
+def _rename_body(body: str, tag: str) -> str:
+    """Rename :func:`_merge_body`'s fixed CTE names (g/r/o/c) to
+    ``tag``-suffixed ones so multiple unrolled rounds coexist in one
+    statement (newline-anchored on the definitions, FROM-anchored on
+    the single references)."""
+    return (
+        body.replace("\ng AS (", f"\ng{tag} AS (")
+        .replace("\nr AS (", f"\nr{tag} AS (")
+        .replace("\no AS (", f"\no{tag} AS (")
+        .replace("\nc AS (", f"\nc{tag} AS (")
+        .replace("FROM g)", f"FROM g{tag})")
+        .replace("FROM r)", f"FROM r{tag})")
+        .replace("FROM o)", f"FROM o{tag})")
+        .replace("FROM c ", f"FROM c{tag} ")
+    )
+
+
+def _lead_cte(parts: list, sym: str, name: str) -> None:
+    parts.append(
+        f"{name} AS MATERIALIZED (SELECT doc_id, wid, pos, s, "
+        f"lead(s) OVER (PARTITION BY doc_id, wid ORDER BY pos) AS nxt "
+        f"FROM {sym})"
+    )
+
+
+def _apply_cte(parts: list, lead: str, best: str, tag: str,
+               out: str) -> None:
+    """Append the merge-application CTE chain for one round: ``lead``
+    cross-joined with the scalar ``best`` pair, greedy-leftmost merged
+    into ``out``."""
+    body = _merge_body(
+        f"(SELECT l.*, bb.a AS mja, bb.b AS mjb "
+        f"FROM {lead} l CROSS JOIN {best} bb) lj",
+        "s = mja AND nxt = mjb",
+        "concat(mja, mjb)",
+    )
+    body = _rename_body(body, tag)
+    ctes, _, final_select = body.rpartition("SELECT doc_id, wid,")
+    parts.append(ctes.rstrip().rstrip(","))
+    parts.append(f"{out} AS MATERIALIZED (SELECT doc_id, wid,{final_select})")
+
+
 def bpe_oracle_sql(table: str = "documents", rounds: int = BPE_ROUNDS) -> str:
     """DuckDB-only unrolled oracle: the same ``rounds`` merge rounds
     with the per-round best pair as a cross-joined scalar relation
@@ -156,39 +202,13 @@ def bpe_oracle_sql(table: str = "documents", rounds: int = BPE_ROUNDS) -> str:
     parts = [f"s0 AS MATERIALIZED ({symbols0_sql('duckdb', table)})"]
     finals = []
     for r in range(rounds):
-        parts.append(
-            f"l{r} AS MATERIALIZED (SELECT doc_id, wid, pos, s, "
-            f"lead(s) OVER (PARTITION BY doc_id, wid ORDER BY pos) AS nxt "
-            f"FROM s{r})"
-        )
+        _lead_cte(parts, f"s{r}", f"l{r}")
         parts.append(
             f"b{r} AS MATERIALIZED (SELECT s AS a, nxt AS b, COUNT(*) AS n "
             f"FROM l{r} WHERE nxt IS NOT NULL GROUP BY s, nxt "
             f"ORDER BY n DESC, a, b LIMIT 1)"
         )
-        body = _merge_body(
-            f"(SELECT l.*, bb.a AS mja, bb.b AS mjb "
-            f"FROM l{r} l CROSS JOIN b{r} bb) lj",
-            "s = mja AND nxt = mjb",
-            "concat(mja, mjb)",
-        )
-        # rename the body's CTEs to round-suffixed names (newline-anchored
-        # on the definitions, FROM-anchored on the single references)
-        body = (
-            body.replace("\ng AS (", f"\ng{r} AS (")
-            .replace("\nr AS (", f"\nr{r} AS (")
-            .replace("\no AS (", f"\no{r} AS (")
-            .replace("\nc AS (", f"\nc{r} AS (")
-            .replace("FROM g)", f"FROM g{r})")
-            .replace("FROM r)", f"FROM r{r})")
-            .replace("FROM o)", f"FROM o{r})")
-            .replace("FROM c ", f"FROM c{r} ")
-        )
-        ctes, _, final_select = body.rpartition("SELECT doc_id, wid,")
-        parts.append(ctes.rstrip().rstrip(","))
-        parts.append(
-            f"s{r + 1} AS MATERIALIZED (SELECT doc_id, wid,{final_select})"
-        )
+        _apply_cte(parts, f"l{r}", f"b{r}", str(r), f"s{r + 1}")
         finals.append(
             f"SELECT CAST({r} AS BIGINT) AS round, a AS tok_a, b AS tok_b, "
             f"CAST(n AS BIGINT) AS n_pairs FROM b{r}"
@@ -197,4 +217,77 @@ def bpe_oracle_sql(table: str = "documents", rounds: int = BPE_ROUNDS) -> str:
     return (
         "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({union}) mm "
         "ORDER BY round"
+    )
+
+
+def bpe_encode(
+    spark: "SparkSession",
+    docs_view: str,
+    merges: list,
+    rounds: int = BPE_ROUNDS,
+) -> "DataFrame":
+    """Apply a trained merge table to the FULL corpus (tokenizer
+    *inference* — the other half of :func:`bpe_train`): replay the
+    merges in training order with the same greedy-leftmost relational
+    merge, then profile each document's encoding.
+
+    Cost shape: O(rounds) passes over the full-corpus symbol table,
+    each one (doc_id, wid) shuffle shared by all four windows, with the
+    symbol table materialized per round (truncated lineage) — encoding
+    100 TB is `rounds` map-reduce passes, embarrassingly partitioned by
+    document. Output: per-doc token count after encoding, how many
+    tokens are merged (multi-char) symbols, and the character total
+    (conserved by merging — a built-in corruption check)."""
+    from pyspark.sql import functions as F
+
+    sym = materialize(
+        spark.sql(symbols0_sql("spark", docs_view, sample=False))
+    )
+    for row in merges[:rounds]:
+        r, a, b = int(row[0]), row[1], row[2]
+        view = f"__bpe_enc_{r}"
+        sym.createOrReplaceTempView(view)
+        sym = materialize(spark.sql(merge_round_sql(view, a, b)))
+    return (
+        sym.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.length("s") > 1, 1).otherwise(0))
+            .cast("long").alias("n_merged_tokens"),
+            F.sum(F.length("s")).cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bpe_encode_oracle_sql(
+    table: str = "documents", rounds: int = BPE_ROUNDS
+) -> str:
+    """DuckDB-only unrolled encode oracle: trains the merges inline
+    (sampled corpus, identical to :func:`bpe_oracle_sql`) and applies
+    each round's best pair to the full corpus in the same statement."""
+    parts = [
+        f"s0 AS MATERIALIZED ({symbols0_sql('duckdb', table)})",
+        f"f0 AS MATERIALIZED ({symbols0_sql('duckdb', table, sample=False)})",
+    ]
+    for r in range(rounds):
+        _lead_cte(parts, f"s{r}", f"l{r}")
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT s AS a, nxt AS b, COUNT(*) AS n "
+            f"FROM l{r} WHERE nxt IS NOT NULL GROUP BY s, nxt "
+            f"ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        _apply_cte(parts, f"l{r}", f"b{r}", str(r), f"s{r + 1}")
+        _lead_cte(parts, f"f{r}", f"fl{r}")
+        _apply_cte(parts, f"fl{r}", f"b{r}", f"e{r}", f"f{r + 1}")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN LENGTH(s) > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_merged_tokens,
+       CAST(SUM(LENGTH(s)) AS BIGINT) AS n_chars
+FROM f{rounds}
+GROUP BY doc_id
+ORDER BY doc_id"""
     )

@@ -346,6 +346,106 @@ CROSS JOIN w
 """
 
 
+def copurchase_edges(spark, lineitem: str):
+    """Materialized undirected co-purchase edge list ``(u, v)`` with
+    u < v — parts that share an order (the market-basket projection of
+    lineitem). Per-order pair expansion is C(items_per_order, 2),
+    bounded by basket size; shared by triangle counting and k-core."""
+    from pyspark.sql import functions as F
+
+    from .dedup import materialize
+
+    items = materialize(
+        spark.table(lineitem)
+        .select(F.col("l_orderkey").alias("ok"),
+                F.col("l_partkey").alias("pk"))
+        .distinct())
+    return materialize(
+        items.alias("a")
+        .join(items.alias("b"),
+              [F.col("a.ok") == F.col("b.ok"),
+               F.col("a.pk") < F.col("b.pk")])
+        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+        .distinct())
+
+
+# k=80 sits just past this graph's peel threshold: rounds actually
+# cascade (sf0.01 survivors 1903 -> 1865 -> 1857 over 5 peels; k=90
+# collapses the whole quasi-random graph, k<=70 peels almost nothing).
+KCORE_K = 80
+KCORE_ROUNDS = 5
+
+
+def kcore(spark, lineitem: str, k: int = KCORE_K,
+          rounds: int = KCORE_ROUNDS):
+    """k-core peeling on the co-purchase graph: ``rounds`` rounds of
+    "drop every node with degree < k, keep only edges between
+    survivors". The contract is the state after exactly ``rounds``
+    peels (deterministic on both engines whether or not the peel has
+    reached its fixed point — the oracle unrolls the same rounds), so
+    correctness never depends on a convergence test; at production
+    scale the loop would add the same cheap changed-count check the
+    components loop uses.
+
+    Scale shape: each round is one degree hash-agg (map-side
+    combinable) plus two semi-joins of the edge list against the ≥k
+    survivor set — all shuffles on node keys, edge set only ever
+    shrinks, and each round is materialized to truncate the iterative
+    lineage. O(rounds) passes, no driver state.
+
+    Output: surviving nodes with their within-core degree."""
+    from pyspark.sql import functions as F
+
+    from .dedup import materialize
+
+    def degrees(e):
+        return (e.select(F.col("u").alias("node"))
+                .unionAll(e.select(F.col("v").alias("node")))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+
+    e = copurchase_edges(spark, lineitem)
+    for _ in range(rounds):
+        keep = degrees(e).filter(F.col("d") >= k).select("node")
+        e = materialize(
+            e.join(keep.withColumnRenamed("node", "u"), "u")
+            .join(keep.withColumnRenamed("node", "v"), "v")
+            .select("u", "v"))
+    return (degrees(e)
+            .select("node", F.col("d").cast("long").alias("core_deg"))
+            .orderBy("node"))
+
+
+def kcore_oracle_sql(lineitem: str = "lineitem", k: int = KCORE_K,
+                     rounds: int = KCORE_ROUNDS) -> str:
+    """DuckDB oracle for :func:`kcore`: the same peeling rounds
+    unrolled as MATERIALIZED CTEs (each edge set referenced by the
+    next round's degree count and filter)."""
+    parts = [f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM {lineitem}) a
+  JOIN (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        FROM {lineitem}) b ON a.ok = b.ok AND a.pk < b.pk)"""]
+    for r in range(rounds):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM "
+            f"(SELECT u AS node FROM e{r} UNION ALL "
+            f"SELECT v AS node FROM e{r}) n GROUP BY node)")
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE d >= {k})")
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{r} e "
+            f"JOIN k{r} ku ON e.u = ku.node "
+            f"JOIN k{r} kv ON e.v = kv.node)")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT node, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM (SELECT u AS node FROM e{rounds}
+      UNION ALL SELECT v AS node FROM e{rounds}) n
+GROUP BY node
+ORDER BY node""")
+
+
 def triangle_count(spark, lineitem: str):
     """Spark driver for degree-ordered triangle counting — same output
     contract as :func:`triangle_count_sql` (which DuckDB runs as the
@@ -371,18 +471,7 @@ def triangle_count(spark, lineitem: str):
 
     from .dedup import materialize
 
-    items = materialize(
-        spark.table(lineitem)
-        .select(F.col("l_orderkey").alias("ok"),
-                F.col("l_partkey").alias("pk"))
-        .distinct())
-    edges = materialize(
-        items.alias("a")
-        .join(items.alias("b"),
-              [F.col("a.ok") == F.col("b.ok"),
-               F.col("a.pk") < F.col("b.pk")])
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .distinct())
+    edges = copurchase_edges(spark, lineitem)
     deg = materialize(
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

@@ -502,6 +502,61 @@ GROUP BY doc_id
 ORDER BY doc_id"""
 
 
+def golden_record_sql(
+    dialect: str, part: str = "part", labels: str = "lbl"
+) -> str:
+    """Survivorship (golden-record construction) — the step AFTER
+    entity resolution: every ER cluster (``labels``: node → component
+    over the matched-name pair graph) collapses to one merged record
+    whose attributes come from per-attribute rules rather than one
+    winning row:
+
+    - name: longest member name (tie: lexicographic min) — the
+      most-complete-value rule,
+    - brand: cluster mode (tie: lexicographic min) — majority rule,
+    - size: MIN, price: MAX — conservative/optimistic numeric rules.
+
+    Unmatched records are singleton clusters (COALESCE on the label
+    left join). Plan shape: one left join against the (small) label
+    relation, then per-cluster hash aggregates plus two ROW_NUMBER
+    windows partitioned by cluster — cluster populations are ER-group
+    sized (tiny), so no window partition can grow with the corpus;
+    everything shuffles on the cluster key exactly once. ``labels``
+    may be a view name or a parenthesized subquery (the DuckDB oracle
+    passes the recursive-CTE reachability labels inline)."""
+    return f"""
+WITH m AS (
+  SELECT p.p_name, p.p_brand, p.p_size, p.p_retailprice,
+         COALESCE(l.component, p.p_name) AS cluster
+  FROM {part} p LEFT JOIN {labels} l ON p.p_name = l.node
+),
+base AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_records,
+         CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_names,
+         CAST(MIN(p_size) AS BIGINT) AS golden_size,
+         MAX(p_retailprice) AS golden_price
+  FROM m GROUP BY cluster
+),
+nm AS (
+  SELECT cluster, p_name, ROW_NUMBER() OVER (
+    PARTITION BY cluster ORDER BY LENGTH(p_name) DESC, p_name) AS rn
+  FROM (SELECT DISTINCT cluster, p_name FROM m) d
+),
+bc AS (
+  SELECT cluster, p_brand, COUNT(*) AS c FROM m GROUP BY cluster, p_brand
+),
+bm AS (
+  SELECT cluster, p_brand, ROW_NUMBER() OVER (
+    PARTITION BY cluster ORDER BY c DESC, p_brand) AS rn FROM bc
+)
+SELECT b.cluster, n.p_name AS golden_name, bm.p_brand AS golden_brand,
+       b.golden_size, b.golden_price, b.n_records, b.n_names
+FROM base b
+JOIN nm n ON n.cluster = b.cluster AND n.rn = 1
+JOIN bm ON bm.cluster = b.cluster AND bm.rn = 1
+ORDER BY b.cluster"""
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

@@ -82,3 +82,79 @@ def test_spark_train_matches_python_reference(spark, name):
 def test_merge_literal_escaping():
     assert bpe._lit("a'b") == "'a\\'b'"
     assert bpe._lit("a\\b") == "'a\\\\b'"
+
+
+def python_bpe_encode(rows: list[tuple], rounds: int) -> list[tuple]:
+    """Reference encode: train on the hash sample, apply the merges in
+    order to EVERY doc, profile per doc."""
+    sample = [t for i, t in rows if i % bpe.BPE_SAMPLE_MOD < bpe.BPE_SAMPLE_KEEP]
+    merges = python_bpe(sample, rounds)
+    out = []
+    for doc_id, t in rows:
+        tt = re.sub(r"\s+", " ", t.strip().lower())
+        words = [list(w) for w in tt.split(" ") if w]
+        for _, a, b, _n in merges:
+            for w in words:
+                i = 0
+                while i < len(w) - 1:
+                    if w[i] == a and w[i + 1] == b:
+                        w[i : i + 2] = [a + b]
+                    i += 1
+        toks = [s for w in words for s in w]
+        out.append((doc_id, len(toks),
+                    sum(1 for s in toks if len(s) > 1),
+                    sum(len(s) for s in toks)))
+    return sorted(out)
+
+
+# doc 25 is OUTSIDE the training sample (25 % 10 >= 2) but must still be
+# encoded with the sample-trained merges — the train/encode split.
+ENCODE_ROWS = [
+    (0, "the thermal theory aaaa"),
+    (1, "the theater there other ether abab"),
+    (25, "thee aaaa ababab unseen theory"),
+]
+
+
+def test_encode_oracle_matches_python_reference():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", ENCODE_ROWS)
+    got = sorted(
+        tuple(r)
+        for r in con.execute(bpe.bpe_encode_oracle_sql(rounds=4)).fetchall()
+    )
+    assert got == python_bpe_encode(ENCODE_ROWS, 4)
+
+
+def test_spark_encode_matches_python_reference(spark):
+    spark.createDataFrame(
+        ENCODE_ROWS, "doc_id long, text string"
+    ).createOrReplaceTempView("__bpe_enc_docs")
+    merges = bpe.bpe_train(spark, "__bpe_enc_docs", rounds=4).collect()
+    got = sorted(
+        tuple(r)
+        for r in bpe.bpe_encode(
+            spark, "__bpe_enc_docs", merges, rounds=4
+        ).collect()
+    )
+    assert got == python_bpe_encode(ENCODE_ROWS, 4)
+
+
+def test_encode_conserves_chars(spark):
+    """Merging never creates or destroys characters: per-doc n_chars
+    must equal the pre-merge character count of the normalized text."""
+    spark.createDataFrame(
+        ENCODE_ROWS, "doc_id long, text string"
+    ).createOrReplaceTempView("__bpe_enc_docs2")
+    merges = bpe.bpe_train(spark, "__bpe_enc_docs2", rounds=4).collect()
+    got = {
+        r["doc_id"]: r["n_chars"]
+        for r in bpe.bpe_encode(
+            spark, "__bpe_enc_docs2", merges, rounds=4
+        ).collect()
+    }
+    for doc_id, t in ENCODE_ROWS:
+        norm = re.sub(r"\s+", " ", t.strip().lower())
+        expect = sum(len(w) for w in norm.split(" ") if w)
+        assert got[doc_id] == expect

@@ -637,6 +637,8 @@ class TestCountMinSketch:
 
         from aws_dms_to_hudi_spark.functions import sketches as fn_sk
 
+        import duckdb
+
         con = duckdb.connect()
         con.execute(
             "CREATE VIEW documents AS SELECT * FROM "
@@ -658,6 +660,8 @@ class TestKmvSketch:
         import duckdb
 
         from aws_dms_to_hudi_spark.functions import sketches as fn_sk
+
+        import duckdb
 
         con = duckdb.connect()
         for t in ("orders", "customer"):
@@ -792,3 +796,68 @@ class TestJlProjection:
             fn_s.jl_projection_sql("spark", table="__jl_emb")
         ).collect()
         assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+class TestKcore:
+    def test_cascade_fixture(self, spark):
+        """k=2 on a graph where a tail triggers cascading peels:
+        triangle {1,2,3} + chain 3-4, 4-5. Round 1 drops 5 (deg 1),
+        round 2 drops 4 (deg fell to 1) — after 2+ rounds only the
+        triangle survives, every node at degree 2. One round alone
+        would keep node 4: the cascade is what the rounds are for."""
+        from aws_dms_to_hudi_spark.functions import components as fn_cp
+
+        # baskets: each edge = a 2-item order
+        rows = [(10, 1), (10, 2), (20, 2), (20, 3), (30, 1), (30, 3),
+                (40, 3), (40, 4), (50, 4), (50, 5)]
+        spark.createDataFrame(rows, "l_orderkey long, l_partkey long") \
+            .createOrReplaceTempView("__kcore_li")
+        got = {(r["node"], r["core_deg"])
+               for r in fn_cp.kcore(spark, "__kcore_li", k=2, rounds=3).collect()}
+        assert got == {(1, 2), (2, 2), (3, 2)}
+
+    def test_oracle_agrees(self, spark):
+        from aws_dms_to_hudi_spark.functions import components as fn_cp
+
+        rows = [(10, 1), (10, 2), (20, 2), (20, 3), (30, 1), (30, 3),
+                (40, 3), (40, 4), (50, 4), (50, 5)]
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE lineitem (l_orderkey BIGINT, l_partkey BIGINT)")
+        con.executemany("INSERT INTO lineitem VALUES (?, ?)", rows)
+        got = sorted(
+            tuple(r) for r in
+            con.execute(fn_cp.kcore_oracle_sql(k=2, rounds=3)).fetchall()
+        )
+        assert got == [(1, 2), (2, 2), (3, 2)]
+
+
+class TestGoldenRecord:
+    def test_survivorship_rules(self, spark):
+        """Cluster {widgt, widget, widgets}: name = longest ('widgets'),
+        brand = mode ('B1' appears twice), size = min, price = max;
+        singleton 'gear' passes through unchanged."""
+        from aws_dms_to_hudi_spark.functions import dedup as fn_d
+
+        rows = [
+            ("widgt", "B1", 5, 10.0),
+            ("widget", "B1", 3, 12.0),
+            ("widgets", "B2", 7, 11.0),
+            ("gear", "B9", 9, 1.0),
+        ]
+        spark.createDataFrame(
+            rows, "p_name string, p_brand string, p_size int, p_retailprice double"
+        ).createOrReplaceTempView("__gr_part")
+        lbl = [("widgt", "widget"), ("widget", "widget"), ("widgets", "widget")]
+        spark.createDataFrame(lbl, "node string, component string") \
+            .createOrReplaceTempView("__gr_lbl")
+        got = {
+            r["cluster"]: (r["golden_name"], r["golden_brand"],
+                           r["golden_size"], r["golden_price"],
+                           r["n_records"], r["n_names"])
+            for r in spark.sql(fn_d.golden_record_sql(
+                "spark", part="__gr_part", labels="__gr_lbl")).collect()
+        }
+        assert got["widget"] == ("widgets", "B1", 3, 12.0, 3, 3)
+        assert got["gear"] == ("gear", "B9", 9, 1.0, 1, 1)
