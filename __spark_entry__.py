@@ -2140,6 +2140,66 @@ def q191_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fn_comp.kcore(spark, v)
 
 
+def q193_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff between two table versions (Delta CDF
+    "table_changes" / Hudi incremental-query analog, but as a
+    symmetric set diff of SNAPSHOTS rather than a log scan): read the
+    replayed orders table AS OF the version after batch 1 and the
+    final version, full-outer join on the record key, classify
+    ADDED / DELETED / CHANGED (trx_seq moved), drop unchanged rows.
+    One key-partitioned shuffle; at 100 TB both sides prune to the
+    compared key ranges via the key-range file groups (D15c). Oracle:
+    the same classification over the two CDC replay states."""
+    table, versions = _replayed_orders(spark, sf_dir)
+    old = table.read(version=versions[1]).select(
+        "o_orderkey", F.col("trx_seq").alias("old_seq")
+    )
+    new = table.read(version=versions[-1]).select(
+        "o_orderkey", F.col("trx_seq").alias("new_seq")
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    return (
+        j.select(
+            "o_orderkey",
+            F.when(F.col("old_seq").isNull(), F.lit("ADDED"))
+            .when(F.col("new_seq").isNull(), F.lit("DELETED"))
+            .otherwise(F.lit("CHANGED"))
+            .alias("change_type"),
+            "old_seq",
+            "new_seq",
+        )
+        .filter(
+            F.col("old_seq").isNull()
+            | F.col("new_seq").isNull()
+            | (F.col("old_seq") != F.col("new_seq"))
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def q194_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-sweep max concurrency (analytics.peak_concurrency):
+    peak number of simultaneously-open 30-min event intervals and the
+    earliest peak instant. The global prefix sum runs through
+    operators.rank.global_running_sum (range-bucketed two-pass), never
+    a single-partition window; deltas pre-aggregate to one net change
+    per distinct instant first."""
+    return fn_analytics.peak_concurrency(_t(spark, sf_dir, "events"))
+
+
+def q195_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over the positional shingle index
+    (dedup.phrase_search_sql): all (doc_id, pos) occurrences of
+    'fast scan'. The query hash derives in-SQL from a 1-row literal
+    relation through the same tokenizer/rolling-hash/Horner chain as
+    the corpus, then broadcast-joins the positional shingle relation —
+    an index lookup against the shared tokenize-once artifact."""
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(fn_dedup.phrase_search_sql("spark", th_table=th))
+
+
 def q84_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): status-conditional counts widened per priority,
     then unpivoted back to (priority, status, cnt) rows — the inverse
@@ -5326,6 +5386,9 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q190_golden_record": q190_golden_record,
         "q191_kcore": q191_kcore,
         "q192_bpe_encode": q192_bpe_encode,
+        "q193_version_diff": q193_version_diff,
+        "q194_peak_concurrency": q194_peak_concurrency,
+        "q195_phrase_search": q195_phrase_search,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6108,6 +6171,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q191_kcore": fn_comp.kcore_oracle_sql(),
         "q192_bpe_encode": fn_bpe.bpe_encode_oracle_sql(),
+        "q193_version_diff": (
+            "WITH v_old AS (SELECT o_orderkey, trx_seq AS old_seq FROM ("
+            + cdc.replay_sql(rec_o, upto_batch=1)
+            + ")), v_new AS (SELECT o_orderkey, trx_seq AS new_seq FROM ("
+            + cdc.replay_sql(rec_o, upto_batch=cdc.N_BATCHES - 1)
+            + ")) SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, "
+            "CASE WHEN o.old_seq IS NULL THEN 'ADDED' "
+            "WHEN n.new_seq IS NULL THEN 'DELETED' "
+            "ELSE 'CHANGED' END AS change_type, o.old_seq, n.new_seq "
+            "FROM v_old o FULL OUTER JOIN v_new n "
+            "ON o.o_orderkey = n.o_orderkey "
+            "WHERE o.old_seq IS NULL OR n.new_seq IS NULL "
+            "OR o.old_seq <> n.new_seq ORDER BY 1"
+        ),
+        "q194_peak_concurrency": fn_analytics.peak_concurrency_oracle_sql(),
+        "q195_phrase_search": fn_dedup.phrase_search_sql("duckdb"),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

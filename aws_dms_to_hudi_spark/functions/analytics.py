@@ -167,6 +167,65 @@ def activity_islands(events: DataFrame) -> DataFrame:
     )
 
 
+HOLD_US = 1_800 * 1_000_000  # 30-minute interval per event, int64 µs
+
+
+def peak_concurrency(events: DataFrame) -> DataFrame:
+    """Maximum number of simultaneously-open 30-minute event intervals
+    (half-open [ts, ts+30min)) and the earliest instant it occurs —
+    the interval-sweep / "max concurrent sessions" operator.
+
+    Classic sweep: +1 at each start, −1 at each end, running sum over
+    global time order. The scale problem is the GLOBAL running sum — a
+    naive unpartitioned window dies at 100 TB — so (1) deltas are
+    pre-aggregated to one net change per distinct instant (ends sort
+    before starts is then irrelevant: within one instant the running
+    value dips before it rises, so every intermediate peak is visible
+    at an instant boundary), and (2) the prefix sum runs through
+    operators.rank.global_running_sum — range-bucketed two-pass, no
+    single-partition window. Output: one row, exact."""
+    from ..operators.rank import global_running_sum
+
+    pts = events.select(
+        F.unix_micros("ts").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        events.select(
+            (F.unix_micros("ts") + F.lit(HOLD_US)).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    net = pts.groupBy("t").agg(F.sum("delta").alias("net"))
+    sw = global_running_sum(net, "t", "net", out_col="conc")
+    mx = sw.agg(F.max("conc").alias("m"))
+    return (
+        sw.crossJoin(mx)
+        .filter(F.col("conc") == F.col("m"))
+        .agg(
+            F.max("m").cast("long").alias("peak_concurrency"),
+            F.min("t").cast("long").alias("peak_epoch_us"),
+        )
+    )
+
+
+def peak_concurrency_oracle_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`peak_concurrency` — the plain global
+    window form (fine in a single-node engine)."""
+    return f"""
+WITH pts AS (
+  SELECT epoch_us(ts) AS t, 1 AS delta FROM {table}
+  UNION ALL
+  SELECT epoch_us(ts) + {HOLD_US}, -1 FROM {table}
+),
+net AS (SELECT t, SUM(delta) AS net FROM pts GROUP BY t),
+sw AS (SELECT t, SUM(net) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+         AS conc FROM net),
+mx AS (SELECT MAX(conc) AS m FROM sw)
+SELECT CAST(mx.m AS BIGINT) AS peak_concurrency,
+       CAST(MIN(sw.t) AS BIGINT) AS peak_epoch_us
+FROM sw CROSS JOIN mx WHERE sw.conc = mx.m GROUP BY mx.m
+"""
+
+
 def islands_oracle_sql(table: str = "events") -> str:
     return f"""
 WITH o AS (

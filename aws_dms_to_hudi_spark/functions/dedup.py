@@ -502,6 +502,56 @@ GROUP BY doc_id
 ORDER BY doc_id"""
 
 
+def phrase_search_sql(
+    dialect: str,
+    table: str = "documents",
+    phrase: str = "fast scan",
+    th_table: str | None = None,
+) -> str:
+    """Exact phrase search over the positional shingle index: every
+    (doc_id, pos) where the query phrase occurs verbatim. The phrase's
+    n-gram hash is derived IN SQL from a one-row literal relation with
+    the same tokenizer + rolling hash + Horner combine as the corpus —
+    no driver-side hash computation to drift out of sync.
+
+    This is the serving-side counterpart of the dedup shingle index:
+    with the positional shingle relation materialized (the tokhash
+    artifact), a phrase query is one broadcast join of a 1-row hash
+    against the index — an index lookup, not a scan of text. N = the
+    phrase's word count, so one operator covers any phrase length."""
+    import re as _re
+
+    words = phrase.split()
+    n = len(words)
+    if n < 2:
+        raise ValueError("phrase must have at least 2 words")
+    lit = phrase.replace("'", "''")
+    ph_src = f"(SELECT CAST(0 AS BIGINT) AS doc_id, '{lit}' AS text) q"
+    ph_body = th_cte(dialect, ph_src, None)
+    for name in ("toked", "tokrows", "th"):
+        ph_body = _re.sub(rf"\b{name}\b", f"p{name}", ph_body)
+    g = "h"
+    pg = "h"
+    for k in range(1, n):
+        g = f"(({g}) * {SH_A} + lead(h, {k}) OVER w) % {P.HASH_P}"
+        pg = f"(({pg}) * {SH_A} + lead(h, {k}) OVER w) % {P.HASH_P}"
+    return f"""
+WITH {th_cte(dialect, table, th_table)},
+shp AS (
+  SELECT doc_id, pos, {g} AS g FROM th
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+{ph_body},
+pgr AS (
+  SELECT pos, {pg} AS g FROM pth
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+phash AS (SELECT g FROM pgr WHERE pos = 0)
+SELECT s.doc_id, CAST(s.pos AS BIGINT) AS pos
+FROM shp s JOIN phash p ON s.g = p.g
+ORDER BY s.doc_id, s.pos"""
+
+
 def golden_record_sql(
     dialect: str, part: str = "part", labels: str = "lbl"
 ) -> str:

@@ -95,6 +95,55 @@ def global_row_number(
     return out
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "__rsum",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Append the exact global running (inclusive-prefix) sum of
+    ``value_col`` ordered by ``order_col`` — same two-pass range
+    partitioning as :func:`global_row_number`, so no single-partition
+    window ever forms. ``order_col`` must be numeric and UNIQUE per row
+    (pre-aggregate ties first: with duplicate keys the within-tie
+    prefix order would be layout-dependent).
+
+    Pass shape: one percentile sketch, one per-bucket SUM (collected —
+    O(buckets) rows), one window partitioned per bucket. The 100 TB
+    cost is two map-reduce passes; the driver only ever holds the
+    bucket offset table."""
+    c1 = F.col(order_col)
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts_row = df.select(
+        F.percentile_approx(c1, qs, 1_000).alias("cuts")
+    ).first()
+    cuts = [c for c in (cuts_row["cuts"] or []) if c is not None]
+
+    b = df.withColumn("__gb", _bucket_expr(c1, cuts))
+    sums = {r["__gb"]: r["s"] for r in
+            b.groupBy("__gb").agg(F.sum(value_col).alias("s")).collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for k in sorted(sums):
+        offsets[k] = acc
+        acc += sums[k] or 0
+
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    w = (
+        Window.partitionBy("__gb")
+        .orderBy(c1.asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return b.withColumn(
+        out_col,
+        (F.coalesce(off[F.col("__gb")], F.lit(0)).cast("long")
+         + F.sum(value_col).over(w).cast("long")),
+    ).drop("__gb")
+
+
 def ntile_from_rn(rn: Column, total: Column, k: int) -> Column:
     """Exact ``ntile(k)`` from a unique-key global row_number: the first
     ``total % k`` tiles take ``total div k + 1`` rows, the rest take

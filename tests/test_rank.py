@@ -45,3 +45,28 @@ def test_ntile_formula(spark, n, k):
         "kk", R.ntile_from_rn(F.col("__rn"), F.col("__n"), k).alias("t")
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+@pytest.mark.parametrize("parts", [1, 3, 32])
+def test_global_running_sum_matches_window(spark, parts):
+    """Exact inclusive prefix sum on any partition layout — compared
+    against the single-partition window reference."""
+    import random
+
+    rng = random.Random(7)
+    rows = [Row(t=float(t), v=rng.randint(-5, 5))
+            for t in rng.sample(range(10_000), 500)]
+    df = spark.createDataFrame(rows).repartition(parts)
+    ref = {
+        r["t"]: r["s"]
+        for r in df.select(
+            "t",
+            F.sum("v").over(
+                Window.orderBy("t").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow)
+            ).alias("s"),
+        ).collect()
+    }
+    got = {r["t"]: r["__rsum"]
+           for r in R.global_running_sum(df, "t", "v").collect()}
+    assert got == ref
