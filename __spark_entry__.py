@@ -3610,6 +3610,25 @@ def q187_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+def q196_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length outliers (text.mad_outliers_sql):
+    |len - median| > 3*MAD, the 50%-breakdown-point rule a single
+    extreme doc cannot drag (contrast q38's z-score). Integer inputs
+    pin every median/MAD to the exact 0.5 grid; outputs are doubled
+    into BIGINTs so the gate hashes no floats."""
+    v = _view(spark, sf_dir, "documents", "q196")
+    return spark.sql(fn_text.mad_outliers_sql("spark", table=v))
+
+
+def q197_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch revenue attribution
+    (analytics.linear_attribution): purchases split value equally over
+    the user's view/click touches in a 7-day lookback, untouched
+    purchases credit 'direct'. One user-partitioned range join + two
+    hash aggregates; DECIMAL-cast revenue sum."""
+    return fn_analytics.linear_attribution(_t(spark, sf_dir, "events"))
+
+
 def q150_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape through the engine's SQL surface (D10). part /
     supplier / nation all broadcast under AQE; the only shuffle is the
@@ -5389,6 +5408,8 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q193_version_diff": q193_version_diff,
         "q194_peak_concurrency": q194_peak_concurrency,
         "q195_phrase_search": q195_phrase_search,
+        "q196_mad_outliers": q196_mad_outliers,
+        "q197_linear_attribution": q197_linear_attribution,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6187,6 +6208,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q194_peak_concurrency": fn_analytics.peak_concurrency_oracle_sql(),
         "q195_phrase_search": fn_dedup.phrase_search_sql("duckdb"),
+        "q196_mad_outliers": fn_text.mad_outliers_sql("duckdb"),
+        "q197_linear_attribution": fn_analytics.attribution_oracle_sql(),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

@@ -226,6 +226,95 @@ FROM sw CROSS JOIN mx WHERE sw.conc = mx.m GROUP BY mx.m
 """
 
 
+ATTR_WINDOW_US = 7 * 86_400 * 1_000_000  # 7-day lookback, int64 µs
+
+
+def linear_attribution(events: DataFrame) -> DataFrame:
+    """Linear multi-touch revenue attribution: each purchase's value
+    splits equally across the user's view/click touches in the 7 days
+    before it; purchases with no preceding touch credit a 'direct'
+    channel in full. Output: per-channel attributed revenue + credit
+    counts.
+
+    Plan shape: one user-partitioned range join (purchases × touches,
+    bounded by the lookback window) + two hash aggregates — the same
+    per-user shuffle family as the funnel; nothing global. Per-row
+    value/n is IEEE-identical on both engines; the revenue SUM runs
+    through a DECIMAL cast so it is order-independent."""
+    t = events.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.unix_micros("ts").alias("tt"),
+        F.col("event_type").alias("channel"),
+    )
+    b = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("pt"),
+        "value",
+        F.col("event_id").alias("buy_id"),
+    )
+    j = b.join(
+        t,
+        [
+            b.user_id == t.user_id,
+            t.tt < b.pt,
+            t.tt >= b.pt - F.lit(ATTR_WINDOW_US),
+        ],
+        "left",
+    ).select("buy_id", "value", "channel")
+    cnt = j.groupBy("buy_id").agg(F.count("channel").alias("n"))
+    credits = (
+        j.join(cnt, "buy_id")
+        .select(
+            F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"),
+            F.when(F.col("n") == 0, F.col("value"))
+            .otherwise(F.col("value") / F.col("n"))
+            .alias("credit"),
+        )
+    )
+    return (
+        credits.groupBy("channel")
+        .agg(
+            F.round(
+                F.sum(F.col("credit").cast("decimal(28,8)")).cast("double"),
+                4,
+            ).alias("attributed_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_credits"),
+        )
+        .orderBy("channel")
+    )
+
+
+def attribution_oracle_sql(table: str = "events") -> str:
+    """DuckDB oracle for :func:`linear_attribution`."""
+    return f"""
+WITH t AS (
+  SELECT user_id, epoch_us(ts) AS tt, event_type AS channel
+  FROM {table} WHERE event_type IN ('view', 'click')
+),
+b AS (
+  SELECT user_id, epoch_us(ts) AS pt, value, event_id AS buy_id
+  FROM {table} WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT b.buy_id, b.value, t.channel
+  FROM b LEFT JOIN t ON b.user_id = t.user_id
+   AND t.tt < b.pt AND t.tt >= b.pt - {ATTR_WINDOW_US}
+),
+cnt AS (SELECT buy_id, COUNT(channel) AS n FROM j GROUP BY buy_id),
+credits AS (
+  SELECT COALESCE(j.channel, 'direct') AS channel,
+         CASE WHEN c.n = 0 THEN j.value ELSE j.value / c.n END AS credit
+  FROM j JOIN cnt c ON j.buy_id = c.buy_id
+)
+SELECT channel,
+       round(CAST(SUM(CAST(credit AS DECIMAL(28,8))) AS DOUBLE), 4)
+         AS attributed_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_credits
+FROM credits
+GROUP BY channel
+ORDER BY channel"""
+
+
 def islands_oracle_sql(table: str = "events") -> str:
     return f"""
 WITH o AS (

@@ -295,3 +295,36 @@ def group_zscore_oracle_sql() -> str:
         " AS z_len "
         "FROM documents WINDOW w AS (PARTITION BY lang) ORDER BY doc_id"
     )
+
+
+def mad_outliers_sql(dialect: str, table: str = "documents") -> str:
+    """Robust per-language length outliers via median absolute
+    deviation — the outlier rule that, unlike the z-score (q38), a
+    single extreme doc cannot drag (both median and MAD have a 50%
+    breakdown point). Flag: |x - median| > 3·MAD.
+
+    Determinism: n_chars is integer, so every median / MAD lands on
+    the exact 0.5 grid (even-count interpolation halves an integer) —
+    representable exactly in doubles on both engines; outputs are
+    doubled into BIGINTs so the hash compare never touches a float.
+    Plan shape: two per-language exact medians (each a sort-based agg
+    partitioned by the group key — scale-safe, since medians are per
+    GROUP, never global) plus one broadcast join back."""
+    return f"""
+WITH med AS (
+  SELECT lang, median(n_chars) AS med FROM {table} GROUP BY lang
+),
+dev AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         ABS(d.n_chars - m.med) AS adev
+  FROM {table} d JOIN med m ON d.lang = m.lang
+),
+mad AS (SELECT lang, median(adev) AS mad FROM dev GROUP BY lang)
+SELECT v.doc_id, v.lang,
+       CAST(v.n_chars AS BIGINT) AS n_chars,
+       CAST(2 * v.adev AS BIGINT) AS adev_x2,
+       CAST(2 * a.mad AS BIGINT) AS mad_x2,
+       CAST(CASE WHEN v.adev > 3 * a.mad THEN 1 ELSE 0 END AS BIGINT)
+         AS is_outlier
+FROM dev v JOIN mad a ON v.lang = a.lang
+ORDER BY v.doc_id"""
