@@ -196,14 +196,16 @@ def peak_concurrency(events: DataFrame) -> DataFrame:
     )
     net = pts.groupBy("t").agg(F.sum("delta").alias("net"))
     sw = global_running_sum(net, "t", "net", out_col="conc")
-    mx = sw.agg(F.max("conc").alias("m"))
-    return (
-        sw.crossJoin(mx)
-        .filter(F.col("conc") == F.col("m"))
-        .agg(
-            F.max("m").cast("long").alias("peak_concurrency"),
-            F.min("t").cast("long").alias("peak_epoch_us"),
-        )
+    # single-pass peak + earliest-instant: max over (conc, -t) structs
+    # orders by conc first, then by latest -t = earliest t.
+    m = sw.agg(
+        F.max(
+            F.struct(F.col("conc").alias("c"), (-F.col("t")).alias("nt"))
+        ).alias("s")
+    )
+    return m.select(
+        F.col("s.c").cast("long").alias("peak_concurrency"),
+        (-F.col("s.nt")).cast("long").alias("peak_epoch_us"),
     )
 
 

@@ -33,16 +33,19 @@ from pyspark.sql import functions as F
 
 def _bucket_expr(col: Column, cuts: list[float]) -> Column:
     """#{c in cuts : value > c} — monotone, ties share a bucket; NULLs
-    (which sort first) pin to bucket 0."""
+    (which sort first) pin to bucket 0.
+
+    Emitted as a nested CASE chain (first ascending cut ≥ value, which
+    equals the count of cuts strictly below even with duplicate cuts)
+    rather than an array fold: ``F.aggregate`` is a higher-order
+    lambda interpreted per element outside whole-stage codegen, and at
+    64 buckets it cost more than the window it was feeding."""
     if not cuts:
         return F.lit(0)
-    arr = F.array(*[F.lit(float(c)) for c in cuts])
-    n_below = F.aggregate(
-        arr,
-        F.lit(0),
-        lambda acc, c: acc + F.when(col > c, F.lit(1)).otherwise(F.lit(0)),
-    )
-    return F.when(col.isNull(), F.lit(0)).otherwise(n_below)
+    b: Column = F.lit(len(cuts))
+    for i in range(len(cuts) - 1, -1, -1):
+        b = F.when(col <= F.lit(float(cuts[i])), F.lit(i)).otherwise(b)
+    return F.when(col.isNull(), F.lit(0)).otherwise(b)
 
 
 def global_row_number(
@@ -112,7 +115,13 @@ def global_running_sum(
     Pass shape: one percentile sketch, one per-bucket SUM (collected —
     O(buckets) rows), one window partitioned per bucket. The 100 TB
     cost is two map-reduce passes; the driver only ever holds the
-    bucket offset table."""
+    bucket offset table. The input is materialized first: three
+    actions read it (sketch, offsets, final window), and callers pass
+    derived relations (unions, aggregates) that would otherwise be
+    recomputed per action."""
+    from ..functions.dedup import materialize
+
+    df = materialize(df)
     c1 = F.col(order_col)
     qs = [i / num_buckets for i in range(1, num_buckets)]
     cuts_row = df.select(
