@@ -1914,7 +1914,7 @@ def q178_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     148M wedges; measured 8.2s → ~2s, vs DuckDB 15-19s on the same
     one-statement form)."""
     v = _view(spark, sf_dir, "lineitem", "q178")
-    return fn_comp.triangle_count(spark, v)
+    return fn_comp.triangle_count(spark, v, cache_key=sf_dir)
 
 
 def q179_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2137,7 +2137,7 @@ def q191_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds as MATERIALIZED CTEs. The density-subgraph counterpart of
     q178's triangle counting (shared copurchase_edges build)."""
     v = _view(spark, sf_dir, "lineitem", "q191")
-    return fn_comp.kcore(spark, v)
+    return fn_comp.kcore(spark, v, cache_key=sf_dir)
 
 
 def q193_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -346,27 +346,41 @@ CROSS JOIN w
 """
 
 
-def copurchase_edges(spark, lineitem: str):
+_EDGE_CACHE: dict = {}
+_EDGE_LOCK = __import__("threading").Lock()
+
+
+def copurchase_edges(spark, lineitem: str, cache_key: str | None = None):
     """Materialized undirected co-purchase edge list ``(u, v)`` with
     u < v — parts that share an order (the market-basket projection of
     lineitem). Per-order pair expansion is C(items_per_order, 2),
-    bounded by basket size; shared by triangle counting and k-core."""
+    bounded by basket size; shared by triangle counting and k-core.
+    With ``cache_key`` (the corpus path) the edge list is built once
+    per (session, corpus) — the materialize-the-graph-relation pattern
+    the dedup family uses for its token index."""
     from pyspark.sql import functions as F
 
     from .dedup import materialize
 
-    items = materialize(
-        spark.table(lineitem)
-        .select(F.col("l_orderkey").alias("ok"),
-                F.col("l_partkey").alias("pk"))
-        .distinct())
-    return materialize(
-        items.alias("a")
-        .join(items.alias("b"),
-              [F.col("a.ok") == F.col("b.ok"),
-               F.col("a.pk") < F.col("b.pk")])
-        .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-        .distinct())
+    key = (id(spark), cache_key)
+    with _EDGE_LOCK:
+        if cache_key is not None and key in _EDGE_CACHE:
+            return _EDGE_CACHE[key]
+        items = materialize(
+            spark.table(lineitem)
+            .select(F.col("l_orderkey").alias("ok"),
+                    F.col("l_partkey").alias("pk"))
+            .distinct())
+        edges = materialize(
+            items.alias("a")
+            .join(items.alias("b"),
+                  [F.col("a.ok") == F.col("b.ok"),
+                   F.col("a.pk") < F.col("b.pk")])
+            .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
+            .distinct())
+        if cache_key is not None:
+            _EDGE_CACHE[key] = edges
+        return edges
 
 
 # k=80 sits just past this graph's peel threshold: rounds actually
@@ -377,40 +391,72 @@ KCORE_ROUNDS = 5
 
 
 def kcore(spark, lineitem: str, k: int = KCORE_K,
-          rounds: int = KCORE_ROUNDS):
+          rounds: int = KCORE_ROUNDS, cache_key: str | None = None):
     """k-core peeling on the co-purchase graph: ``rounds`` rounds of
     "drop every node with degree < k, keep only edges between
     survivors". The contract is the state after exactly ``rounds``
     peels (deterministic on both engines whether or not the peel has
-    reached its fixed point — the oracle unrolls the same rounds), so
-    correctness never depends on a convergence test; at production
-    scale the loop would add the same cheap changed-count check the
-    components loop uses.
+    reached its fixed point — the oracle unrolls the same rounds);
+    reaching the fixed point early is an equivalent no-op, so the loop
+    may break when a round removes nothing.
 
-    Scale shape: each round is one degree hash-agg (map-side
-    combinable) plus two semi-joins of the edge list against the ≥k
-    survivor set — all shuffles on node keys, edge set only ever
-    shrinks, and each round is materialized to truncate the iterative
-    lineage. O(rounds) passes, no driver state.
+    Physical strategy — delta peeling, NOT the oracle's re-filter:
+    recomputing full degrees and re-filtering the edge list every
+    round pays a 2·|E| shuffle per round for removals that shrink
+    geometrically. Instead degrees are computed ONCE; each later round
+    joins the (tiny, broadcast) removed set against the static edge
+    list to count per-neighbor losses and decrements survivor degrees
+    — per-round cost O(edges incident to removed), the way dedicated
+    k-core engines batch-peel. Identities used: an original edge
+    (x, y) with y removed in round r and x still alive IS an edge of
+    the round-r graph (both endpoints survived every earlier round),
+    so the static edge list serves every round; a node the peel
+    isolated (degree 0, but never below k before its neighbors went)
+    is not part of the residual edge set and is filtered at the end.
 
     Output: surviving nodes with their within-core degree."""
     from pyspark.sql import functions as F
 
     from .dedup import materialize
 
-    def degrees(e):
-        return (e.select(F.col("u").alias("node"))
-                .unionAll(e.select(F.col("v").alias("node")))
-                .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
-
-    e = copurchase_edges(spark, lineitem)
+    e = copurchase_edges(spark, lineitem, cache_key)
+    deg = materialize(
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
     for _ in range(rounds):
-        keep = degrees(e).filter(F.col("d") >= k).select("node")
-        e = materialize(
-            e.join(keep.withColumnRenamed("node", "u"), "u")
-            .join(keep.withColumnRenamed("node", "v"), "v")
-            .select("u", "v"))
-    return (degrees(e)
+        # removed/dec stay lazy: both derive from the checkpointed deg /
+        # static e by cheap filters, so re-evaluation is an in-memory
+        # scan — only deg (the loop-carried state) is materialized.
+        removed = deg.filter(F.col("d") < k).select("node")
+        # the count both terminates the loop and plans the round: a lazy
+        # filter carries no stats, so without the measured count Spark
+        # sort-merges e against a relation of a few hundred rows. The
+        # data-driven broadcast (same pattern as the q110 skew profiler)
+        # only fires when this round's removal set provably fits; a
+        # massive first peel at 100 TB keeps the plain shuffle join.
+        n_removed = removed.count()
+        if n_removed == 0:
+            break
+        small = n_removed < 2_000_000
+        rm_v = removed.withColumnRenamed("node", "v")
+        rm_u = removed.withColumnRenamed("node", "u")
+        if small:
+            rm_v, rm_u = F.broadcast(rm_v), F.broadcast(rm_u)
+        dec = (
+            e.join(rm_v, "v")
+            .select(F.col("u").alias("node"))
+            .unionAll(
+                e.join(rm_u, "u")
+                .select(F.col("v").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("c")))
+        deg = materialize(
+            deg.filter(F.col("d") >= k)
+            .join(dec, "node", "left")
+            .select(
+                "node",
+                (F.col("d") - F.coalesce(F.col("c"), F.lit(0))).alias("d")))
+    return (deg.filter(F.col("d") >= 1)
             .select("node", F.col("d").cast("long").alias("core_deg"))
             .orderBy("node"))
 
@@ -446,7 +492,7 @@ GROUP BY node
 ORDER BY node""")
 
 
-def triangle_count(spark, lineitem: str):
+def triangle_count(spark, lineitem: str, cache_key: str | None = None):
     """Spark driver for degree-ordered triangle counting — same output
     contract as :func:`triangle_count_sql` (which DuckDB runs as the
     oracle: its optimizer shares CTEs, so the one-statement wedge-join
@@ -471,7 +517,7 @@ def triangle_count(spark, lineitem: str):
 
     from .dedup import materialize
 
-    edges = copurchase_edges(spark, lineitem)
+    edges = copurchase_edges(spark, lineitem, cache_key)
     deg = materialize(
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
