@@ -82,6 +82,15 @@ PROBE_QUERIES = [
     # (delta x base candidates only; cost tracks the delta slice)
     "q173_count_min_sketch", "q174_kmv_distinct_sketch",
     "q175_incremental_ingest_dedup",
+    # r4 batch 4: graph ops on the co-purchase projection (adjacency-
+    # intersect triangles, delta-peel k-core), corpus-linear exact-
+    # substring dedup pair (span cut lists + paragraph profile), BPE
+    # encode (O(rounds) full-corpus passes), two-pass global sweep,
+    # positional phrase lookup, per-language MAD medians
+    "q178_triangle_count", "q191_kcore",
+    "q188_dup_spans", "q189_paragraph_dedup",
+    "q192_bpe_encode", "q194_peak_concurrency",
+    "q195_phrase_search", "q196_mad_outliers",
 ]
 
 VOW = "aeiou"
