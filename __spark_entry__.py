@@ -3629,6 +3629,29 @@ def q197_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fn_analytics.linear_attribution(_t(spark, sf_dir, "events"))
 
 
+def q198_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit (sampling.split_leakage_sql):
+    near-dup pairs spanning train/val/test hash-splits — the leakage a
+    per-doc hash split cannot prevent. Spark side reads the session-
+    cached MinHash pairs artifact (the q20/q77 relation), so the audit
+    is one projection + a tiny aggregate over already-done work; the
+    oracle inlines the full LSH chain."""
+    pv = fn_dedup.minhash_pairs_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(fn_sampling.split_leakage_sql("spark", pairs=pv))
+
+
+def q199_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus datasheet rollup (curation.datasheet_sql, Gebru et al.
+    1803.09010): per (lang, source) volumes, exact-dup rate, exact
+    median length (0.5-grid, doubled to BIGINT), DECIMAL-accumulated
+    mean quality — one scan with every per-doc statistic fused, one
+    hash aggregate."""
+    v = _view(spark, sf_dir, "documents", "q199")
+    return spark.sql(fn_curation.datasheet_sql("spark", table=v))
+
+
 def q150_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape through the engine's SQL surface (D10). part /
     supplier / nation all broadcast under AQE; the only shuffle is the
@@ -5410,6 +5433,8 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_phrase_search": q195_phrase_search,
         "q196_mad_outliers": q196_mad_outliers,
         "q197_linear_attribution": q197_linear_attribution,
+        "q198_split_leakage": q198_split_leakage,
+        "q199_datasheet": q199_datasheet,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6210,6 +6235,8 @@ def oracle_sql() -> dict[str, str]:
         "q195_phrase_search": fn_dedup.phrase_search_sql("duckdb"),
         "q196_mad_outliers": fn_text.mad_outliers_sql("duckdb"),
         "q197_linear_attribution": fn_analytics.attribution_oracle_sql(),
+        "q198_split_leakage": fn_sampling.split_leakage_sql("duckdb"),
+        "q199_datasheet": fn_curation.datasheet_sql("duckdb"),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

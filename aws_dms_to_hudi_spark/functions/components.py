@@ -534,10 +534,19 @@ def triangle_count(spark, lineitem: str, cache_key: str | None = None):
                 F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t")))
     adj = materialize(
         oriented.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("nb")))
-    tri = (oriented
-           .join(adj.select("s", F.col("nb").alias("nb_s")), "s")
-           .join(adj.select(F.col("s").alias("t"), F.col("nb").alias("nb_t")),
-                 "t")
+    # The per-edge (nb_s, t) pairs come from exploding adj — narrow, no
+    # join, already co-located with nb_s — so exactly ONE array-carrying
+    # shuffle remains (keyed by t). That join is planned from the
+    # measured edge count: small graphs broadcast adj (AQE default);
+    # past the broadcast range a SHUFFLE_HASH hint skips sort-merge's
+    # sort of the exploded side (12M rows x 60-int arrays at the 10x
+    # probe — the sort was 67s -> 24s of the wedge pass). Total wedge
+    # work is inherent: Θ(Σ d⁺²) intersect element-ops.
+    adj_t = adj.select(F.col("s").alias("t"), F.col("nb").alias("nb_t"))
+    if edges.count() > 4_000_000:
+        adj_t = adj_t.hint("shuffle_hash")
+    tri = (adj.select(F.col("nb").alias("nb_s"), F.explode("nb").alias("t"))
+           .join(adj_t, "t")
            .agg(F.coalesce(
                F.sum(F.size(F.array_intersect("nb_s", "nb_t"))),
                F.lit(0)).cast("bigint").alias("n_tri")))

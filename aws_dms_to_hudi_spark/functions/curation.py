@@ -825,3 +825,40 @@ FROM ch
 GROUP BY doc_id, chunk
 ORDER BY doc_id, chunk_id
 """
+
+
+def datasheet_sql(dialect: str, table: str = "documents") -> str:
+    """Corpus datasheet rollup ("Datasheets for Datasets", Gebru et al.
+    arXiv:1803.09010 — the quantitative half): per (lang, source)
+    slice, the document/token volumes, exact-dup rate (distinct
+    fingerprints vs docs), median length, and mean quality score that a
+    dataset card reports per shard.
+
+    One scan: every per-doc statistic (token count, fingerprint,
+    quality) is a generated portable expression fused into the scan,
+    then a single (lang, source) hash aggregate — map-side combinable
+    except the exact median and distinct-fingerprint count, both
+    per-GROUP (never global) sorts/sets. Mean quality runs through a
+    per-row DECIMAL cast so the sum is order-independent; the median
+    lands on the exact 0.5 grid and is doubled into a BIGINT."""
+    from .text import fingerprint_expr, quality_expr, token_count_expr
+
+    tok = token_count_expr("text", dialect)
+    fp = fingerprint_expr("text", dialect)
+    q = quality_expr("text", dialect)
+    return f"""
+WITH base AS (
+  SELECT lang, source, n_chars,
+         {tok} AS n_tokens, {fp} AS fp, {q} AS quality
+  FROM {table}
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+       CAST(2 * median(n_chars) AS BIGINT) AS median_chars_x2,
+       round(CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_quality
+FROM base
+GROUP BY lang, source
+ORDER BY lang, source"""

@@ -231,3 +231,39 @@ def domain_cap(df: DataFrame, domain: str = "source", key: str = "doc_id",
                 .filter(F.col("_rn2") <= cap)
                 .select("domain", "doc_id")
                 .orderBy("domain", "doc_id"))
+
+
+def split_leakage_sql(
+    dialect: str, table: str = "documents", pairs: str | None = None
+) -> str:
+    """Cross-split contamination audit: near-duplicate pairs that span
+    train/val/test assignments — the leakage a hash-split alone cannot
+    prevent (near-dups hash independently), and the reason serious
+    pipelines dedup BEFORE splitting or split by dup-group. Output:
+    per split-pair counts; any row with split_lo <> split_hi is
+    leakage a held-out metric would silently inherit.
+
+    ``pairs`` is the verified near-dup pair relation (doc_a, doc_b,
+    jaccard) — the Spark side passes the session-cached MinHash pairs
+    artifact (the same relation q20/q77 consume), so the audit costs
+    one projection + a tiny aggregate on top of work already done;
+    the oracle inlines the full LSH chain. Split labels recompute from
+    the same portable hash — no split table needs to be joined."""
+    from .dedup import minhash_lsh_sql
+
+    if pairs is None:
+        pairs = "(" + minhash_lsh_sql(dialect, table=table) + ")"
+    sa = split_expr("p.doc_a", dialect)
+    sb = split_expr("p.doc_b", dialect)
+    return f"""
+WITH cls AS (
+  SELECT {sa} AS split_a, {sb} AS split_b FROM {pairs} p
+)
+SELECT LEAST(split_a, split_b) AS split_lo,
+       GREATEST(split_a, split_b) AS split_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN split_a <> split_b THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked
+FROM cls
+GROUP BY LEAST(split_a, split_b), GREATEST(split_a, split_b)
+ORDER BY split_lo, split_hi"""
