@@ -3652,6 +3652,35 @@ def q199_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_curation.datasheet_sql("spark", table=v))
 
 
+def q201_group_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-LANGUAGE Misra-Gries heavy hitters (sketches.
+    heavy_hitters_by_group): group-keyed counters INSIDE each partition
+    sketch — a hot language never funnels one task the way a grouped
+    applyInPandas would — then one exact verify pass over candidates;
+    gated set = the true per-group heavy hitters on any layout."""
+    from aws_dms_to_hudi_spark.functions.portable import tokens as p_tokens
+
+    d = _view(spark, sf_dir, "documents", "q201")
+    toks = spark.sql(
+        f"SELECT lang, t AS token FROM (SELECT lang, "
+        f"{p_tokens('text', 'spark')} AS toks FROM {d}) "
+        "LATERAL VIEW explode(toks) _x AS t"
+    )
+    return fn_sk.heavy_hitters_by_group(toks, "lang")
+
+
+def q200_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity scoring (curation.lm_perplexity_sql, the
+    CCNet filter scored for real): add-one-smoothed corpus LM, per-doc
+    mean -ln P(b|a). One ln per bigram TYPE frozen into DECIMAL so the
+    per-doc occurrence sum is exact integer arithmetic; shares the
+    tokenize-once token-hash artifact."""
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(fn_curation.lm_perplexity_sql("spark", th_table=th))
+
+
 def q150_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape through the engine's SQL surface (D10). part /
     supplier / nation all broadcast under AQE; the only shuffle is the
@@ -5435,6 +5464,8 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q197_linear_attribution": q197_linear_attribution,
         "q198_split_leakage": q198_split_leakage,
         "q199_datasheet": q199_datasheet,
+        "q200_lm_perplexity": q200_lm_perplexity,
+        "q201_group_heavy_hitters": q201_group_heavy_hitters,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6237,6 +6268,8 @@ def oracle_sql() -> dict[str, str]:
         "q197_linear_attribution": fn_analytics.attribution_oracle_sql(),
         "q198_split_leakage": fn_sampling.split_leakage_sql("duckdb"),
         "q199_datasheet": fn_curation.datasheet_sql("duckdb"),
+        "q200_lm_perplexity": fn_curation.lm_perplexity_sql("duckdb"),
+        "q201_group_heavy_hitters": fn_sk.heavy_hitters_by_group_oracle_sql(),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

@@ -862,3 +862,46 @@ SELECT lang, source,
 FROM base
 GROUP BY lang, source
 ORDER BY lang, source"""
+
+
+def lm_perplexity_sql(
+    dialect: str, table: str = "documents", th_table: str | None = None
+) -> str:
+    """Per-document bigram-LM negative log-likelihood — the CCNet /
+    Gopher "perplexity filter" scored for real (Wenzek et al.
+    arXiv:1911.00359 rank corpora by LM perplexity; q120 expresses the
+    same decision as a rank statistic, this operator produces the
+    actual score): add-one-smoothed bigram model trained on the corpus
+    itself, each doc scored by its mean −ln P(b|a).
+
+    Determinism across engines: ln() is evaluated ONCE per distinct
+    bigram TYPE (the q181 PPMI rule), then frozen into DECIMAL(18,12)
+    so the per-document summation over occurrences is exact integer
+    arithmetic — order-independent on any partition layout; the one
+    double division happens after the exact sum. Plan shape: two hash
+    aggregates over the token index (bigram/unigram counts), one
+    (a, b) hash join back to occurrences, one per-doc aggregate — all
+    map-side combinable, linear in corpus tokens."""
+    from .dedup import th_cte
+
+    return f"""
+WITH {th_cte(dialect, table, th_table)},
+bg AS (
+  SELECT doc_id, h AS a, lead(h) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM th
+),
+bgv AS (SELECT doc_id, a, b FROM bg WHERE b IS NOT NULL),
+cab AS (SELECT a, b, COUNT(*) AS cab FROM bgv GROUP BY a, b),
+ca AS (SELECT a, COUNT(*) AS ca FROM bgv GROUP BY a),
+vv AS (SELECT COUNT(DISTINCT h) AS v FROM th),
+lp AS (
+  SELECT c.a, c.b,
+         CAST(ln((c.cab + 1.0) / (ca.ca + vv.v)) AS DECIMAL(18,12)) AS lnp
+  FROM cab c JOIN ca ON c.a = ca.a CROSS JOIN vv
+)
+SELECT o.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(CAST(-SUM(l.lnp) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+FROM bgv o JOIN lp l ON o.a = l.a AND o.b = l.b
+GROUP BY o.doc_id
+ORDER BY o.doc_id"""

@@ -108,6 +108,92 @@ ORDER BY freq DESC, token
 """
 
 
+def _mg_partition_grouped(
+    pdfs: Iterator[pd.DataFrame], k: int
+) -> Iterator[pd.DataFrame]:
+    """Misra-Gries summaries of one partition's stream, one summary PER
+    GROUP — k-1 counters per group inside a single task, so a hot group
+    never forces per-group partitioning (the groupBy.applyInPandas
+    formulation would funnel each group through one task)."""
+    counters: dict[str, dict[str, int]] = {}
+    for pdf in pdfs:
+        for (g, tok), cnt in pdf.groupby(["grp", "token"]).size().items():
+            c = counters.setdefault(g, {})
+            if tok in c:
+                c[tok] += int(cnt)
+            elif len(c) < k - 1:
+                c[tok] = int(cnt)
+            else:
+                dec = min(int(cnt), min(c.values()))
+                c2 = {t: n - dec for t, n in c.items() if n > dec}
+                rem = int(cnt) - dec
+                if rem > 0 and len(c2) < k - 1:
+                    c2[tok] = rem
+                counters[g] = c2
+    yield pd.DataFrame(
+        {"grp": [g for g, c in counters.items() for _ in c],
+         "token": [t for c in counters.values() for t in c]}
+    )
+
+
+def heavy_hitters_by_group(
+    tokens: DataFrame, group_col: str, k: int = HH_K
+) -> DataFrame:
+    """Exact PER-GROUP heavy hitters (freq · k > group total) via the
+    same two-pass MG pattern as :func:`heavy_hitters`: per-partition
+    group-keyed sketches (mergeable — any token with partition-group
+    frequency above total/k survives that partition's summary, so the
+    union covers every global per-group heavy hitter), then one exact
+    verify pass restricted to candidates. ``tokens`` needs
+    (group_col, token) columns."""
+    src = tokens.select(F.col(group_col).alias("grp"), "token")
+    cand = (
+        src.mapInPandas(
+            lambda it: _mg_partition_grouped(it, k),
+            "grp string, token string",
+        ).distinct()
+    )
+    verified = (
+        src.join(F.broadcast(cand), ["grp", "token"])
+        .groupBy("grp", "token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    totals = src.groupBy("grp").agg(F.count(F.lit(1)).alias("n_group"))
+    return (
+        verified.join(F.broadcast(totals), "grp")
+        .filter(F.col("freq") * k > F.col("n_group"))
+        .select(F.col("grp").alias(group_col), "token",
+                F.col("freq").cast("long").alias("freq"),
+                F.col("n_group").cast("long").alias("n_group"))
+        .orderBy(group_col, F.col("freq").desc(), "token")
+    )
+
+
+def heavy_hitters_by_group_oracle_sql(
+    table: str = "documents", k: int = HH_K, dialect: str = "duckdb"
+) -> str:
+    from . import portable as P
+
+    toks = P.tokens("text", dialect)
+    if dialect == "spark":
+        tok_rows = (
+            f"SELECT lang, t AS token FROM (SELECT lang, {toks} AS toks "
+            f"FROM {table}) LATERAL VIEW explode(toks) _x AS t"
+        )
+    else:
+        tok_rows = f"SELECT lang, unnest({toks}) AS token FROM {table}"
+    return f"""
+WITH tok AS ({tok_rows}),
+tot AS (SELECT lang, COUNT(*) AS n_group FROM tok GROUP BY lang)
+SELECT t.lang, t.token, CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(MAX(tot.n_group) AS BIGINT) AS n_group
+FROM tok t JOIN tot ON t.lang = tot.lang
+GROUP BY t.lang, t.token
+HAVING COUNT(*) * {k} > MAX(tot.n_group)
+ORDER BY t.lang, freq DESC, t.token
+"""
+
+
 # ---------------------------------------------------------------------------
 # count-min sketch (bounded-memory frequency estimation service)
 # ---------------------------------------------------------------------------

@@ -468,6 +468,28 @@ class TestHeavyHitters:
         got = fn_sk.heavy_hitters(df, k=4).collect()  # threshold n/4 = 25
         assert [(r["token"], r["freq"]) for r in got] == [("a", 50), ("b", 40)]
 
+    def test_per_group_exact_on_any_layout(self, spark):
+        """Per-group MG: each group's threshold is ITS OWN total, so a
+        token can be heavy in a small group while globally invisible;
+        layout independence at 1/7/32 partitions."""
+        from aws_dms_to_hudi_spark.functions import sketches as fn_sk
+
+        rows = (
+            # en: n=1000, 'hot' 300 (heavy at k=10), 'warm' 100 (== bound)
+            [("en", "hot")] * 300 + [("en", "warm")] * 100
+            + [("en", f"u{i}") for i in range(600)]
+            # fr: n=20, 'petit' 5 -> 5*10 > 20: heavy despite tiny counts
+            + [("fr", "petit")] * 5 + [("fr", f"v{i}") for i in range(15)]
+        )
+        df = spark.createDataFrame(rows, "lang string, token string")
+        for parts in (1, 7, 32):
+            got = fn_sk.heavy_hitters_by_group(
+                df.repartition(parts), "lang", k=10
+            ).collect()
+            assert [(r["lang"], r["token"], r["freq"], r["n_group"])
+                    for r in got] == [("en", "hot", 300, 1000),
+                                      ("fr", "petit", 5, 20)]
+
 
 class TestFuzzyJoin:
     def test_edit1_families_covered(self, spark):
