@@ -3669,6 +3669,18 @@ def q201_group_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fn_sk.heavy_hitters_by_group(toks, "lang")
 
 
+def q202_timeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-timeline audit (storage.timeline_stats, the Hudi
+    commits-metadata-table analog): per data commit of the replayed
+    orders table, the operation and precombined changed-row count, in
+    version order. Oracle derives the same counts independently from
+    the CDC stream (distinct keys per batch after in-batch
+    precombine) - the timeline's accounting must reconcile with the
+    source batches regardless of layout rewrites."""
+    table, _versions = _replayed_orders(spark, sf_dir)
+    return table.timeline_stats().orderBy("commit_seq")
+
+
 def q200_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity scoring (curation.lm_perplexity_sql, the
     CCNet filter scored for real): add-one-smoothed corpus LM, per-doc
@@ -5466,6 +5478,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_datasheet": q199_datasheet,
         "q200_lm_perplexity": q200_lm_perplexity,
         "q201_group_heavy_hitters": q201_group_heavy_hitters,
+        "q202_timeline_audit": q202_timeline_audit,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6270,6 +6283,16 @@ def oracle_sql() -> dict[str, str]:
         "q199_datasheet": fn_curation.datasheet_sql("duckdb"),
         "q200_lm_perplexity": fn_curation.lm_perplexity_sql("duckdb"),
         "q201_group_heavy_hitters": fn_sk.heavy_hitters_by_group_oracle_sql(),
+        "q202_timeline_audit": " UNION ALL ".join(
+            "SELECT CAST({b} AS BIGINT) AS commit_seq, '{op}' AS operation, "
+            "CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_changed "
+            "FROM ({sql})".format(
+                b=b,
+                op="bulk_insert" if b == 0 else "upsert",
+                sql=cdc.batch_sql(rec_o, b),
+            )
+            for b in range(cdc.N_BATCHES)
+        ) + " ORDER BY commit_seq",
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

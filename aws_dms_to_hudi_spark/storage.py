@@ -213,6 +213,31 @@ class CuratedTable:
             out.append(Commit.from_json(p.read_text()))
         return out
 
+    def timeline_stats(self) -> DataFrame:
+        """Commit-timeline introspection (the Hudi timeline / commits-
+        metadata-table analog): one row per DATA commit in version
+        order — (commit_seq, operation, n_changed) with n_changed =
+        rows of the commit's precombined changelog (tombstones
+        included). Table services (compaction / clustering / clean)
+        change no rows and carry no changelog, so they are excluded —
+        the audit invariant is that every data commit's change count
+        equals its source batch's precombined size regardless of any
+        layout rewrites in between. The loop is bounded by the
+        retained timeline length (a handful of manifests), same class
+        as the other bounded driver-side reads."""
+        rows = []
+        seq = 0
+        for c in sorted(self.commits(), key=lambda c: c.version):
+            if not c.changelog:
+                continue
+            df = self._read_dirs(c.changelog)
+            n = 0 if df is None else df.count()
+            rows.append((seq, c.operation, int(n)))
+            seq += 1
+        return self.spark.createDataFrame(
+            rows, "commit_seq long, operation string, n_changed long"
+        )
+
     def latest_commit(self) -> Commit | None:
         commits = self.commits()
         return commits[-1] if commits else None
