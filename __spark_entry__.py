@@ -1982,6 +1982,108 @@ FROM closed WHERE NOT del ORDER BY c_custkey, valid_from
 """
 
 
+def q203_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (feature-store) join: every order event joined to
+    the customer dimension state AS OF its own commit version, through
+    the SCD2 validity intervals (q180's operator) — the PIT-correct
+    feature lookup that prevents future-value leakage into training
+    examples. Facts from a deleted-interval window resolve to NULL
+    (the customer did not exist then), and a same-version change IS
+    visible to that version's facts (valid_from <= v). Plan: one
+    custkey-partitioned hash join with the interval predicate as a
+    residual filter — per-key intervals are change-count sized.
+    Oracle: the SCD2 window replay + the same interval join."""
+    rec_c = cdc.RECIPES["customer"]
+    rec_o = cdc.RECIPES["orders"]
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__pit_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__pit_orders")
+    dim = fn_incr.scd2_history(
+        [
+            (b, spark.sql(cdc.batch_sql(rec_c, b, src="__pit_customer")))
+            for b in range(cdc.N_BATCHES)
+        ],
+        ["c_custkey"],
+        ["c_acctbal", "c_mktsegment"],
+    )
+    facts = None
+    for b in range(cdc.N_BATCHES):
+        f = (
+            spark.sql(cdc.batch_sql(rec_o, b, src="__pit_orders"))
+            .select("o_orderkey", "o_custkey", "trx_seq")
+            .withColumn("v", F.lit(b).cast("long"))
+        )
+        facts = f if facts is None else facts.unionByName(f)
+    w = Window.partitionBy("o_orderkey", "v").orderBy(F.col("trx_seq").desc())
+    facts = (
+        facts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "trx_seq")
+    )
+    j = facts.join(
+        dim,
+        (facts.o_custkey == dim.c_custkey)
+        & (dim.valid_from <= facts.v)
+        & (dim.valid_to.isNull() | (facts.v < dim.valid_to)),
+        "left",
+    )
+    return j.select(
+        "o_orderkey",
+        "v",
+        "o_custkey",
+        F.col("c_acctbal").alias("acctbal_asof"),
+        F.col("c_mktsegment").alias("mktsegment_asof"),
+    ).orderBy("o_orderkey", "v")
+
+
+def _pit_oracle_sql() -> str:
+    rec_c = cdc.RECIPES["customer"]
+    rec_o = cdc.RECIPES["orders"]
+    parts = ",\n".join(
+        [f"cb{b} AS ({cdc.batch_sql(rec_c, b)})" for b in range(cdc.N_BATCHES)]
+        + [f"ob{b} AS ({cdc.batch_sql(rec_o, b)})" for b in range(cdc.N_BATCHES)]
+    )
+    cunion = " UNION ALL ".join(
+        f"SELECT c_custkey, c_acctbal, c_mktsegment, trx_seq, "
+        f"_hoodie_is_deleted AS del, {b} AS v FROM cb{b}"
+        for b in range(cdc.N_BATCHES)
+    )
+    ounion = " UNION ALL ".join(
+        f"SELECT o_orderkey, o_custkey, trx_seq, {b} AS v FROM ob{b}"
+        for b in range(cdc.N_BATCHES)
+    )
+    return f"""
+WITH {parts},
+ctag AS ({cunion}),
+clatest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY c_custkey, v ORDER BY trx_seq DESC) AS rn
+    FROM ctag) t WHERE rn = 1
+),
+cclosed AS (
+  SELECT *, lead(v) OVER (PARTITION BY c_custkey ORDER BY v) AS valid_to
+  FROM clatest
+),
+dim AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment, v AS valid_from, valid_to
+  FROM cclosed WHERE NOT del
+),
+otag AS ({ounion}),
+olatest AS (
+  SELECT o_orderkey, o_custkey, v FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY o_orderkey, v ORDER BY trx_seq DESC) AS rn
+    FROM otag) t WHERE rn = 1
+)
+SELECT o.o_orderkey, CAST(o.v AS BIGINT) AS v, o.o_custkey,
+       d.c_acctbal AS acctbal_asof, d.c_mktsegment AS mktsegment_asof
+FROM olatest o LEFT JOIN dim d
+  ON d.c_custkey = o.o_custkey AND d.valid_from <= o.v
+ AND (d.valid_to IS NULL OR o.v < d.valid_to)
+ORDER BY o.o_orderkey, o.v
+"""
+
+
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive PMI token co-occurrence (curation.ppmi_pairs_sql,
     Church & Hanks association): window-2 position self-join (fan-out
@@ -5479,6 +5581,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q200_lm_perplexity": q200_lm_perplexity,
         "q201_group_heavy_hitters": q201_group_heavy_hitters,
         "q202_timeline_audit": q202_timeline_audit,
+        "q203_pit_join": q203_pit_join,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6293,6 +6396,7 @@ def oracle_sql() -> dict[str, str]:
             )
             for b in range(cdc.N_BATCHES)
         ) + " ORDER BY commit_seq",
+        "q203_pit_join": _pit_oracle_sql(),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation
