@@ -883,3 +883,34 @@ class TestGoldenRecord:
         }
         assert got["widget"] == ("widgets", "B1", 3, 12.0, 3, 3)
         assert got["gear"] == ("gear", "B9", 9, 1.0, 1, 1)
+
+
+class TestNewOpPlanShapes:
+    """Scale guards for the r4 final-batch operators: candidate
+    generation and PIT lookup must plan as hash equi-joins — never a
+    cartesian or broadcast-nested-loop over a corpus-sized side."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_dup_spans_and_paragraph_no_cartesian(self, spark, docs_view):
+        for fn in (fn_dedup.dup_span_sql, fn_dedup.paragraph_dedup_sql):
+            plan = self._plan(spark.sql(fn("spark", table=docs_view)))
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_phrase_search_is_key_join(self, spark, docs_view):
+        plan = self._plan(
+            spark.sql(fn_dedup.phrase_search_sql("spark", table=docs_view))
+        )
+        assert "CartesianProduct" not in plan
+
+    def test_pit_join_hash_not_bnlj(self, spark, sf_correct):
+        """The SCD2 interval predicate must stay a residual filter on a
+        custkey hash join — Spark must not degrade to a nested loop."""
+        import __spark_entry__ as entry_mod
+
+        df = entry_mod.queries()["q203_pit_join"](spark, sf_correct)
+        plan = self._plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
