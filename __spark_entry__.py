@@ -2084,6 +2084,30 @@ ORDER BY o.o_orderkey, o.v
 """
 
 
+def q204_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-triplet construction (sampling.
+    triplet_mining_sql): verified near-dup pairs as positives, the
+    rank-(n/2)-away same-language doc as the deterministic negative -
+    no RNG, identical mined set on any layout. Reads the session-
+    cached MinHash pairs artifact."""
+    pv = fn_dedup.minhash_pairs_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    v = _view(spark, sf_dir, "documents", "q204")
+    return spark.sql(
+        fn_sampling.triplet_mining_sql("spark", table=v, pairs=pv)
+    )
+
+
+def q205_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift audit between the train and val hash-splits
+    (sampling.psi_drift_sql): per-language population stability index
+    over 100-char length buckets, Laplace-smoothed, each bucket term
+    frozen into DECIMAL before the per-language sum."""
+    v = _view(spark, sf_dir, "documents", "q205")
+    return spark.sql(fn_sampling.psi_drift_sql("spark", table=v))
+
+
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive PMI token co-occurrence (curation.ppmi_pairs_sql,
     Church & Hanks association): window-2 position self-join (fan-out
@@ -5582,6 +5606,8 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q201_group_heavy_hitters": q201_group_heavy_hitters,
         "q202_timeline_audit": q202_timeline_audit,
         "q203_pit_join": q203_pit_join,
+        "q204_triplet_mining": q204_triplet_mining,
+        "q205_psi_drift": q205_psi_drift,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6397,6 +6423,8 @@ def oracle_sql() -> dict[str, str]:
             for b in range(cdc.N_BATCHES)
         ) + " ORDER BY commit_seq",
         "q203_pit_join": _pit_oracle_sql(),
+        "q204_triplet_mining": fn_sampling.triplet_mining_sql("duckdb"),
+        "q205_psi_drift": fn_sampling.psi_drift_sql("duckdb"),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

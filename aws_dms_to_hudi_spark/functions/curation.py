@@ -895,8 +895,12 @@ cab AS (SELECT a, b, COUNT(*) AS cab FROM bgv GROUP BY a, b),
 ca AS (SELECT a, COUNT(*) AS ca FROM bgv GROUP BY a),
 vv AS (SELECT COUNT(DISTINCT h) AS v FROM th),
 lp AS (
+  -- operands forced to DOUBLE: a bare 1.0 literal is DECIMAL in both
+  -- dialects and would drag the smoothing division into engine-
+  -- specific decimal scales before ln sees it
   SELECT c.a, c.b,
-         CAST(ln((c.cab + 1.0) / (ca.ca + vv.v)) AS DECIMAL(18,12)) AS lnp
+         CAST(ln(CAST(c.cab + 1 AS DOUBLE) / CAST(ca.ca + vv.v AS DOUBLE))
+              AS DECIMAL(18,12)) AS lnp
   FROM cab c JOIN ca ON c.a = ca.a CROSS JOIN vv
 )
 SELECT o.doc_id,

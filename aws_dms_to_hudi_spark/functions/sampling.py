@@ -267,3 +267,93 @@ SELECT LEAST(split_a, split_b) AS split_lo,
 FROM cls
 GROUP BY LEAST(split_a, split_b), GREATEST(split_a, split_b)
 ORDER BY split_lo, split_hi"""
+
+
+def triplet_mining_sql(
+    dialect: str, table: str = "documents", pairs: str | None = None
+) -> str:
+    """Contrastive training-triplet construction: (anchor, positive,
+    negative) rows where positives are verified near-dup pairs and the
+    negative is a deterministic same-language pick — the in-batch
+    "random" negative of contrastive/embedding training, made
+    reproducible: negative = the doc at rank (anchor_rank + n/2) mod n
+    in the anchor's language (maximally far in rank order, so never
+    adjacent-by-id), dropped if it collides with either pair member.
+    No RNG anywhere — the mined set is identical on any layout/engine.
+
+    Plan shape: one rank window PER LANGUAGE (the q82 token-budget
+    pattern — partition count = language count) + two broadcast-scale
+    joins of the pair list against the rank relation. Negatives are
+    rank lookups, not similarity searches — the standard cheap-negative
+    scheme; hard-negative mining would swap the lookup for an ANN query
+    (q23/q34) without changing this shape."""
+    from .dedup import minhash_lsh_sql
+
+    if pairs is None:
+        pairs = "(" + minhash_lsh_sql(dialect, table=table) + ")"
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM {table}
+),
+p AS (SELECT doc_a, doc_b FROM {pairs} pp),
+neg AS (
+  SELECT p.doc_a AS anchor, p.doc_b AS positive, ra.lang,
+         1 + (ra.rk - 1 + {P.int_div('ra.n', '2', dialect)}) % ra.n AS neg_rk
+  FROM p JOIN r ra ON p.doc_a = ra.doc_id
+)
+SELECT n.anchor, n.positive, rn.doc_id AS negative, n.lang
+FROM neg n JOIN r rn ON rn.lang = n.lang AND rn.rk = n.neg_rk
+WHERE rn.doc_id <> n.anchor AND rn.doc_id <> n.positive
+ORDER BY n.anchor, n.positive"""
+
+
+def psi_drift_sql(dialect: str, table: str = "documents") -> str:
+    """Population-stability-index drift audit between the train and val
+    hash-splits: per language, PSI = Σ_buckets (p−q)·ln(p/q) over
+    100-char length buckets with Laplace add-one smoothing (so a
+    bucket present in only one split contributes a finite term). The
+    production data-drift monitor, run here split-vs-split — the same
+    SQL compares two corpus snapshots.
+
+    Determinism: each bucket's (p−q)·ln(p/q) term is computed once and
+    frozen into DECIMAL(18,12); the per-language sum is then exact.
+    One scan + one (lang, bucket) hash aggregate + one per-lang
+    rollup; bucket domain derives from the data, identically on both
+    engines."""
+    sp = split_expr("d.doc_id", dialect)
+    bk = P.int_div("d.n_chars", "100", dialect)
+    return f"""
+WITH base AS (
+  SELECT d.lang, {sp} AS split, {bk} AS b FROM {table} d
+),
+counts AS (
+  SELECT lang, b,
+         SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS cv
+  FROM base WHERE split IN ('train', 'val')
+  GROUP BY lang, b
+),
+tot AS (
+  SELECT lang, SUM(ct) AS nt, SUM(cv) AS nv, COUNT(*) AS nb
+  FROM counts GROUP BY lang
+),
+terms AS (
+  -- every operand forced to DOUBLE: a bare 1.0 literal is DECIMAL in
+  -- both dialects and drags the division into engine-specific decimal
+  -- scales, desynchronizing the ln inputs
+  SELECT c.lang,
+         CAST((CAST(c.ct + 1 AS DOUBLE) / CAST(t.nt + t.nb AS DOUBLE)
+               - CAST(c.cv + 1 AS DOUBLE) / CAST(t.nv + t.nb AS DOUBLE))
+              * ln((CAST(c.ct + 1 AS DOUBLE) / CAST(t.nt + t.nb AS DOUBLE))
+                   / (CAST(c.cv + 1 AS DOUBLE) / CAST(t.nv + t.nb AS DOUBLE)))
+              AS DECIMAL(18,12)) AS term
+  FROM counts c JOIN tot t ON c.lang = t.lang
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       round(CAST(SUM(term) AS DOUBLE), 6) AS psi
+FROM terms
+GROUP BY lang
+ORDER BY lang"""
