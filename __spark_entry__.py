@@ -2108,6 +2108,25 @@ def q205_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_sampling.psi_drift_sql("spark", table=v))
 
 
+def q206_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual mixture (sampling.
+    temperature_mixture_sql, the XLM-R n^alpha rule): language budgets
+    from milli-scaled integer weight division (the one pow() rounded to
+    1e-6 units BEFORE integer arithmetic, so libm ulps cannot flip an
+    allocation), deterministic hash-priority keep per language."""
+    v = _view(spark, sf_dir, "documents", "q206")
+    return spark.sql(fn_sampling.temperature_mixture_sql("spark", table=v))
+
+
+def q207_ensemble_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal quality-selection ensemble (sampling.
+    ensemble_selection_sql): three signals rank-normalized per language
+    to integer 0-1000, averaged, top-40 per language kept - pure
+    integer blend, no libm anywhere, bit-identical on any layout."""
+    v = _view(spark, sf_dir, "documents", "q207")
+    return spark.sql(fn_sampling.ensemble_selection_sql("spark", table=v))
+
+
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive PMI token co-occurrence (curation.ppmi_pairs_sql,
     Church & Hanks association): window-2 position self-join (fan-out
@@ -5608,6 +5627,8 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q203_pit_join": q203_pit_join,
         "q204_triplet_mining": q204_triplet_mining,
         "q205_psi_drift": q205_psi_drift,
+        "q206_temperature_mixture": q206_temperature_mixture,
+        "q207_ensemble_selection": q207_ensemble_selection,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6425,6 +6446,8 @@ def oracle_sql() -> dict[str, str]:
         "q203_pit_join": _pit_oracle_sql(),
         "q204_triplet_mining": fn_sampling.triplet_mining_sql("duckdb"),
         "q205_psi_drift": fn_sampling.psi_drift_sql("duckdb"),
+        "q206_temperature_mixture": fn_sampling.temperature_mixture_sql("duckdb"),
+        "q207_ensemble_selection": fn_sampling.ensemble_selection_sql("duckdb"),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

@@ -357,3 +357,106 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_buckets,
 FROM terms
 GROUP BY lang
 ORDER BY lang"""
+
+
+def temperature_mixture_sql(
+    dialect: str, table: str = "documents", alpha: float = 0.3
+) -> str:
+    """Temperature-based multilingual mixture (the XLM-R / T5 rule,
+    Conneau et al. arXiv:1911.02116): language sampling mass ∝ n^α
+    with α < 1, up-weighting low-resource languages; the budget is
+    half the corpus, allocated by exact integer division over
+    milli-scaled weights. The one libm call (pow) is rounded to 1e-6
+    relative units BEFORE entering integer arithmetic, so a last-ulp
+    pow divergence between engines cannot flip any allocation.
+
+    Selection is the q82/q122 deterministic-priority pattern: per-
+    language ROW_NUMBER over the portable doc-id hash — identical
+    kept-set on any layout or engine. Output: per-language allocation
+    audit (availability, target, kept count, kept-id checksum)."""
+    h = bucket_expr("d.doc_id", dialect)
+    return f"""
+WITH sizes AS (
+  SELECT lang, COUNT(*) AS n FROM {table} GROUP BY lang
+),
+w AS (
+  SELECT lang, n,
+         CAST(round(pow(CAST(n AS DOUBLE), {alpha}) * 1000000, 0) AS BIGINT)
+           AS wm
+  FROM sizes
+),
+tot AS (SELECT SUM(n) AS ntot, SUM(wm) AS wtot FROM w),
+alloc AS (
+  SELECT w.lang, w.n,
+         {P.int_div(f"w.wm * {P.int_div('t.ntot', '2', dialect)}", 't.wtot', dialect)}
+           AS target
+  FROM w CROSS JOIN tot t
+),
+ranked AS (
+  SELECT d.doc_id, d.lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.lang ORDER BY {h}, d.doc_id) AS pr
+  FROM {table} d
+),
+kept AS (
+  SELECT r.lang, r.doc_id
+  FROM ranked r JOIN alloc a ON r.lang = a.lang
+  WHERE r.pr <= a.target
+)
+SELECT a.lang, CAST(a.n AS BIGINT) AS n_avail,
+       CAST(a.target AS BIGINT) AS target,
+       CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS kept_id_sum
+FROM alloc a LEFT JOIN kept k ON a.lang = k.lang
+GROUP BY a.lang, a.n, a.target
+ORDER BY a.lang"""
+
+
+def ensemble_selection_sql(
+    dialect: str, table: str = "documents", keep_per_lang: int = 40
+) -> str:
+    """Ensemble quality selection: three per-document signals (the
+    heuristic quality score, length, stopword share) rank-normalized
+    PER LANGUAGE to a 0-1000 integer scale, averaged, and the top
+    ``keep_per_lang`` docs per language kept — the multi-signal data
+    selection blend (DataComp/Dolma-style filtering ensembles) with
+    no libm anywhere: ranks and blends are pure integers, so the
+    selection is bit-identical on any engine or layout.
+
+    Plan: one scan computes all three signals (generated portable
+    expressions), then four ROW_NUMBER windows all partitioned by
+    language (the q82 pattern — per-partition state is a language's
+    doc count). Ties break on doc_id at every rank."""
+    from .text import quality_expr, stop_ratio_expr, token_count_expr
+
+    q = quality_expr("text", dialect)
+    s = stop_ratio_expr("text", dialect)
+    t = token_count_expr("text", dialect)
+    return f"""
+WITH sig AS (
+  SELECT doc_id, lang, {q} AS q, {s} AS sr, {t} AS nt
+  FROM {table}
+),
+ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY q, doc_id) AS rq,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY nt, doc_id) AS rt,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY sr DESC, doc_id) AS rs,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM sig
+),
+blended AS (
+  SELECT doc_id, lang,
+         {P.int_div("((rq - 1) * 1000 + (rt - 1) * 1000 + (rs - 1) * 1000)",
+                    "(3 * (n - 1))", dialect)} AS blend
+  FROM ranked WHERE n > 1
+),
+sel AS (
+  SELECT doc_id, lang, blend,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang ORDER BY blend DESC, doc_id) AS pick
+  FROM blended
+)
+SELECT doc_id, lang, CAST(blend AS BIGINT) AS blend_score
+FROM sel WHERE pick <= {keep_per_lang}
+ORDER BY lang, blend_score DESC, doc_id"""
