@@ -2127,6 +2127,95 @@ def q207_ensemble_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_sampling.ensemble_selection_sql("spark", table=v))
 
 
+def _evo_batch_sqls(src: str) -> list[str]:
+    """Supplier CDC batches with a mid-stream schema evolution, shared
+    verbatim by the Spark replay and the DuckDB oracle: batches 0-1
+    carry the pre-DDL schema (s_nationkey INT, s_acctbal FLOAT);
+    batches 2-3 arrive post-ALTER with a new column (s_tier) and the
+    Avro promotions INT->BIGINT, FLOAT->DOUBLE applied upstream."""
+    rec = cdc.RECIPES["supplier"]
+    outs = []
+    for b in range(cdc.N_BATCHES):
+        inner = cdc.batch_sql(rec, b, src=src)
+        if b < 2:
+            outs.append(
+                "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, "
+                "CAST(s_nationkey AS INT) AS s_nationkey, "
+                "CAST(s_acctbal AS FLOAT) AS s_acctbal, "
+                "trx_seq, _hoodie_is_deleted "
+                f"FROM ({inner}) AS evo_b{b}"
+            )
+        else:
+            outs.append(
+                "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, "
+                "CAST(s_nationkey AS BIGINT) AS s_nationkey, "
+                "CAST(s_acctbal AS DOUBLE) AS s_acctbal, "
+                "CAST(s_suppkey % 5 AS BIGINT) AS s_tier, "
+                "trx_seq, _hoodie_is_deleted "
+                f"FROM ({inner}) AS evo_b{b}"
+            )
+    return outs
+
+
+def q208_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution through the real write path (operators/
+    schema_evolution.py; Hudi deltastreamer reconciliation the
+    reference delegates at handler.py:139-152): supplier CDC batches
+    0-1 land with the pre-DDL schema, batches 2-3 add s_tier and widen
+    s_nationkey INT->BIGINT / s_acctbal FLOAT->DOUBLE. The merge must
+    append the new column (pre-DDL winners read NULL), widen the stored
+    types, and keep precombine/delete semantics intact across the
+    evolution. One table rewrite per batch, casts codegen-folded — the
+    evolved merge costs exactly what an un-evolved one does."""
+    rec = cdc.RECIPES["supplier"]
+    src = _view(spark, sf_dir, "supplier", "q209")
+    cfg = TableConfig(name="evo_supplier", record_key=list(rec.key_cols))
+    tmp = tempfile.mkdtemp(prefix="evo_supplier_")
+    table = CuratedTable(spark, Path(tmp) / "supplier", cfg)
+    for b, sql in enumerate(_evo_batch_sqls(src)):
+        batch = spark.sql(sql)
+        table.bulk_insert(batch) if b == 0 else table.upsert(batch)
+    return (
+        table.read()
+        .select(
+            "s_suppkey", "s_name", "s_nationkey", "s_acctbal", "s_tier",
+            "trx_seq",
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def _evo_oracle_sql() -> str:
+    """Naive replay of the evolved stream: pre-DDL batches NULL-fill
+    s_tier and cast up to the evolved types, then per-key max trx_seq
+    wins and tombstones drop — FIXTURES.md §3 semantics unchanged."""
+    branches = []
+    for b, sql in enumerate(_evo_batch_sqls("supplier")):
+        if b < 2:
+            branches.append(
+                "SELECT s_suppkey, s_name, "
+                "CAST(s_nationkey AS BIGINT) AS s_nationkey, "
+                "CAST(s_acctbal AS DOUBLE) AS s_acctbal, "
+                "CAST(NULL AS BIGINT) AS s_tier, trx_seq, "
+                f"_hoodie_is_deleted FROM ({sql}) AS pre{b}"
+            )
+        else:
+            branches.append(
+                "SELECT s_suppkey, s_name, s_nationkey, s_acctbal, "
+                f"s_tier, trx_seq, _hoodie_is_deleted FROM ({sql}) AS post{b}"
+            )
+    stream = " UNION ALL ".join(branches)
+    return (
+        "SELECT s_suppkey, s_name, s_nationkey, s_acctbal, s_tier, trx_seq "
+        "FROM ("
+        "  SELECT *, row_number() OVER ("
+        "    PARTITION BY s_suppkey ORDER BY trx_seq DESC) AS rn "
+        f" FROM ({stream}) AS evo_stream"
+        ") AS ranked WHERE rn = 1 AND NOT _hoodie_is_deleted "
+        "ORDER BY s_suppkey"
+    )
+
+
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive PMI token co-occurrence (curation.ppmi_pairs_sql,
     Church & Hanks association): window-2 position self-join (fan-out
@@ -5629,6 +5718,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q205_psi_drift": q205_psi_drift,
         "q206_temperature_mixture": q206_temperature_mixture,
         "q207_ensemble_selection": q207_ensemble_selection,
+        "q208_schema_evolution": q208_schema_evolution,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6448,6 +6538,7 @@ def oracle_sql() -> dict[str, str]:
         "q205_psi_drift": fn_sampling.psi_drift_sql("duckdb"),
         "q206_temperature_mixture": fn_sampling.temperature_mixture_sql("duckdb"),
         "q207_ensemble_selection": fn_sampling.ensemble_selection_sql("duckdb"),
+        "q208_schema_evolution": _evo_oracle_sql(),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

@@ -88,6 +88,20 @@ def upsert_merge(
         existing = existing.withColumn(_SRC_COL, F.lit(0))
         if DELETED_COL not in existing.columns and DELETED_COL in batch.columns:
             existing = existing.withColumn(DELETED_COL, F.lit(False))
+        if existing.schema != batch.schema:
+            # Schema evolution (Hudi deltastreamer reconciliation): new
+            # columns append (stored rows read NULL), dropped columns
+            # NULL-fill, Avro promotions widen the stored type. Pure
+            # driver-side arithmetic + codegen-folded casts; raises on
+            # an incompatible change instead of coercing.
+            from aws_dms_to_hudi_spark.operators.schema_evolution import (
+                align_to,
+                evolved_schema,
+            )
+
+            target = evolved_schema(existing.schema, batch.schema)
+            existing = align_to(existing, target)
+            batch = align_to(batch, target)
         unioned = existing.unionByName(batch, allowMissingColumns=True)
     else:
         unioned = batch

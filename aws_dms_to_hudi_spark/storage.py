@@ -59,6 +59,7 @@ from pyspark.sql import functions as F
 
 from aws_dms_to_hudi_spark.config import MERGE_ON_READ, TableConfig
 from aws_dms_to_hudi_spark.operators.merge import precombine, upsert_merge
+from aws_dms_to_hudi_spark.operators.schema_evolution import reconcile
 
 COMMITS_DIR = "_commits"
 ARCHIVE_FILE = "_archived.json"
@@ -355,10 +356,28 @@ class CuratedTable:
                 dfs.append(
                     self.spark.read.option("basePath", str(self.root / ver)).parquet(*ps)
                 )
+            # Carried-forward partition dirs may predate a schema
+            # evolution — widen/NULL-fill them onto the common schema
+            # (identity when nothing evolved).
+            dfs = reconcile(dfs)
             df = dfs[0]
             for other in dfs[1:]:
                 df = df.unionByName(other, allowMissingColumns=True)
             return df
+        if len(paths) > 1:
+            # MOR delta dirs / changelog dirs span commits, so they can
+            # span a schema evolution; a single multi-path scan would
+            # silently impose the first footer's schema. Keep the
+            # one-scan plan when schemas agree, else per-dir scans
+            # reconciled onto the evolved schema (dir count is bounded
+            # by the compaction interval).
+            dfs = [self.spark.read.parquet(p) for p in paths]
+            if any(d.schema != dfs[0].schema for d in dfs[1:]):
+                dfs = reconcile(dfs)
+                df = dfs[0]
+                for other in dfs[1:]:
+                    df = df.unionByName(other)
+                return df
         return reader.parquet(*paths)
 
     # ---------- write path ----------
