@@ -39,6 +39,7 @@ from aws_dms_to_hudi_spark.functions import multimodal as fn_mm
 from aws_dms_to_hudi_spark.functions import similarity as fn_sim
 from aws_dms_to_hudi_spark.functions import sketches as fn_sk
 from aws_dms_to_hudi_spark.functions import sampling as fn_sampling
+from aws_dms_to_hudi_spark.functions import spatial as fn_spatial
 from aws_dms_to_hudi_spark.functions import text as fn_text
 from aws_dms_to_hudi_spark.operators import asof as op_asof
 from aws_dms_to_hudi_spark.operators import range_join as op_range
@@ -2214,6 +2215,47 @@ def _evo_oracle_sql() -> str:
         ") AS ranked WHERE rn = 1 AND NOT _hoodie_is_deleted "
         "ORDER BY s_suppkey"
     )
+
+
+def q209_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained AND applied
+    relationally (text.naive_bayes_confusion_sql): add-one-smoothed
+    per-(lang, token) log-likelihoods + doc priors, join-sparse scoring
+    via the unseen-token correction, per-doc argmax, lang x lang
+    confusion matrix. Every ln frozen once per (lang, token) TYPE into
+    DECIMAL; per-doc sums are exact decimal arithmetic (q200 rules).
+    Shares the tokenize-once token-hash artifact."""
+    v = _view(spark, sf_dir, "documents", "q209")
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(
+        fn_text.naive_bayes_confusion_sql("spark", table=v, th_table=th)
+    )
+
+
+def q210_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities (components.
+    label_propagation_sql) on the co-purchase graph — plurality label
+    among neighbors, MIN-label tie-break, exactly LPA_ROUNDS rounds;
+    the plurality argmax is an integer-encoded MAX aggregate, zero
+    windows. Shares the cached copurchase_edges build with triangle
+    counting and k-core."""
+    li = _view(spark, sf_dir, "lineitem", "q210")
+    edges = fn_comp.copurchase_edges(spark, li, cache_key=sf_dir)
+    edges.createOrReplaceTempView("__q210_edges")
+    return spark.sql(
+        fn_comp.label_propagation_sql("spark", edges_table="__q210_edges")
+    )
+
+
+def q211_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial neighbor join (spatial.grid_neighbors_sql):
+    per-point in-radius neighbor count + deterministic nearest via 3x3
+    cell-neighborhood candidates — ONE equi-join on the cell key, exact
+    int64 squared distances, no cross product anywhere."""
+    c = _view(spark, sf_dir, "customer", "q211")
+    return spark.sql(fn_spatial.grid_neighbors_sql("spark", customer=c))
 
 
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5719,6 +5761,9 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q206_temperature_mixture": q206_temperature_mixture,
         "q207_ensemble_selection": q207_ensemble_selection,
         "q208_schema_evolution": q208_schema_evolution,
+        "q209_naive_bayes_langid": q209_naive_bayes_langid,
+        "q210_label_propagation": q210_label_propagation,
+        "q211_grid_spatial_join": q211_grid_spatial_join,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6539,6 +6584,9 @@ def oracle_sql() -> dict[str, str]:
         "q206_temperature_mixture": fn_sampling.temperature_mixture_sql("duckdb"),
         "q207_ensemble_selection": fn_sampling.ensemble_selection_sql("duckdb"),
         "q208_schema_evolution": _evo_oracle_sql(),
+        "q209_naive_bayes_langid": fn_text.naive_bayes_confusion_sql("duckdb"),
+        "q210_label_propagation": fn_comp.label_propagation_sql("duckdb"),
+        "q211_grid_spatial_join": fn_spatial.grid_neighbors_sql("duckdb"),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

@@ -561,3 +561,90 @@ def triangle_count(spark, lineitem: str, cache_key: str | None = None):
                     F.col("n_tri").alias("n_triangles"),
                     F.expr("CAST(3000000 * n_tri DIV n_wedges AS BIGINT)")
                     .alias("gcc_ppm")))
+
+
+LPA_ROUNDS = 2
+
+
+def label_propagation_sql(
+    dialect: str,
+    lineitem: str = "lineitem",
+    rounds: int = LPA_ROUNDS,
+    edges_table: str | None = None,
+) -> str:
+    """Synchronous label propagation (Raghavan et al. arXiv:0709.2938)
+    over the co-purchase graph — community detection, the third member
+    of the graph family next to connected components (reachability) and
+    PageRank (centrality). Communities group near-duplicate/topically
+    linked records for canonical selection and leakage audits where CC
+    is too coarse (one bridge edge fuses two clusters; LPA keeps them
+    apart unless the bridge carries plurality weight).
+
+    Every node starts labeled with itself; each round every node adopts
+    the PLURALITY label among its neighbors, ties broken by MIN label —
+    the deterministic tie-break that makes the classic randomized LPA
+    reproducible on any engine or partition layout. The contract is the
+    state after exactly ``rounds`` synchronous rounds (the oracle
+    unrolls the same rounds; a fixed round count sidesteps LPA's
+    known oscillation on bipartite structures).
+
+    Plan shape per round: one hash join (symmetrized edges ⋈ labels, on
+    the node key) + one (node, label) count aggregate + one per-node
+    argmax window — all shuffles on the node key, fan-out bounded by
+    degree. At 100 TB the operator form would checkpoint each round's
+    label relation like :func:`connected_components`; ``rounds`` is
+    fixed and small, so unrolling keeps Catalyst's plan bounded.
+
+    Output: per-community member counts (community = converged label).
+    """
+    # DuckDB inlines CTEs referenced more than once, recomputing the
+    # edge build per round; MATERIALIZED pins each round's relation.
+    # Spark has no such keyword (Catalyst reuses exchange subtrees).
+    m = "MATERIALIZED " if dialect == "duckdb" else ""
+    if edges_table is not None:
+        edges = f"edges AS {m}(SELECT u, v FROM {edges_table})"
+    else:
+        edges = f"""items AS {m}(
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM {lineitem}
+),
+edges AS {m}(
+  SELECT DISTINCT a.pk AS u, b.pk AS v
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+)"""
+    parts = [
+        edges,
+        f"""sym AS {m}(
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v AS src, u AS dst FROM edges
+),
+l0 AS {m}(SELECT DISTINCT src AS node, src AS lbl FROM sym)""",
+    ]
+    # Plurality-then-min-label argmax WITHOUT a per-node window: encode
+    # (count, label) into one BIGINT key c*M + (M-1-lbl) and take MAX —
+    # max count wins, ties resolve to the smaller label. Exact while
+    # lbl < M and c < 2^63/M (labels are record ids; M = 10^9 covers
+    # any 32-bit id space and counts to 9.2e9 — both checked loudly by
+    # the decode going negative, never silently). Two map-side-
+    # combinable hash aggregates per round, zero windows.
+    M = 10**9
+    for r in range(1, rounds + 1):
+        parts.append(f"""cnt{r} AS {m}(
+  SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+  FROM sym e JOIN l{r - 1} l ON e.src = l.node
+  GROUP BY e.dst, l.lbl
+),
+l{r} AS {m}(
+  SELECT node,
+         CAST({M - 1} - (MAX(c * {M} + ({M - 1} - lbl)) % {M}) AS BIGINT)
+           AS lbl
+  FROM cnt{r}
+  GROUP BY node
+)""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l{rounds}
+GROUP BY lbl
+ORDER BY community"""

@@ -328,3 +328,100 @@ SELECT v.doc_id, v.lang,
          AS is_outlier
 FROM dev v JOIN mad a ON v.lang = a.lang
 ORDER BY v.doc_id"""
+
+
+def naive_bayes_confusion_sql(
+    dialect: str, table: str = "documents", th_table: str | None = None
+) -> str:
+    """Multinomial Naive Bayes language classifier, trained AND applied
+    relationally in one statement — the classic "ML as relational
+    algebra" pipeline stage (classifier-based quality/language routing
+    over a corpus, cf. the fastText classifiers in CCNet/RefinedWeb
+    pipelines; the *engine* contract is the distributed train+score
+    plumbing). Train: per-(lang, token) add-one-smoothed multinomial
+    log-likelihoods and per-lang document priors. Score: per doc and
+    lang, ln P(lang) + Σ_tokens occ · ln P(token|lang); predict the
+    argmax; return the lang × lang confusion matrix.
+
+    Determinism across engines (the q200 rules): every ln() is
+    evaluated once per (lang, token) TYPE — never per occurrence — and
+    frozen into DECIMAL(18,12); per-document scoring is then exact
+    integer × decimal arithmetic, order-independent on any layout; the
+    argmax tie-breaks by lang code.
+
+    The unseen-token correction keeps scoring join-sparse: a doc's
+    score against a lang needs ln P for tokens the lang never saw, so
+    score = n_tok·lnz(lang) + Σ_{seen pairs} occ·(lnp − lnz) + prior,
+    where lnz is the lang's smoothed zero-count log-prob — only
+    (doc, token) ⋈ (lang, token) matches are ever materialized.
+
+    Plan shape at 100 TB: two map-side-combinable hash aggregates over
+    the token index (doc-token counts, lang-token counts); one shuffle
+    join on token hash between them (the model relation broadcasts when
+    the vocab is small); a bounded |langs|-fan-out dense scoring join;
+    one per-doc argmax shuffle; final lang × lang aggregate is tiny.
+    """
+    from .dedup import th_cte
+
+    return f"""
+WITH {th_cte(dialect, table, th_table)},
+docs AS (SELECT doc_id, lang FROM {table}),
+dlen AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM th GROUP BY doc_id
+),
+ltc AS (
+  SELECT d.lang, t.h, COUNT(*) AS c
+  FROM th t JOIN docs d ON t.doc_id = d.doc_id
+  GROUP BY d.lang, t.h
+),
+ltot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM ltc GROUP BY lang),
+vv AS (SELECT COUNT(DISTINCT h) AS v FROM th),
+nn AS (SELECT COUNT(*) AS n FROM docs),
+prior AS (SELECT lang, COUNT(*) AS nd FROM docs GROUP BY lang),
+lp AS (
+  SELECT l.lang, l.h,
+         CAST(ln(CAST(l.c + 1 AS DOUBLE) / CAST(t.tot + vv.v AS DOUBLE))
+              AS DECIMAL(18,12)) AS lnp
+  FROM ltc l JOIN ltot t ON l.lang = t.lang CROSS JOIN vv
+),
+lz AS (
+  SELECT t.lang,
+         CAST(ln(CAST(1 AS DOUBLE) / CAST(t.tot + vv.v AS DOUBLE))
+              AS DECIMAL(18,12)) AS lnz,
+         CAST(ln(CAST(p.nd AS DOUBLE) / CAST(nn.n AS DOUBLE))
+              AS DECIMAL(18,12)) AS lnprior
+  FROM ltot t JOIN prior p ON t.lang = p.lang CROSS JOIN vv CROSS JOIN nn
+),
+sparse AS (
+  -- per OCCURRENCE row (the q200 rule): summing frozen decimals needs
+  -- no occ × decimal multiplication, whose precision-loss rounding
+  -- differs between engines
+  SELECT t.doc_id, l.lang, SUM(l.lnp - z.lnz) AS s
+  FROM th t
+  JOIN lp l ON t.h = l.h
+  JOIN lz z ON l.lang = z.lang
+  GROUP BY t.doc_id, l.lang
+),
+score AS (
+  -- n_tok fits DECIMAL(10,0), so n_tok·lnz is an EXACT decimal product
+  -- (precision 29 < 38) on both engines — no precision-loss path
+  SELECT dl.doc_id, z.lang,
+         COALESCE(sp.s, 0) + CAST(dl.n_tok AS DECIMAL(10,0)) * z.lnz
+           + z.lnprior AS score
+  FROM dlen dl
+  CROSS JOIN lz z
+  LEFT JOIN sparse sp ON sp.doc_id = dl.doc_id AND sp.lang = z.lang
+),
+pred AS (
+  SELECT doc_id, lang AS pred_lang
+  FROM (
+    SELECT doc_id, lang, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+    FROM score
+  ) AS ranked WHERE rn = 1
+)
+SELECT d.lang AS actual_lang, p.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM docs d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.pred_lang
+ORDER BY actual_lang, pred_lang"""
