@@ -107,3 +107,39 @@ def test_naive_bayes_confusion_totals(spark, sf_smoke):
     out = spark.sql(naive_bayes_confusion_sql("spark", table="__nb_tot_docs"))
     total = out.agg(F.sum("n_docs")).collect()[0][0]
     assert total == docs.count()
+
+
+def _plan(spark, df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lpa_plan_no_cartesian(spark, sf_smoke):
+    """Scale guard: every LPA round joins on the node key — never a
+    cartesian or nested-loop over the graph."""
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    li.createOrReplaceTempView("__lpa_plan_li")
+    df = spark.sql(label_propagation_sql("spark", lineitem="__lpa_plan_li"))
+    plan = _plan(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spatial_plan_no_cartesian(spark, sf_smoke):
+    """Scale guard: the candidate join is an equi-join on the cell key;
+    the 3x3 probe is a constant-fan-out generator, not a join."""
+    c = spark.read.parquet(f"{sf_smoke}/customer.parquet")
+    c.createOrReplaceTempView("__sp_plan_cust")
+    df = spark.sql(spatial.grid_neighbors_sql("spark", customer="__sp_plan_cust"))
+    plan = _plan(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nb_plan_no_cartesian(spark, sf_smoke):
+    """Scale guard: NB's scoring joins are hash joins on token/doc/lang
+    keys. (The |langs|-row model relations broadcast — bounded fan-out
+    by design — so only true cartesians are banned here.)"""
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    d.createOrReplaceTempView("__nb_plan_docs")
+    df = spark.sql(naive_bayes_confusion_sql("spark", table="__nb_plan_docs"))
+    assert "CartesianProduct" not in _plan(spark, df)
