@@ -2258,6 +2258,47 @@ def q211_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_spatial.grid_neighbors_sql("spark", customer=c))
 
 
+def q212_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-update payload semantics through the real write path
+    (storage.patch_upsert / operators.merge.apply_patches — Hudi's
+    OverwriteNonDefaultsWithLatestAvroPayload analog): the update and
+    delete batches arrive SPARSE (key + envelope + only the touched
+    column; everything else NULL), stacked same-key patches resolve
+    per column in trx_seq order, unset columns keep stored values.
+    The contract: sparse replay converges to EXACTLY the state the
+    reference's full-row replay produces — so the oracle is the
+    standard naive replay, and any column the patch path forgets to
+    carry forward hash-fails."""
+    rec = cdc.RECIPES["orders"]
+    src = _view(spark, sf_dir, "orders", "q212")
+    cfg = TableConfig(name="patch_orders", record_key=list(rec.key_cols))
+    tmp = tempfile.mkdtemp(prefix="patch_orders_")
+    table = CuratedTable(spark, Path(tmp) / "orders", cfg)
+    sparse = (
+        "SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey, "
+        "CAST(NULL AS STRING) AS o_orderstatus, {price} AS o_totalprice, "
+        "CAST(NULL AS TIMESTAMP_NTZ) AS o_orderdate, "
+        "CAST(NULL AS STRING) AS o_orderpriority, trx_seq, "
+        "_hoodie_is_deleted FROM ({inner}) AS sp"
+    )
+    for b in range(cdc.N_BATCHES):
+        inner = cdc.batch_sql(rec, b, src=src)
+        if b == 0:
+            table.bulk_insert(spark.sql(inner))
+        elif b in (1, 2):
+            # updates arrive as single-column patches; deletes carry
+            # only the key + tombstone
+            price = "o_totalprice" if b == 1 else "CAST(NULL AS DOUBLE)"
+            table.patch_upsert(
+                spark.sql(sparse.format(price=price, inner=inner))
+            )
+        else:
+            table.patch_upsert(spark.sql(inner))  # full rows still legal
+    return (
+        table.read().select(*rec.columns, "trx_seq").orderBy("o_orderkey")
+    )
+
+
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive PMI token co-occurrence (curation.ppmi_pairs_sql,
     Church & Hanks association): window-2 position self-join (fan-out
@@ -5764,6 +5805,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q209_naive_bayes_langid": q209_naive_bayes_langid,
         "q210_label_propagation": q210_label_propagation,
         "q211_grid_spatial_join": q211_grid_spatial_join,
+        "q212_partial_update": q212_partial_update,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6587,6 +6629,8 @@ def oracle_sql() -> dict[str, str]:
         "q209_naive_bayes_langid": fn_text.naive_bayes_confusion_sql("duckdb"),
         "q210_label_propagation": fn_comp.label_propagation_sql("duckdb"),
         "q211_grid_spatial_join": fn_spatial.grid_neighbors_sql("duckdb"),
+        # sparse-patch replay must converge to the FULL-row replay state
+        "q212_partial_update": cdc.replay_sql(cdc.RECIPES["orders"]),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

@@ -124,3 +124,74 @@ def apply_deletes(state: DataFrame) -> DataFrame:
     if DELETED_COL not in state.columns:
         return state
     return state.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+
+
+def patch_precombine(
+    batch: DataFrame, key_cols: list[str], ordering_col: str
+) -> DataFrame:
+    """In-batch combine for PARTIAL-update payloads (Hudi's
+    ``OverwriteNonDefaultsWithLatestAvroPayload`` analog): a patch row
+    sets only the columns it carries (others NULL), and several patches
+    to one key within a batch STACK — each column takes its
+    last-written non-NULL value in ``ordering_col`` order, the envelope
+    (ordering, delete flag) comes from the overall winner. Plain
+    precombine would drop the older patch entirely, losing columns it
+    set that the newer one didn't.
+
+    One window shuffle on the key columns, same cost shape as
+    :func:`precombine`; the frame is the whole key group (bounded by a
+    key's patches per batch)."""
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col(ordering_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    stacked = [
+        F.first(c, ignorenulls=(c != ordering_col and c != DELETED_COL))
+        .over(w)
+        .alias(c)
+        for c in batch.columns
+        if c not in key_cols
+    ]
+    rn_w = Window.partitionBy(*key_cols).orderBy(F.col(ordering_col).desc())
+    return (
+        batch.select(*key_cols, *stacked,
+                     F.row_number().over(rn_w).alias(_RN_COL))
+        .filter(F.col(_RN_COL) == 1)
+        .drop(_RN_COL)
+    )
+
+
+def apply_patches(
+    stored: DataFrame | None,
+    batch: DataFrame,
+    key_cols: list[str],
+    ordering_col: str,
+) -> DataFrame:
+    """Resolve a sparse patch batch into FULL rows against the stored
+    state: per data column ``coalesce(patch, stored)``; the envelope
+    always comes from the patch; a patch to an absent key inserts the
+    payload as-is (unset columns stay NULL) — Hudi's behavior for a
+    partial payload that finds no base record.
+
+    Returns a full-row batch ready for the ordinary upsert path, so
+    versioning, changelogs, partition/bucket pruning and MOR deltas
+    all apply unchanged. One equi-join of the (small) patch batch
+    against the stored state on the record key — the stored side
+    should be pruned by the caller exactly as for upserts."""
+    batch = patch_precombine(batch, key_cols, ordering_col)
+    if stored is None:
+        return batch
+    envelope = {ordering_col, DELETED_COL}
+    stored_cols = set(stored.columns)
+    b, s = batch.alias("__patch"), stored.alias("__stored")
+    out = []
+    for c in batch.columns:
+        if c in key_cols or c in envelope or c not in stored_cols:
+            out.append(F.col(f"__patch.{c}").alias(c))
+        else:
+            out.append(
+                F.coalesce(F.col(f"__patch.{c}"), F.col(f"__stored.{c}"))
+                .alias(c)
+            )
+    return b.join(s, on=key_cols, how="left").select(*out)

@@ -554,6 +554,36 @@ class CuratedTable:
             doomed.withColumn(DELETED_COL, F.lit(True)), checkpoint
         )
 
+    def patch_upsert(
+        self, batch: DataFrame, checkpoint: dict[str, Any] | None = None
+    ) -> Commit:
+        """Partial-update upsert (Hudi's partial-payload analog, e.g.
+        ``OverwriteNonDefaultsWithLatestAvroPayload``): ``batch`` rows
+        carry the record key, the envelope, and ONLY the columns they
+        set (everything else NULL). Unset columns keep their stored
+        value; stacked same-key patches within a batch apply in
+        ordering-field order per column; a patch to an absent key
+        inserts its payload as-is.
+
+        Shape: resolve patches to full rows via ONE equi-join of the
+        (batch-sized) patch set against the current state, then
+        delegate to the ordinary :meth:`upsert` — versioning,
+        changelogs, partition/bucket pruning, schema evolution and MOR
+        deltas all apply unchanged. The resolve join reads the full
+        snapshot here; key-range/bucket configs prune it at plan time
+        via the parquet scan's key filters, and a 100 TB deployment
+        would pre-filter the stored side to the batch's key ranges the
+        same way upsert does."""
+        from aws_dms_to_hudi_spark.operators.merge import apply_patches
+
+        full = apply_patches(
+            self.read(),
+            batch,
+            list(self.config.record_key),
+            self.config.source_ordering_field,
+        )
+        return self.upsert(full, checkpoint)
+
     def _append_delta(
         self,
         batch: DataFrame,
