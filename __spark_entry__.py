@@ -2229,8 +2229,9 @@ def q209_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = fn_dedup.tokhash_view(
         spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
+    model = fn_text.naive_bayes_model_views(spark, v, th, cache_key=sf_dir)
     return spark.sql(
-        fn_text.naive_bayes_confusion_sql("spark", table=v, th_table=th)
+        fn_text.naive_bayes_confusion_sql("spark", table=v, model=model)
     )
 
 
@@ -2269,17 +2270,15 @@ def q212_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's full-row replay produces — so the oracle is the
     standard naive replay, and any column the patch path forgets to
     carry forward hash-fails."""
-    rec = cdc.RECIPES["orders"]
-    src = _view(spark, sf_dir, "orders", "q212")
-    cfg = TableConfig(name="patch_orders", record_key=list(rec.key_cols))
-    tmp = tempfile.mkdtemp(prefix="patch_orders_")
-    table = CuratedTable(spark, Path(tmp) / "orders", cfg)
+    rec = cdc.RECIPES["supplier"]
+    src = _view(spark, sf_dir, "supplier", "q212")
+    cfg = TableConfig(name="patch_supplier", record_key=list(rec.key_cols))
+    tmp = tempfile.mkdtemp(prefix="patch_supplier_")
+    table = CuratedTable(spark, Path(tmp) / "supplier", cfg)
     sparse = (
-        "SELECT o_orderkey, CAST(NULL AS BIGINT) AS o_custkey, "
-        "CAST(NULL AS STRING) AS o_orderstatus, {price} AS o_totalprice, "
-        "CAST(NULL AS TIMESTAMP_NTZ) AS o_orderdate, "
-        "CAST(NULL AS STRING) AS o_orderpriority, trx_seq, "
-        "_hoodie_is_deleted FROM ({inner}) AS sp"
+        "SELECT s_suppkey, CAST(NULL AS STRING) AS s_name, "
+        "CAST(NULL AS BIGINT) AS s_nationkey, {bal} AS s_acctbal, "
+        "trx_seq, _hoodie_is_deleted FROM ({inner}) AS sp"
     )
     for b in range(cdc.N_BATCHES):
         inner = cdc.batch_sql(rec, b, src=src)
@@ -2288,14 +2287,14 @@ def q212_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         elif b in (1, 2):
             # updates arrive as single-column patches; deletes carry
             # only the key + tombstone
-            price = "o_totalprice" if b == 1 else "CAST(NULL AS DOUBLE)"
+            bal = "s_acctbal" if b == 1 else "CAST(NULL AS DOUBLE)"
             table.patch_upsert(
-                spark.sql(sparse.format(price=price, inner=inner))
+                spark.sql(sparse.format(bal=bal, inner=inner))
             )
         else:
             table.patch_upsert(spark.sql(inner))  # full rows still legal
     return (
-        table.read().select(*rec.columns, "trx_seq").orderBy("o_orderkey")
+        table.read().select(*rec.columns, "trx_seq").orderBy("s_suppkey")
     )
 
 
@@ -6630,7 +6629,7 @@ def oracle_sql() -> dict[str, str]:
         "q210_label_propagation": fn_comp.label_propagation_sql("duckdb"),
         "q211_grid_spatial_join": fn_spatial.grid_neighbors_sql("duckdb"),
         # sparse-patch replay must converge to the FULL-row replay state
-        "q212_partial_update": cdc.replay_sql(cdc.RECIPES["orders"]),
+        "q212_partial_update": cdc.replay_sql(cdc.RECIPES["supplier"]),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation
