@@ -34,6 +34,7 @@ from aws_dms_to_hudi_spark.functions import bpe as fn_bpe
 from aws_dms_to_hudi_spark.functions import components as fn_comp
 from aws_dms_to_hudi_spark.functions import curation as fn_curation
 from aws_dms_to_hudi_spark.functions import dedup as fn_dedup
+from aws_dms_to_hudi_spark.functions import features as fn_feat
 from aws_dms_to_hudi_spark.functions import incremental as fn_incr
 from aws_dms_to_hudi_spark.functions import multimodal as fn_mm
 from aws_dms_to_hudi_spark.functions import similarity as fn_sim
@@ -2295,6 +2296,38 @@ def q212_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             table.patch_upsert(spark.sql(inner))  # full rows still legal
     return (
         table.read().select(*rec.columns, "trx_seq").orderBy("s_suppkey")
+    )
+
+
+def q213_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information Value feature screening
+    (features.woe_iv_sql): Haldane-smoothed per-bin WOE with one ln per
+    bin frozen to DECIMAL, IV as an exact decimal sum — one scan, one
+    bin aggregate, scalar totals broadcast back."""
+    o = _view(spark, sf_dir, "orders", "q213")
+    return spark.sql(fn_feat.woe_iv_sql("spark", orders=o))
+
+
+def q214_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free leave-one-out target encoding (features.
+    target_encoding_sql): enc = (sum_cat - own) / (n_cat - 1), global
+    fallback for singletons — one category aggregate + one broadcast
+    join back; exact decimal sums, one double division per row."""
+    o = _view(spark, sf_dir, "orders", "q214")
+    return spark.sql(fn_feat.target_encoding_sql("spark", orders=o))
+
+
+def q215_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square token selection per language (features.
+    chi2_tokens_sql): all-integer 2x2 presence statistic in exact
+    DECIMAL(38,0), top-20 per language with (chi2, hash) tie-break;
+    shares the tokenize-once token-hash artifact."""
+    v = _view(spark, sf_dir, "documents", "q215")
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(
+        fn_feat.chi2_tokens_sql("spark", table=v, th_table=th)
     )
 
 
@@ -5805,6 +5838,9 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q210_label_propagation": q210_label_propagation,
         "q211_grid_spatial_join": q211_grid_spatial_join,
         "q212_partial_update": q212_partial_update,
+        "q213_woe_iv": q213_woe_iv,
+        "q214_target_encoding": q214_target_encoding,
+        "q215_chi2_feature_selection": q215_chi2_feature_selection,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6630,6 +6666,9 @@ def oracle_sql() -> dict[str, str]:
         "q211_grid_spatial_join": fn_spatial.grid_neighbors_sql("duckdb"),
         # sparse-patch replay must converge to the FULL-row replay state
         "q212_partial_update": cdc.replay_sql(cdc.RECIPES["supplier"]),
+        "q213_woe_iv": fn_feat.woe_iv_sql("duckdb"),
+        "q214_target_encoding": fn_feat.target_encoding_sql("duckdb"),
+        "q215_chi2_feature_selection": fn_feat.chi2_tokens_sql("duckdb"),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

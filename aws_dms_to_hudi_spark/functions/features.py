@@ -1,0 +1,215 @@
+"""Feature-engineering operators — the tabular-ML prep stages of a
+training-data pipeline (WOE/IV scoring, leakage-free target encoding,
+chi-square feature selection), each expressed as pure relational algebra
+with the repo's cross-engine determinism rules:
+
+- every ln() is evaluated once per GROUP (bin / category / token) and
+  frozen into DECIMAL before any summation;
+- sums of float-valued terms go through DECIMAL casts so accumulation
+  order cannot change the result;
+- counts stay BIGINT; wide products go through DECIMAL(38,x) so both
+  engines overflow loudly (or not at all) rather than wrap.
+
+All three are one-or-two-scan plans with map-side-combinable aggregates
+and bounded-size model relations — the shapes survive 100 TB because
+the per-row work is a projection and every join key is a group key.
+"""
+
+from __future__ import annotations
+
+
+def woe_iv_sql(dialect: str, orders: str = "orders") -> str:
+    """Weight-of-Evidence + Information Value per categorical bin — the
+    classic credit-scoring feature-screening statistic (Siddiqi,
+    "Credit Risk Scorecards"): for event = order fulfilled
+    (o_orderstatus = 'F') and feature = o_orderpriority,
+    WOE_bin = ln((good_bin/good_tot)/(bad_bin/bad_tot)) and
+    IV = Σ_bins (good% − bad%)·WOE.
+
+    Smoothing: +0.5 per cell (Haldane–Anscombe) so empty cells cannot
+    produce ±inf. Determinism: one ln per BIN frozen to DECIMAL(18,12);
+    the IV terms multiply two exact decimals (percent diff in
+    DECIMAL(18,12) via integer-scaled division) and sum as decimals —
+    bin order cannot change IV. Plan: one scan → one (bin) aggregate →
+    scalar totals broadcast back. Output one row per bin with its WOE
+    and the feature-level IV repeated (window-free: IV joins back from
+    a 1-row aggregate)."""
+    return f"""
+WITH cells AS (
+  SELECT o_orderpriority AS bin,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_good,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 0 ELSE 1 END)
+              AS BIGINT) AS n_bad
+  FROM {orders} GROUP BY o_orderpriority
+),
+tot AS (
+  SELECT CAST(SUM(n_good) AS BIGINT) AS gt,
+         CAST(SUM(n_bad) AS BIGINT) AS bt,
+         CAST(COUNT(*) AS BIGINT) AS nbins
+  FROM cells
+),
+woe AS (
+  -- smoothed shares; the single ln per bin frozen into DECIMAL
+  SELECT c.bin, c.n_good, c.n_bad,
+         CAST((CAST(c.n_good AS DOUBLE) + 0.5)
+              / (CAST(t.gt AS DOUBLE) + 0.5 * t.nbins)
+              AS DECIMAL(18,12)) AS gshare,
+         CAST((CAST(c.n_bad AS DOUBLE) + 0.5)
+              / (CAST(t.bt AS DOUBLE) + 0.5 * t.nbins)
+              AS DECIMAL(18,12)) AS bshare,
+         CAST(ln(((CAST(c.n_good AS DOUBLE) + 0.5)
+                  / (CAST(t.gt AS DOUBLE) + 0.5 * t.nbins))
+                 / ((CAST(c.n_bad AS DOUBLE) + 0.5)
+                    / (CAST(t.bt AS DOUBLE) + 0.5 * t.nbins)))
+              AS DECIMAL(18,12)) AS woe
+  FROM cells c CROSS JOIN tot t
+),
+iv AS (
+  -- (gshare − bshare)·woe: DECIMAL(19,12) × DECIMAL(18,12) would
+  -- overflow precision 38, so both factors round to DECIMAL(15,9)
+  -- first (exact representable grid, same on both engines), making
+  -- the product DECIMAL(31,18) — exact, then an exact decimal SUM
+  SELECT CAST(SUM(CAST(gshare - bshare AS DECIMAL(15,9))
+                  * CAST(woe AS DECIMAL(15,9))) AS DECIMAL(38,18)) AS iv
+  FROM woe
+)
+SELECT w.bin, w.n_good, w.n_bad,
+       CAST(w.woe AS DOUBLE) AS woe,
+       CAST(i.iv AS DOUBLE) AS feature_iv
+FROM woe w CROSS JOIN iv i
+ORDER BY w.bin"""
+
+
+def target_encoding_sql(dialect: str, orders: str = "orders") -> str:
+    """Leakage-free leave-one-out target encoding: each row's category
+    is encoded by the mean target of ALL OTHER rows in the category —
+    enc = (Σ_cat target − target_row) / (n_cat − 1) — the encoding that
+    never leaks a row's own label into its own feature (Micci-Barreca,
+    SIGKDD Expl. 2001). Singleton categories fall back to the global
+    leave-one-out mean.
+
+    Determinism: target sums are exact DECIMAL(18,4) (the repo's float
+    sum rule); the one division per row happens in DOUBLE on exact
+    decimal operands; rounded to 6dp for the gate. Plan: one (category)
+    aggregate + one broadcast join back — the encoding table is
+    |categories| rows."""
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS cat,
+         CAST(o_totalprice AS DECIMAL(18,4)) AS t
+  FROM {orders}
+),
+cat_stats AS (
+  SELECT cat, CAST(SUM(t) AS DECIMAL(38,4)) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM base GROUP BY cat
+),
+gstats AS (
+  SELECT CAST(SUM(s) AS DECIMAL(38,4)) AS gs,
+         CAST(SUM(n) AS BIGINT) AS gn
+  FROM cat_stats
+)
+SELECT b.o_orderkey, b.cat,
+       round(CASE WHEN c.n > 1
+             THEN CAST(c.s - b.t AS DOUBLE) / CAST(c.n - 1 AS DOUBLE)
+             ELSE CAST(g.gs - b.t AS DOUBLE) / CAST(g.gn - 1 AS DOUBLE)
+             END, 6) AS loo_enc
+FROM base b
+JOIN cat_stats c ON b.cat = c.cat
+CROSS JOIN gstats g
+ORDER BY b.o_orderkey"""
+
+
+def chi2_tokens_sql(
+    dialect: str,
+    table: str = "documents",
+    th_table: str | None = None,
+    top: int = 20,
+) -> str:
+    """Chi-square feature selection per (token, language) — rank each
+    language's most-discriminative tokens (the feature-selection stage
+    ahead of a classifier like q209's NB; Yang & Pedersen ICML'97 found
+    χ² among the strongest selectors). For token t and lang L with the
+    2×2 doc-presence table a,b,c,d:
+    χ² ∝ N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)).
+
+    Determinism contract: counts are BIGINT; (ad − bc)² and the margin
+    product run in DECIMAL(38,0) — exact, loud on overflow in both
+    engines, never a float. The final ratio is the ONE place a double
+    appears, and it is pinned explicitly: floor(double(num)/double(den))
+    — both engines perform the identical round-to-nearest decimal→
+    double casts and one IEEE division, so the floored ppm statistic is
+    bit-identical (engine-native decimal integer division is NOT used:
+    Spark's ``div`` truncates the exact quotient while DuckDB's ``//``
+    floors a double quotient — off by one on ~half the rows).
+    Top-``top`` per language by (χ², token hash) — fully deterministic.
+
+    Plan: doc-presence pairs (DISTINCT (doc, h)) ⋈ doc langs → one
+    (lang, h) aggregate; margins are per-lang and per-token aggregates
+    joined back on their group keys; the per-lang top-k is a bounded
+    window (vocab per lang), rank pushed down by WindowGroupLimit.
+
+    Exact-arithmetic envelope, stated honestly: N·(ad−bc)²·10⁶ must fit
+    DECIMAL(38,0), which bounds the corpus at N ≈ 2.5·10⁶ docs for the
+    worst-case token. Both engines run ANSI decimal arithmetic here, so
+    exceeding the envelope ERRORS identically (never silently wraps);
+    past it, shard the statistic per language/source (each shard has
+    its own N) or drop the ppm grid for a banded DOUBLE gate."""
+    div = ("floor(CAST(CAST(n AS DECIMAL(38,0)) * delta2 * 1000000 "
+           "AS DOUBLE) / CAST(margins AS DOUBLE))")
+    return f"""
+WITH {_th(dialect, table, th_table)},
+docs AS (SELECT doc_id, lang FROM {table}),
+pres AS (SELECT DISTINCT doc_id, h FROM th),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+lcnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl FROM docs
+         GROUP BY lang),
+tcnt AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS nt FROM pres GROUP BY h),
+a_tab AS (
+  SELECT d.lang, p.h, CAST(COUNT(*) AS BIGINT) AS a
+  FROM pres p JOIN docs d ON p.doc_id = d.doc_id
+  GROUP BY d.lang, p.h
+),
+chi AS (
+  SELECT t.lang, t.h,
+         {_chi2_delta2(dialect)} AS delta2,
+         CAST(tc.nt AS DECIMAL(38,0))
+           * CAST(lc.nl AS DECIMAL(38,0))
+           * CAST(nn.n - tc.nt AS DECIMAL(38,0))
+           * CAST(nn.n - lc.nl AS DECIMAL(38,0)) AS margins,
+         nn.n
+  FROM a_tab t
+  JOIN lcnt lc ON t.lang = lc.lang
+  JOIN tcnt tc ON t.h = tc.h
+  CROSS JOIN nn
+  WHERE tc.nt < nn.n AND lc.nl < nn.n
+),
+scored AS (
+  SELECT lang, h, CAST({div} AS DECIMAL(38,0)) AS chi2_ppm
+  FROM chi WHERE margins > 0
+),
+ranked AS (
+  SELECT lang, h, chi2_ppm, row_number() OVER (
+    PARTITION BY lang ORDER BY chi2_ppm DESC, h) AS rn
+  FROM scored
+)
+SELECT lang, CAST(h AS BIGINT) AS token_hash,
+       CAST(chi2_ppm AS BIGINT) AS chi2_ppm, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {top}
+ORDER BY lang, rank"""
+
+
+def _th(dialect: str, table: str, th_table: str | None) -> str:
+    from .dedup import th_cte
+
+    return th_cte(dialect, table, th_table)
+
+
+def _chi2_delta2(dialect: str) -> str:
+    """(ad − bc)² in exact DECIMAL(38,0); a,b,c,d derived from the
+    presence count and the margins: b = nt−a, c = nl−a,
+    d = n−nt−nl+a, so ad − bc = n·a − nt·nl."""
+    diff = ("CAST(nn.n AS DECIMAL(38,0)) * CAST(t.a AS DECIMAL(38,0)) "
+            "- CAST(tc.nt AS DECIMAL(38,0)) * CAST(lc.nl AS DECIMAL(38,0))")
+    return f"(({diff}) * ({diff}))"

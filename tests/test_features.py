@@ -1,0 +1,80 @@
+"""Hand fixtures for the feature-engineering family (WOE/IV, LOO target
+encoding, chi-square token selection)."""
+
+import math
+
+from aws_dms_to_hudi_spark.functions import features as ff
+
+
+def _orders_view(spark, rows, name):
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderpriority string, o_orderstatus string, "
+        "o_totalprice double",
+    )
+    df.createOrReplaceTempView(name)
+    return name
+
+
+def test_woe_iv_hand_computed(spark):
+    # bin A: 3 good 1 bad; bin B: 1 good 3 bad; totals 4/4, 2 bins
+    rows = [(i, "A", "F", 10.0) for i in range(3)]
+    rows += [(3, "A", "O", 10.0)]
+    rows += [(4, "B", "F", 10.0)]
+    rows += [(5 + i, "B", "O", 10.0) for i in range(3)]
+    v = _orders_view(spark, rows, "__woe_fix")
+    out = {r["bin"]: r for r in
+           spark.sql(ff.woe_iv_sql("spark", orders=v)).collect()}
+    g_a, b_a = (3 + 0.5) / (4 + 1.0), (1 + 0.5) / (4 + 1.0)
+    woe_a = math.log(g_a / b_a)
+    assert abs(out["A"]["woe"] - woe_a) < 1e-9
+    assert abs(out["A"]["woe"] + out["B"]["woe"]) < 1e-9  # symmetric fixture
+    iv = 2 * (g_a - b_a) * woe_a
+    assert abs(out["A"]["feature_iv"] - iv) < 1e-6
+    assert out["A"]["n_good"] == 3 and out["B"]["n_bad"] == 3
+
+
+def test_target_encoding_loo_and_singleton(spark):
+    rows = [
+        (1, "A", "F", 10.0),
+        (2, "A", "F", 20.0),
+        (3, "A", "F", 30.0),
+        (4, "B", "F", 100.0),  # singleton -> global LOO fallback
+    ]
+    v = _orders_view(spark, rows, "__te_fix")
+    out = {r["o_orderkey"]: r["loo_enc"] for r in
+           spark.sql(ff.target_encoding_sql("spark", orders=v)).collect()}
+    assert out[1] == 25.0  # (20+30)/2
+    assert out[2] == 20.0  # (10+30)/2
+    assert out[3] == 15.0  # (10+20)/2
+    assert out[4] == 20.0  # (10+20+30)/3 — all other rows
+
+
+def test_chi2_discriminative_token_ranks_first(spark):
+    """A token present in every 'aa' doc and no 'bb' doc has the maximal
+    chi-square for both languages; shared tokens score zero and are
+    filtered by the margin guard."""
+    docs = spark.createDataFrame(
+        [
+            (1, "marker shared", "aa"),
+            (2, "marker shared", "aa"),
+            (3, "other shared", "bb"),
+            (4, "other shared", "bb"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    docs.createOrReplaceTempView("__chi_fix")
+    out = spark.sql(
+        ff.chi2_tokens_sql("spark", table="__chi_fix", top=5)
+    ).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    # 'shared' appears in ALL docs -> nt = n -> excluded by margin guard;
+    # the perfect discriminators rank first with chi2 = N * 1e6 (phi = 1)
+    for lang in ("aa", "bb"):
+        top = by_lang[lang][0]
+        assert top["rank"] == 1
+        assert top["chi2_ppm"] == 4 * 10**6
+    hashes = {r["token_hash"] for r in out}
+    assert len(hashes) == 2  # only marker/other survive the guards

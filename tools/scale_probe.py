@@ -91,6 +91,11 @@ PROBE_QUERIES = [
     "q188_dup_spans", "q189_paragraph_dedup",
     "q192_bpe_encode", "q194_peak_concurrency",
     "q195_phrase_search", "q196_mad_outliers",
+    # r4 batch 5: relational NB train+score (linear passes over the
+    # token index + materialized model), LPA rounds (joins/aggs on the
+    # node key), grid spatial join (density-bounded 9-cell candidates)
+    "q209_naive_bayes_langid", "q210_label_propagation",
+    "q211_grid_spatial_join",
 ]
 
 VOW = "aeiou"
