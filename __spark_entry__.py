@@ -2331,6 +2331,54 @@ def q215_chi2_feature_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q216_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive hourly anomaly detection (analytics.
+    seasonal_anomaly_sql): expected = same hour last week over a dense
+    NULL-to-0 hour grid (a dead pipeline is the loudest anomaly), flag
+    |residual - median| > 3*MAD per type. Week-lag is an equi-join on
+    (type, hour-168), never a lag window; all outputs integer/0.5-grid
+    doubled into BIGINTs."""
+    e = _view(spark, sf_dir, "events", "q216")
+    return spark.sql(fn_analytics.seasonal_anomaly_sql("spark", events=e))
+
+
+def q217_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization (the bioinformatics-classic
+    distribution harmonizer, Bolstad et al. 2003, applied to corpus
+    length stats): each source's n_chars distribution maps onto the
+    GLOBAL distribution — a doc at within-source rank r of n_s takes
+    the global value at midpoint position floor((2r−1)·N/(2·n_s)) + 1.
+    All-integer ranks and positions; int64 floor-div is truncation on
+    both engines (positive operands), so the mapping is bit-exact.
+
+    Scale shape: BOTH rank sides run the two-pass range-bucketed rank
+    (operators/rank.py) — the global side via global_row_number, the
+    per-source side via grouped_row_number, so neither a whole corpus
+    NOR a whole source ever sits in one window task (the oracle's
+    PARTITION BY source window would); the position lookup is one
+    equi-join on the global rank."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    g = rank_ops.grouped_row_number(
+        docs, ["source"], ["n_chars", "doc_id"],
+        out_col="r", group_total_col="ns",
+    )
+    glob = rank_ops.global_row_number(
+        docs, ["n_chars", "doc_id"], out_col="p", total_col="N",
+    ).select("p", F.col("n_chars").alias("norm_chars"), "N")
+    # integer floor-div, never a double division + cast (which loses
+    # exactness past 2^53); (2r−1)·N stays in int64 to ~3e9 rows — ANSI
+    # mode errors loudly beyond, where the mapping would shard per group
+    pos = "CAST((2 * r - 1) * N div (2 * ns) AS BIGINT) + 1"
+    # N rides along as a 1-row scalar cross join (standard here)
+    return (
+        g.crossJoin(glob.select("N").limit(1))
+        .withColumn("pos", F.expr(pos))
+        .join(glob.select("p", "norm_chars"), F.col("pos") == F.col("p"))
+        .select("doc_id", "source", "n_chars", "norm_chars")
+        .orderBy("doc_id")
+    )
+
+
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive PMI token co-occurrence (curation.ppmi_pairs_sql,
     Church & Hanks association): window-2 position self-join (fan-out
@@ -5841,6 +5889,8 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q213_woe_iv": q213_woe_iv,
         "q214_target_encoding": q214_target_encoding,
         "q215_chi2_feature_selection": q215_chi2_feature_selection,
+        "q216_seasonal_anomaly": q216_seasonal_anomaly,
+        "q217_quantile_normalization": q217_quantile_normalization,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6669,6 +6719,24 @@ def oracle_sql() -> dict[str, str]:
         "q213_woe_iv": fn_feat.woe_iv_sql("duckdb"),
         "q214_target_encoding": fn_feat.target_encoding_sql("duckdb"),
         "q215_chi2_feature_selection": fn_feat.chi2_tokens_sql("duckdb"),
+        "q216_seasonal_anomaly": fn_analytics.seasonal_anomaly_sql("duckdb"),
+        "q217_quantile_normalization": (
+            "WITH g AS ("
+            "  SELECT doc_id, source, n_chars,"
+            "         row_number() OVER ("
+            "           PARTITION BY source ORDER BY n_chars, doc_id) AS r,"
+            "         COUNT(*) OVER (PARTITION BY source) AS ns"
+            "  FROM documents"
+            "), gq AS ("
+            "  SELECT n_chars AS norm_chars, row_number() OVER ("
+            "    ORDER BY n_chars, doc_id) AS p"
+            "  FROM documents"
+            "), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM documents) "
+            "SELECT g.doc_id, g.source, g.n_chars, gl.norm_chars "
+            "FROM g CROSS JOIN nn "
+            "JOIN gq gl ON gl.p = (2 * g.r - 1) * nn.N // (2 * g.ns) + 1 "
+            "ORDER BY g.doc_id"
+        ),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

@@ -398,3 +398,76 @@ FROM ranked r JOIN stats s ON r.col_name = s.col_name
 WHERE r.rnk <= {top}
 ORDER BY r.col_name, rnk
 """
+
+
+def seasonal_anomaly_sql(
+    dialect: str, events: str = "events", period: int = 168, k: int = 3
+) -> str:
+    """Seasonal-naive anomaly detection over the hourly event stream —
+    the monitoring op of an ingestion pipeline: expected(hour) =
+    count(hour − one week), residual = actual − expected, and an hour is
+    anomalous when its residual deviates from the per-type median
+    residual by more than ``k``·MAD (the robust band of q196 — one
+    outage hour cannot inflate its own threshold).
+
+    All arithmetic integer-or-0.5-grid: hourly counts are BIGINT (a
+    dense hour grid NULL-fills silent hours to 0, so a dead pipeline is
+    the loudest anomaly, not a missing row); residuals are integer;
+    medians/MADs of integers land on the exact 0.5 grid (doubled into
+    BIGINTs for the gate). The week-lag is an EQUI-join on
+    (type, hour − {period}) — never a lag window, so a single type's
+    series needn't fit one task; the grid explode is constant fan-out
+    per type-bounds row. Output: only the anomalous hours."""
+    from . import portable as P
+
+    div = lambda a, b: P.int_div(a, b, dialect)  # noqa: E731
+    if dialect == "spark":
+        epoch = "CAST(ts AS BIGINT)"
+        grid = (
+            "SELECT event_type, lo + kk AS hb FROM bounds "
+            "LATERAL VIEW explode(sequence(0, CAST(hi - lo AS INT))) s AS kk"
+        )
+    else:
+        epoch = "CAST(floor(epoch(ts)) AS BIGINT)"
+        grid = (
+            "SELECT event_type, lo + unnest(range(0, hi - lo + 1)) AS hb "
+            "FROM bounds"
+        )
+    return f"""
+WITH ev AS (
+  SELECT event_type, {div(epoch, 3600)} AS hb FROM {events}
+),
+cnt AS (
+  SELECT event_type, hb, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY event_type, hb
+),
+bounds AS (
+  SELECT event_type, MIN(hb) AS lo, MAX(hb) AS hi
+  FROM cnt GROUP BY event_type
+),
+grid AS ({grid}),
+dense AS (
+  SELECT g.event_type, g.hb, COALESCE(c.n, 0) AS n
+  FROM grid g LEFT JOIN cnt c
+    ON g.event_type = c.event_type AND g.hb = c.hb
+),
+resid AS (
+  SELECT a.event_type, a.hb, a.n, b.n AS expected,
+         a.n - b.n AS r
+  FROM dense a JOIN dense b
+    ON a.event_type = b.event_type AND b.hb = a.hb - {period}
+),
+med AS (SELECT event_type, median(r) AS m FROM resid GROUP BY event_type),
+dev AS (
+  SELECT v.event_type, v.hb, v.n, v.expected, v.r,
+         ABS(v.r - m.m) AS adev
+  FROM resid v JOIN med m ON v.event_type = m.event_type
+),
+mad AS (SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type)
+SELECT d.event_type, CAST(d.hb AS BIGINT) AS hour_bucket,
+       d.n AS actual, d.expected, CAST(d.r AS BIGINT) AS residual,
+       CAST(2 * d.adev AS BIGINT) AS adev_x2,
+       CAST(2 * a.mad AS BIGINT) AS mad_x2
+FROM dev d JOIN mad a ON d.event_type = a.event_type
+WHERE d.adev > {k} * a.mad
+ORDER BY d.event_type, d.hb"""

@@ -170,3 +170,82 @@ def ntile_from_rn(rn: Column, total: Column, k: int) -> Column:
         )
         .cast("long")
     )
+
+
+def grouped_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "__rn",
+    num_buckets: int = 64,
+    group_total_col: str | None = None,
+) -> DataFrame:
+    """Per-group exact 1-based row_number over ``order_cols`` without a
+    per-group single-task window — the grouped form of
+    :func:`global_row_number`, for LOW-cardinality groups whose members
+    don't fit one task (a plain ``PARTITION BY group`` window puts each
+    whole group in one partition; with 5 sources over 100 TB that's 5
+    tasks). Buckets on the first order column exactly like the global
+    form; the window partitions by (group, bucket) and per-(group,
+    bucket) offsets are collected driver-side — ``|groups| ×
+    num_buckets`` rows, bounded by construction.
+
+    ``group_total_col`` appends each group's total row count (falls out
+    of the offset pass for free)."""
+    c1 = F.col(order_cols[0])
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts_row = df.select(
+        F.percentile_approx(c1, qs, 1_000).alias("cuts")
+    ).first()
+    cuts = [c for c in (cuts_row["cuts"] or []) if c is not None]
+
+    b = df.withColumn("__gb", _bucket_expr(c1, cuts))
+    rows = (
+        b.groupBy(*group_cols, "__gb").agg(F.count("*").alias("cnt")).collect()
+    )
+    offsets: dict[tuple, int] = {}
+    totals: dict[tuple, int] = {}
+    by_group: dict[tuple, list] = {}
+    for r in rows:
+        by_group.setdefault(tuple(r[g] for g in group_cols), []).append(r)
+    for gkey, rs in by_group.items():
+        acc = 0
+        for r in sorted(rs, key=lambda x: x["__gb"]):
+            offsets[(*gkey, r["__gb"])] = acc
+            acc += r["cnt"]
+        totals[gkey] = acc
+
+    # flat create_map lookups on a composite string key (a nested WHEN
+    # chain at |groups|·num_buckets arms overflows the converter stack)
+    def _key_col(cols: list) -> "F.Column":
+        return F.concat_ws(
+            # coalesce: concat_ws SKIPS null columns (positional shift)
+            "", *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+                      for c in cols]
+        )
+
+    def _key_str(vals: tuple) -> str:
+        return "".join("" if v is None else str(v) for v in vals)
+
+    def _lookup(mapping: dict, cols: list) -> "F.Column":
+        if not mapping:
+            return F.lit(0).cast("long")
+        m = F.create_map(
+            *[F.lit(x) for k, v in mapping.items()
+              for x in (_key_str(k), v)]
+        )
+        return F.coalesce(m[_key_col(cols)], F.lit(0)).cast("long")
+
+    w = Window.partitionBy(*group_cols, "__gb").orderBy(
+        *[F.col(c).asc_nulls_first() for c in order_cols]
+    )
+    out = b.withColumn(
+        out_col,
+        _lookup(offsets, [*group_cols, "__gb"])
+        + F.row_number().over(w).cast("long"),
+    ).drop("__gb")
+    if group_total_col is not None:
+        out = out.withColumn(
+            group_total_col, _lookup(totals, group_cols)
+        )
+    return out

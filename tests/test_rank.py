@@ -70,3 +70,29 @@ def test_global_running_sum_matches_window(spark, parts):
     got = {r["t"]: r["__rsum"]
            for r in R.global_running_sum(df, "t", "v").collect()}
     assert got == ref
+
+
+def test_grouped_row_number_matches_window(spark):
+    """Grouped two-pass rank == the plain per-group window, including
+    group totals, on a multi-group fixture with duplicate order keys."""
+    from aws_dms_to_hudi_spark.operators.rank import grouped_row_number
+
+    rows = [(g, v, i) for i, (g, v) in enumerate(
+        [("a", 5), ("a", 1), ("a", 5), ("b", 2), ("b", 2), ("b", 9),
+         ("b", 0), ("c", 7)]
+    )]
+    df = spark.createDataFrame(rows, "g string, v int, id int")
+    out = grouped_row_number(
+        df, ["g"], ["v", "id"], out_col="r",
+        num_buckets=4, group_total_col="n",
+    )
+    got = {(r["g"], r["id"]): (r["r"], r["n"]) for r in out.collect()}
+    import itertools
+    want = {}
+    for g, grp in itertools.groupby(
+        sorted(rows, key=lambda x: (x[0], x[1], x[2])), key=lambda x: x[0]
+    ):
+        grp = list(grp)
+        for i, (gg, v, rid) in enumerate(grp, 1):
+            want[(gg, rid)] = (i, len(grp))
+    assert got == want
