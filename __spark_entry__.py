@@ -2379,6 +2379,24 @@ def q217_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q218_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon trailing feature snapshot (features.
+    feature_snapshot_sql): 30/90/365-day order counts + exact decimal
+    spend per customer, all horizons from ONE scan via conditional
+    aggregates — the feature-store materialization pattern."""
+    o = _view(spark, sf_dir, "orders", "q218")
+    return spark.sql(fn_feat.feature_snapshot_sql("spark", orders=o))
+
+
+def q219_sequence_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event training-example construction (analytics.
+    sequence_examples_sql): per-user (context = last 3 event types,
+    label = next event) rows from one user-partitioned window, capped
+    at 20 positions per user so no user dominates the training set."""
+    e = _view(spark, sf_dir, "events", "q219")
+    return spark.sql(fn_analytics.sequence_examples_sql("spark", events=e))
+
+
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive PMI token co-occurrence (curation.ppmi_pairs_sql,
     Church & Hanks association): window-2 position self-join (fan-out
@@ -5891,6 +5909,8 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q215_chi2_feature_selection": q215_chi2_feature_selection,
         "q216_seasonal_anomaly": q216_seasonal_anomaly,
         "q217_quantile_normalization": q217_quantile_normalization,
+        "q218_feature_snapshot": q218_feature_snapshot,
+        "q219_sequence_examples": q219_sequence_examples,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6737,6 +6757,8 @@ def oracle_sql() -> dict[str, str]:
             "JOIN gq gl ON gl.p = (2 * g.r - 1) * nn.N // (2 * g.ns) + 1 "
             "ORDER BY g.doc_id"
         ),
+        "q218_feature_snapshot": fn_feat.feature_snapshot_sql("duckdb"),
+        "q219_sequence_examples": fn_analytics.sequence_examples_sql("duckdb"),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

@@ -471,3 +471,44 @@ SELECT d.event_type, CAST(d.hb AS BIGINT) AS hour_bucket,
 FROM dev d JOIN mad a ON d.event_type = a.event_type
 WHERE d.adev > {k} * a.mad
 ORDER BY d.event_type, d.hb"""
+
+
+def sequence_examples_sql(
+    dialect: str, events: str = "events", ctx: int = 3, max_pos: int = 20
+) -> str:
+    """Next-event training-example construction: per user, the event
+    stream in (ts, event_id) order becomes supervised rows
+    (context = last ``ctx`` event types joined '>', label = next event
+    type) — the dataset-materialization step ahead of a sequence model.
+    Sequences cap at the first ``max_pos`` events per user so one
+    hyperactive user cannot dominate the training set (and the window
+    state stays bounded by the cap — at 100 TB the cap IS the
+    per-partition bound). One shuffle on user_id; context and label
+    come from a ROWS frame and lead() over the same window order, so
+    ties cannot produce divergent context/label pairs."""
+    if dialect == "spark":
+        ctx_expr = (
+            f"array_join(collect_list(event_type) OVER "
+            f"(PARTITION BY user_id ORDER BY ts, event_id "
+            f"ROWS BETWEEN {ctx - 1} PRECEDING AND CURRENT ROW), '>')"
+        )
+    else:
+        ctx_expr = (
+            f"array_to_string(list(event_type) OVER "
+            f"(PARTITION BY user_id ORDER BY ts, event_id "
+            f"ROWS BETWEEN {ctx - 1} PRECEDING AND CURRENT ROW), '>')"
+        )
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+         {ctx_expr} AS context,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS label
+  FROM {events}
+)
+SELECT user_id, CAST(pos AS BIGINT) AS pos, context, label
+FROM seq
+WHERE label IS NOT NULL AND pos <= {max_pos}
+ORDER BY user_id, pos"""

@@ -213,3 +213,35 @@ def _chi2_delta2(dialect: str) -> str:
     diff = ("CAST(nn.n AS DECIMAL(38,0)) * CAST(t.a AS DECIMAL(38,0)) "
             "- CAST(tc.nt AS DECIMAL(38,0)) * CAST(lc.nl AS DECIMAL(38,0))")
     return f"(({diff}) * ({diff}))"
+
+
+def feature_snapshot_sql(dialect: str, orders: str = "orders") -> str:
+    """Multi-horizon trailing feature snapshot — the feature-store
+    materialization pattern: per customer, order counts and exact spend
+    over the trailing 30/90/365 days as of the corpus watermark
+    (max order date), ALL horizons from ONE scan via conditional
+    aggregates (never one window per horizon; a feature store with 50
+    horizons still costs one pass). The watermark is a 1-row scalar
+    cross join; sums are exact DECIMAL (the repo's float-sum rule);
+    INTERVAL arithmetic is shared text on both engines."""
+    horizons = (30, 90, 365)
+    cols = []
+    for h in horizons:
+        win = f"o_orderdate >= mx.asof - INTERVAL '{h}' DAY"
+        cols.append(
+            f"CAST(SUM(CASE WHEN {win} THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_orders_{h}d"
+        )
+        cols.append(
+            f"CAST(SUM(CASE WHEN {win} "
+            f"THEN CAST(o_totalprice AS DECIMAL(18,4)) "
+            f"ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS spend_{h}d"
+        )
+    sel = ",\n       ".join(cols)
+    return f"""
+WITH mx AS (SELECT MAX(o_orderdate) AS asof FROM {orders})
+SELECT o_custkey,
+       {sel}
+FROM {orders} CROSS JOIN mx
+GROUP BY o_custkey
+ORDER BY o_custkey"""
