@@ -6,6 +6,16 @@ only on those candidates. Candidate volume is density-bounded (9 cells
 per probe), so the join survives 100 TB where a theta-join on the
 distance predicate would be a cartesian.
 
+Scale behavior, stated honestly (probe-measured): wall-clock tracks the
+TRUE neighbor-pair count. The 10x probe densifies a FIXED coordinate
+span, so in-radius pairs grow ~quadratically and the measured 10.9x wall
+at 10x points reflects output support, not a plan defect — no plan can
+beat the size of the answer. Production scale-up is constant-density
+area growth (more entities over more territory), where pair count and
+wall are linear; under genuine densification the fixed-radius question
+itself is quadratic and callers should cap per-cell fan-out or switch
+to k-nearest (finer grid + expanding ring search).
+
 Coordinates are synthesized deterministically from the record key with
 Lehmer-style integer multipliers (pure modular arithmetic, identical on
 any engine — the fixture rule used throughout the repo), and distances
