@@ -2397,6 +2397,16 @@ def q219_sequence_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_analytics.sequence_examples_sql("spark", events=e))
 
 
+def q220_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity re-identification audit (curation.
+    k_anonymity_sql): equivalence classes over (nation, integer
+    balance band), per-class k and l, (k-band, l-band) histogram plus
+    the row cost of a k=5 suppression — the governance counterpart to
+    q121's PII detector. All-integer banding, two map-side aggregates."""
+    c = _view(spark, sf_dir, "customer", "q220")
+    return spark.sql(fn_curation.k_anonymity_sql("spark", customer=c))
+
+
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive PMI token co-occurrence (curation.ppmi_pairs_sql,
     Church & Hanks association): window-2 position self-join (fan-out
@@ -5911,6 +5921,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q217_quantile_normalization": q217_quantile_normalization,
         "q218_feature_snapshot": q218_feature_snapshot,
         "q219_sequence_examples": q219_sequence_examples,
+        "q220_k_anonymity": q220_k_anonymity,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6759,6 +6770,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q218_feature_snapshot": fn_feat.feature_snapshot_sql("duckdb"),
         "q219_sequence_examples": fn_analytics.sequence_examples_sql("duckdb"),
+        "q220_k_anonymity": fn_curation.k_anonymity_sql("duckdb"),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

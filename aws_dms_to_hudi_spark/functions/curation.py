@@ -909,3 +909,49 @@ SELECT o.doc_id,
 FROM bgv o JOIN lp l ON o.a = l.a AND o.b = l.b
 GROUP BY o.doc_id
 ORDER BY o.doc_id"""
+
+
+def k_anonymity_sql(
+    dialect: str, customer: str = "customer", k: int = 5
+) -> str:
+    """k-anonymity / l-diversity re-identification audit (Sweeney 2002;
+    Machanavajjhala 2007) — the privacy-governance counterpart to the
+    q121 PII detector: group records by their quasi-identifier tuple
+    (nation, account-balance decile band), measure each equivalence
+    class's size (k) and its count of distinct sensitive values
+    (l, sensitive = market segment), and report the per-(k-band,
+    l-band) histogram plus how many ROWS a k-threshold suppression
+    would drop. A release is k-anonymous iff min class size >= k and
+    l-diverse iff every class carries >= l distinct sensitive values.
+
+    All-integer: deciles come from integer floor-division of the
+    integer-cast balance (never a percentile sketch, so both engines
+    band identically); outputs are counts. One (quasi-id) aggregate +
+    one tiny histogram aggregate — two map-side-combinable shuffles,
+    no windows, no joins bigger than the class relation."""
+    from . import portable as P
+
+    # floor() BEFORE the integer cast: bare CAST(double AS BIGINT)
+    # truncates in Spark but ROUNDS in DuckDB — a balance of 199.99
+    # would band differently at the 1200-boundary
+    band = P.int_div(
+        "(CAST(floor(c_acctbal) AS BIGINT) + 1000)", "1200", dialect
+    )
+    return f"""
+WITH classes AS (
+  SELECT c_nationkey AS nation, {band} AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS k_size,
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div
+  FROM {customer}
+  GROUP BY c_nationkey, {band}
+)
+SELECT
+  CASE WHEN k_size >= {k} THEN 'k_ok' ELSE 'k_violation' END AS k_band,
+  CASE WHEN l_div >= 2 THEN 'l_ok' ELSE 'l_violation' END AS l_band,
+  CAST(COUNT(*) AS BIGINT) AS n_classes,
+  CAST(SUM(k_size) AS BIGINT) AS n_rows,
+  CAST(MIN(k_size) AS BIGINT) AS min_k,
+  CAST(MIN(l_div) AS BIGINT) AS min_l
+FROM classes
+GROUP BY 1, 2
+ORDER BY k_band, l_band"""
