@@ -2407,6 +2407,24 @@ def q220_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_curation.k_anonymity_sql("spark", customer=c))
 
 
+def q221_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (sampling.
+    leakage_safe_split_sql) — the FIX for q198's audit: split keys are
+    dup-GROUP representatives (star-closure components over the cached
+    MinHash pairs), so near-dups can never straddle splits; the gate
+    recomputes the cross-split pair count and hash-checks the zero."""
+    docs = _t(spark, sf_dir, "documents")
+    pv = fn_dedup.minhash_pairs_view(spark, docs, cache_key=sf_dir)
+    labels = fn_comp.connected_components_star(spark.table(pv))
+    labels.createOrReplaceTempView("__q221_labels")
+    v = _view(spark, sf_dir, "documents", "q221")
+    return spark.sql(
+        fn_sampling.leakage_safe_split_sql(
+            "spark", table=v, pairs=pv, labels="__q221_labels"
+        )
+    )
+
+
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive PMI token co-occurrence (curation.ppmi_pairs_sql,
     Church & Hanks association): window-2 position self-join (fan-out
@@ -5922,6 +5940,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q218_feature_snapshot": q218_feature_snapshot,
         "q219_sequence_examples": q219_sequence_examples,
         "q220_k_anonymity": q220_k_anonymity,
+        "q221_leakage_safe_split": q221_leakage_safe_split,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6771,6 +6790,7 @@ def oracle_sql() -> dict[str, str]:
         "q218_feature_snapshot": fn_feat.feature_snapshot_sql("duckdb"),
         "q219_sequence_examples": fn_analytics.sequence_examples_sql("duckdb"),
         "q220_k_anonymity": fn_curation.k_anonymity_sql("duckdb"),
+        "q221_leakage_safe_split": fn_sampling.leakage_safe_split_sql("duckdb"),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

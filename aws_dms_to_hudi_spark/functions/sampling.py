@@ -460,3 +460,77 @@ sel AS (
 SELECT doc_id, lang, CAST(blend AS BIGINT) AS blend_score
 FROM sel WHERE pick <= {keep_per_lang}
 ORDER BY lang, blend_score DESC, doc_id"""
+
+
+def leakage_safe_split_sql(
+    dialect: str,
+    table: str = "documents",
+    pairs: str | None = None,
+    labels: str | None = None,
+) -> str:
+    """Leakage-SAFE train/val/test splitting — the FIX for what the
+    q198 audit measures: split by dup-GROUP representative instead of
+    per-doc, so verified near-duplicates can never straddle splits (a
+    doc's hash and its near-dup's hash are independent; its GROUP's
+    hash is shared). Docs outside any dup group key on their own id —
+    identical assignment to the plain hash split for the clean
+    majority.
+
+    Output: per split, the doc count, how many docs ride a group key,
+    and the recomputed cross-split near-dup pair count — ZERO by
+    construction, and the gate hash-checks that zero rather than
+    trusting it.
+
+    Spark side passes the session-cached pair artifact (``pairs``) and
+    the components relation (``labels``, from the O(log n) star
+    closure); the oracle inlines the LSH chain + a recursive-CTE
+    closure. Cost on top of the cached artifacts: one left join to
+    attach group keys + the same split projection as q32."""
+    if labels is None:
+        from .dedup import minhash_lsh_sql
+
+        pairs_sql = minhash_lsh_sql(dialect, table=table)
+        head = f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.node
+),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),"""
+    else:
+        head = f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM {pairs}),
+comp AS (SELECT node, component FROM {labels}),"""
+    sp = split_expr("skey", dialect)
+    return f"""{head}
+keyed AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS skey,
+         CASE WHEN c.component IS NULL THEN 0 ELSE 1 END AS grouped
+  FROM {table} d LEFT JOIN comp c ON d.doc_id = c.node
+),
+sp AS (SELECT doc_id, grouped, {sp} AS split FROM keyed),
+ps AS (
+  SELECT a.split AS sa, b.split AS sb
+  FROM pairs p
+  JOIN sp a ON p.doc_a = a.doc_id
+  JOIN sp b ON p.doc_b = b.doc_id
+),
+leak AS (
+  SELECT split, CAST(SUM(l) AS BIGINT) AS n_leaked FROM (
+    SELECT sa AS split, CASE WHEN sa <> sb THEN 1 ELSE 0 END AS l FROM ps
+    UNION ALL
+    SELECT sb AS split, CASE WHEN sa <> sb THEN 1 ELSE 0 END AS l FROM ps
+  ) AS both_sides GROUP BY split
+)
+SELECT s.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(s.grouped) AS BIGINT) AS n_grouped_docs,
+       CAST(COALESCE(MAX(l.n_leaked), 0) AS BIGINT) AS n_leaked_pairs
+FROM sp s LEFT JOIN leak l ON s.split = l.split
+GROUP BY s.split
+ORDER BY s.split"""
