@@ -2425,6 +2425,56 @@ def q221_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OW_PRED = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+
+
+def q222_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi insert_overwrite through the real write path (storage.
+    insert_overwrite, the replacecommit analog): a restatement batch
+    REPLACES the partitions it touches with exactly its rows — stored
+    keys the batch doesn't carry disappear (the backfill operation an
+    upsert cannot express). Touched partitions get only the even-key
+    half with restated prices; untouched partitions carry forward by
+    reference. Oracle: originals outside the predicate UNION the
+    restatement rows."""
+    rec = cdc.RECIPES["orders"]
+    src = _view(spark, sf_dir, "orders", "q222")
+    cfg = TableConfig(
+        name="ow_orders",
+        record_key=list(rec.key_cols),
+        is_partitioned=True,
+        partition_path="o_orderpriority",
+    )
+    tmp = tempfile.mkdtemp(prefix="ow_orders_")
+    table = CuratedTable(spark, Path(tmp) / "orders", cfg)
+    b0 = cdc.batch_sql(rec, 0, src=src)
+    table.bulk_insert(spark.sql(b0))
+    table.insert_overwrite(spark.sql(
+        f"SELECT o_orderkey, o_custkey, o_orderstatus, "
+        f"o_totalprice + 777.0 AS o_totalprice, o_orderdate, "
+        f"o_orderpriority, trx_seq, _hoodie_is_deleted "
+        f"FROM ({b0}) AS ow WHERE {_OW_PRED} AND o_orderkey % 2 = 0"
+    ))
+    return (
+        table.read().select(*rec.columns, "trx_seq").orderBy("o_orderkey")
+    )
+
+
+def _ow_oracle_sql() -> str:
+    rec = cdc.RECIPES["orders"]
+    b0 = cdc.batch_sql(rec, 0)
+    cols = ", ".join(rec.columns)
+    return f"""
+WITH b0 AS ({b0})
+SELECT {cols}, trx_seq FROM b0 WHERE NOT ({_OW_PRED})
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice + 777.0 AS o_totalprice, o_orderdate,
+       o_orderpriority, trx_seq
+FROM b0 WHERE {_OW_PRED} AND o_orderkey % 2 = 0
+ORDER BY o_orderkey"""
+
+
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive PMI token co-occurrence (curation.ppmi_pairs_sql,
     Church & Hanks association): window-2 position self-join (fan-out
@@ -5941,6 +5991,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q219_sequence_examples": q219_sequence_examples,
         "q220_k_anonymity": q220_k_anonymity,
         "q221_leakage_safe_split": q221_leakage_safe_split,
+        "q222_insert_overwrite": q222_insert_overwrite,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6791,6 +6842,7 @@ def oracle_sql() -> dict[str, str]:
         "q219_sequence_examples": fn_analytics.sequence_examples_sql("duckdb"),
         "q220_k_anonymity": fn_curation.k_anonymity_sql("duckdb"),
         "q221_leakage_safe_split": fn_sampling.leakage_safe_split_sql("duckdb"),
+        "q222_insert_overwrite": _ow_oracle_sql(),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

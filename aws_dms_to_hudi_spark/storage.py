@@ -554,6 +554,83 @@ class CuratedTable:
             doomed.withColumn(DELETED_COL, F.lit(True)), checkpoint
         )
 
+    def insert_overwrite(
+        self, batch: DataFrame, checkpoint: dict[str, Any] | None = None
+    ) -> Commit:
+        """Hudi ``insert_overwrite`` (replacecommit analog): REPLACE the
+        partitions present in ``batch`` with exactly the batch's rows —
+        stored rows in touched partitions disappear even if the batch
+        doesn't carry their keys (the backfill/restatement operation;
+        ``upsert`` can only add or win). Untouched partitions carry
+        forward by reference. On a non-partitioned/bucketed table this
+        degrades to ``insert_overwrite_table`` (full replacement), as
+        in Hudi.
+
+        The engine pipeline whitelist deliberately does NOT expose this
+        (the reference's config compiler raises "not yet supported" for
+        any op beyond bulk_insert/delta — ``handler.py`` parity, pinned
+        by ``test_engine_e2e``); it is a storage-level capability, like
+        Hudi's own write operations beyond what a given deltastreamer
+        deployment uses.
+
+        MOR: table-wide delta dirs cannot be partially invalidated, so
+        the table compacts first (folding deltas into the base) and the
+        overwrite lands on the compacted snapshot — same visible state,
+        cost = one compaction brought forward."""
+        prev = self.latest_commit()
+        if prev is None:
+            return self.bulk_insert(batch, checkpoint)
+        if prev.deltas:
+            prev = self.compact() or prev
+        version = self._next_version()
+        vdir = f"v{version:08d}"
+        cfg = self.config
+        batch = precombine(batch, cfg.record_key, cfg.source_ordering_field)
+        from aws_dms_to_hudi_spark.operators.merge import apply_deletes
+
+        pcol = self._pcol
+        if pcol is not None:
+            batch = self._bucketize(batch)
+            # touched = partitions the batch DECLARES — computed BEFORE
+            # delete application, so a partition arriving as pure
+            # tombstones still replaces (to empty) instead of silently
+            # carrying the old rows forward (mirrors the upsert rule)
+            touched = [
+                r[0] for r in batch.select(pcol).distinct().collect()
+            ]
+            batch = apply_deletes(batch)
+            out = self._partition_sorted(batch, pcol, list(cfg.record_key))
+            out.write.mode("overwrite").partitionBy(pcol).parquet(
+                str(self.root / vdir)
+            )
+            fresh = self._scan_partition_dirs(vdir)
+            # an all-tombstone batch survives as zero rows: the scan's
+            # empty-dir sentinel must not enter the manifest
+            fresh = {k: v for k, v in fresh.items() if k}
+            new_data = dict(prev.data)
+            for v in touched:
+                new_data.pop(_pdir(pcol, v), None)
+            # replaced partitions take the new dirs; carried ones stay
+            new_data.update(fresh)
+        else:
+            batch = apply_deletes(batch)
+            batch.sortWithinPartitions(*cfg.record_key).write.mode(
+                "overwrite"
+            ).parquet(str(self.root / vdir))
+            fresh = {"": vdir}
+            new_data = fresh
+        commit = Commit(
+            version=version,
+            operation="insert_overwrite",
+            data=new_data,
+            checkpoint=checkpoint or {},
+            parent=prev.version,
+            changelog=list(fresh.values()),
+            key_bounds=self._commit_key_bounds(),
+        )
+        self._write_commit(commit)
+        return commit
+
     def patch_upsert(
         self, batch: DataFrame, checkpoint: dict[str, Any] | None = None
     ) -> Commit:

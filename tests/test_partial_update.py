@@ -88,3 +88,71 @@ def test_patch_delete_tombstones(spark, tmp_path):
     t.patch_upsert(spark.createDataFrame(
         [(2, None, None, "001", True)], SCHEMA))
     assert [r["k"] for r in t.read().collect()] == [1]
+
+
+# ---------- insert_overwrite (replacecommit analog) ----------
+
+
+def test_insert_overwrite_replaces_partitions(spark, tmp_path):
+    """Touched partitions take EXACTLY the batch rows (stored keys the
+    batch omits disappear); untouched partitions carry forward."""
+    cfg = TableConfig(name="ow_cow", record_key=["k"],
+                      is_partitioned=True, partition_path="p")
+    t = CuratedTable(spark, tmp_path / "ow_cow", cfg)
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "A", "a", 1, "000", False), (2, "A", "b", 2, "000", False),
+         (3, "B", "c", 3, "000", False)],
+        "k int, p string, v string, w int, trx_seq string, "
+        "_hoodie_is_deleted boolean"))
+    t.insert_overwrite(spark.createDataFrame(
+        [(9, "A", "z", 9, "001", False)],
+        "k int, p string, v string, w int, trx_seq string, "
+        "_hoodie_is_deleted boolean"))
+    rows = {r["k"]: (r["p"], r["v"]) for r in t.read().collect()}
+    # k=1, k=2 gone (partition A replaced); k=3 untouched; k=9 new
+    assert rows == {9: ("A", "z"), 3: ("B", "c")}
+    assert t.latest_commit().operation == "insert_overwrite"
+
+
+def test_insert_overwrite_tombstone_only_partition_empties(spark, tmp_path):
+    cfg = TableConfig(name="ow_tomb", record_key=["k"],
+                      is_partitioned=True, partition_path="p")
+    t = CuratedTable(spark, tmp_path / "ow_tomb", cfg)
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "A", "a", "000", False), (2, "B", "b", "000", False)],
+        "k int, p string, v string, trx_seq string, "
+        "_hoodie_is_deleted boolean"))
+    t.insert_overwrite(spark.createDataFrame(
+        [(1, "A", "a", "001", True)],
+        "k int, p string, v string, trx_seq string, "
+        "_hoodie_is_deleted boolean"))
+    assert [r["k"] for r in t.read().collect()] == [2]
+
+
+def test_insert_overwrite_nonpartitioned_replaces_table(spark, tmp_path):
+    cfg = TableConfig(name="ow_full", record_key=["k"])
+    t = CuratedTable(spark, tmp_path / "ow_full", cfg)
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "a", "000", False), (2, "b", "000", False)],
+        "k int, v string, trx_seq string, _hoodie_is_deleted boolean"))
+    t.insert_overwrite(spark.createDataFrame(
+        [(7, "z", "001", False)],
+        "k int, v string, trx_seq string, _hoodie_is_deleted boolean"))
+    assert {r["k"] for r in t.read().collect()} == {7}
+
+
+def test_insert_overwrite_mor_compacts_first(spark, tmp_path):
+    cfg = TableConfig(name="ow_mor", record_key=["k"],
+                      table_type="MERGE_ON_READ")
+    t = CuratedTable(spark, tmp_path / "ow_mor", cfg)
+    t.bulk_insert(spark.createDataFrame(
+        [(1, "a", "000", False)],
+        "k int, v string, trx_seq string, _hoodie_is_deleted boolean"))
+    t.upsert(spark.createDataFrame(
+        [(2, "b", "001", False)],
+        "k int, v string, trx_seq string, _hoodie_is_deleted boolean"))
+    t.insert_overwrite(spark.createDataFrame(
+        [(9, "z", "002", False)],
+        "k int, v string, trx_seq string, _hoodie_is_deleted boolean"))
+    assert {r["k"] for r in t.read().collect()} == {9}
+    assert not t.latest_commit().deltas
