@@ -78,3 +78,69 @@ def test_chi2_discriminative_token_ranks_first(spark):
         assert top["chi2_ppm"] == 4 * 10**6
     hashes = {r["token_hash"] for r in out}
     assert len(hashes) == 2  # only marker/other survive the guards
+
+
+def test_seasonal_anomaly_planted_spike(spark):
+    """A planted 100-event spike one week into an otherwise 1-per-hour
+    stream must be flagged; steady hours must not."""
+    from aws_dms_to_hudi_spark.functions.analytics import (
+        seasonal_anomaly_sql,
+    )
+
+    rows = []
+    eid = 0
+    for h in range(21 * 24):  # three weeks, one event per hour
+        n = 100 if h == 200 else 1
+        for _ in range(n):
+            rows.append((eid, h * 3600 + 30, 7, "click", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, sec long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from pyspark.sql import functions as F
+
+    df = df.select(
+        "event_id",
+        F.timestamp_seconds("sec").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    df.createOrReplaceTempView("__anom_fix")
+    out = spark.sql(seasonal_anomaly_sql("spark", events="__anom_fix"))
+    flagged = {r["hour_bucket"]: r for r in out.collect()}
+    assert 200 in flagged and flagged[200]["residual"] == 99
+    # the echo one week later: hour 200+168 drops back DOWN vs the spike
+    assert 368 in flagged and flagged[368]["residual"] == -99
+    assert all(h in (200, 368) for h in flagged)
+
+
+def test_leakage_safe_split_keeps_neardups_together(spark):
+    """Two verified near-dup docs whose per-doc hashes land in
+    different splits must ride ONE group key — zero leaked pairs."""
+    from aws_dms_to_hudi_spark.functions.sampling import (
+        leakage_safe_split_sql,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], "doc_id long, text string"
+    )
+    docs.createOrReplaceTempView("__lss_docs")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "doc_a long, doc_b long"
+    )
+    pairs.createOrReplaceTempView("__lss_pairs")
+    from aws_dms_to_hudi_spark.functions.components import (
+        connected_components_star,
+    )
+
+    labels = connected_components_star(spark.table("__lss_pairs"))
+    labels.createOrReplaceTempView("__lss_labels")
+    out = spark.sql(leakage_safe_split_sql(
+        "spark", table="__lss_docs", pairs="__lss_pairs",
+        labels="__lss_labels",
+    ))
+    rows = out.collect()
+    assert sum(r["n_docs"] for r in rows) == 40
+    assert sum(r["n_grouped_docs"] for r in rows) == 5
+    assert all(r["n_leaked_pairs"] == 0 for r in rows)
