@@ -2363,17 +2363,19 @@ def q217_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="r", group_total_col="ns",
     )
     glob = rank_ops.global_row_number(
-        docs, ["n_chars", "doc_id"], out_col="p", total_col="N",
-    ).select("p", F.col("n_chars").alias("norm_chars"), "N")
-    # integer floor-div, never a double division + cast (which loses
-    # exactness past 2^53); (2r−1)·N stays in int64 to ~3e9 rows — ANSI
-    # mode errors loudly beyond, where the mapping would shard per group
-    pos = "CAST((2 * r - 1) * N div (2 * ns) AS BIGINT) + 1"
-    # N rides along as a 1-row scalar cross join (standard here)
+        docs, ["n_chars", "doc_id"], out_col="p",
+    ).select("p", F.col("n_chars").alias("norm_chars"))
+    # N inlined as a literal (the rank passes already counted the
+    # corpus driver-side; a scalar cross join would recompute glob's
+    # lineage a second time). Integer floor-div, never a double
+    # division + cast (exactness past 2^53); (2r−1)·N stays in int64
+    # to ~3e9 rows — ANSI mode errors loudly beyond, where the mapping
+    # would shard per group.
+    n_total = docs.count()
+    pos = f"CAST((2 * r - 1) * {n_total} div (2 * ns) AS BIGINT) + 1"
     return (
-        g.crossJoin(glob.select("N").limit(1))
-        .withColumn("pos", F.expr(pos))
-        .join(glob.select("p", "norm_chars"), F.col("pos") == F.col("p"))
+        g.withColumn("pos", F.expr(pos))
+        .join(glob, F.col("pos") == F.col("p"))
         .select("doc_id", "source", "n_chars", "norm_chars")
         .orderBy("doc_id")
     )
@@ -2425,7 +2427,7 @@ def q221_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_OW_PRED = "o_orderpriority IN ('1-URGENT', '2-HIGH')"
+_OW_PRED = "s_nationkey IN (0, 1, 2, 3, 4)"
 
 
 def q222_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2437,42 +2439,40 @@ def q222_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     half with restated prices; untouched partitions carry forward by
     reference. Oracle: originals outside the predicate UNION the
     restatement rows."""
-    rec = cdc.RECIPES["orders"]
-    src = _view(spark, sf_dir, "orders", "q222")
+    rec = cdc.RECIPES["supplier"]
+    src = _view(spark, sf_dir, "supplier", "q222")
     cfg = TableConfig(
-        name="ow_orders",
+        name="ow_supplier",
         record_key=list(rec.key_cols),
         is_partitioned=True,
-        partition_path="o_orderpriority",
+        partition_path="s_nationkey",
     )
-    tmp = tempfile.mkdtemp(prefix="ow_orders_")
-    table = CuratedTable(spark, Path(tmp) / "orders", cfg)
+    tmp = tempfile.mkdtemp(prefix="ow_supplier_")
+    table = CuratedTable(spark, Path(tmp) / "supplier", cfg)
     b0 = cdc.batch_sql(rec, 0, src=src)
     table.bulk_insert(spark.sql(b0))
     table.insert_overwrite(spark.sql(
-        f"SELECT o_orderkey, o_custkey, o_orderstatus, "
-        f"o_totalprice + 777.0 AS o_totalprice, o_orderdate, "
-        f"o_orderpriority, trx_seq, _hoodie_is_deleted "
-        f"FROM ({b0}) AS ow WHERE {_OW_PRED} AND o_orderkey % 2 = 0"
+        f"SELECT s_suppkey, s_name, s_nationkey, "
+        f"s_acctbal + 777.0 AS s_acctbal, trx_seq, _hoodie_is_deleted "
+        f"FROM ({b0}) AS ow WHERE {_OW_PRED} AND s_suppkey % 2 = 0"
     ))
     return (
-        table.read().select(*rec.columns, "trx_seq").orderBy("o_orderkey")
+        table.read().select(*rec.columns, "trx_seq").orderBy("s_suppkey")
     )
 
 
 def _ow_oracle_sql() -> str:
-    rec = cdc.RECIPES["orders"]
+    rec = cdc.RECIPES["supplier"]
     b0 = cdc.batch_sql(rec, 0)
     cols = ", ".join(rec.columns)
     return f"""
 WITH b0 AS ({b0})
 SELECT {cols}, trx_seq FROM b0 WHERE NOT ({_OW_PRED})
 UNION ALL
-SELECT o_orderkey, o_custkey, o_orderstatus,
-       o_totalprice + 777.0 AS o_totalprice, o_orderdate,
-       o_orderpriority, trx_seq
-FROM b0 WHERE {_OW_PRED} AND o_orderkey % 2 = 0
-ORDER BY o_orderkey"""
+SELECT s_suppkey, s_name, s_nationkey,
+       s_acctbal + 777.0 AS s_acctbal, trx_seq
+FROM b0 WHERE {_OW_PRED} AND s_suppkey % 2 = 0
+ORDER BY s_suppkey"""
 
 
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

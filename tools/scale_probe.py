@@ -96,6 +96,13 @@ PROBE_QUERIES = [
     # node key), grid spatial join (density-bounded 9-cell candidates)
     "q209_naive_bayes_langid", "q210_label_propagation",
     "q211_grid_spatial_join",
+    # r4 batch 6: storage write paths with real data movement (schema-
+    # evolved replay, sparse-patch replay, partition restatement),
+    # feature/selection relational ML, governance audit
+    "q208_schema_evolution", "q212_partial_update",
+    "q222_insert_overwrite", "q214_target_encoding",
+    "q215_chi2_feature_selection", "q216_seasonal_anomaly",
+    "q217_quantile_normalization", "q221_leakage_safe_split",
 ]
 
 VOW = "aeiou"
