@@ -2475,6 +2475,50 @@ FROM b0 WHERE {_OW_PRED} AND s_suppkey % 2 = 0
 ORDER BY s_suppkey"""
 
 
+def q223_consistent_snapshot_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table CONSISTENT time travel: read orders and customer AS
+    OF the same logical batch (their commit timelines advance in
+    lockstep under the shared CDC replay) and audit referential
+    integrity at each aligned snapshot — the cross-table guarantee a
+    lake needs before joining dimensions to facts as-of a point in
+    time. Customer deletes (batch 2) orphan the orders that reference
+    them; reinserts (batch 3) heal half. Output per batch: order count
+    and orphan count — a LEFT ANTI join per snapshot, both sides
+    version-pruned reads from the cached replay fixtures."""
+    ot, over = _replayed_orders(spark, sf_dir)
+    ct, cver = _replayed_customer(spark, sf_dir)
+    out = None
+    for b in range(cdc.N_BATCHES):
+        o = ot.read(version=over[b]).select("o_orderkey", "o_custkey")
+        c = ct.read(version=cver[b]).select("c_custkey")
+        orphans = o.join(
+            c, o["o_custkey"] == c["c_custkey"], "left_anti"
+        )
+        row = o.agg(
+            F.lit(b).alias("batch"),
+            F.count("*").cast("long").alias("n_orders"),
+        ).crossJoin(
+            orphans.agg(F.count("*").cast("long").alias("n_orphans"))
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("batch")
+
+
+def _fk_oracle_sql() -> str:
+    rec_o, rec_c = cdc.RECIPES["orders"], cdc.RECIPES["customer"]
+    parts = []
+    for b in range(cdc.N_BATCHES):
+        osql = cdc.replay_sql(rec_o, upto_batch=b)
+        csql = cdc.replay_sql(rec_c, upto_batch=b)
+        parts.append(f"""
+SELECT {b} AS batch,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ({osql}) AS o{b}) AS n_orders,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM ({osql}) AS oo{b}
+        WHERE oo{b}.o_custkey NOT IN (
+          SELECT c_custkey FROM ({csql}) AS c{b})) AS n_orphans""")
+    return " UNION ALL ".join(parts) + " ORDER BY batch"
+
+
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive PMI token co-occurrence (curation.ppmi_pairs_sql,
     Church & Hanks association): window-2 position self-join (fan-out
@@ -5992,6 +6036,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q220_k_anonymity": q220_k_anonymity,
         "q221_leakage_safe_split": q221_leakage_safe_split,
         "q222_insert_overwrite": q222_insert_overwrite,
+        "q223_consistent_snapshot_fk": q223_consistent_snapshot_fk,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6843,6 +6888,7 @@ def oracle_sql() -> dict[str, str]:
         "q220_k_anonymity": fn_curation.k_anonymity_sql("duckdb"),
         "q221_leakage_safe_split": fn_sampling.leakage_safe_split_sql("duckdb"),
         "q222_insert_overwrite": _ow_oracle_sql(),
+        "q223_consistent_snapshot_fk": _fk_oracle_sql(),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation
