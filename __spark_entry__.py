@@ -2519,6 +2519,16 @@ SELECT {b} AS batch,
     return " UNION ALL ".join(parts) + " ORDER BY batch"
 
 
+def q224_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout (analytics.ab_test_sql): deterministic
+    hash-parity variant assignment (the q32 split hash), per-variant
+    conversion counts, floor-pinned ppm rates, and the two-proportion
+    pooled z as one fixed IEEE expression tree over exact integer
+    counts."""
+    e = _view(spark, sf_dir, "events", "q224")
+    return spark.sql(fn_analytics.ab_test_sql("spark", events=e))
+
+
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive PMI token co-occurrence (curation.ppmi_pairs_sql,
     Church & Hanks association): window-2 position self-join (fan-out
@@ -6037,6 +6047,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q221_leakage_safe_split": q221_leakage_safe_split,
         "q222_insert_overwrite": q222_insert_overwrite,
         "q223_consistent_snapshot_fk": q223_consistent_snapshot_fk,
+        "q224_ab_test": q224_ab_test,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6889,6 +6900,7 @@ def oracle_sql() -> dict[str, str]:
         "q221_leakage_safe_split": fn_sampling.leakage_safe_split_sql("duckdb"),
         "q222_insert_overwrite": _ow_oracle_sql(),
         "q223_consistent_snapshot_fk": _fk_oracle_sql(),
+        "q224_ab_test": fn_analytics.ab_test_sql("duckdb"),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

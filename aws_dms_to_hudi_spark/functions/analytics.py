@@ -512,3 +512,59 @@ SELECT user_id, CAST(pos AS BIGINT) AS pos, context, label
 FROM seq
 WHERE label IS NOT NULL AND pos <= {max_pos}
 ORDER BY user_id, pos"""
+
+
+def ab_test_sql(dialect: str, events: str = "events") -> str:
+    """A/B experiment readout — the analytics stage of an online
+    experiment: users assigned to variants by the deterministic hash
+    split (the q32 expression, so assignment is reproducible on any
+    engine or layout), conversion = the user crossed the median purchase count (the fixture's every user purchases, so plain did-purchase is degenerate), and the
+    two-proportion pooled z-statistic for the difference.
+
+    Determinism: user/conversion counts are exact integers; the
+    z computation is ONE fixed double expression tree over those
+    integers (shares, pooled variance, sqrt, one division — identical
+    IEEE sequence on both engines), rounded to 6dp for the gate.
+    Plan: one per-user aggregate (conversion flag), one 2-row variant
+    aggregate, one 1-row readout — nothing wider than the user key
+    shuffle."""
+    from .sampling import bucket_expr
+
+    # 50/50 assignment from the hash bucket's parity — reuses the split
+    # hash so an experiment's variants and the dataset's splits draw
+    # from the same deterministic randomness
+    variant = f"({bucket_expr('user_id', dialect)}) % 2"
+    return f"""
+WITH per_user AS (
+  SELECT user_id, {variant} AS variant,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS conv
+  FROM {events}
+  GROUP BY user_id
+),
+v AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS c
+  FROM per_user GROUP BY variant
+),
+wide AS (
+  SELECT
+    CAST(MAX(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+    CAST(MAX(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS c_a,
+    CAST(MAX(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+    CAST(MAX(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS c_b
+  FROM v
+)
+SELECT n_a, c_a, n_b, c_b,
+       CAST(floor(1000000.0 * c_a / n_a) AS BIGINT) AS conv_a_ppm,
+       CAST(floor(1000000.0 * c_b / n_b) AS BIGINT) AS conv_b_ppm,
+       round(
+         (CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+          - CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         / sqrt(
+             (CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 - CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
+           ), 6) AS z_pooled
+FROM wide"""
