@@ -144,3 +144,72 @@ def test_leakage_safe_split_keeps_neardups_together(spark):
     assert sum(r["n_docs"] for r in rows) == 40
     assert sum(r["n_grouped_docs"] for r in rows) == 5
     assert all(r["n_leaked_pairs"] == 0 for r in rows)
+
+
+def test_feature_snapshot_horizons(spark):
+    """Hand fixture: one customer with orders at asof, asof-40d,
+    asof-200d — horizon membership must nest correctly."""
+    from aws_dms_to_hudi_spark.functions.features import (
+        feature_snapshot_sql,
+    )
+
+    rows = [
+        (1, 7, "F", 10.0, "2024-12-31"),
+        (2, 7, "F", 20.0, "2024-11-21"),  # 40d back: in 90/365 only
+        (3, 7, "F", 40.0, "2024-06-14"),  # 200d back: in 365 only
+        (4, 8, "F", 5.0, "2024-12-31"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, d string",
+    )
+    from pyspark.sql import functions as F
+
+    df = df.withColumn("o_orderdate", F.col("d").cast("timestamp")).drop("d")
+    df.createOrReplaceTempView("__snap_fix")
+    out = {r["o_custkey"]: r for r in
+           spark.sql(feature_snapshot_sql("spark", orders="__snap_fix"))
+           .collect()}
+    c = out[7]
+    assert (c["n_orders_30d"], c["n_orders_90d"], c["n_orders_365d"]) == (1, 2, 3)
+    assert (c["spend_30d"], c["spend_90d"], c["spend_365d"]) == (10.0, 30.0, 70.0)
+    assert out[8]["n_orders_30d"] == 1
+
+
+def test_ab_test_z_matches_hand_formula(spark):
+    """The pooled z over a planted conversion imbalance equals the
+    textbook two-proportion formula computed in Python."""
+    import math
+
+    from aws_dms_to_hudi_spark.functions.analytics import ab_test_sql
+    from aws_dms_to_hudi_spark.functions.sampling import bucket_expr
+
+    # 40 users x 20 events; conversion metric = >=14 purchases. Give
+    # users whose id ends in 0..3 twenty purchases (converted), others
+    # none — conversion then depends only on the id, and the per-variant
+    # counts are derivable with the same bucket hash via Spark itself.
+    rows = []
+    eid = 0
+    for u in range(40):
+        conv = u % 10 < 4
+        for i in range(20):
+            et = "purchase" if conv else "view"
+            rows.append((eid, 1000 + eid, u, et, 1.0, "{}"))
+            eid += 1
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, sec long, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+    df.createOrReplaceTempView("__ab_fix")
+    row = spark.sql(ab_test_sql("spark", events="__ab_fix")).collect()[0]
+    assert row["n_a"] + row["n_b"] == 40
+    assert row["c_a"] + row["c_b"] == 16
+    p = (row["c_a"] + row["c_b"]) / (row["n_a"] + row["n_b"])
+    z = (row["c_a"] / row["n_a"] - row["c_b"] / row["n_b"]) / math.sqrt(
+        p * (1 - p) * (1 / row["n_a"] + 1 / row["n_b"])
+    )
+    assert abs(row["z_pooled"] - round(z, 6)) <= 1e-6
