@@ -2529,6 +2529,22 @@ def q224_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_analytics.ab_test_sql("spark", events=e))
 
 
+def q225_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based confidence calibration of the NB classifier (text.
+    naive_bayes_calibration_sql): per-doc top1-minus-top2 log-likelihood
+    margin (exact DECIMAL, no softmax/libm), fixed nat-bands, per-band
+    accuracy floor-pinned to ppm. Shares q209's materialized model
+    artifacts, so the readout costs one scoring pass + one window."""
+    v = _view(spark, sf_dir, "documents", "q225")
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    model = fn_text.naive_bayes_model_views(spark, v, th, cache_key=sf_dir)
+    return spark.sql(
+        fn_text.naive_bayes_calibration_sql("spark", table=v, model=model)
+    )
+
+
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive PMI token co-occurrence (curation.ppmi_pairs_sql,
     Church & Hanks association): window-2 position self-join (fan-out
@@ -6048,6 +6064,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q222_insert_overwrite": q222_insert_overwrite,
         "q223_consistent_snapshot_fk": q223_consistent_snapshot_fk,
         "q224_ab_test": q224_ab_test,
+        "q225_nb_calibration": q225_nb_calibration,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6901,6 +6918,7 @@ def oracle_sql() -> dict[str, str]:
         "q222_insert_overwrite": _ow_oracle_sql(),
         "q223_consistent_snapshot_fk": _fk_oracle_sql(),
         "q224_ab_test": fn_analytics.ab_test_sql("duckdb"),
+        "q225_nb_calibration": fn_text.naive_bayes_calibration_sql("duckdb"),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

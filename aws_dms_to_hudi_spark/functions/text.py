@@ -426,14 +426,60 @@ def naive_bayes_confusion_sql(
     the vocab is small); a bounded |langs|-fan-out dense scoring join;
     one per-doc argmax shuffle; final lang × lang aggregate is tiny.
     """
+    head = _nb_head(dialect, table, th_table, model)
+    return _nb_chain_tail(head) + """,
+pred AS (
+  SELECT doc_id, lang AS pred_lang
+  FROM (
+    SELECT doc_id, lang, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+    FROM score
+  ) AS ranked WHERE rn = 1
+)
+SELECT d.lang AS actual_lang, p.pred_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM docs d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY d.lang, p.pred_lang
+ORDER BY actual_lang, pred_lang"""
+
+
+def _nb_chain_tail(head: str) -> str:
+    """Shared NB WITH-chain through the per-(doc, lang) ``score`` CTE —
+    the common prefix of the confusion (q209) and calibration (q225)
+    finalizers."""
+    return head + """
+  -- per (doc, token) TYPE, not per occurrence — the model join's input
+  -- shrinks from corpus tokens to distinct-per-doc tokens. occ fits
+  -- DECIMAL(8,0), so occ·(lnp−lnz) is an EXACT decimal product
+  -- (precision 28 < 38) on both engines — never the precision-loss
+  -- rounding path (the q200 hazard)
+  SELECT t.doc_id, l.lang,
+         SUM(CAST(t.occ AS DECIMAL(8,0)) * (l.lnp - z.lnz)) AS s
+  FROM dtc t
+  JOIN lp l ON t.h = l.h
+  JOIN lz z ON l.lang = z.lang
+  GROUP BY t.doc_id, l.lang
+),
+score AS (
+  -- n_tok fits DECIMAL(10,0), so n_tok·lnz is an EXACT decimal product
+  -- (precision 29 < 38) on both engines — no precision-loss path
+  SELECT dl.doc_id, z.lang,
+         COALESCE(sp.s, 0) + CAST(dl.n_tok AS DECIMAL(10,0)) * z.lnz
+           + z.lnprior AS score
+  FROM dlen dl
+  CROSS JOIN lz z
+  LEFT JOIN sparse sp ON sp.doc_id = dl.doc_id AND sp.lang = z.lang
+)"""
+
+
+def _nb_head(
+    dialect: str, table: str, th_table: str | None,
+    model: dict[str, str] | None,
+) -> str:
     from .dedup import th_cte
 
     if model is not None:
-        # Spark path with materialized artifacts (see
-        # naive_bayes_model_views): the statement is scoring-only —
-        # every multi-referenced relation is a real view, so nothing
-        # re-derives.
-        head = f"""
+        return f"""
 WITH docs AS (SELECT doc_id, lang FROM {table}),
 dtc AS (SELECT doc_id, h, occ FROM {model['dtc']}),
 dlen AS (
@@ -442,8 +488,7 @@ dlen AS (
 lp AS (SELECT lang, h, lnp FROM {model['lp']}),
 lz AS (SELECT lang, lnz, lnprior FROM {model['lz']}),
 sparse AS ("""
-    else:
-        head = f"""
+    return f"""
 WITH {th_cte(dialect, table, th_table)},
 docs AS (SELECT doc_id, lang FROM {table}),
 dtc AS (
@@ -477,39 +522,57 @@ lz AS (
   FROM ltot t JOIN prior p ON t.lang = p.lang CROSS JOIN vv CROSS JOIN nn
 ),
 sparse AS ("""
-    return head + """
-  -- per (doc, token) TYPE, not per occurrence — the model join's input
-  -- shrinks from corpus tokens to distinct-per-doc tokens. occ fits
-  -- DECIMAL(8,0), so occ·(lnp−lnz) is an EXACT decimal product
-  -- (precision 28 < 38) on both engines — never the precision-loss
-  -- rounding path (the q200 hazard)
-  SELECT t.doc_id, l.lang,
-         SUM(CAST(t.occ AS DECIMAL(8,0)) * (l.lnp - z.lnz)) AS s
-  FROM dtc t
-  JOIN lp l ON t.h = l.h
-  JOIN lz z ON l.lang = z.lang
-  GROUP BY t.doc_id, l.lang
+
+
+def naive_bayes_calibration_sql(
+    dialect: str,
+    table: str = "documents",
+    th_table: str | None = None,
+    model: dict[str, str] | None = None,
+) -> str:
+    """Margin-based confidence calibration of the q209 NB classifier —
+    the model-quality readout a selection pipeline needs before
+    trusting classifier routing: bucket predictions by their score
+    MARGIN (top-1 minus top-2 log-likelihood, an exact DECIMAL — no
+    exp()/softmax, so no libm anywhere) into fixed nat-bands and
+    report per-band accuracy. A well-behaved classifier's accuracy
+    rises monotonically with margin; a flat curve means the scores
+    carry no confidence signal.
+
+    Plan: the shared NB score chain + ONE per-doc window (row_number +
+    lead over the same order, so top-1 and its runner-up cannot
+    disagree on ties) + a tiny fixed-band aggregate. Accuracy is
+    floor-pinned ppm (the engine-native cast rules differ)."""
+    head = _nb_head(dialect, table, th_table, model)
+    return _nb_chain_tail(head) + """,
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER w AS rn,
+         lead(score) OVER w AS next_score
+  FROM score
+  WINDOW w AS (PARTITION BY doc_id ORDER BY score DESC, lang)
 ),
-score AS (
-  -- n_tok fits DECIMAL(10,0), so n_tok·lnz is an EXACT decimal product
-  -- (precision 29 < 38) on both engines — no precision-loss path
-  SELECT dl.doc_id, z.lang,
-         COALESCE(sp.s, 0) + CAST(dl.n_tok AS DECIMAL(10,0)) * z.lnz
-           + z.lnprior AS score
-  FROM dlen dl
-  CROSS JOIN lz z
-  LEFT JOIN sparse sp ON sp.doc_id = dl.doc_id AND sp.lang = z.lang
+predm AS (
+  SELECT doc_id, lang AS pred_lang, score - next_score AS margin
+  FROM ranked WHERE rn = 1
 ),
-pred AS (
-  SELECT doc_id, lang AS pred_lang
-  FROM (
-    SELECT doc_id, lang, row_number() OVER (
-      PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
-    FROM score
-  ) AS ranked WHERE rn = 1
+joined AS (
+  SELECT p.margin,
+         CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END AS ok
+  FROM predm p JOIN docs d ON p.doc_id = d.doc_id
+),
+banded AS (
+  SELECT CASE WHEN margin < 1 THEN '0_lt1'
+              WHEN margin < 2 THEN '1_lt2'
+              WHEN margin < 4 THEN '2_lt4'
+              WHEN margin < 8 THEN '3_lt8'
+              ELSE '4_ge8' END AS margin_band, ok
+  FROM joined
 )
-SELECT d.lang AS actual_lang, p.pred_lang,
-       CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM docs d JOIN pred p ON d.doc_id = p.doc_id
-GROUP BY d.lang, p.pred_lang
-ORDER BY actual_lang, pred_lang"""
+SELECT margin_band, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ok) AS BIGINT) AS n_correct,
+       CAST(floor(1000000.0 * SUM(ok) / COUNT(*)) AS BIGINT)
+         AS accuracy_ppm
+FROM banded
+GROUP BY margin_band
+ORDER BY margin_band"""
