@@ -2545,6 +2545,85 @@ def q225_nb_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q226_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch CEP pattern detection through the driver gate
+    (streaming/windows.pattern_hits): view>click>purchase triggers per
+    user, fed as FOUR TIME-ORDERED micro-batches so matches genuinely
+    span batch boundaries; per-user state is two strings, never the
+    history. Streamed hits must equal the relational lag() oracle
+    row-for-row."""
+    from aws_dms_to_hudi_spark.streaming.windows import pattern_hits
+
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        out = _PATTERN_CACHE.get(key)
+        if out is None:
+            ev = _events(spark, sf_dir).select(
+                "user_id", "event_id", "ts", "event_type"
+            )
+            cuts = ev.agg(
+                F.percentile_approx("ts", [0.25, 0.5, 0.75], 1000)
+            ).collect()[0][0]
+            tmp = Path(tempfile.mkdtemp(prefix="pattern_"))
+            src = tmp / "stream"
+            conds = [
+                F.col("ts") <= cuts[0],
+                (F.col("ts") > cuts[0]) & (F.col("ts") <= cuts[1]),
+                (F.col("ts") > cuts[1]) & (F.col("ts") <= cuts[2]),
+                F.col("ts") > cuts[2],
+            ]
+            for i, c in enumerate(conds):
+                ev.filter(c).coalesce(1).write.parquet(
+                    str(src / f"batch-{i}")
+                )
+            stream = (
+                spark.readStream.schema(
+                    "user_id long, event_id long, ts timestamp, "
+                    "event_type string"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src / "batch-*"))
+            )
+            out = str(tmp / "hits")
+
+            def _sink(batch_df, batch_id):
+                batch_df.write.mode("append").parquet(out)
+
+            q = (
+                pattern_hits(stream)
+                .writeStream.foreachBatch(_sink)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            _PATTERN_CACHE[key] = out
+    return (
+        spark.read.schema("user_id long, hit_event_id long")
+        .parquet(out)
+        .orderBy("user_id", "hit_event_id")
+    )
+
+
+_PATTERN_CACHE: dict = {}
+
+
+def _stream_pattern_oracle_sql() -> str:
+    return """
+WITH seq AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type, 1) OVER w AS l1,
+         lag(event_type, 2) OVER w AS l2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(event_id AS BIGINT) AS hit_event_id
+FROM seq
+WHERE l2 = 'view' AND l1 = 'click' AND event_type = 'purchase'
+ORDER BY user_id, hit_event_id"""
+
+
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive PMI token co-occurrence (curation.ppmi_pairs_sql,
     Church & Hanks association): window-2 position self-join (fan-out
@@ -6065,6 +6144,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q223_consistent_snapshot_fk": q223_consistent_snapshot_fk,
         "q224_ab_test": q224_ab_test,
         "q225_nb_calibration": q225_nb_calibration,
+        "q226_stream_pattern": q226_stream_pattern,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -6919,6 +6999,7 @@ def oracle_sql() -> dict[str, str]:
         "q223_consistent_snapshot_fk": _fk_oracle_sql(),
         "q224_ab_test": fn_analytics.ab_test_sql("duckdb"),
         "q225_nb_calibration": fn_text.naive_bayes_calibration_sql("duckdb"),
+        "q226_stream_pattern": _stream_pattern_oracle_sql(),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

@@ -316,3 +316,54 @@ def running_totals_exact(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PATTERN = ("view", "click", "purchase")
+_PATTERN_OUT = "user_id long, hit_event_id long"
+_PATTERN_STATE = "e1 string, e2 string"
+
+
+def _detect_pattern(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    user = key[0]
+    pdf = pd.concat(list(pdfs))
+    pdf = pdf.sort_values(["ts", "event_id"])
+    e1, e2 = state.get if state.exists else (None, None)
+    hits: list[tuple[int, int]] = []
+    for et, eid in zip(pdf["event_type"], pdf["event_id"]):
+        if (e1, e2, et) == PATTERN:
+            hits.append((user, int(eid)))
+        e1, e2 = e2, et
+    state.update((e1, e2))
+    if hits:
+        yield pd.DataFrame(hits, columns=["user_id", "hit_event_id"])
+
+
+def pattern_hits(events: DataFrame) -> DataFrame:
+    """Cross-batch sequence-pattern detection (CEP-lite): emit an event
+    whenever a user's last three event types equal view>click>purchase —
+    the conversion trigger a windowed aggregate cannot express because
+    the match can SPAN micro-batch boundaries; the per-user state is the
+    last two event types (two strings — constant, never the history).
+
+    Determinism: rows sort by (ts, event_id) inside each micro-batch,
+    and the gate feeds time-quartile-ordered batches, so the global
+    per-user order equals the batch order and the streamed hits equal
+    the relational lag() oracle row-for-row.
+
+    Spark 4 note, stated honestly: the current-generation API for this
+    operator is ``transformWithStateInPandas`` (typed state, timers,
+    TTL); its Python side requires protobuf, which this container lacks
+    — ``tests/test_streaming_windows.py`` carries a runtime-gated test
+    that exercises the same processor there when the dependency exists.
+    The semantics and state shape are identical on either API."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _detect_pattern,
+        outputStructType=_PATTERN_OUT,
+        stateStructType=_PATTERN_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -298,3 +298,118 @@ def test_session_stream_converges_to_batch(spark, events_dir, tmp_path_factory, 
         for r in got_df.collect()
     )
     assert got == expected
+
+
+def test_pattern_hits_spans_batch_boundary(spark, tmp_path):
+    """A view>click | purchase sequence split across two micro-batches
+    must still match — the cross-batch state is the operator's point."""
+    import pandas as pd  # noqa: F401
+
+    from aws_dms_to_hudi_spark.streaming.windows import pattern_hits
+
+    rows_b0 = [(1, 10, 100, "view"), (1, 11, 101, "click"),
+               (2, 20, 100, "view")]
+    rows_b1 = [(1, 12, 102, "purchase"),  # completes across the boundary
+               (2, 21, 103, "click"), (2, 22, 104, "error"),
+               (1, 13, 105, "view"), (1, 14, 106, "click"),
+               (1, 15, 107, "purchase")]  # completes within one batch
+    from pyspark.sql import functions as F
+
+    for i, rows in enumerate((rows_b0, rows_b1)):
+        (spark.createDataFrame(
+            rows, "user_id long, event_id long, sec long, event_type string")
+         .withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+         .select("user_id", "event_id", "ts", "event_type")
+         .coalesce(1).write.parquet(str(tmp_path / "src" / f"batch-{i}")))
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, ts timestamp, "
+                      "event_type string")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(tmp_path / "src" / "batch-*")))
+    out = str(tmp_path / "hits")
+
+    def sink(bdf, bid):
+        bdf.write.mode("append").parquet(out)
+
+    q = (pattern_hits(stream).writeStream.foreachBatch(sink)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(
+        (r["user_id"], r["hit_event_id"])
+        for r in spark.read.schema("user_id long, hit_event_id long")
+        .parquet(out).collect()
+    )
+    assert got == [(1, 12), (1, 15)]  # user 2's broken sequence: no hit
+
+
+def test_transform_with_state_pattern_when_available(spark, tmp_path):
+    """Spark 4's transformWithStateInPandas runs the SAME pattern
+    processor (typed ValueState). Its Python side needs protobuf, which
+    this container lacks — runtime-gated so the coverage intent is
+    recorded and the test activates the moment the dependency exists."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas requires protobuf")
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+    )
+    from aws_dms_to_hudi_spark.streaming.windows import PATTERN
+
+    class PatternProc(StatefulProcessor):
+        def init(self, handle):
+            self._ctx = handle.getValueState("ctx", "e1 string, e2 string")
+
+        def handleInputRows(self, key, rows, timerValues):
+            pdf = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+            st = self._ctx.get() if self._ctx.exists() else None
+            e1, e2 = (st[0], st[1]) if st is not None else (None, None)
+            hits = []
+            for et, eid in zip(pdf["event_type"], pdf["event_id"]):
+                if (e1, e2, et) == PATTERN:
+                    hits.append((key[0], int(eid)))
+                e1, e2 = e2, et
+            self._ctx.update((e1, e2))
+            if hits:
+                yield pd.DataFrame(hits, columns=["user_id", "hit_event_id"])
+
+        def close(self):
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    rows = [(1, 10, 100, "view"), (1, 11, 101, "click"),
+            (1, 12, 102, "purchase")]
+    (spark.createDataFrame(
+        rows, "user_id long, event_id long, sec long, event_type string")
+     .withColumn("ts", F.timestamp_seconds("sec")).drop("sec")
+     .coalesce(1).write.parquet(str(tmp_path / "tws" / "batch-0")))
+    stream = (spark.readStream
+              .schema("user_id long, event_id long, event_type string, "
+                      "ts timestamp")
+              .parquet(str(tmp_path / "tws" / "batch-*")))
+    out = str(tmp_path / "tws_hits")
+
+    def sink(bdf, bid):
+        bdf.write.mode("append").parquet(out)
+
+    q = (stream.groupBy("user_id")
+         .transformWithStateInPandas(
+             PatternProc(), "user_id long, hit_event_id long",
+             "append", "none")
+         .writeStream.foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.schema("user_id long, hit_event_id long").parquet(out)
+    assert [(r["user_id"], r["hit_event_id"]) for r in got.collect()] == [(1, 12)]
