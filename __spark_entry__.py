@@ -2624,6 +2624,71 @@ WHERE l2 = 'view' AND l1 = 'click' AND event_type = 'purchase'
 ORDER BY user_id, hit_event_id"""
 
 
+_LATE_BANDS = (
+    ("0_ontime", "lateness = 0"),
+    ("1_le60s", "lateness <= 60"),
+    ("2_le300s", "lateness <= 300"),
+    ("3_le1800s", "lateness <= 1800"),
+    ("4_gt1800s", "TRUE"),
+)
+
+
+def _late_band_case() -> str:
+    arms = " ".join(
+        f"WHEN {cond} THEN '{label}'" for label, cond in _LATE_BANDS[:-1]
+    )
+    return f"CASE {arms} ELSE '{_LATE_BANDS[-1][0]}' END"
+
+
+def q227_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness profile — the measurement that JUSTIFIES a
+    withWatermark delay: per event, lateness = (max event-time seen so
+    far in arrival order) − own event-time, banded into the candidate
+    delay buckets; the band histogram reads directly as "a 5-minute
+    watermark would drop X events". Arrival order is event_id (the
+    fixture's arrival proxy; production uses the ingest offset).
+
+    The running max is the two-pass range-bucketed prefix max
+    (operators/rank.global_running_max) — never a single-partition
+    window; the oracle states the same prefix max as one window."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.col("ts").cast("long").alias("epoch")
+    )
+    r = rank_ops.global_running_max(
+        ev, "event_id", "epoch", out_col="rmax"
+    )
+    late = r.withColumn("lateness", F.col("rmax") - F.col("epoch"))
+    return (
+        late.select(F.expr(_late_band_case()).alias("band"), "lateness")
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.max("lateness").cast("long").alias("max_lateness_s"),
+        )
+        .orderBy("band")
+    )
+
+
+def _lateness_oracle_sql() -> str:
+    return f"""
+WITH ev AS (
+  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch FROM events
+),
+run AS (
+  SELECT event_id, epoch,
+         MAX(epoch) OVER (ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax
+  FROM ev
+),
+late AS (SELECT rmax - epoch AS lateness FROM run)
+SELECT {_late_band_case()} AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(lateness) AS BIGINT) AS max_lateness_s
+FROM late
+GROUP BY 1
+ORDER BY band"""
+
+
 def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positive PMI token co-occurrence (curation.ppmi_pairs_sql,
     Church & Hanks association): window-2 position self-join (fan-out
@@ -6145,6 +6210,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q224_ab_test": q224_ab_test,
         "q225_nb_calibration": q225_nb_calibration,
         "q226_stream_pattern": q226_stream_pattern,
+        "q227_watermark_lateness": q227_watermark_lateness,
         "q164_stream_session_windows": q164_stream_session_windows,
         "q165_cdc_quarantine": q165_cdc_quarantine,
         "q166_prefix_jaccard": q166_prefix_jaccard,
@@ -7000,6 +7066,7 @@ def oracle_sql() -> dict[str, str]:
         "q224_ab_test": fn_analytics.ab_test_sql("duckdb"),
         "q225_nb_calibration": fn_text.naive_bayes_calibration_sql("duckdb"),
         "q226_stream_pattern": _stream_pattern_oracle_sql(),
+        "q227_watermark_lateness": _lateness_oracle_sql(),
         "q164_stream_session_windows": _stream_sessions_oracle_sql(),
         "q165_cdc_quarantine": _cdc_quarantine_oracle_sql(),
         # the oracle is deliberately the PLAIN all-shingles formulation

@@ -249,3 +249,56 @@ def grouped_row_number(
             group_total_col, _lookup(totals, group_cols)
         )
     return out
+
+
+def global_running_max(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "__rmax",
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Append the exact global running (inclusive-prefix) MAX of
+    ``value_col`` ordered by ``order_col`` — the prefix-max sibling of
+    :func:`global_running_sum`, same two-pass range partitioning, no
+    single-partition window. Per-bucket prefix = max of all EARLIER
+    buckets' maxima (a bounded driver-side scan); within a bucket one
+    ordered window takes over. ``order_col`` numeric and unique per
+    row, ``value_col`` numeric (int64 here)."""
+    from ..functions.dedup import materialize
+
+    df = materialize(df)
+    c1 = F.col(order_col)
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts_row = df.select(
+        F.percentile_approx(c1, qs, 1_000).alias("cuts")
+    ).first()
+    cuts = [c for c in (cuts_row["cuts"] or []) if c is not None]
+
+    b = df.withColumn("__gb", _bucket_expr(c1, cuts))
+    maxes = {r["__gb"]: r["m"] for r in
+             b.groupBy("__gb").agg(F.max(value_col).alias("m")).collect()}
+    prefix: dict[int, int | None] = {}
+    run = None
+    for k in sorted(maxes):
+        prefix[k] = run
+        if maxes[k] is not None and (run is None or maxes[k] > run):
+            run = maxes[k]
+
+    pre = F.create_map(
+        *[F.lit(x) for k, v in prefix.items() if v is not None
+          for x in (k, v)]
+    ) if any(v is not None for v in prefix.values()) else None
+    w = (
+        Window.partitionBy("__gb")
+        .orderBy(c1.asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = F.max(value_col).over(w).cast("long")
+    if pre is None:
+        combined = local
+    else:
+        combined = F.greatest(
+            local, F.coalesce(pre[F.col("__gb")].cast("long"), local)
+        )
+    return b.withColumn(out_col, combined).drop("__gb")

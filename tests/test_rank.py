@@ -96,3 +96,23 @@ def test_grouped_row_number_matches_window(spark):
         for i, (gg, v, rid) in enumerate(grp, 1):
             want[(gg, rid)] = (i, len(grp))
     assert got == want
+
+
+def test_global_running_max_matches_window(spark):
+    """Two-pass prefix max == the plain global window, including ties
+    and a descending stretch."""
+    from pyspark.sql import functions as F
+
+    from aws_dms_to_hudi_spark.operators.rank import global_running_max
+
+    vals = [9, 1, 5, 9, 2, 14, 3, 14, 0, 7]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "k long, v long"
+    )
+    out = global_running_max(df, "k", "v", out_col="m", num_buckets=3)
+    got = {r["k"]: r["m"] for r in out.collect()}
+    run, want = None, {}
+    for i, v in enumerate(vals):
+        run = v if run is None or v > run else run
+        want[i] = run
+    assert got == want
