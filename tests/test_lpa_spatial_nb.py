@@ -55,10 +55,14 @@ def test_grid_join_equals_brute_force(spark):
                                  "c_custkey long")
     cust.createOrReplaceTempView("__sp_fix_customer")
     out = spark.sql(
-        spatial.grid_neighbors_sql("spark", customer="__sp_fix_customer")
+        spatial.grid_neighbors_sql(
+            "spark", customer="__sp_fix_customer", cell_cap=None
+        )
     )
+    rows = out.collect()
+    assert all(r["profiled"] for r in rows)  # uncapped: everyone profiled
     got = {r["id"]: (r["n_neighbors"], r["nearest_id"], r["nearest_d2"])
-           for r in out.collect()}
+           for r in rows}
 
     ks = np.arange(1, n + 1, dtype=np.int64)
     x = (ks * spatial._AX) % spatial.SPAN
@@ -78,6 +82,86 @@ def test_grid_join_equals_brute_force(spark):
         assert got[int(k)] == want, (k, got[int(k)], want)
     assert any(v[0] > 0 for v in got.values())  # fixture not degenerate
     assert any(v[0] == 0 for v in got.values())  # empty path exercised
+
+
+def test_cell_cap_bounds_candidates(spark):
+    """Densified fixture (~12 points/cell, above CELL_CAP=8): the capped
+    candidate-pair count must respect 9 * occupied_cells * cap^2 and be
+    strictly below the uncapped count — the constant-volume guarantee
+    that makes the join survive densification."""
+    n = 30_000  # 2500 cells -> ~12 points/cell on average
+    cap = spatial.CELL_CAP
+    cust = spark.range(1, n + 1).selectExpr("id AS c_custkey")
+    cust.createOrReplaceTempView("__sp_cap_customer")
+    capped = spark.sql(spatial.grid_candidates_sql(
+        "spark", customer="__sp_cap_customer", cell_cap=cap
+    )).collect()[0][0]
+    uncapped = spark.sql(spatial.grid_candidates_sql(
+        "spark", customer="__sp_cap_customer", cell_cap=None
+    )).collect()[0][0]
+    n_cells = (spatial.SPAN // spatial.GRID) ** 2
+    assert capped <= 9 * n_cells * cap * cap
+    assert capped < uncapped  # the cap actually binds on this fixture
+    # thinned points exist and are flagged
+    out = spark.sql(spatial.grid_neighbors_sql(
+        "spark", customer="__sp_cap_customer", cell_cap=cap
+    ))
+    flags = out.groupBy("profiled").count().collect()
+    by_flag = {r["profiled"]: r["count"] for r in flags}
+    assert by_flag.get(False, 0) > 0 and by_flag.get(True, 0) > 0
+    assert sum(by_flag.values()) == n  # every point still surfaces
+
+
+def test_capped_join_equals_participant_brute_force(spark):
+    """Cap semantics are exact: the capped output must equal brute-force
+    neighbors computed over the participant subset (K lowest ids per
+    cell), with thinned points surfacing profiled=FALSE, n_neighbors=0,
+    NULL nearest."""
+    import numpy as np
+
+    n, cap = 6_000, 2  # low cap so thinning is common
+    cust = spark.createDataFrame([(k,) for k in range(1, n + 1)],
+                                 "c_custkey long")
+    cust.createOrReplaceTempView("__sp_sem_customer")
+    out = spark.sql(spatial.grid_neighbors_sql(
+        "spark", customer="__sp_sem_customer", cell_cap=cap
+    ))
+    got = {r["id"]: (r["profiled"], r["n_neighbors"],
+                     r["nearest_id"], r["nearest_d2"])
+           for r in out.collect()}
+
+    ks = np.arange(1, n + 1, dtype=np.int64)
+    x = (ks * spatial._AX) % spatial.SPAN
+    y = (ks * spatial._AY) % spatial.SPAN
+    cells: dict[tuple, list] = {}
+    for i, k in enumerate(ks):
+        cells.setdefault((x[i] // spatial.GRID, y[i] // spatial.GRID),
+                         []).append(int(k))
+    participants = {k for mem in cells.values()
+                    for k in sorted(mem)[:cap]}
+    pk = np.array(sorted(participants), dtype=np.int64)
+    px, py = (pk * spatial._AX) % spatial.SPAN, (pk * spatial._AY) % spatial.SPAN
+    d2 = (px[:, None] - px[None, :]) ** 2 + (py[:, None] - py[None, :]) ** 2
+    np.fill_diagonal(d2, 2**62)
+    in_r = d2 <= spatial.RADIUS * spatial.RADIUS
+    thinned = binds = 0
+    for k in ks:
+        k = int(k)
+        if k not in participants:
+            assert got[k] == (False, 0, None, None), (k, got[k])
+            thinned += 1
+            continue
+        i = int(np.searchsorted(pk, k))
+        cnt = int(in_r[i].sum())
+        if cnt:
+            best = min((int(d2[i, j]), int(pk[j]))
+                       for j in np.flatnonzero(in_r[i]))
+            want = (True, cnt, best[1], best[0])
+            binds += 1
+        else:
+            want = (True, 0, None, None)
+        assert got[k] == want, (k, got[k], want)
+    assert thinned > 0 and binds > 0  # fixture exercises both paths
 
 
 def test_naive_bayes_separable_corpus(spark):
