@@ -179,11 +179,14 @@ def connected_components_star(
 def components_oracle_sql(pairs_sql: str) -> str:
     """DuckDB oracle: min-label reachability as a recursive CTE over
     the same pair SQL (UNION recursion deduplicates states, so this
-    terminates on the transitive closure)."""
+    terminates on the transitive closure). ``pairs``/``und`` are pinned
+    MATERIALIZED: DuckDB re-evaluates CTEs inlined into a recursive
+    step on every iteration, which re-ran the whole upstream pair
+    chain per round (measured 26x on the q221 oracle)."""
     return f"""
 WITH RECURSIVE
-pairs AS ({pairs_sql}),
-und AS (
+pairs AS MATERIALIZED ({pairs_sql}),
+und AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
 ),
@@ -298,7 +301,19 @@ def triangle_count_sql(dialect: str, lineitem: str = "lineitem") -> str:
     is bit-identical across engines and partition layouts.
 
     Output: one row — nodes, edges, wedges, triangles, and the global
-    clustering coefficient 3·Δ/wedges in ppm."""
+    clustering coefficient 3·Δ/wedges in ppm.
+
+    Scale shape (probe-measured, tools/scale_probe_results.json q178
+    ~7x wall at 10x data): exact triangle counting is Θ(m^{3/2}) in the
+    worst case — with the degree orientation the oriented-wedge count
+    is Σ outdeg² ≤ m·√m, and the 10x probe grows the co-purchase
+    graph's edge count ~10x, so ~10^1.5/√10 ≈ 10x-bounded work with
+    the measured 7x consistent with the m√m exponent, NOT a plan
+    defect: no exact algorithm beats the wedge bound, and the
+    orientation already removes the hub-skew cliff (max per-node
+    fan-out outdeg ≤ O(√m) regardless of raw degree). Sub-m√m needs
+    approximation (wedge sampling / degree-thresholded counting),
+    which trades the bit-exact cross-engine gate away."""
     from . import portable as P
 
     lower = "(du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)"

@@ -492,8 +492,8 @@ def leakage_safe_split_sql(
         pairs_sql = minhash_lsh_sql(dialect, table=table)
         head = f"""
 WITH RECURSIVE
-pairs AS ({pairs_sql}),
-und AS (
+pairs AS MATERIALIZED ({pairs_sql}),
+und AS MATERIALIZED (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
 ),
