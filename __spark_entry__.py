@@ -5974,6 +5974,191 @@ def q91_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_sampling.weighted_sample_sql("spark", table=v))
 
 
+# One index-enabled CDC-replayed orders table per (session, sf_dir),
+# shared by the metadata-index gates (q228 column-stats skipping, q229
+# record-level index lookup, q230 CDC-image read). Year-partitioned so
+# the column-stats index has file groups to skip; all three index
+# maintainers run on every commit, so each gate reads a production-shaped
+# artifact (the replay is shared fixture setup, like _replayed_orders).
+_INDEXED_CACHE: dict[tuple[int, str], CuratedTable] = {}
+
+
+def _indexed_orders(spark: SparkSession, sf_dir: str) -> CuratedTable:
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        cached = _INDEXED_CACHE.get(key)
+        if cached is not None and cached.root.exists():
+            return cached
+        rec = cdc.RECIPES["orders"]
+        _t(spark, sf_dir, "orders").createOrReplaceTempView(
+            "__indexed_orders_src"
+        )
+        cfg = TableConfig(
+            name="orders_indexed",
+            record_key=list(rec.key_cols),
+            is_partitioned=True,
+            partition_path="o_year",
+            stats_columns=["o_orderdate"],
+            record_index=True,
+            cdc_images=True,
+        )
+        tmp = tempfile.mkdtemp(prefix="orders_indexed_")
+        table = CuratedTable(spark, Path(tmp) / "orders", cfg)
+        for b in range(cdc.N_BATCHES):
+            batch = spark.sql(
+                cdc.batch_sql(rec, b, src="__indexed_orders_src")
+            ).withColumn(
+                # int, matching Spark's hive partition-value inference on
+                # read-back (a string year would widen-conflict int)
+                "o_year", F.year(F.col("o_orderdate")).cast("int")
+            )
+            (table.bulk_insert if b == 0 else table.upsert)(batch)
+        _INDEXED_CACHE[key] = table
+        return table
+
+
+_CS_LO = "1996-01-01 00:00:00"
+_CS_HI = "1996-07-01 00:00:00"
+
+
+def q228_column_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats data skipping (storage.read ``filters=``; Hudi
+    metadata-table COLUMN_STATS analog): per-dir min/max recorded in
+    every commit manifest at write time — O(dirs written) maintenance —
+    prune file groups whose range provably misses the predicate BEFORE
+    the scan, then the predicate re-applies to surviving rows so
+    results are exact. Here a 6-month window over the year-partitioned
+    CDC-replayed orders table scans 1 of 7 file groups (strict-subset
+    pruning + conservatism + MOR-delta safety pinned in
+    tests/test_storage_indexes.py); the gate hash-checks the surviving
+    rows' rollup against the plain replay oracle."""
+    import datetime as _dt
+
+    t = _indexed_orders(spark, sf_dir)
+    lo = _dt.datetime.fromisoformat(_CS_LO)
+    hi = _dt.datetime.fromisoformat(_CS_HI)
+    got = t.read(filters=[("o_orderdate", ">=", lo), ("o_orderdate", "<", hi)])
+    return (
+        got.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(
+                F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+            ).cast("long").alias("total_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def _column_stats_oracle_sql() -> str:
+    rec = cdc.RECIPES["orders"]
+    return f"""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM ({cdc.replay_sql(rec)}) s
+WHERE o_orderdate >= TIMESTAMP '{_CS_LO}' AND o_orderdate < TIMESTAMP '{_CS_HI}'
+GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+
+def q229_record_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-level index point lookup (storage.point_lookup; Hudi
+    RECORD_INDEX analog): the (key -> dir key) index is itself a
+    bucketed CuratedTable — as Hudi's metadata table is itself a Hudi
+    table — maintained O(batch) on every commit, tombstones removing
+    entries. A lookup routes to index buckets by key hash, collects the
+    (bounded) candidate dir keys, scans ONLY those file groups, and a
+    final semi-join clears index false positives. Probes include keys
+    deleted in batch 2 (must be absent) and re-inserted in batch 3
+    (must be back); subset-scan + staleness-tolerance pinned in
+    tests/test_storage_indexes.py."""
+    t = _indexed_orders(spark, sf_dir)
+    probe = spark.sql(
+        "SELECT DISTINCT o_orderkey FROM __indexed_orders_src "
+        "WHERE o_orderkey % 97 = 1"
+    )
+    rec = cdc.RECIPES["orders"]
+    return (
+        t.point_lookup(probe)
+        .select(*rec.columns, "trx_seq")
+        .withColumn(
+            "o_totalprice",
+            F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"),
+        )
+        .withColumnRenamed("o_totalprice", "total_cents")
+        .drop("o_year")
+        .orderBy("o_orderkey")
+    )
+
+
+def _record_index_oracle_sql() -> str:
+    rec = cdc.RECIPES["orders"]
+    cols = ", ".join(c for c in rec.columns if c != "o_totalprice")
+    return f"""
+SELECT {cols},
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+       trx_seq
+FROM ({cdc.replay_sql(rec)}) s
+WHERE o_orderkey % 97 = 1 ORDER BY o_orderkey"""
+
+
+def q230_cdc_image_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-time CDC images (storage.read_cdc; Hudi 0.13
+    ``hoodie.table.cdc.enabled`` analog): every COW upsert persists the
+    stored pre-state of exactly the keys it changes (one batch-sized
+    semi-join against the already-pruned existing slice), so the CDC
+    read serves (op I/U/D, before, after) per changed key per commit at
+    O(changed keys) — never replaying historical snapshots. No-op
+    suppression (a batch row that loses precombine emits nothing) and
+    window bounds pinned in tests/test_storage_indexes.py. The oracle
+    diffs consecutive replay states per batch."""
+    t = _indexed_orders(spark, sf_dir)
+    return (
+        t.read_cdc(image_cols=["o_totalprice"])
+        .select(
+            "o_orderkey",
+            "commit_version",
+            "op",
+            F.expr(
+                "CAST(floor(before_o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("before_cents"),
+            F.expr(
+                "CAST(floor(after_o_totalprice * 100 + 0.5) AS BIGINT)"
+            ).alias("after_cents"),
+        )
+        .orderBy("commit_version", "o_orderkey")
+    )
+
+
+def _cdc_image_oracle_sql() -> str:
+    rec = cdc.RECIPES["orders"]
+    parts = []
+    for b in range(cdc.N_BATCHES):
+        cur = cdc.replay_sql(rec, b)
+        if b == 0:
+            parts.append(f"""
+SELECT o_orderkey, CAST(1 AS BIGINT) AS commit_version, 'I' AS op,
+       CAST(NULL AS BIGINT) AS before_cents,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS after_cents
+FROM ({cur}) s""")
+            continue
+        prv = cdc.replay_sql(rec, b - 1)
+        parts.append(f"""
+SELECT COALESCE(c.o_orderkey, p.o_orderkey) AS o_orderkey,
+       CAST({b + 1} AS BIGINT) AS commit_version,
+       CASE WHEN c.o_orderkey IS NULL THEN 'D'
+            WHEN p.o_orderkey IS NULL THEN 'I' ELSE 'U' END AS op,
+       CAST(floor(p.o_totalprice * 100 + 0.5) AS BIGINT) AS before_cents,
+       CAST(floor(c.o_totalprice * 100 + 0.5) AS BIGINT) AS after_cents
+FROM ({cur}) c FULL OUTER JOIN ({prv}) p USING (o_orderkey)
+WHERE c.trx_seq IS DISTINCT FROM p.trx_seq""")
+    body = " UNION ALL ".join(parts)
+    return (
+        f"SELECT * FROM ({body}) u ORDER BY commit_version, o_orderkey"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -6227,6 +6412,10 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_count_min_sketch": q173_count_min_sketch,
         "q174_kmv_distinct_sketch": q174_kmv_distinct_sketch,
         "q175_incremental_ingest_dedup": q175_incremental_ingest_dedup,
+        # --- r5 additions: strictly at the end (window rotation rule) ---
+        "q228_column_stats_skipping": q228_column_stats_skipping,
+        "q229_record_index_lookup": q229_record_index_lookup,
+        "q230_cdc_image_read": q230_cdc_image_read,
     }
 
 
@@ -7137,4 +7326,8 @@ def oracle_sql() -> dict[str, str]:
                 f"AS total_spent FROM ({src}) t GROUP BY o_custkey"
             )
         ),
+        # --- r5 additions ---
+        "q228_column_stats_skipping": _column_stats_oracle_sql(),
+        "q229_record_index_lookup": _record_index_oracle_sql(),
+        "q230_cdc_image_read": _cdc_image_oracle_sql(),
     }

@@ -63,6 +63,28 @@ class TableConfig:
     # keys fall into. Alternative to num_buckets (range locality instead
     # of hash spread); non-partitioned tables only.
     key_range_groups: int | None = None
+    # Column-stats index (beyond-reference; Hudi metadata-table
+    # COLUMN_STATS analog): per-data-dir min/max for the listed columns
+    # recorded in every commit manifest at write time, so range/equality
+    # reads prune whole file groups before the scan (storage.read
+    # ``filters=``). Carried-forward dirs keep their parent's stats —
+    # maintenance is O(dirs written), never O(table).
+    stats_columns: list[str] = field(default_factory=list)
+    # Record-level index (beyond-reference; Hudi RECORD_INDEX analog):
+    # maintain a keyed (record key, dir key) index — itself a bucketed
+    # CuratedTable, exactly as Hudi's metadata table is itself a Hudi
+    # table — so point lookups read only the file groups that may hold
+    # the probed keys. The index may over-approximate (stale entries
+    # after layout services are harmless false positives, resolved by
+    # the final semi-join) but never under-approximates live keys.
+    record_index: bool = False
+    # Write-time CDC images (beyond-reference; Hudi 0.13 cdc.enabled
+    # analog): COW upserts persist the pre-image of every key the batch
+    # actually changed next to the changelog, so read_cdc serves
+    # (op, before, after) rows at O(changed keys) without replaying
+    # historical snapshots. COW only — MOR deltas defer the merge, so
+    # the before-image is not known at write time.
+    cdc_images: bool = False
     # Dead-letter quarantine (beyond-reference): when true, malformed
     # change rows (unknown Op codes, NULL record keys) are split out of
     # each batch map-side and landed under the table's `_quarantine/`
@@ -100,6 +122,12 @@ class TableConfig:
             raise ValueError(
                 f"table {self.name}: unsupported table_type {self.table_type}"
             )
+        if self.cdc_images and self.table_type != COPY_ON_WRITE:
+            raise ValueError(
+                f"table {self.name}: cdc_images requires COPY_ON_WRITE "
+                "(MOR defers the merge, so before-images are unknown at "
+                "write time)"
+            )
 
     @property
     def is_complex_key(self) -> bool:
@@ -131,6 +159,13 @@ class TableConfig:
                 if "key_range_groups" in hudi else None
             ),
             quarantine_bad_rows=bool(hudi.get("quarantine_bad_rows", False)),
+            stats_columns=[
+                c.strip()
+                for c in str(hudi.get("stats_columns", "")).split(",")
+                if c.strip()
+            ],
+            record_index=bool(hudi.get("record_index", False)),
+            cdc_images=bool(hudi.get("cdc_images", False)),
         )
 
 

@@ -82,6 +82,17 @@ class Commit:
     # analog that key-range pruning reads. Carried forward verbatim by
     # every later commit (assignment must stay stable across upserts).
     key_bounds: list[Any] | None = None
+    # Column-stats index (Hudi metadata-table COLUMN_STATS analog):
+    # {data rel-dir: {column: [tagged min, tagged max]}} for the table's
+    # configured stats_columns. Keyed by the rel dir, so carried-forward
+    # dirs keep their stats by identity — maintenance cost is O(dirs
+    # written by this commit), never O(table). Values are [type-tag,
+    # value] pairs (see _enc_stat) so dates/timestamps survive JSON.
+    col_stats: dict[str, dict[str, list]] | None = None
+    # Write-time CDC before-image dir for this commit (cdc_images
+    # tables): the stored pre-state of exactly the keys this commit
+    # changed. None for commits that changed nothing / non-CDC tables.
+    cdc_dir: str | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -94,6 +105,8 @@ class Commit:
                 "parent": self.parent,
                 "changelog": self.changelog,
                 "key_bounds": self.key_bounds,
+                "col_stats": self.col_stats,
+                "cdc_dir": self.cdc_dir,
             },
             indent=1,
         )
@@ -110,11 +123,17 @@ class Commit:
             parent=d.get("parent"),
             changelog=d.get("changelog", []),
             key_bounds=d.get("key_bounds"),
+            col_stats=d.get("col_stats"),
+            cdc_dir=d.get("cdc_dir"),
         )
 
 
 BUCKET_COL = "__bucket"
 RANGE_COL = "__krange"
+# Record-level index (Hudi RECORD_INDEX metadata-partition analog)
+RLI_DIR = "_index/record_level"
+RLI_BUCKETS = 8
+DIR_KEY_COL = "_dir_key"
 
 
 class CuratedTable:
@@ -258,7 +277,10 @@ class CuratedTable:
     # ---------- read path ----------
 
     def read(
-        self, version: int | None = None, read_optimized: bool = False
+        self,
+        version: int | None = None,
+        read_optimized: bool = False,
+        filters: list[tuple[str, str, Any]] | None = None,
     ) -> DataFrame | None:
         """Current (or historical) state as a DataFrame.
 
@@ -270,11 +292,32 @@ class CuratedTable:
         columnar scan with no merge cost (what latency-sensitive BI
         readers point at between compactions). On COW tables the two
         modes are identical, as in Hudi.
+
+        ``filters`` — data skipping via the manifest's column-stats
+        index (Hudi metadata-table COLUMN_STATS read path): a list of
+        ``(column, op, value)`` with op in {'=', '<', '<=', '>', '>='}.
+        Data dirs whose recorded [min, max] prove the conjunction empty
+        are dropped BEFORE the scan; the predicate is then re-applied to
+        the surviving rows, so results are exact whether or not stats
+        exist (missing stats only cost pruning, never correctness).
+        Dir-level pruning is only sound when the dirs are the whole
+        state, so it is skipped on MOR snapshots with outstanding
+        deltas (a delta row may carry an OLDER ordering value than the
+        pruned base row, and the merge must see both); read-optimized
+        reads prune freely.
         """
         commit = self._commit_at(version)
         if commit is None:
             return None
-        base = self._read_dirs(list(commit.data.values()))
+        rel_dirs = list(commit.data.values())
+        if filters and (read_optimized or not commit.deltas):
+            rel_dirs = self._prune_stats_dirs(commit, filters)
+            if not rel_dirs:  # every dir proven empty: typed empty result
+                full = self._read_dirs(list(commit.data.values()))
+                base = self.spark.createDataFrame([], full.schema)
+                rel_dirs = None
+        if rel_dirs is not None:
+            base = self._read_dirs(rel_dirs)
         if commit.deltas and not read_optimized:
             deltas = self._read_dirs(commit.deltas)
             base = upsert_merge(
@@ -287,7 +330,24 @@ class CuratedTable:
             self.config.num_buckets or self.config.key_range_groups
         ):
             base = base.drop(BUCKET_COL, RANGE_COL)  # internal layout detail
+        if base is not None and filters:
+            for col, op, val in filters:
+                base = base.filter(_filter_expr(col, op, val))
         return base
+
+    def _prune_stats_dirs(
+        self, commit: Commit, filters: list[tuple[str, str, Any]]
+    ) -> list[str]:
+        """Rel dirs that MAY satisfy the filter conjunction, per the
+        manifest's column stats. Conservative: a dir without stats for a
+        filtered column always survives."""
+        stats = commit.col_stats or {}
+        out = []
+        for rel in commit.data.values():
+            ds = stats.get(rel)
+            if ds is None or not _stats_prove_empty(ds, filters):
+                out.append(rel)
+        return out
 
     def read_incremental(
         self,
@@ -417,9 +477,8 @@ class CuratedTable:
         df = apply_deletes(df)
         pcol = self._pcol
         if pcol is not None:
-            out = self._partition_sorted(
-                self._bucketize(df), pcol, list(cfg.record_key)
-            )
+            df = self._bucketize(df)
+            out = self._partition_sorted(df, pcol, list(cfg.record_key))
             out.write.mode("overwrite").partitionBy(pcol).parquet(
                 str(self.root / vdir)
             )
@@ -428,6 +487,7 @@ class CuratedTable:
             out = df.sortWithinPartitions(*cfg.record_key)
             out.write.mode("overwrite").parquet(str(self.root / vdir))
             data = {"": vdir}
+        self._update_record_index(df)
         commit = Commit(
             version=version,
             operation="bulk_insert",
@@ -438,6 +498,7 @@ class CuratedTable:
             # dirs rather than writing the batch twice
             changelog=list(data.values()),
             key_bounds=self._commit_key_bounds(),
+            col_stats=self._assemble_stats(None, data, vdir),
         )
         self._write_commit(commit)
         return commit
@@ -487,6 +548,10 @@ class CuratedTable:
                 if k in prev_dirs
             ]
             existing = self._read_dirs(touched_rels) if touched_rels else None
+            cdcdir = None
+            if cfg.cdc_images:
+                cdcdir = f"{vdir}_cdcbefore"
+                self._write_cdc_before(existing, batch, cdcdir)
             merged = upsert_merge(
                 existing, batch, cfg.record_key, cfg.source_ordering_field
             )
@@ -504,6 +569,10 @@ class CuratedTable:
             new_data.update(self._scan_partition_dirs(vdir))
         else:
             existing = self._read_dirs(list(prev.data.values()))
+            cdcdir = None
+            if cfg.cdc_images:
+                cdcdir = f"{vdir}_cdcbefore"
+                self._write_cdc_before(existing, batch, cdcdir)
             merged = upsert_merge(
                 existing, batch, cfg.record_key, cfg.source_ordering_field
             )
@@ -520,7 +589,10 @@ class CuratedTable:
             parent=prev.version,
             changelog=[cldir],
             key_bounds=self._commit_key_bounds(),
+            col_stats=self._assemble_stats(prev, new_data, vdir),
+            cdc_dir=cdcdir,
         )
+        self._update_record_index(batch)
         self._write_commit(commit)
         return commit
 
@@ -619,6 +691,7 @@ class CuratedTable:
             ).parquet(str(self.root / vdir))
             fresh = {"": vdir}
             new_data = fresh
+        self._update_record_index(batch)
         commit = Commit(
             version=version,
             operation="insert_overwrite",
@@ -627,6 +700,7 @@ class CuratedTable:
             parent=prev.version,
             changelog=list(fresh.values()),
             key_bounds=self._commit_key_bounds(),
+            col_stats=self._assemble_stats(prev, new_data, vdir),
         )
         self._write_commit(commit)
         return commit
@@ -673,6 +747,10 @@ class CuratedTable:
         ddir = f"v{version:08d}_delta"
         deduped = precombine(batch, cfg.record_key, cfg.source_ordering_field)
         deduped.write.mode("overwrite").parquet(str(self.root / ddir))
+        # index entries map to the key's (eventual, post-compaction) dir
+        # key, which the layout column determines — so compaction/
+        # clustering never invalidate them
+        self._update_record_index(self._bucketize(deduped))
         commit = Commit(
             version=version,
             operation="delta_commit",
@@ -683,6 +761,9 @@ class CuratedTable:
             # the delta log is already the precombined change set; reuse it
             changelog=[ddir],
             key_bounds=self._commit_key_bounds(),
+            # base dirs unchanged; deltas carry no stats (pruning is
+            # disabled while deltas are outstanding anyway)
+            col_stats=prev.col_stats,
         )
         self._write_commit(commit)
         return commit
@@ -722,6 +803,7 @@ class CuratedTable:
             checkpoint=prev.checkpoint,
             parent=prev.version,
             key_bounds=self._commit_key_bounds(),
+            col_stats=self._assemble_stats(prev, data, vdir),
         )
         self._write_commit(commit)
         return commit
@@ -832,6 +914,7 @@ class CuratedTable:
             checkpoint=prev.checkpoint,
             parent=prev.version,
             key_bounds=self._commit_key_bounds(),
+            col_stats=self._assemble_stats(prev, data, vdir),
         )
         self._write_commit(commit)
         return commit
@@ -862,6 +945,7 @@ class CuratedTable:
             parent=prev.version if prev else None,
             changelog=[],
             key_bounds=self._commit_key_bounds(),
+            col_stats=target.col_stats,
         )
         self._write_commit(commit)
         return commit
@@ -916,6 +1000,301 @@ class CuratedTable:
                 )
         return key
 
+    # ---------- record-level index (Hudi RECORD_INDEX analog) ----------
+
+    def _rli(self) -> "CuratedTable | None":
+        """The record-level index table — itself a bucketed CuratedTable
+        under ``_index/record_level``, exactly as Hudi's metadata table
+        is itself a Hudi MOR table. Rows: (record key cols, dir key,
+        ordering field); record key includes the dir key so a key that
+        moves partitions keeps BOTH entries alive (the non-global-index
+        contract: one live row per (key, partition)). The bucket id is
+        forced to hash the BASE key columns only (pre-computed below),
+        so a point lookup knows which index buckets to read without
+        knowing dir keys."""
+        if not self.config.record_index:
+            return None
+        if getattr(self, "_rli_table", None) is None:
+            icfg = TableConfig(
+                name=f"{self.config.name}__rli",
+                record_key=[*self.config.record_key, DIR_KEY_COL],
+                source_ordering_field=self.config.source_ordering_field,
+                num_buckets=RLI_BUCKETS,
+            )
+            self._rli_table = CuratedTable(
+                self.spark, self.root / RLI_DIR, icfg
+            )
+        return self._rli_table
+
+    def _rli_bucket_expr(self):
+        return F.pmod(
+            F.xxhash64(*self.config.record_key), F.lit(RLI_BUCKETS)
+        ).cast("int")
+
+    def _update_record_index(self, batch: DataFrame) -> None:
+        """Upsert the batch's (key -> dir key) entries; tombstones delete
+        their index entry. ``batch`` is precombined and (when the table
+        has a layout column) bucketized, so the dir key is computable
+        per row. O(batch) — index buckets not touched by the batch carry
+        forward by reference inside the index table's own upsert."""
+        from aws_dms_to_hudi_spark.operators.merge import DELETED_COL
+
+        rli = self._rli()
+        if rli is None:
+            return
+        cfg = self.config
+        pcol = self._pcol
+        dir_key = (
+            F.concat(F.lit(f"{pcol}="), F.col(pcol).cast("string"))
+            if pcol is not None
+            else F.lit("")
+        )
+        deleted = (
+            F.coalesce(F.col(DELETED_COL), F.lit(False))
+            if DELETED_COL in batch.columns
+            else F.lit(False)
+        )
+        entries = batch.select(
+            *cfg.record_key,
+            F.col(cfg.source_ordering_field),
+            dir_key.alias(DIR_KEY_COL),
+            deleted.alias(DELETED_COL),
+            # bucket by BASE keys so lookups can route without dir keys
+            # (_bucketize is a no-op when the column is already present)
+            self._rli_bucket_expr().alias(BUCKET_COL),
+        )
+        rli.upsert(entries)
+
+    def point_lookup(self, keys: DataFrame) -> DataFrame | None:
+        """Read current rows for the probe keys through the record-level
+        index: probe-bucket-pruned index read -> candidate dir keys
+        (bounded driver-side collect: at most the partition count) ->
+        scan only those dirs -> final key semi-join (which also clears
+        index false positives, e.g. entries staled by insert_overwrite).
+        MOR: outstanding deltas are always read and merged (a delta may
+        carry any key). The index may over-approximate but never misses
+        a live key, so results equal a full-scan semi-join exactly."""
+        rli = self._rli()
+        if rli is None:
+            raise ValueError(
+                f"{self.config.name}: record_index not enabled"
+            )
+        commit = self.latest_commit()
+        if commit is None:
+            return None
+        kcols = list(self.config.record_key)
+        probe = keys.select(*kcols).distinct()
+        icommit = rli.latest_commit()
+        rows_dirs: list[str] = []
+        if icommit is not None:
+            # route to index buckets by the base-key hash (<= RLI_BUCKETS
+            # values — bounded collect, same class as touched-partition
+            # collection in upsert)
+            pb = sorted(
+                r[0]
+                for r in probe.select(
+                    self._rli_bucket_expr().alias("b")
+                ).distinct().collect()
+            )
+            idirs = [
+                icommit.data[k]
+                for k in (f"{BUCKET_COL}={b}" for b in pb)
+                if k in icommit.data
+            ]
+            if idirs:
+                idx = rli._read_dirs(idirs)
+                hits = idx.join(F.broadcast(probe), on=kcols, how="left_semi")
+                dkeys = sorted(
+                    r[0] for r in hits.select(DIR_KEY_COL).distinct().collect()
+                )
+                rows_dirs = [
+                    commit.data[k] for k in dkeys if k in commit.data
+                ]
+        base = self._read_dirs(rows_dirs) if rows_dirs else None
+        if commit.deltas:
+            deltas = self._read_dirs(commit.deltas)
+            base = upsert_merge(
+                base,
+                deltas,
+                self.config.record_key,
+                self.config.source_ordering_field,
+            )
+        if base is None:
+            full = self._read_dirs(list(commit.data.values()))
+            return self.spark.createDataFrame([], full.schema).drop(
+                BUCKET_COL, RANGE_COL
+            )
+        out = base.join(F.broadcast(probe), on=kcols, how="left_semi")
+        return out.drop(BUCKET_COL, RANGE_COL)
+
+    # ---------- write-time CDC images (Hudi 0.13 cdc read analog) ----------
+
+    def _write_cdc_before(
+        self, existing: DataFrame | None, batch: DataFrame, cdcdir: str
+    ) -> None:
+        """Persist the stored pre-state of exactly the keys the batch
+        touches. ``existing`` is already pruned to the touched
+        partitions, so this is one semi-join sized by the batch."""
+        kcols = list(self.config.record_key)
+        if existing is None:
+            # first write into empty partitions: no before-images
+            before = batch.limit(0)
+        else:
+            before = existing.join(
+                batch.select(*kcols).distinct(), on=kcols, how="left_semi"
+            )
+        before.coalesce(1).write.mode("overwrite").parquet(
+            str(self.root / cdcdir)
+        )
+
+    def read_cdc(
+        self,
+        begin_version: int | None = None,
+        end_version: int | None = None,
+        image_cols: list[str] | None = None,
+    ) -> DataFrame | None:
+        """Change-data-capture read (Hudi 0.13 ``hoodie.table.cdc.enabled``
+        query analog): one row per (record key, data commit) actually
+        changed in ``(begin_version, end_version]`` with
+        ``op`` ∈ {'I','U','D'} and before/after images of ``image_cols``
+        — served entirely from write-time artifacts (changelog = after,
+        cdc_dir = before), so cost is O(changed keys), never a replay of
+        historical snapshots.
+
+        No-op suppression: a batch row that LOSES precombine to the
+        stored row (older ordering value) changed nothing and is not
+        emitted; likewise a delete for an absent key. Deletes emit
+        before-images and NULL after-images. The commit loop is bounded
+        by the retained timeline, like read_incremental."""
+        from aws_dms_to_hudi_spark.operators.merge import DELETED_COL
+
+        cfg = self.config
+        if not cfg.cdc_images:
+            raise ValueError(f"{cfg.name}: cdc_images not enabled")
+        kcols = list(cfg.record_key)
+        ordf = cfg.source_ordering_field
+        cols = list(image_cols or [])
+        outs: list[DataFrame] = []
+        for c in self.commits():
+            if begin_version is not None and c.version <= begin_version:
+                continue
+            if end_version is not None and c.version > end_version:
+                continue
+            if not c.changelog:
+                continue  # table services change no rows
+            after = self._read_dirs(c.changelog)
+            deleted = (
+                F.coalesce(F.col(DELETED_COL), F.lit(False))
+                if DELETED_COL in after.columns
+                else F.lit(False)
+            )
+            a = after.select(
+                *kcols,
+                F.col(ordf).alias("__a_ord"),
+                deleted.alias("__a_del"),
+                *[F.col(x).alias(f"after_{x}") for x in cols],
+            )
+            if c.cdc_dir:
+                b = self._read_dirs([c.cdc_dir]).select(
+                    *kcols,
+                    F.col(ordf).alias("__b_ord"),
+                    *[F.col(x).alias(f"before_{x}") for x in cols],
+                )
+                j = a.join(b, on=kcols, how="left")
+            else:
+                j = a.withColumn(
+                    "__b_ord", F.lit(None).cast(dict(a.dtypes)["__a_ord"])
+                )
+                for x in cols:
+                    j = j.withColumn(
+                        f"before_{x}", F.lit(None).cast(dict(a.dtypes)[f"after_{x}"])
+                    )
+            # drop no-ops: batch row lost to stored (stored is newer), or
+            # delete of an absent key
+            j = j.filter(
+                (F.col("__b_ord").isNull() & ~F.col("__a_del"))
+                | (
+                    F.col("__b_ord").isNotNull()
+                    & (F.col("__a_ord") >= F.col("__b_ord"))
+                )
+            )
+            op = (
+                F.when(F.col("__a_del"), F.lit("D"))
+                .when(F.col("__b_ord").isNull(), F.lit("I"))
+                .otherwise(F.lit("U"))
+            )
+            sel = [
+                *kcols,
+                F.lit(c.version).cast("long").alias("commit_version"),
+                op.alias("op"),
+            ]
+            for x in cols:
+                sel.append(F.col(f"before_{x}"))
+                # deletes have no after-image
+                sel.append(
+                    F.when(F.col("__a_del"), F.lit(None))
+                    .otherwise(F.col(f"after_{x}"))
+                    .alias(f"after_{x}")
+                )
+            outs.append(j.select(*sel))
+        if not outs:
+            return None
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
+    # ---------- column-stats index maintenance ----------
+
+    def _assemble_stats(
+        self, prev: Commit | None, new_data: dict[str, str], vdir: str
+    ) -> dict[str, dict[str, list]] | None:
+        """col_stats for a new commit: freshly aggregated for dirs this
+        commit wrote under ``vdir``, copied by rel-dir identity for
+        carried-forward dirs. The fresh aggregation reads back ONLY the
+        just-written dirs and ONLY the stats columns (columnar scan,
+        map-side-combinable min/max) — O(dirs written), never O(table)."""
+        if not self.config.stats_columns:
+            return None
+        fresh_rels = [r for r in new_data.values() if _version_of(r) == vdir]
+        out: dict[str, dict[str, list]] = {}
+        pstats = (prev.col_stats if prev else None) or {}
+        for rel in new_data.values():
+            if _version_of(rel) != vdir and rel in pstats:
+                out[rel] = pstats[rel]
+        if fresh_rels:
+            out.update(self._stats_for_vdir(vdir))
+        return out
+
+    def _stats_for_vdir(self, vdir: str) -> dict[str, dict[str, list]]:
+        """One grouped min/max aggregate over a freshly-written version
+        dir -> {rel_dir: {col: [tagged_min, tagged_max]}}."""
+        pcol = self._pcol
+        path = str(self.root / vdir)
+        df = self.spark.read.option("basePath", path).parquet(path)
+        cols = [c for c in self.config.stats_columns if c in df.columns]
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+        out: dict[str, dict[str, list]] = {}
+        if pcol is not None and pcol in df.columns:
+            for r in df.groupBy(pcol).agg(*aggs).collect():
+                rel = f"{vdir}/{_pdir(pcol, r[pcol])}"
+                out[rel] = {
+                    c: [_enc_stat(r[f"__mn_{c}"]), _enc_stat(r[f"__mx_{c}"])]
+                    for c in cols
+                }
+        else:
+            r = df.agg(*aggs).collect()[0]
+            out[vdir] = {
+                c: [_enc_stat(r[f"__mn_{c}"]), _enc_stat(r[f"__mx_{c}"])]
+                for c in cols
+            }
+        return out
+
     def _next_version(self) -> int:
         c = self.latest_commit()
         return (c.version + 1) if c else 1
@@ -942,3 +1321,105 @@ def _pdir(pcol: str, value: Any) -> str:
     is not replicated here; engine restricts partition columns to simple
     string/number values, which covers the reference's usage)."""
     return f"{pcol}={value}"
+
+
+# ---------- column-stats value codec + pruning predicate ----------
+
+def _enc_stat(v: Any) -> list | None:
+    """JSON-safe [type-tag, value] encoding of a min/max stat. Dates and
+    timestamps are kept as ISO strings (lexicographic == chronological,
+    so pruning comparisons stay order-correct); Decimals as exact
+    strings re-parsed on compare. None (all-NULL dir) stays None —
+    null-rejecting filter ops match nothing there."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return ["i", int(v)]
+    if isinstance(v, int):
+        return ["i", v]
+    if isinstance(v, float):
+        return ["f", v]
+    if isinstance(v, decimal.Decimal):
+        return ["n", str(v)]
+    if isinstance(v, datetime.datetime):
+        return ["t", v.isoformat()]
+    if isinstance(v, datetime.date):
+        return ["d", v.isoformat()]
+    if isinstance(v, str):
+        return ["s", v]
+    return ["s", str(v)]
+
+
+def _stat_value(tagged: list | None) -> Any:
+    if tagged is None:
+        return None
+    tag, v = tagged
+    if tag == "n":
+        import decimal
+
+        return decimal.Decimal(v)
+    return v
+
+
+def _comparable(a: Any, b: Any) -> bool:
+    """Only same-kind comparisons prune (numeric w/ numeric, str w/
+    str); anything else is conservatively un-prunable."""
+    import decimal
+
+    num = (int, float, decimal.Decimal)
+    if isinstance(a, num) and isinstance(b, num):
+        return True
+    return isinstance(a, str) and isinstance(b, str)
+
+
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _stats_prove_empty(
+    dir_stats: dict[str, list], filters: list[tuple[str, str, Any]]
+) -> bool:
+    """True iff the dir's [min, max] for some filtered column proves the
+    conjunction can match no row in the dir."""
+    for col, op, val in filters:
+        if op not in _PRUNE_OPS:
+            raise ValueError(f"unsupported filter op {op!r}")
+        if col not in dir_stats:
+            continue
+        mn = _stat_value(dir_stats[col][0])
+        mx = _stat_value(dir_stats[col][1])
+        if mn is None or mx is None:
+            # stats recorded, no non-null value in the dir: every op
+            # here is null-rejecting, so the dir cannot match
+            return True
+        enc = _enc_stat(val)
+        v = _stat_value(enc)
+        if not _comparable(mn, v):
+            continue
+        if (
+            (op == "=" and (v < mn or v > mx))
+            or (op == "<" and mn >= v)
+            or (op == "<=" and mn > v)
+            or (op == ">" and mx <= v)
+            or (op == ">=" and mx < v)
+        ):
+            return True
+    return False
+
+
+def _filter_expr(col: str, op: str, val: Any):
+    """Residual row-level predicate matching the pruning semantics."""
+    c = F.col(col)
+    if op == "=":
+        return c == F.lit(val)
+    if op == "<":
+        return c < F.lit(val)
+    if op == "<=":
+        return c <= F.lit(val)
+    if op == ">":
+        return c > F.lit(val)
+    if op == ">=":
+        return c >= F.lit(val)
+    raise ValueError(f"unsupported filter op {op!r}")
