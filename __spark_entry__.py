@@ -6159,6 +6159,172 @@ WHERE c.trx_seq IS DISTINCT FROM p.trx_seq""")
     )
 
 
+_SSOUTER_CACHE: dict[tuple[int, str], str] = {}
+
+
+def q231_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join through the driver gate —
+    the emission path q132's inner join cannot exercise: an unconverted
+    purchase (no view in the preceding hour) is emitted NULL-matched
+    only when the watermark proves no future view can still join it, so
+    outer rows trickle out on STATE EVICTION, not row arrival. Events
+    land as four time-ordered slices (watermark advances monotonically)
+    plus a far-future flush sentinel that resolves every real purchase
+    before availableNow terminates; the file-sink rows, rolled up per
+    user with converted/unconverted splits, must hash-match the
+    relational LEFT JOIN oracle — pinning that eviction emitted every
+    unmatched purchase exactly once and dropped none."""
+    from aws_dms_to_hudi_spark.streaming.windows import (
+        view_purchase_attribution,
+    )
+
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        out = _SSOUTER_CACHE.get(key)
+        if out is None:
+            ev = _events(spark, sf_dir).select(
+                "event_id", "ts", "user_id", "event_type"
+            ).filter(F.col("event_type").isin("view", "purchase"))
+            lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+            span = (hi - lo) / 4
+            tmp = Path(tempfile.mkdtemp(prefix="ssouter_"))
+            src = tmp / "stream"
+            for p in range(4):  # time-ordered slices
+                cond = F.col("ts") >= F.lit(lo + p * span)
+                if p < 3:
+                    cond = cond & (F.col("ts") < F.lit(lo + (p + 1) * span))
+                ev.filter(cond).coalesce(1).write.parquet(
+                    str(src / f"batch-{p}")
+                )
+            far = hi + __import__("datetime").timedelta(days=31)
+            flush = spark.createDataFrame(
+                [(-1, far, -1, "view"), (-2, far, -1, "purchase")],
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string",
+            )
+            flush.coalesce(1).write.parquet(str(src / "batch-4"))
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, ts timestamp, user_id long, "
+                    "event_type string"
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src / "batch-*"))
+            )
+            joined = view_purchase_attribution(
+                stream.filter(F.col("event_type") == "view"),
+                stream.filter(F.col("event_type") == "purchase"),
+                watermark="10 minutes",
+                how="left_outer",
+            )
+            out = str(tmp / "joined")
+            q = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+            _SSOUTER_CACHE[key] = out
+    s = spark.read.parquet(out).filter(F.col("user_id") >= 0)
+    return (
+        s.groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("view_id").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_unconverted"),
+            F.sum(F.coalesce(F.col("view_id"), F.lit(0)))
+            .cast("long").alias("view_id_sum"),
+            F.sum("purchase_id").cast("long").alias("purchase_id_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _stream_outer_join_oracle_sql() -> str:
+    return """
+SELECT p.user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN v.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unconverted,
+       CAST(SUM(COALESCE(v.event_id, 0)) AS BIGINT) AS view_id_sum,
+       CAST(SUM(p.event_id) AS BIGINT) AS purchase_id_sum
+FROM events p LEFT JOIN events v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+GROUP BY p.user_id ORDER BY p.user_id
+"""
+
+
+def q232_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov drift statistic
+    (features.ks_drift): 1996 vs 1997 order totals, D as the
+    cross-multiplied integer sup |ra·nB − rb·nA| — the binning-free
+    companion to PSI (q205) and chi² (q213) for monitor-grade drift
+    detection. Running ECDF counts ride the two-pass range-bucketed
+    prefix sum (operators/rank.global_running_sum), so no global-sort
+    single-partition window ever forms."""
+    o = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    ).select(
+        "o_totalprice",
+        (F.year("o_orderdate") == 1996).alias("fa"),
+    )
+    return fn_feat.ks_drift(o, "o_totalprice", "fa")
+
+
+def _ks_oracle_sql() -> str:
+    return fn_feat.ks_drift_oracle_sql(
+        "(SELECT * FROM orders "
+        "WHERE year(o_orderdate) IN (1996, 1997)) s0",
+        "o_totalprice",
+        "year(o_orderdate) = 1996",
+    )
+
+
+def q233_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features over decoded PCM (multimodal.
+    wav_frame_features): short-time energy + zero-crossing rate per
+    16-sample frame on the REAL RIFF/PCM16 round-trip — the
+    feature-extract stage between q158's raw decode and any
+    VAD/segmentation consumer. Map-only Arrow mapInPandas, zero
+    shuffle; the integer PCM fixture lets the oracle replay the decoded
+    samples exactly."""
+    docs = _t(spark, sf_dir, "documents").filter("doc_id % 4 = 1")
+    return fn_mm.wav_frame_features(docs).orderBy("doc_id")
+
+
+def q234_pseudonymization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization + referential-integrity audit
+    (curation.pseudonymize_sql): the natural customer key is replaced
+    by a double-peppered portable-hash surrogate consistently across
+    customer AND orders; per-segment order counts joined through the
+    surrogate vs through the raw key sit side by side (equality is the
+    FK-preservation proof) and the collision audit must read 0. Pure
+    per-row codegen surrogates, broadcast-dim audit joins."""
+    c = _view(spark, sf_dir, "customer", "q234")
+    o = _view(spark, sf_dir, "orders", "q234")
+    return spark.sql(
+        fn_curation.pseudonymize_sql("spark", customer=c, orders=o)
+    )
+
+
+def q235_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative + positive mining for contrastive training
+    (similarity.hard_negative_sql): per deterministic anchor slice, the
+    most-similar different-label vector, the most-similar same-label
+    vector, and the triplet margin — one corpus scan, anchors
+    broadcast, both rankings from a single scored relation. The
+    label-aware complement of q22's top-k; at scale the candidate set
+    comes from the LSH/IVF index and this ranks candidates."""
+    v = _view(spark, sf_dir, "embeddings", "q235")
+    return spark.sql(fn_sim.hard_negative_sql("spark", table=v))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -6416,6 +6582,11 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q228_column_stats_skipping": q228_column_stats_skipping,
         "q229_record_index_lookup": q229_record_index_lookup,
         "q230_cdc_image_read": q230_cdc_image_read,
+        "q231_stream_outer_join": q231_stream_outer_join,
+        "q232_ks_drift": q232_ks_drift,
+        "q233_audio_frame_features": q233_audio_frame_features,
+        "q234_pseudonymization": q234_pseudonymization,
+        "q235_hard_negative_mining": q235_hard_negative_mining,
     }
 
 
@@ -7330,4 +7501,9 @@ def oracle_sql() -> dict[str, str]:
         "q228_column_stats_skipping": _column_stats_oracle_sql(),
         "q229_record_index_lookup": _record_index_oracle_sql(),
         "q230_cdc_image_read": _cdc_image_oracle_sql(),
+        "q231_stream_outer_join": _stream_outer_join_oracle_sql(),
+        "q232_ks_drift": _ks_oracle_sql(),
+        "q233_audio_frame_features": fn_mm.wav_frame_oracle_sql(),
+        "q234_pseudonymization": fn_curation.pseudonymize_sql("duckdb"),
+        "q235_hard_negative_mining": fn_sim.hard_negative_sql("duckdb"),
     }

@@ -955,3 +955,71 @@ SELECT
 FROM classes
 GROUP BY 1, 2
 ORDER BY k_band, l_band"""
+
+
+def pseudonymize_sql(
+    dialect: str, customer: str = "customer", orders: str = "orders"
+) -> str:
+    """Keyed pseudonymization with referential-integrity audit (q234) —
+    the GDPR-pipeline step q121's REDACTION cannot express: replace the
+    natural key with a deterministic keyed surrogate consistently
+    across EVERY table that carries it, so downstream joins still work
+    while the raw identifier disappears from the data plane.
+
+    Surrogate = two independently-peppered portable polynomial hashes
+    concatenated (62 bits of space, so accidental collisions are
+    negligible — and AUDITED, not assumed: ``collisions`` must read 0).
+    The gate emits per-segment order counts joined BOTH ways — through
+    the surrogate and through the raw key — as separate columns whose
+    equality IS the referential-integrity proof (a surrogate collision
+    or instability would split or merge join groups and break it).
+
+    Production note: the pepper lives in the expression here because
+    the oracle must replay it; a deployment injects it as a secret
+    config. Shape at 100 TB: the surrogate is per-row codegen (no UDF,
+    no shuffle); the audit joins are the same broadcast-dim joins the
+    raw key would take.
+    """
+    str_t = "STRING" if dialect == "spark" else "VARCHAR"
+
+    def pseud(key: str) -> str:
+        h1 = P.rolling_hash(f"concat('s1:', CAST({key} AS {str_t}))", dialect)
+        h2 = P.rolling_hash(f"concat('s2:', CAST({key} AS {str_t}))", dialect)
+        return (
+            f"concat(CAST({h1} AS {str_t}), '-', CAST({h2} AS {str_t}))"
+        )
+
+    return f"""
+WITH cmap AS (
+  SELECT c_custkey, {pseud('c_custkey')} AS pseud, c_mktsegment
+  FROM {customer}
+),
+audit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(COUNT(DISTINCT pseud) AS BIGINT) AS n_pseud
+  FROM cmap
+),
+o AS (
+  SELECT o_custkey, {pseud('o_custkey')} AS pseud FROM {orders}
+),
+via_pseud AS (
+  SELECT m.c_mktsegment, COUNT(*) AS n_orders_pseud
+  FROM o JOIN cmap m ON o.pseud = m.pseud
+  GROUP BY m.c_mktsegment
+),
+via_raw AS (
+  SELECT m.c_mktsegment, COUNT(*) AS n_orders_raw
+  FROM {orders} r JOIN cmap m ON r.o_custkey = m.c_custkey
+  GROUP BY m.c_mktsegment
+)
+SELECT m.c_mktsegment,
+       CAST(COUNT(DISTINCT m.pseud) AS BIGINT) AS n_customers,
+       CAST(MAX(p.n_orders_pseud) AS BIGINT) AS n_orders_pseud,
+       CAST(MAX(r.n_orders_raw) AS BIGINT) AS n_orders_raw,
+       CAST(MAX(a.n_keys - a.n_pseud) AS BIGINT) AS collisions
+FROM cmap m
+JOIN via_pseud p ON m.c_mktsegment = p.c_mktsegment
+JOIN via_raw r ON m.c_mktsegment = r.c_mktsegment
+CROSS JOIN audit a
+GROUP BY m.c_mktsegment
+ORDER BY m.c_mktsegment"""

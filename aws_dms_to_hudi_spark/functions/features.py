@@ -245,3 +245,98 @@ SELECT o_custkey,
 FROM {orders} CROSS JOIN mx
 GROUP BY o_custkey
 ORDER BY o_custkey"""
+
+
+def ks_drift(df, value_col: str, flag_col: str):
+    """Exact two-sample Kolmogorov–Smirnov statistic between the rows
+    where ``flag_col`` is true (sample A) and false (sample B) — the
+    distribution-drift test that, unlike PSI (q205), needs no binning
+    choice and, unlike chi² (q213), works on continuous values:
+    D = max_x |F_A(x) − F_B(x)|.
+
+    Exact integer arithmetic end to end: per distinct value, (ca, cb)
+    counts from one hash aggregate; running counts via the two-pass
+    range-bucketed prefix sum (operators/rank.global_running_sum — a
+    single-partition ORDER BY window never forms); the sup statistic as
+    the cross-multiplied max |ra·nB − rb·nA| so no division touches the
+    compare, with d_ppm = floor(d_num·10^6 / (nA·nB)) derived last.
+    Products are BIGINT here (|values| ≤ ~10^9 per side before they'd
+    need the DECIMAL(38) upgrade the module docstring prescribes — at
+    100 TB per-side counts approach that, so promote then).
+
+    Plan shape at scale: one map-side-combinable aggregate over the
+    values, then the two-pass prefix sum (percentile sketch + O(buckets)
+    collected offsets + per-bucket window), then a global max — every
+    shuffle is on the value hash or range, never a global sort.
+
+    Returns one row: (n_a, n_b, d_num, d_ppm).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.rank import global_running_sum
+
+    per = df.groupBy(value_col).agg(
+        F.sum(F.when(F.col(flag_col), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col(flag_col), 0).otherwise(1)).alias("cb"),
+    )
+    r = global_running_sum(per, value_col, "ca", out_col="ra")
+    r = global_running_sum(r, value_col, "cb", out_col="rb")
+    return _ks_finalize(r)
+
+
+def _ks_finalize(r):
+    from pyspark.sql import functions as F
+
+    tot = r.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+    )
+    # 1-row scalar cross join (the repo's totals pattern)
+    j = r.crossJoin(F.broadcast(tot))
+    return (
+        j.agg(
+            F.max(
+                F.abs(F.col("ra") * F.col("n_b") - F.col("rb") * F.col("n_a"))
+            ).cast("long").alias("d_num"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            F.floor(
+                F.col("d_num") * F.lit(1_000_000)
+                / (F.col("n_a") * F.col("n_b"))
+            ).cast("long").alias("d_ppm"),
+        )
+    )
+
+
+def ks_drift_oracle_sql(
+    src: str, value_col: str, flag_expr: str
+) -> str:
+    """DuckDB oracle for :func:`ks_drift`: identical integer arithmetic,
+    running counts as one window (fine at oracle scale)."""
+    return f"""
+WITH s AS (SELECT {value_col} AS v, ({flag_expr}) AS fa FROM {src}),
+per AS (
+  SELECT v,
+         SUM(CASE WHEN fa THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN fa THEN 0 ELSE 1 END) AS cb
+  FROM s GROUP BY v
+),
+r AS (
+  SELECT v, ca, cb,
+         SUM(ca) OVER (ORDER BY v) AS ra,
+         SUM(cb) OVER (ORDER BY v) AS rb
+  FROM per
+),
+t AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+             CAST(SUM(cb) AS BIGINT) AS n_b FROM per)
+SELECT t.n_a, t.n_b,
+       CAST(MAX(ABS(r.ra * t.n_b - r.rb * t.n_a)) AS BIGINT) AS d_num,
+       CAST(floor(CAST(MAX(ABS(r.ra * t.n_b - r.rb * t.n_a)) AS BIGINT)
+            * 1000000 / (t.n_a * t.n_b)) AS BIGINT) AS d_ppm
+FROM r CROSS JOIN t
+GROUP BY t.n_a, t.n_b"""

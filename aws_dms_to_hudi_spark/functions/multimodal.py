@@ -1123,6 +1123,102 @@ def wav_roundtrip_features(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, WAV_GATE_SCHEMA)
 
 
+WAV_FRAME = 16  # samples per analysis frame (full frames only)
+
+WAV_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("total_energy", T.LongType()),
+        T.StructField("peak_frame_energy", T.LongType()),
+        T.StructField("total_zc", T.LongType()),
+        T.StructField("max_frame_zc", T.LongType()),
+    ]
+)
+
+
+def wav_frame_features(docs: DataFrame) -> DataFrame:
+    """Audio feature extraction over DECODED PCM (q233): the classic
+    frame-level front end (short-time energy + zero-crossing rate, the
+    voice-activity / segmentation primitives) computed on the samples
+    that the REAL RIFF/PCM16 codec round-trip produces — the same
+    deterministic integer fixture as q158, so a SQL oracle replays the
+    expected samples exactly while Spark exercises decode + framing.
+
+    Per doc: samples are cut into ``WAV_FRAME``-sample frames (full
+    frames only, the trailing remainder is dropped — the standard
+    hop=frame STFT convention); per frame, energy = Σ s² (int64) and
+    zc = #{i : s_i·s_{i+1} < 0, both in frame}; emitted as per-doc
+    aggregates so the gate's output is bounded.
+
+    Shape at 100 TB: Arrow-batched ``mapInPandas`` over the blob
+    column, map-only, zero shuffle, linear in executors — blobs never
+    enter a join key (the multimodal rule)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 40 + doc_id % 25
+                rate = 8000 + 4000 * (doc_id % 3)
+                i = np.arange(n, dtype=np.int64)
+                samples = (doc_id * 31 + i * 17) % 2001 - 1000
+                d = decode_wav(encode_wav(samples, rate))
+                s = d["samples"][:, 0].astype(np.int64)
+                nf = s.shape[0] // WAV_FRAME
+                fr = s[: nf * WAV_FRAME].reshape(nf, WAV_FRAME)
+                energy = (fr * fr).sum(axis=1)
+                zc = ((fr[:, :-1] * fr[:, 1:]) < 0).sum(axis=1)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "n_frames": int(nf),
+                        "total_energy": int(energy.sum()),
+                        "peak_frame_energy": int(energy.max()),
+                        "total_zc": int(zc.sum()),
+                        "max_frame_zc": int(zc.max()),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(batches, WAV_FRAME_SCHEMA)
+
+
+def wav_frame_oracle_sql(table: str = "documents") -> str:
+    """DuckDB replay of :func:`wav_frame_features` (integer PCM fixture
+    end to end): regenerate the samples, frame by i // WAV_FRAME, pair
+    zero-crossings within frames via (i % WAV_FRAME) < WAV_FRAME-1."""
+    s = "((b.doc_id * 31 + i.i * 17) % 2001) - 1000"
+    s_next = "((b.doc_id * 31 + (i.i + 1) * 17) % 2001) - 1000"
+    w = WAV_FRAME
+    return f"""
+WITH sub AS (SELECT doc_id FROM {table} WHERE doc_id % 4 = 1),
+samp AS (
+  SELECT b.doc_id, i.i, {s} AS s, {s_next} AS sn,
+         i.i // {w} AS frame,
+         (40 + b.doc_id % 25) // {w} AS nf
+  FROM sub b, range(0, 65) i(i)
+  WHERE i.i < ((40 + b.doc_id % 25) // {w}) * {w}
+),
+per_frame AS (
+  SELECT doc_id, frame,
+         SUM(s * s) AS energy,
+         SUM(CASE WHEN (i % {w}) < {w - 1} AND s * sn < 0
+                  THEN 1 ELSE 0 END) AS zc
+  FROM samp GROUP BY doc_id, frame
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(energy) AS BIGINT) AS total_energy,
+       CAST(MAX(energy) AS BIGINT) AS peak_frame_energy,
+       CAST(SUM(zc) AS BIGINT) AS total_zc,
+       CAST(MAX(zc) AS BIGINT) AS max_frame_zc
+FROM per_frame GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def wav_gate_oracle_sql(table: str = "documents") -> str:
     """DuckDB replay of :func:`wav_roundtrip_features`' expected decoded
     samples (valid because the fixture is integer PCM end to end)."""

@@ -1131,3 +1131,61 @@ SELECT n2.vec_id AS vec_id,
 FROM n2 JOIN p2 ON n2.vec_id = p2.vec_id
 ORDER BY vec_id
 """
+
+
+def hard_negative_sql(
+    dialect: str, table: str = "embeddings", anchor_mod: int = 50
+) -> str:
+    """Hard-negative mining for contrastive training (q235): per anchor
+    (a deterministic 1/``anchor_mod`` slice), the most-similar vector
+    with a DIFFERENT label (the hard negative), the most-similar vector
+    with the SAME label (the positive), and the triplet margin — the
+    miner that turns a labeled embedding corpus into triplet/InfoNCE
+    training pairs (Schroff et al. FaceNet semi-hard mining; the
+    label-aware complement of q22's unlabeled top-k).
+
+    Exact brute force over anchors × corpus with the anchor side
+    broadcast (anchors are a fixed fraction, corpus side streams — the
+    same shape as q170's recall audit); both rankings come from ONE
+    scored relation via a (anchor, same-label) row_number, so the
+    corpus is scanned once. At 100 TB the candidate set would come from
+    the LSH/IVF index (q23/q24) and this statement ranks candidates;
+    the ranking arithmetic is the shared fold-form cosine, bit-equal
+    across engines, rounded only at the output edge."""
+    return f"""
+WITH n2 AS (
+  SELECT vec_id, label, embedding,
+         {P.norm('embedding', DIM, dialect)} AS nrm
+  FROM {table}
+),
+a AS (
+  SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb,
+         nrm AS q_nrm
+  FROM n2 WHERE vec_id % {anchor_mod} = 0
+),
+scored AS (
+  SELECT /*+ BROADCAST(a) */ a.q_id, a.q_label,
+         e.vec_id AS n_id,
+         {_pair_cos('a.q_emb', 'a.q_nrm', 'e.embedding', 'e.nrm', dialect)}
+           AS cs,
+         CASE WHEN e.label = a.q_label THEN 1 ELSE 0 END AS same
+  FROM a JOIN n2 e ON e.vec_id <> a.q_id
+),
+ranked AS (
+  SELECT q_id, q_label, n_id, cs, same,
+         row_number() OVER (PARTITION BY q_id, same
+                            ORDER BY cs DESC, n_id) AS rn
+  FROM scored
+)
+SELECT q_id, CAST(q_label AS BIGINT) AS q_label,
+       CAST(MAX(CASE WHEN same = 0 THEN n_id END) AS BIGINT)
+         AS hard_negative_id,
+       round(MAX(CASE WHEN same = 0 THEN cs END), 6) AS neg_cos,
+       CAST(MAX(CASE WHEN same = 1 THEN n_id END) AS BIGINT)
+         AS positive_id,
+       round(MAX(CASE WHEN same = 1 THEN cs END), 6) AS pos_cos,
+       round(MAX(CASE WHEN same = 1 THEN cs END)
+             - MAX(CASE WHEN same = 0 THEN cs END), 6) AS margin
+FROM ranked WHERE rn = 1
+GROUP BY q_id, q_label
+ORDER BY q_id"""

@@ -192,6 +192,7 @@ def view_purchase_attribution(
     purchases: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase matched to the same
     user's views in the preceding ``horizon``.
@@ -202,6 +203,14 @@ def view_purchase_attribution(
     max(purchase_ts) - horizon - watermark can never match again), so
     state is bounded by rate x (horizon + watermark), not stream length.
     Batch and streaming share the plan; the batch run is the oracle.
+
+    ``how='left_outer'`` keeps UNCONVERTED purchases (the rows the inner
+    join drops — exactly the set a conversion funnel needs): a
+    NULL-matched row is emitted only once the watermark proves no
+    future view can still join it, so outer results trickle out on
+    state eviction rather than at row arrival — the gate feeds
+    time-ordered slices plus a far-future flush sentinel so every real
+    purchase resolves before the stream ends.
     """
     v = views.select(
         F.col("user_id").alias("v_user"),
@@ -218,6 +227,7 @@ def view_purchase_attribution(
         (F.col("p_user") == F.col("v_user"))
         & (F.col("view_ts") <= F.col("purchase_ts"))
         & (F.col("view_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        how,
     ).select(
         F.col("p_user").alias("user_id"),
         "purchase_id",

@@ -213,3 +213,44 @@ def test_ab_test_z_matches_hand_formula(spark):
         p * (1 - p) * (1 / row["n_a"] + 1 / row["n_b"])
     )
     assert abs(row["z_pooled"] - round(z, 6)) <= 1e-6
+
+
+# ---------------------------------------------------------------- ks drift
+
+
+def _ks(spark, rows):
+    df = spark.createDataFrame(rows, "v double, fa boolean")
+    from aws_dms_to_hudi_spark.functions.features import ks_drift
+
+    return ks_drift(df, "v", "fa").collect()[0]
+
+
+def test_ks_identical_samples_zero(spark):
+    rows = [(float(i % 5), i % 2 == 0) for i in range(20)]
+    r = _ks(spark, rows)
+    assert (r["n_a"], r["n_b"], r["d_num"], r["d_ppm"]) == (10, 10, 0, 0)
+
+
+def test_ks_disjoint_samples_max(spark):
+    rows = [(float(i), True) for i in range(5)] + [
+        (float(i + 100), False) for i in range(4)
+    ]
+    r = _ks(spark, rows)
+    # fully separated: D = 1 -> d_num = n_a * n_b, d_ppm = 10^6
+    assert r["d_num"] == r["n_a"] * r["n_b"] == 20
+    assert r["d_ppm"] == 1_000_000
+
+
+def test_ks_known_small_case(spark):
+    # A = {1, 2}, B = {1, 3}: ECDFs diverge by 1/2 at x in [2, 3)
+    rows = [(1.0, True), (2.0, True), (1.0, False), (3.0, False)]
+    r = _ks(spark, rows)
+    assert (r["d_num"], r["d_ppm"]) == (2, 500_000)  # 2/(2*2) = 0.5
+
+
+def test_ks_cross_sample_ties(spark):
+    # heavy ties across samples must aggregate per VALUE before ranking
+    rows = [(1.0, True)] * 3 + [(1.0, False)] * 3 + [(2.0, True)] * 2
+    r = _ks(spark, rows)
+    # F_A(1)=3/5, F_B(1)=1 -> |3*3 - 5*3|=6; at 2: |5*3-3*5|=0
+    assert (r["n_a"], r["n_b"], r["d_num"]) == (5, 3, 6)

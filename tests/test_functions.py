@@ -914,3 +914,55 @@ class TestNewOpPlanShapes:
         plan = self._plan(df)
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
+
+
+def test_pseudonymization_referential_integrity(spark, sf_smoke):
+    from aws_dms_to_hudi_spark.functions.curation import pseudonymize_sql
+
+    spark.read.parquet(f"{sf_smoke}/customer.parquet").createOrReplaceTempView(
+        "__ps_c"
+    )
+    spark.read.parquet(f"{sf_smoke}/orders.parquet").createOrReplaceTempView(
+        "__ps_o"
+    )
+    rows = spark.sql(
+        pseudonymize_sql("spark", customer="__ps_c", orders="__ps_o")
+    ).collect()
+    assert rows
+    for r in rows:
+        # joining through the surrogate must reproduce the raw-key join
+        assert r["n_orders_pseud"] == r["n_orders_raw"]
+        assert r["collisions"] == 0
+    # surrogates never leak the raw key
+    leak = spark.sql(
+        "SELECT COUNT(*) FROM (SELECT c_custkey, "
+        + pseudonymize_sql("spark", customer="__ps_c", orders="__ps_o")
+        .split("cmap AS (\n  SELECT c_custkey, ")[1]
+        .split(" AS pseud")[0]
+        + " AS pseud FROM __ps_c) WHERE CAST(c_custkey AS STRING) = pseud"
+    ).first()[0]
+    assert leak == 0
+
+
+def test_wav_frame_features_drops_trailing_remainder(spark):
+    """n = 40 + doc_id%25 samples, frame = 16: doc 0 has 40 samples ->
+    2 full frames (8 trailing samples dropped), doc 24 has 64 -> 4."""
+    from aws_dms_to_hudi_spark.functions.multimodal import (
+        WAV_FRAME,
+        wav_frame_features,
+    )
+
+    docs = spark.createDataFrame([(0,), (24,)], "doc_id long")
+    got = {r["doc_id"]: r for r in wav_frame_features(docs).collect()}
+    assert got[0]["n_frames"] == 40 // WAV_FRAME == 2
+    assert got[24]["n_frames"] == 64 // WAV_FRAME == 4
+    # energy of full frames only: strictly less than whole-signal energy
+    import numpy as np
+
+    for d in (0, 24):
+        n = 40 + d % 25
+        i = np.arange(n, dtype=np.int64)
+        s = (d * 31 + i * 17) % 2001 - 1000
+        nf = n // WAV_FRAME
+        full = s[: nf * WAV_FRAME]
+        assert got[d]["total_energy"] == int((full * full).sum())

@@ -413,3 +413,86 @@ def test_transform_with_state_pattern_when_available(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.schema("user_id long, hit_event_id long").parquet(out)
     assert [(r["user_id"], r["hit_event_id"]) for r in got.collect()] == [(1, 12)]
+
+
+def test_stream_outer_join_emits_unmatched_on_eviction(spark, tmp_path):
+    """LEFT OUTER stream-stream join: an unconverted purchase must be
+    emitted NULL-matched exactly once — and only after the watermark
+    passes it (state eviction), which the far-future flush row forces
+    here. Converted purchases join normally across the batch boundary."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + datetime.timedelta(minutes=minutes)
+
+    # batch 0: u1 view @0; u2 purchase @5 (no view ever -> unmatched)
+    # batch 1: u1 purchase @30 (matches the view, spans batches)
+    # batch 2: flush sentinel far future (advances both watermarks)
+    src = tmp_path / "src"
+    b0 = spark.createDataFrame(
+        [(1, ts(0), 1, "view"), (2, ts(5), 2, "purchase")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    b1 = spark.createDataFrame(
+        [(3, ts(30), 1, "purchase")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    b2 = spark.createDataFrame(
+        [(-1, ts(60 * 24), -1, "view"), (-2, ts(60 * 24), -1, "purchase")],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    for i, b in enumerate((b0, b1, b2)):
+        b.coalesce(1).write.parquet(str(src / f"b-{i}"))
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b-*"))
+    )
+    joined = W.view_purchase_attribution(
+        stream.filter(F.col("event_type") == "view"),
+        stream.filter(F.col("event_type") == "purchase"),
+        watermark="1 minute",
+        how="left_outer",
+    )
+    out = str(tmp_path / "joined")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["purchase_id"], r["view_id"])
+        for r in spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .collect()
+    }
+    assert rows == {(3, 1), (2, None)}
+
+
+def test_stream_outer_join_batch_equals_left_join(spark, events_dir):
+    """Batch mode: the same plan is a plain left interval join."""
+    ev = spark.read.parquet(str(events_dir / "data"))
+    got = W.view_purchase_attribution(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    )
+    want = W.view_purchase_attribution(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    n_inner = want.count()
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    n_matched_p = want.select("purchase_id").distinct().count()
+    assert got.count() == n_inner + (n_purchases - n_matched_p)
+    assert got.filter(F.col("view_id").isNull()).count() == (
+        n_purchases - n_matched_p
+    )
