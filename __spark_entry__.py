@@ -6325,6 +6325,78 @@ def q235_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_sim.hard_negative_sql("spark", table=v))
 
 
+_OCC_CACHE: dict[tuple[int, str], CuratedTable] = {}
+
+
+def q236_occ_multi_writer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency control (storage.prepare_upsert /
+    commit_staged; Hudi OPTIMISTIC_CONCURRENCY_CONTROL +
+    SimpleConcurrentFileWritesConflictResolution analog): two writers
+    split CDC batch 1 by year parity and BOTH prepare their merges from
+    the same parent snapshot, un-serialized; the metadata-only commit
+    step rebases the second writer onto the first (disjoint touched
+    file groups), so both land as serial commits without either
+    blocking the other's data work. The gate reads the final state,
+    which must equal the SERIAL replay of the whole batch — proving the
+    rebase lost nothing and re-merged nothing. Overlap -> conflict ->
+    re-prepare is pinned in tests/test_occ.py."""
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        t = _OCC_CACHE.get(key)
+        if t is None or not t.root.exists():
+            rec = cdc.RECIPES["orders"]
+            _t(spark, sf_dir, "orders").createOrReplaceTempView(
+                "__occ_gate_orders"
+            )
+            cfg = TableConfig(
+                name="orders_occ_gate",
+                record_key=list(rec.key_cols),
+                is_partitioned=True,
+                partition_path="o_year",
+            )
+            tmp = tempfile.mkdtemp(prefix="orders_occ_")
+            t = CuratedTable(spark, Path(tmp) / "orders", cfg)
+            year = F.year("o_orderdate").cast("int")
+            t.bulk_insert(
+                spark.sql(
+                    cdc.batch_sql(rec, 0, src="__occ_gate_orders")
+                ).withColumn("o_year", year)
+            )
+            b1 = spark.sql(
+                cdc.batch_sql(rec, 1, src="__occ_gate_orders")
+            ).withColumn("o_year", year)
+            sa = t.prepare_upsert(b1.filter(F.col("o_year") % 2 == 0))
+            sb = t.prepare_upsert(b1.filter(F.col("o_year") % 2 == 1))
+            t.commit_staged(sa)
+            t.commit_staged(sb)  # rebase: disjoint year sets
+            _OCC_CACHE[key] = t
+    rec = cdc.RECIPES["orders"]
+    return (
+        t.read()
+        .select(*rec.columns, "trx_seq")
+        .orderBy("o_orderkey")
+    )
+
+
+def _occ_oracle_sql() -> str:
+    rec = cdc.RECIPES["orders"]
+    return (
+        f"SELECT * FROM ({cdc.replay_sql(rec, 1)}) s ORDER BY o_orderkey"
+    )
+
+
+def q237_phash_visual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash visual dedup (multimodal.phash_media): block-mean
+    aHash signatures computed from REAL JPEG decodes (Arrow mapInPandas,
+    map-only) then one hash aggregate groups visually identical
+    re-encodes — the image-side twin of q18's exact text dedup; SimHash
+    Hamming banding (q21) is the near-match extension. Integer-exact
+    thresholding (cell_sum·64 > total) and the even-gray bit-exact
+    round-trip let the oracle replay signatures from the block formula."""
+    docs = _t(spark, sf_dir, "documents").filter("doc_id % 4 = 3")
+    return fn_mm.phash_media(docs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -6587,6 +6659,8 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q233_audio_frame_features": q233_audio_frame_features,
         "q234_pseudonymization": q234_pseudonymization,
         "q235_hard_negative_mining": q235_hard_negative_mining,
+        "q236_occ_multi_writer": q236_occ_multi_writer,
+        "q237_phash_visual_dedup": q237_phash_visual_dedup,
     }
 
 
@@ -7506,4 +7580,6 @@ def oracle_sql() -> dict[str, str]:
         "q233_audio_frame_features": fn_mm.wav_frame_oracle_sql(),
         "q234_pseudonymization": fn_curation.pseudonymize_sql("duckdb"),
         "q235_hard_negative_mining": fn_sim.hard_negative_sql("duckdb"),
+        "q236_occ_multi_writer": _occ_oracle_sql(),
+        "q237_phash_visual_dedup": fn_mm.phash_oracle_sql(),
     }

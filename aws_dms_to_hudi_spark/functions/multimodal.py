@@ -990,6 +990,122 @@ FROM blocks GROUP BY doc_id ORDER BY doc_id
 """
 
 
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("phash", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("canonical_doc_id", T.LongType()),
+        T.StructField("doc_id_sum", T.LongType()),
+    ]
+)
+
+PHASH_MOD = 200  # docs with equal doc_id % PHASH_MOD render the same image
+
+
+def phash_media(docs: DataFrame) -> DataFrame:
+    """Per-doc perceptual hash (aHash) over REAL JPEG round-trips —
+    the visual near-dup primitive (block-mean average hash, the
+    classic pHash-family baseline): decode the doc's JPEG, pool the
+    pixel grid into 8x8 cells, threshold each cell against the global
+    mean, emit the 64-bit signature as a '0'/'1' string (strings keep
+    the top bit out of BIGINT sign trouble on both engines).
+
+    Integer-exact thresholding: cells have EQUAL pixel counts, so
+    bit_c = (cell_sum * 64 > total_sum) compares means without a
+    division. The fixture renders doc_id % PHASH_MOD, so visually
+    identical re-encodes exist by construction and hash-group exactly.
+
+    Map-only Arrow ``mapInPandas`` (decode + pooling per row, zero
+    shuffle); the dedup itself is one hash aggregate on the signature
+    — at 100 TB this is the image-side twin of q18's exact text dedup,
+    with Hamming-banded LSH (q21's SimHash machinery) as the near-match
+    extension."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                d = doc_id % PHASH_MOD
+                bw = 2 + d % 3
+                img = np.zeros((16, 8 * bw), dtype=np.uint8)
+                for i in range(2):
+                    for j in range(bw):
+                        img[i * 8:(i + 1) * 8, j * 8:(j + 1) * 8] = \
+                            2 * ((d * 7 + i * 3 + j * 5) % 128)
+                px = decode_jpeg(encode_jpeg(img))["pixels"]
+                g = px.reshape(16, 8 * bw).astype(np.int64)
+                cells = g.reshape(8, 2, 8, bw).sum(axis=(1, 3))
+                total = int(cells.sum())
+                bits = "".join(
+                    "1" if int(cells[ci, cj]) * 64 > total else "0"
+                    for ci in range(8)
+                    for cj in range(8)
+                )
+                rows.append({"doc_id": doc_id, "phash": bits})
+            yield pd.DataFrame(rows)
+
+    per_doc = docs.select("doc_id").mapInPandas(
+        batches,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("phash", T.StringType()),
+            ]
+        ),
+    )
+    from pyspark.sql import functions as F
+
+    return (
+        per_doc.groupBy("phash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("canonical_doc_id"),
+            F.sum("doc_id").cast("long").alias("doc_id_sum"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("canonical_doc_id")
+    )
+
+
+def phash_oracle_sql(table: str = "documents") -> str:
+    """DuckDB replay of :func:`phash_media`: the even-gray fixture
+    round-trips the JPEG path bit-exactly (q137's invariant), so cell
+    sums are computable from the block formula — cell (ci, cj) covers
+    2 pixel rows of block row ci//4 and bw columns each of gray
+    g(ci//4, x//8)."""
+    g = "2 * (((b.doc_id % {m}) * 7 + (c.ci // 4) * 3 + ((c.cj * (2 + (b.doc_id % {m}) % 3) + o.o) // 8) * 5) % 128)".format(m=PHASH_MOD)
+    return f"""
+WITH sub AS (SELECT doc_id FROM {table} WHERE doc_id % 4 = 3),
+cells AS (
+  SELECT b.doc_id, c.ci, c.cj,
+         2 * SUM({g}) AS v
+  FROM sub b,
+       (SELECT i // 8 AS ci, i % 8 AS cj FROM range(0, 64) t(i)) c,
+       range(0, 5) o(o)
+  WHERE o.o < 2 + (b.doc_id % {PHASH_MOD}) % 3
+  GROUP BY b.doc_id, c.ci, c.cj
+),
+tot AS (SELECT doc_id, SUM(v) AS total FROM cells GROUP BY doc_id),
+bits AS (
+  SELECT c.doc_id,
+         string_agg(CASE WHEN c.v * 64 > t.total THEN '1' ELSE '0' END,
+                    '' ORDER BY c.ci, c.cj) AS phash
+  FROM cells c JOIN tot t ON c.doc_id = t.doc_id
+  GROUP BY c.doc_id
+)
+SELECT phash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_doc_id,
+       CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum
+FROM bits
+GROUP BY phash
+HAVING COUNT(*) > 1
+ORDER BY canonical_doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # WAV (RIFF/PCM) codec: real encode/decode, SQL-replayable expected samples
 # ---------------------------------------------------------------------------

@@ -136,6 +136,26 @@ RLI_BUCKETS = 8
 DIR_KEY_COL = "_dir_key"
 
 
+class ConcurrentWriteConflict(RuntimeError):
+    """Two OCC writers touched overlapping file groups (Hudi
+    write-conflict analog): the loser's merge was computed against base
+    files another commit replaced — it must re-prepare from the new
+    snapshot."""
+
+
+@dataclass
+class StagedCommit:
+    """Phase-1 output of an OCC write (prepare_upsert): everything the
+    metadata-only commit step needs — no DataFrames, so it is safe to
+    hold across other writers' commits."""
+
+    parent_version: int
+    touched: list[str]  # partition KEYS this writer rewrote
+    fresh: dict[str, str]  # partition key -> new rel dir
+    changelog: list[str]
+    col_stats: dict[str, dict[str, list]] | None = None
+
+
 class CuratedTable:
     """One keyed, versioned table in the curated lake."""
 
@@ -999,6 +1019,167 @@ class CuratedTable:
                     F.shiftright(bucket, b).bitwiseAND(1), b * len(cols) + i
                 )
         return key
+
+    # ---------- optimistic concurrency control (Hudi OCC analog) ----------
+
+    def prepare_upsert(self, batch: DataFrame) -> "StagedCommit":
+        """Phase 1 of a multi-writer upsert (Hudi OPTIMISTIC_CONCURRENCY
+        _CONTROL analog): merge and write data dirs WITHOUT taking the
+        table forward — all the heavy work happens un-serialized, from
+        the writer's own snapshot. Data dirs carry a unique writer token
+        so concurrent writers never collide on paths; only
+        :meth:`commit_staged` (metadata-only, under a short lock)
+        serializes.
+
+        Scope: COW, layout-partitioned tables (partition/bucket/range —
+        the layout column is what makes touched-set conflict detection
+        meaningful). Tables with record_index/cdc_images must use the
+        serial path: those side artifacts are themselves writes that
+        would need their own OCC."""
+        import uuid
+
+        cfg = self.config
+        if cfg.table_type == MERGE_ON_READ:
+            raise ValueError(f"{cfg.name}: OCC path is COW-only")
+        if cfg.record_index or cfg.cdc_images:
+            raise ValueError(
+                f"{cfg.name}: OCC path excludes record_index/cdc_images "
+                "tables (their index writes would race)"
+            )
+        pcol = self._pcol
+        if pcol is None:
+            raise ValueError(
+                f"{cfg.name}: OCC needs a layout column (partition/"
+                "bucket/range) — unpartitioned writers always conflict"
+            )
+        prev = self.latest_commit()
+        if prev is None:
+            raise ValueError(f"{cfg.name}: bulk_insert first")
+        token = uuid.uuid4().hex[:8]
+        vtoken = f"v{prev.version + 1:08d}w{token}"
+        cldir = f"{vtoken}_changelog"
+        precombine(
+            batch, cfg.record_key, cfg.source_ordering_field
+        ).write.mode("overwrite").parquet(str(self.root / cldir))
+        batch = self.spark.read.parquet(str(self.root / cldir))
+        batch = self._bucketize(batch)
+        touched = [
+            _pdir(pcol, r[0])
+            for r in batch.select(pcol).distinct().collect()
+        ]
+        prev_dirs = dict(prev.data)
+        touched_rels = [prev_dirs[k] for k in touched if k in prev_dirs]
+        existing = self._read_dirs(touched_rels) if touched_rels else None
+        merged = upsert_merge(
+            existing, batch, cfg.record_key, cfg.source_ordering_field
+        )
+        (
+            self._partition_sorted(merged, pcol, list(cfg.record_key))
+            .write.mode("overwrite")
+            .partitionBy(pcol)
+            .parquet(str(self.root / vtoken))
+        )
+        fresh = {
+            k: v for k, v in self._scan_partition_dirs(vtoken).items() if k
+        }
+        stats = (
+            self._stats_for_vdir(vtoken) if cfg.stats_columns else None
+        )
+        return StagedCommit(
+            parent_version=prev.version,
+            touched=touched,
+            fresh=fresh,
+            changelog=[cldir],
+            col_stats=stats,
+        )
+
+    def commit_staged(
+        self, staged: "StagedCommit", checkpoint: dict[str, Any] | None = None
+    ) -> Commit:
+        """Phase 2: serialize the staged write onto the timeline under a
+        short filesystem lock (metadata-only — no data moves here).
+
+        Conflict rule (Hudi's SimpleConcurrentFileWritesConflictResolution
+        analog, at this engine's file-group = partition-dir granularity):
+        if commits landed after the writer's snapshot, compute the set of
+        partition keys THEY changed; overlap with this writer's touched
+        set raises :class:`ConcurrentWriteConflict` (the merge was
+        computed against stale base files — caller re-prepares). Disjoint
+        sets REBASE: the staged dirs overlay the latest manifest, so both
+        writers' work lands, serially numbered."""
+        with self._occ_lock():
+            latest = self.latest_commit()
+            if latest.version != staged.parent_version:
+                base = self._commit_at(staged.parent_version)
+                changed = {
+                    k
+                    for k in set(latest.data) | set(base.data)
+                    if latest.data.get(k) != base.data.get(k)
+                }
+                overlap = changed & set(staged.touched)
+                if overlap:
+                    raise ConcurrentWriteConflict(
+                        f"{self.config.name}: partitions {sorted(overlap)} "
+                        f"changed by commits "
+                        f"{staged.parent_version + 1}..{latest.version} "
+                        "after this writer's snapshot; re-prepare"
+                    )
+            new_data = dict(latest.data)
+            for k in staged.touched:
+                new_data.pop(k, None)
+            new_data.update(staged.fresh)
+            col_stats = None
+            if self.config.stats_columns:
+                col_stats = dict(staged.col_stats or {})
+                lstats = latest.col_stats or {}
+                for rel in new_data.values():
+                    if rel not in col_stats and rel in lstats:
+                        col_stats[rel] = lstats[rel]
+            commit = Commit(
+                version=latest.version + 1,
+                operation="upsert",
+                data=new_data,
+                checkpoint=checkpoint or {},
+                parent=latest.version,
+                changelog=list(staged.changelog),
+                key_bounds=self._commit_key_bounds(),
+                col_stats=col_stats,
+            )
+            self._write_commit(commit)
+            return commit
+
+    def _occ_lock(self):
+        """Short-lived exclusive lock for the commit-metadata step:
+        O_CREAT|O_EXCL lockfile with bounded retry — the only serialized
+        section of an OCC write, microseconds of held time."""
+        import contextlib
+        import time as _time
+
+        path = self.root / COMMITS_DIR / "_commit.lock"
+
+        @contextlib.contextmanager
+        def lock():
+            deadline = _time.monotonic() + 30.0
+            while True:
+                try:
+                    fd = os.open(
+                        path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                    break
+                except FileExistsError:
+                    if _time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"{self.config.name}: commit lock held too long"
+                        )
+                    _time.sleep(0.01)
+            try:
+                yield
+            finally:
+                os.close(fd)
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(path)
+
+        return lock()
 
     # ---------- record-level index (Hudi RECORD_INDEX analog) ----------
 

@@ -97,6 +97,11 @@ SMALL_OUTPUT = {
     "q147_pareto_frontier",
     "q148_equiwidth_histogram",
     "q149_decile_lift",
+    "q228_column_stats_skipping",
+    "q231_stream_outer_join",
+    "q232_ks_drift",
+    "q234_pseudonymization",
+    "q235_hard_negative_mining",
 }
 
 

@@ -154,3 +154,23 @@ def test_jpeg_through_arrow_batched_path(spark):
         assert feats[i]["height"] == 8
         assert feats[i]["width"] == 8 * (1 + i % 2)
         assert feats[i]["checksum"] == (v * mm.CHECKSUM_PREFIX) % 256
+
+
+def test_phash_identical_renders_share_signature(spark):
+    """docs d and d+PHASH_MOD render byte-identical images and MUST
+    share a signature (the guaranteed direction of a perceptual hash);
+    distinct smooth gradients MAY also collide — that is aHash recall
+    vs precision, refined downstream by Hamming distance — so the test
+    pins only membership, well-formedness, and the canonical id."""
+    from aws_dms_to_hudi_spark.functions.multimodal import PHASH_MOD, phash_media
+
+    docs = spark.createDataFrame(
+        [(3,), (3 + PHASH_MOD,), (7,), (11,)], "doc_id long"
+    )
+    groups = phash_media(docs).collect()
+    assert groups
+    g3 = [g for g in groups if g["canonical_doc_id"] == 3]
+    assert len(g3) == 1, "3 and 3+MOD must land in one group led by 3"
+    assert g3[0]["n_docs"] >= 2
+    for g in groups:
+        assert set(g["phash"]) <= {"0", "1"} and len(g["phash"]) == 64

@@ -1,0 +1,142 @@
+"""Optimistic concurrency control (beyond-reference; Hudi
+OPTIMISTIC_CONCURRENCY_CONTROL + SimpleConcurrentFileWritesConflict
+resolution analog): two writers prepare merges from the same snapshot
+un-serialized; the metadata-only commit step detects overlapping
+touched file groups (conflict -> re-prepare) or rebases disjoint ones
+(both land, serially numbered)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aws_dms_to_hudi_spark import cdc
+from aws_dms_to_hudi_spark.config import TableConfig
+from aws_dms_to_hudi_spark.storage import (
+    ConcurrentWriteConflict,
+    CuratedTable,
+)
+
+from tests.util import assert_same, duck_con
+
+REC = cdc.RECIPES["orders"]
+
+
+def _table(spark, sf_dir, tmp_path):
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "__occ_orders"
+    )
+    cfg = TableConfig(
+        name="orders_occ",
+        record_key=["o_orderkey"],
+        is_partitioned=True,
+        partition_path="o_year",
+    )
+    t = CuratedTable(spark, tmp_path / "orders_occ", cfg)
+    b0 = spark.sql(cdc.batch_sql(REC, 0, src="__occ_orders")).withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    t.bulk_insert(b0)
+    return t
+
+
+def _b1_halves(spark):
+    b1 = spark.sql(cdc.batch_sql(REC, 1, src="__occ_orders")).withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    return (
+        b1.filter(F.col("o_year") % 2 == 0),
+        b1.filter(F.col("o_year") % 2 == 1),
+    )
+
+
+def test_disjoint_writers_both_land_and_match_oracle(
+    spark, sf_smoke, tmp_path
+):
+    t = _table(spark, sf_smoke, tmp_path)
+    a, b = _b1_halves(spark)
+    # both writers snapshot the SAME parent before either commits
+    sa = t.prepare_upsert(a)
+    sb = t.prepare_upsert(b)
+    assert sa.parent_version == sb.parent_version == 1
+    ca = t.commit_staged(sa)
+    cb = t.commit_staged(sb)  # rebases onto ca
+    assert (ca.version, cb.version) == (2, 3)
+    assert cb.parent == ca.version
+    # the rebased manifest carries BOTH writers' dirs
+    for k in sa.fresh:
+        assert cb.data[k] == sa.fresh[k]
+    for k in sb.fresh:
+        assert cb.data[k] == sb.fresh[k]
+    # final state == serial replay of the full batch 1
+    got = t.read().select(*REC.columns, "trx_seq")
+    con = duck_con(sf_smoke)
+    con.execute("CREATE VIEW __occ_orders AS SELECT * FROM orders")
+    oracle = con.execute(
+        cdc.replay_sql(REC, 1, src="__occ_orders")
+    ).df()
+    assert_same(got, oracle)
+
+
+def test_overlapping_writers_conflict(spark, sf_smoke, tmp_path):
+    t = _table(spark, sf_smoke, tmp_path)
+    a, _ = _b1_halves(spark)
+    sa = t.prepare_upsert(a)
+    sb = t.prepare_upsert(a.limit(5))  # same partitions -> overlap
+    t.commit_staged(sa)
+    with pytest.raises(ConcurrentWriteConflict, match="re-prepare"):
+        t.commit_staged(sb)
+    # loser re-prepares from the NEW snapshot and succeeds
+    sb2 = t.prepare_upsert(a.limit(5))
+    c = t.commit_staged(sb2)
+    assert c.version == 3
+
+
+def test_no_intervener_is_plain_commit(spark, sf_smoke, tmp_path):
+    t = _table(spark, sf_smoke, tmp_path)
+    a, _ = _b1_halves(spark)
+    c = t.commit_staged(t.prepare_upsert(a))
+    assert c.version == 2 and c.parent == 1
+    # serial upsert still works after an OCC commit
+    _, b = _b1_halves(spark)
+    c2 = t.upsert(b)
+    assert c2.version == 3
+
+
+def test_occ_rejects_unpartitioned_and_mor(spark, sf_smoke, tmp_path):
+    cfg = TableConfig(name="flat", record_key=["o_orderkey"])
+    flat = CuratedTable(spark, tmp_path / "flat", cfg)
+    with pytest.raises(ValueError, match="layout column"):
+        flat.prepare_upsert(
+            spark.read.parquet(f"{sf_smoke}/orders.parquet").withColumn(
+                "trx_seq", F.lpad(F.col("o_orderkey").cast("string"), 50, "0")
+            )
+        )
+    mcfg = TableConfig(
+        name="mor", record_key=["o_orderkey"], table_type="MERGE_ON_READ"
+    )
+    mor = CuratedTable(spark, tmp_path / "mor", mcfg)
+    with pytest.raises(ValueError, match="COW-only"):
+        mor.prepare_upsert(spark.range(1).selectExpr("id AS o_orderkey"))
+
+
+def test_occ_carries_col_stats_across_rebase(spark, sf_smoke, tmp_path):
+    spark.read.parquet(f"{sf_smoke}/orders.parquet").createOrReplaceTempView(
+        "__occ_orders"
+    )
+    cfg = TableConfig(
+        name="orders_occ_cs",
+        record_key=["o_orderkey"],
+        is_partitioned=True,
+        partition_path="o_year",
+        stats_columns=["o_orderdate"],
+    )
+    t = CuratedTable(spark, tmp_path / "occ_cs", cfg)
+    b0 = spark.sql(cdc.batch_sql(REC, 0, src="__occ_orders")).withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    t.bulk_insert(b0)
+    a, b = _b1_halves(spark)
+    sa, sb = t.prepare_upsert(a), t.prepare_upsert(b)
+    t.commit_staged(sa)
+    cb = t.commit_staged(sb)
+    # every manifest dir still has stats (fresh + rebased + carried)
+    assert set(cb.col_stats) == set(cb.data.values())
