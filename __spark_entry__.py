@@ -6397,6 +6397,89 @@ def q237_phash_visual_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fn_mm.phash_media(docs)
 
 
+def q238_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding quality audit (dedup.lsh_audit_sql): exact
+    n-gram-Jaccard ground truth vs the PRE-verification band-join
+    candidate set off the shared inverted index — candidate precision
+    (what the verification join pays for) and banding recall (what the
+    (4 bands × 4 rows) choice misses), as floor-ppm integers. The dedup
+    family's mirror of q170's ANN recall audit; reuses the cached
+    inv/sizes artifacts."""
+    return spark.sql(
+        fn_dedup.lsh_audit_sql("spark", inv_tables=_inv(spark, sf_dir))
+    )
+
+
+_WAP_CACHE: dict[tuple[int, str], CuratedTable] = {}
+
+
+def q239_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish (storage.prepare_upsert + read_staged +
+    commit_staged/abort_staged; Iceberg WAP / Hudi pre-commit-validator
+    analog): CDC batch 1 is STAGED, audited on the invisible would-be
+    state (rule: account balances the batch writes stay within the
+    fixture's plausible band), and published by a metadata-only flip;
+    then a POISONED restatement (every balance overwritten to an
+    impossible sentinel, newer ordering so it would win any merge) is
+    staged, fails the same audit, and is aborted without a trace. Final
+    state must equal the serial batch-0..1 replay — the poison never
+    existing is exactly what the hash compare proves; staging/abort
+    mechanics are pinned in tests/test_occ.py."""
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        t = _WAP_CACHE.get(key)
+        if t is None or not t.root.exists():
+            rec = cdc.RECIPES["customer"]
+            _t(spark, sf_dir, "customer").createOrReplaceTempView(
+                "__wap_customer"
+            )
+            cfg = TableConfig(
+                name="customer_wap",
+                record_key=list(rec.key_cols),
+                is_partitioned=True,
+                partition_path="c_mktsegment",
+            )
+            tmp = tempfile.mkdtemp(prefix="customer_wap_")
+            t = CuratedTable(spark, Path(tmp) / "customer", cfg)
+            t.bulk_insert(
+                spark.sql(cdc.batch_sql(rec, 0, src="__wap_customer"))
+            )
+            b1 = spark.sql(cdc.batch_sql(rec, 1, src="__wap_customer"))
+
+            def audit_ok(staged) -> bool:
+                # the audit rule: no absurd balances in the would-be state
+                bad = (
+                    t.read_staged(staged)
+                    .filter(F.abs(F.col("c_acctbal")) > F.lit(10**7))
+                    .count()
+                )
+                return bad == 0
+
+            s1 = t.prepare_upsert(b1)
+            assert audit_ok(s1)
+            t.commit_staged(s1)
+            poison = b1.withColumn(
+                "c_acctbal", F.lit(10**9).cast("double")
+            ).withColumn(
+                "trx_seq", F.concat(F.lit("9"), F.substring("trx_seq", 2, 100))
+            )
+            s2 = t.prepare_upsert(poison)
+            assert not audit_ok(s2)
+            t.abort_staged(s2)
+            _WAP_CACHE[key] = t
+    rec = cdc.RECIPES["customer"]
+    return (
+        t.read().select(*rec.columns, "trx_seq").orderBy("c_custkey")
+    )
+
+
+def _wap_oracle_sql() -> str:
+    rec = cdc.RECIPES["customer"]
+    return (
+        f"SELECT * FROM ({cdc.replay_sql(rec, 1)}) s ORDER BY c_custkey"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -6661,6 +6744,8 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q235_hard_negative_mining": q235_hard_negative_mining,
         "q236_occ_multi_writer": q236_occ_multi_writer,
         "q237_phash_visual_dedup": q237_phash_visual_dedup,
+        "q238_lsh_recall_audit": q238_lsh_recall_audit,
+        "q239_write_audit_publish": q239_write_audit_publish,
     }
 
 
@@ -7582,4 +7667,6 @@ def oracle_sql() -> dict[str, str]:
         "q235_hard_negative_mining": fn_sim.hard_negative_sql("duckdb"),
         "q236_occ_multi_writer": _occ_oracle_sql(),
         "q237_phash_visual_dedup": fn_mm.phash_oracle_sql(),
+        "q238_lsh_recall_audit": fn_dedup.lsh_audit_sql("duckdb"),
+        "q239_write_audit_publish": _wap_oracle_sql(),
     }

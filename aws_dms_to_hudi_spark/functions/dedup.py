@@ -1250,3 +1250,78 @@ m AS (
 SELECT name_a, name_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM m GROUP BY name_a, name_b ORDER BY name_a, name_b
 """
+
+
+def lsh_audit_sql(
+    dialect: str,
+    table: str = "documents",
+    threshold: float = 0.5,
+    th_table: str | None = None,
+    inv_tables: tuple[str, str] | None = None,
+) -> str:
+    """LSH quality audit (q238): banding recall and candidate precision
+    of the MinHash-LSH pipeline measured against EXACT n-gram Jaccard
+    ground truth — the mirror of q170's ANN recall audit for the dedup
+    family, and the measurement that justifies the (bands, rows) choice
+    at 100 TB (where the exact all-co-occurring-pairs side is only
+    affordable on an audit SAMPLE, exactly how this statement would be
+    deployed).
+
+    One statement, three relations off the shared inverted index:
+    exact pairs (Jaccard >= t), band-join candidates (the PRE-
+    verification set - q19 itself verifies, so its output can't measure
+    banding loss), and their intersection. Emits integer counts plus
+    floor-ppm precision (verified/candidates: what the verification
+    join pays for) and recall (verified/exact: what banding misses).
+    Zero-denominator cases surface as -1, never a crash."""
+    sig_cols = ", ".join(
+        f"MIN(({a} * g + {b}) % {P.HASH_P}) AS m{j}"
+        for j, (a, b) in enumerate(MINHASH_AB)
+    )
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        + ") AS bkey FROM sig"
+        for b in range(NUM_BANDS)
+    )
+    return f"""
+WITH {_inv_cte(dialect, table, None, th_table, inv_tables)},
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+  SELECT co.doc_a, co.doc_b
+  FROM co
+  JOIN sizes sa ON co.doc_a = sa.doc_id
+  JOIN sizes sb ON co.doc_b = sb.doc_id
+  WHERE {_JACCARD_PRED} >= {threshold}
+),
+sig AS (SELECT doc_id, {sig_cols} FROM inv GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+),
+hits AS (
+  SELECT c.doc_a FROM cand c
+  JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+         (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM hits) AS n_verified
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_verified AS BIGINT) AS n_verified,
+       CAST(n_exact - n_verified AS BIGINT) AS n_missed,
+       CAST(CASE WHEN n_candidates = 0 THEN -1
+            ELSE floor(n_verified * 1000000 / n_candidates) END AS BIGINT)
+         AS precision_ppm,
+       CAST(CASE WHEN n_exact = 0 THEN -1
+            ELSE floor(n_verified * 1000000 / n_exact) END AS BIGINT)
+         AS recall_ppm
+FROM counts"""

@@ -1148,6 +1148,38 @@ class CuratedTable:
             self._write_commit(commit)
             return commit
 
+    def read_staged(self, staged: "StagedCommit") -> DataFrame:
+        """The WOULD-BE table state if ``staged`` were committed — the
+        AUDIT step of write-audit-publish (Iceberg WAP / Hudi
+        pre-commit-validator analog): the staged manifest overlay is
+        applied virtually, so auditors (row counts, DQ rules, drift
+        checks) query production-shaped data that NO reader can see,
+        then :meth:`commit_staged` publishes it by a metadata-only flip
+        or :meth:`abort_staged` discards it without a trace. Cost: the
+        same dir-union read any snapshot costs."""
+        parent = self._commit_at(staged.parent_version)
+        new_data = dict(parent.data)
+        for k in staged.touched:
+            new_data.pop(k, None)
+        new_data.update(staged.fresh)
+        df = self._read_dirs(list(new_data.values()))
+        if df is not None and (
+            self.config.num_buckets or self.config.key_range_groups
+        ):
+            df = df.drop(BUCKET_COL, RANGE_COL)
+        return df
+
+    def abort_staged(self, staged: "StagedCommit") -> None:
+        """Discard a staged write: delete its data + changelog dirs. The
+        timeline never saw it, so there is nothing to roll back — the
+        abort arm of write-audit-publish."""
+        dirs = {_version_of(d) for d in staged.fresh.values()}
+        dirs.update(_version_of(d) for d in staged.changelog)
+        for d in dirs:
+            target = self.root / d
+            if target.exists():
+                shutil.rmtree(target)
+
     def _occ_lock(self):
         """Short-lived exclusive lock for the commit-metadata step:
         O_CREAT|O_EXCL lockfile with bounded retry — the only serialized

@@ -140,3 +140,34 @@ def test_occ_carries_col_stats_across_rebase(spark, sf_smoke, tmp_path):
     cb = t.commit_staged(sb)
     # every manifest dir still has stats (fresh + rebased + carried)
     assert set(cb.col_stats) == set(cb.data.values())
+
+
+def test_wap_staged_invisible_then_abort_traceless(spark, sf_smoke, tmp_path):
+    """Write-audit-publish: a staged write is invisible to readers, the
+    audit queries the would-be state, and abort removes every dir."""
+    t = _table(spark, sf_smoke, tmp_path)
+    before_rows = t.read().count()
+    before_version = t.latest_commit().version
+    a, _ = _b1_halves(spark)
+    staged = t.prepare_upsert(a)
+    # invisible: timeline and readable state unchanged
+    assert t.latest_commit().version == before_version
+    assert t.read().count() == before_rows
+    # the audit sees the would-be state (same keys, updated rows)
+    would_be = t.read_staged(staged)
+    assert would_be.count() == before_rows  # batch 1 = pure updates
+    changed = (
+        would_be.select("o_orderkey", "trx_seq")
+        .exceptAll(t.read().select("o_orderkey", "trx_seq"))
+        .count()
+    )
+    assert changed > 0
+    # abort: dirs gone, state still unchanged
+    t.abort_staged(staged)
+    for rel in list(staged.fresh.values()) + list(staged.changelog):
+        assert not (t.root / rel.split("/", 1)[0]).exists()
+    assert t.read().count() == before_rows
+    assert t.latest_commit().version == before_version
+    # and the table still accepts ordinary writes afterwards
+    _, b = _b1_halves(spark)
+    assert t.upsert(b).version == before_version + 1
