@@ -939,6 +939,42 @@ class CuratedTable:
         self._write_commit(commit)
         return commit
 
+    def vacuum(self, dry_run: bool = True) -> list[str]:
+        """Orphan-file cleanup (Delta VACUUM / Hudi rollback-of-failed-
+        writes analog): list (and with ``dry_run=False`` delete) top-level
+        data dirs referenced by NO commit on the timeline — crash
+        leftovers from a writer that died between data write and manifest
+        rename, and staged WAP/OCC writes that were never published or
+        aborted. Metadata trees (``_commits``, ``_index``, quarantine)
+        are never touched.
+
+        Coordination contract (same as Delta's retention caveat): run
+        only when no writer is mid-stage — an in-flight prepare_upsert's
+        dirs are indistinguishable from a crashed one's. The referenced
+        set comes from the retained manifests plus the archive, so a
+        cleaned-then-archived timeline never misclassifies."""
+        referenced: set[str] = set()
+        commits = list(self.commits())
+        apath = self.root / COMMITS_DIR / ARCHIVE_FILE
+        if apath.exists():
+            commits += [Commit.from_json(json.dumps(d))
+                        for d in json.loads(apath.read_text())]
+        for c in commits:
+            for d in [*c.data.values(), *c.deltas, *c.changelog]:
+                referenced.add(_version_of(d))
+            if c.cdc_dir:
+                referenced.add(_version_of(c.cdc_dir))
+        orphans = []
+        for child in sorted(self.root.iterdir()):
+            if not child.is_dir() or child.name.startswith("_"):
+                continue
+            if child.name not in referenced:
+                orphans.append(child.name)
+        if not dry_run:
+            for name in orphans:
+                shutil.rmtree(self.root / name)
+        return orphans
+
     def restore(self, version: int) -> Commit:
         """Rollback/restore (Hudi ``savepoint``+``restore`` analog): make
         an earlier commit's state current again.

@@ -171,3 +171,28 @@ def test_wap_staged_invisible_then_abort_traceless(spark, sf_smoke, tmp_path):
     # and the table still accepts ordinary writes afterwards
     _, b = _b1_halves(spark)
     assert t.upsert(b).version == before_version + 1
+
+
+def test_vacuum_reclaims_abandoned_stage_only(spark, sf_smoke, tmp_path):
+    """A writer that died mid-stage leaves orphan dirs; vacuum lists
+    exactly those, deletes them on request, and never touches live or
+    metadata dirs."""
+    t = _table(spark, sf_smoke, tmp_path)
+    a, b = _b1_halves(spark)
+    t.upsert(a)
+    abandoned = t.prepare_upsert(b)  # never committed, never aborted
+    expect = {rel.split("/", 1)[0] for rel in abandoned.fresh.values()}
+    expect.update(rel.split("/", 1)[0] for rel in abandoned.changelog)
+    orphans = t.vacuum(dry_run=True)
+    assert set(orphans) == expect
+    # dry run deleted nothing
+    assert all((t.root / o).exists() for o in orphans)
+    before = t.read().count()
+    removed = t.vacuum(dry_run=False)
+    assert set(removed) == expect
+    assert not any((t.root / o).exists() for o in removed)
+    # live state, timeline, and a subsequent vacuum are untouched/empty
+    assert t.read().count() == before
+    assert t.vacuum(dry_run=True) == []
+    # time travel to v1 still works (its dirs were referenced)
+    assert t.read(version=1).count() > 0

@@ -103,6 +103,19 @@ PROBE_QUERIES = [
     "q222_insert_overwrite", "q214_target_encoding",
     "q215_chi2_feature_selection", "q216_seasonal_anomaly",
     "q217_quantile_normalization", "q221_leakage_safe_split",
+    # r5: metadata-index storage services (col-stats pruned read, RLI
+    # point lookup, CDC-image read, OCC rebase, WAP — all replay-fixture
+    # write paths + bounded metadata reads), exact KS (two-pass prefix
+    # sums), audio framing + perceptual hash (map-only codecs),
+    # pseudonymization (per-row codegen + broadcast audit joins),
+    # hard negatives (anchors x corpus brute force — the documented
+    # LSH/IVF candidate path is the 100 TB form), LSH banding audit
+    # (exact-pairs side is the probe's interesting growth term)
+    "q228_column_stats_skipping", "q229_record_index_lookup",
+    "q230_cdc_image_read", "q232_ks_drift", "q233_audio_frame_features",
+    "q234_pseudonymization", "q235_hard_negative_mining",
+    "q236_occ_multi_writer", "q237_phash_visual_dedup",
+    "q238_lsh_recall_audit", "q239_write_audit_publish",
 ]
 
 VOW = "aeiou"
