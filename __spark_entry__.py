@@ -6480,6 +6480,55 @@ def _wap_oracle_sql() -> str:
     )
 
 
+def q240_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension retrieval audit (similarity.
+    matryoshka_audit_sql, Kusupati et al.): per anchor, exact top-1
+    under full-dim cosine vs under the first 16 coordinates — the
+    prefix-embedding serving decision, measured. One anchors × corpus
+    scan computes both cosines; per-anchor agreement rows pin WHICH
+    anchors flip."""
+    v = _view(spark, sf_dir, "embeddings", "q240")
+    return spark.sql(fn_sim.matryoshka_audit_sql("spark", table=v))
+
+
+def q241_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained exact top-k leaderboard
+    (incremental.maintain_topk): top-10 customers by exact cent-integer
+    spend advanced across the CDC-replayed orders commits at O(changes)
+    per round — stored 2k buffer ∪ touched groups re-aggregated via one
+    group-pruned snapshot lookup, with the tuple-threshold refresh rule
+    (deletions that sink the buffer boundary trigger ONE full re-rank;
+    the fixture's delete batch exercises it). Final ranking must equal
+    the full re-rank of the replay oracle."""
+    table, _ = _replayed_orders(spark, sf_dir)
+    spend = F.sum(
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    )
+    top, _refreshes = fn_incr.maintain_topk(table, "o_custkey", spend, k=10)
+    return top.select(
+        "o_custkey",
+        F.col("val").cast("long").alias("total_cents"),
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("rank")
+
+
+def _incremental_topk_oracle_sql() -> str:
+    rec = cdc.RECIPES["orders"]
+    return f"""
+SELECT o_custkey, total_cents,
+       CAST(row_number() OVER (ORDER BY total_cents DESC, o_custkey)
+            AS BIGINT) AS rank
+FROM (
+  SELECT o_custkey,
+         CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS total_cents
+  FROM ({cdc.replay_sql(rec)}) s
+  GROUP BY o_custkey
+) agg
+ORDER BY total_cents DESC, o_custkey
+LIMIT 10"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -6746,6 +6795,8 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q237_phash_visual_dedup": q237_phash_visual_dedup,
         "q238_lsh_recall_audit": q238_lsh_recall_audit,
         "q239_write_audit_publish": q239_write_audit_publish,
+        "q240_matryoshka_audit": q240_matryoshka_audit,
+        "q241_incremental_topk": q241_incremental_topk,
     }
 
 
@@ -7669,4 +7720,6 @@ def oracle_sql() -> dict[str, str]:
         "q237_phash_visual_dedup": fn_mm.phash_oracle_sql(),
         "q238_lsh_recall_audit": fn_dedup.lsh_audit_sql("duckdb"),
         "q239_write_audit_publish": _wap_oracle_sql(),
+        "q240_matryoshka_audit": fn_sim.matryoshka_audit_sql("duckdb"),
+        "q241_incremental_topk": _incremental_topk_oracle_sql(),
     }

@@ -273,14 +273,15 @@ def ks_drift(df, value_col: str, flag_col: str):
     """
     from pyspark.sql import functions as F
 
-    from ..operators.rank import global_running_sum
+    from ..operators.rank import global_running_sums
 
     per = df.groupBy(value_col).agg(
         F.sum(F.when(F.col(flag_col), 1).otherwise(0)).alias("ca"),
         F.sum(F.when(F.col(flag_col), 0).otherwise(1)).alias("cb"),
     )
-    r = global_running_sum(per, value_col, "ca", out_col="ra")
-    r = global_running_sum(r, value_col, "cb", out_col="rb")
+    # both ECDFs from ONE two-pass traversal (shared sketch, shared
+    # per-bucket aggregate, shared window)
+    r = global_running_sums(per, value_col, ["ca", "cb"], ["ra", "rb"])
     return _ks_finalize(r)
 
 

@@ -315,3 +315,107 @@ def scd2_history(
             F.col("valid_to").isNull().alias("is_current"),
         )
     )
+
+
+def maintain_topk(
+    table: "CuratedTable",
+    group_col: str,
+    agg: "Column",
+    k: int,
+    buffer_factor: int = 2,
+) -> tuple["DataFrame", int]:
+    """Incrementally-maintained exact top-k ranking (q241) — the
+    materialized leaderboard ("top customers by spend") advanced across
+    the table's commits at O(changes) per round, with the classic
+    bounded-candidates + threshold-refresh correctness rule (cf. the
+    incremental top-k literature, e.g. Mouratidis et al. SIGMOD'06
+    continuous top-k): a full re-rank of a 100 TB fact table per sync
+    round is exactly what this avoids.
+
+    State = the top ``k·buffer_factor`` groups (value + rank). Per
+    commit round: candidates = stored buffer ∪ groups touched by the
+    changelog, re-aggregated via one group-pruned snapshot lookup (the
+    maintain_group_agg shape). The refreshed candidate ranking is
+    provably exact while its k'-th value stays ≥ the previous round's
+    buffer threshold (every non-candidate was < that threshold and is
+    unchanged); when deletions sink it below — a non-candidate might
+    now belong — the round falls back to ONE full re-rank and the
+    threshold re-arms. The gate's fixture triggers both paths (pure
+    updates: no refresh; the delete batch: refresh).
+
+    Returns (final top-k DataFrame with dense ranks, refresh_rounds).
+    """
+    spark = table.spark
+    kb = k * buffer_factor
+    commits = [c for c in table.commits() if c.changelog]
+    if not commits:
+        raise ValueError(f"{table.config.name}: no data commits")
+    keys = list(table.config.record_key)
+
+    def rank_of(df):
+        w = Window.orderBy(F.col("val").desc(), F.col(group_col))
+        # candidate relations are kb + changed-groups sized — tiny; the
+        # single-partition window is over that bounded set, never data
+        return df.withColumn("rank", F.row_number().over(w))
+
+    def full_rank(version):
+        snap = table.read(version=version)
+        aggd = snap.groupBy(group_col).agg(agg.alias("val"))
+        # exact top-kb via TakeOrderedAndProject (per-partition top-k
+        # merged at the driver — the scale-safe global-rank path)
+        top = aggd.orderBy(F.col("val").desc(), F.col(group_col)).limit(kb)
+        return rank_of(top)
+
+    def boundary(df):
+        """(val, group) of the kb-th row — the threshold TUPLE. Every
+        non-buffer group ranks strictly below it (val <, or val == and
+        group >), so tuple comparison, not bare value comparison, is
+        what makes the refresh rule sound under value ties."""
+        r = df.filter(F.col("rank") == kb).select("val", group_col).first()
+        return (r["val"], r[group_col]) if r is not None else None
+
+    def ranks_at_or_above(pair, t):
+        val, grp = pair
+        tval, tgrp = t
+        return val > tval or (val == tval and grp <= tgrp)
+
+    first = commits[0]
+    state = full_rank(first.version).cache()
+    threshold = boundary(state)
+    refreshes = 0
+    prev_version = first.version
+    for c in commits[1:]:
+        changed = table.read_incremental(
+            begin_version=prev_version,
+            end_version=c.version,
+            drop_deleted=False,
+        )
+        touched = changed.select(group_col).distinct()
+        cand_groups = (
+            state.select(group_col).unionByName(touched).distinct()
+        )
+        current = table.read(version=c.version)
+        fresh = (
+            current.join(F.broadcast(cand_groups), on=group_col,
+                         how="left_semi")
+            .groupBy(group_col)
+            .agg(agg.alias("val"))
+        )
+        top = rank_of(
+            fresh.orderBy(F.col("val").desc(), F.col(group_col)).limit(kb)
+        )
+        new_kth = boundary(top)
+        if (
+            new_kth is None
+            or threshold is None
+            or not ranks_at_or_above(new_kth, threshold)
+        ):
+            # a non-candidate might now belong anywhere in the buffer:
+            # one full re-rank, and the threshold re-arms
+            state = full_rank(c.version).cache()
+            refreshes += 1
+        else:
+            state = top.cache()
+        threshold = boundary(state)
+        prev_version = c.version
+    return state.filter(F.col("rank") <= k), refreshes

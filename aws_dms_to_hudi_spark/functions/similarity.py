@@ -1189,3 +1189,69 @@ SELECT q_id, CAST(q_label AS BIGINT) AS q_label,
 FROM ranked WHERE rn = 1
 GROUP BY q_id, q_label
 ORDER BY q_id"""
+
+
+MATRYOSHKA_SUB_DIM = 16
+
+
+def matryoshka_audit_sql(
+    dialect: str,
+    table: str = "embeddings",
+    anchor_mod: int = 50,
+    sub_dim: int = MATRYOSHKA_SUB_DIM,
+) -> str:
+    """Matryoshka / truncated-dimension retrieval audit (q240, Kusupati
+    et al. 2205.13147): per anchor, the exact top-1 neighbor under
+    full-dimension cosine vs under the FIRST ``sub_dim`` coordinates —
+    the measurement that tells you whether serving can run on prefix
+    embeddings (4x smaller index, 4x cheaper distance) without changing
+    answers. Per-anchor agreement rows rather than one summary, so the
+    hash pins WHICH anchors flip, not just how many.
+
+    One anchors x corpus scan computes BOTH cosines per candidate (the
+    sub-dim dot is a prefix of the full fold — no second pass over the
+    corpus); two row_numbers over the same scored relation pick the two
+    winners. The same shared fold-form arithmetic as every scored stage,
+    bit-equal across engines, rounded only at the output edge."""
+    full = _pair_cos("a.q_emb", "a.q_nrm", "e.embedding", "e.nrm", dialect)
+    sub = (
+        f"({P.dot('a.q_emb', 'e.embedding', sub_dim, dialect)}"
+        f" / (a.q_snrm * e.snrm))"
+    )
+    return f"""
+WITH n2 AS (
+  SELECT vec_id, embedding,
+         {P.norm('embedding', DIM, dialect)} AS nrm,
+         {P.norm('embedding', sub_dim, dialect)} AS snrm
+  FROM {table}
+),
+a AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
+         snrm AS q_snrm
+  FROM n2 WHERE vec_id % {anchor_mod} = 0
+),
+scored AS (
+  SELECT /*+ BROADCAST(a) */ a.q_id, e.vec_id AS n_id,
+         {full} AS cs_full,
+         {sub} AS cs_sub
+  FROM a JOIN n2 e ON e.vec_id <> a.q_id
+),
+r AS (
+  SELECT q_id, n_id, cs_full, cs_sub,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cs_full DESC, n_id) AS rf,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY cs_sub DESC, n_id) AS rs
+  FROM scored
+)
+SELECT q_id,
+       CAST(MAX(CASE WHEN rf = 1 THEN n_id END) AS BIGINT) AS nn_full,
+       CAST(MAX(CASE WHEN rs = 1 THEN n_id END) AS BIGINT) AS nn_sub,
+       CAST(CASE WHEN MAX(CASE WHEN rf = 1 THEN n_id END)
+                    = MAX(CASE WHEN rs = 1 THEN n_id END)
+            THEN 1 ELSE 0 END AS BIGINT) AS agree,
+       round(MAX(CASE WHEN rf = 1 THEN cs_full END), 6) AS cos_full,
+       round(MAX(CASE WHEN rs = 1 THEN cs_sub END), 6) AS cos_sub
+FROM r WHERE rf = 1 OR rs = 1
+GROUP BY q_id
+ORDER BY q_id"""

@@ -105,22 +105,38 @@ def global_running_sum(
     out_col: str = "__rsum",
     num_buckets: int = 64,
 ) -> DataFrame:
-    """Append the exact global running (inclusive-prefix) sum of
-    ``value_col`` ordered by ``order_col`` — same two-pass range
+    """Single-column form of :func:`global_running_sums` (kept for the
+    existing call sites)."""
+    return global_running_sums(
+        df, order_col, [value_col], [out_col], num_buckets
+    )
+
+
+def global_running_sums(
+    df: DataFrame,
+    order_col: str,
+    value_cols: list[str],
+    out_cols: list[str],
+    num_buckets: int = 64,
+) -> DataFrame:
+    """Append the exact global running (inclusive-prefix) sums of EVERY
+    ``value_cols`` entry ordered by ``order_col`` — same two-pass range
     partitioning as :func:`global_row_number`, so no single-partition
     window ever forms. ``order_col`` must be numeric and UNIQUE per row
     (pre-aggregate ties first: with duplicate keys the within-tie
     prefix order would be layout-dependent).
 
-    Pass shape: one percentile sketch, one per-bucket SUM (collected —
-    O(buckets) rows), one window partitioned per bucket. The 100 TB
-    cost is two map-reduce passes; the driver only ever holds the
-    bucket offset table. The input is materialized first: three
-    actions read it (sketch, offsets, final window), and callers pass
-    derived relations (unions, aggregates) that would otherwise be
-    recomputed per action."""
+    All columns share ONE sketch, ONE per-bucket aggregate (collected —
+    O(buckets) rows), and ONE per-bucket window pass: k prefix sums
+    cost the same two map-reduce passes as one (the q232 KS statistic
+    needs both ECDFs and pays a single traversal). The input is
+    materialized first: three actions read it (sketch, offsets, final
+    window), and callers pass derived relations (unions, aggregates)
+    that would otherwise be recomputed per action."""
     from ..functions.dedup import materialize
 
+    if len(value_cols) != len(out_cols):
+        raise ValueError("value_cols and out_cols must align")
     df = materialize(df)
     c1 = F.col(order_col)
     qs = [i / num_buckets for i in range(1, num_buckets)]
@@ -130,27 +146,33 @@ def global_running_sum(
     cuts = [c for c in (cuts_row["cuts"] or []) if c is not None]
 
     b = df.withColumn("__gb", _bucket_expr(c1, cuts))
-    sums = {r["__gb"]: r["s"] for r in
-            b.groupBy("__gb").agg(F.sum(value_col).alias("s")).collect()}
-    offsets: dict[int, int] = {}
-    acc = 0
+    bucket_rows = b.groupBy("__gb").agg(
+        *[F.sum(v).alias(f"__s_{i}") for i, v in enumerate(value_cols)]
+    ).collect()
+    sums = {r["__gb"]: [r[f"__s_{i}"] for i in range(len(value_cols))]
+            for r in bucket_rows}
+    offsets: dict[int, list[int]] = {}
+    acc = [0] * len(value_cols)
     for k in sorted(sums):
-        offsets[k] = acc
-        acc += sums[k] or 0
+        offsets[k] = list(acc)
+        for i, s in enumerate(sums[k]):
+            acc[i] += s or 0
 
-    off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    ) if offsets else F.create_map()
     w = (
         Window.partitionBy("__gb")
         .orderBy(c1.asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return b.withColumn(
-        out_col,
-        (F.coalesce(off[F.col("__gb")], F.lit(0)).cast("long")
-         + F.sum(value_col).over(w).cast("long")),
-    ).drop("__gb")
+    for i, (v, out_col) in enumerate(zip(value_cols, out_cols)):
+        off = F.create_map(
+            *[F.lit(x) for k, vals in offsets.items() for x in (k, vals[i])]
+        ) if offsets else F.create_map()
+        b = b.withColumn(
+            out_col,
+            (F.coalesce(off[F.col("__gb")], F.lit(0)).cast("long")
+             + F.sum(v).over(w).cast("long")),
+        )
+    return b.drop("__gb")
 
 
 def ntile_from_rn(rn: Column, total: Column, k: int) -> Column:

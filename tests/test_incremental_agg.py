@@ -294,3 +294,78 @@ def test_scd2_keys_are_independent(spark):
         (1, "b", 1, None, True),
         (2, "x", 0, None, True),
     }
+
+
+# ----------------------------------------------------- incremental top-k
+
+
+def _mk_topk_table(spark, tmp_path, rows_by_batch):
+    """rows_by_batch: list of lists of (key, grp, val, seq, deleted)."""
+    from aws_dms_to_hudi_spark.config import TableConfig
+    from aws_dms_to_hudi_spark.storage import CuratedTable
+
+    cfg = TableConfig(name="lb", record_key=["k"],
+                      source_ordering_field="seq")
+    t = CuratedTable(spark, tmp_path / "lb", cfg)
+    for i, rows in enumerate(rows_by_batch):
+        df = spark.createDataFrame(
+            rows,
+            "k long, grp string, val long, seq string, "
+            "_hoodie_is_deleted boolean",
+        )
+        (t.bulk_insert if i == 0 else t.upsert)(df)
+    return t
+
+
+def test_topk_no_refresh_on_growth_refresh_on_boundary_drop(
+    spark, tmp_path
+):
+    from pyspark.sql import functions as F
+
+    from aws_dms_to_hudi_spark.functions.incremental import maintain_topk
+
+    base = [
+        (i, f"g{i:02d}", 100 - i, f"0{i:03d}", False) for i in range(12)
+    ]
+    # batch 1: raise g11 (stays a candidate, no refresh needed)
+    up = [(11, "g11", 95, "1000", False)]
+    # batch 2: delete the #1 group's only row -> buffer boundary sinks
+    kill = [(0, "g00", 100, "2000", True)]
+    t = _mk_topk_table(spark, tmp_path, [base, up, kill])
+    top, refreshes = maintain_topk(
+        t, "grp", F.sum("val"), k=3, buffer_factor=2
+    )
+    got = [(r["grp"], r["val"]) for r in top.orderBy("rank").collect()]
+    # brute force over the final state
+    want = [
+        (r["grp"], r["v"])
+        for r in t.read()
+        .groupBy("grp").agg(F.sum("val").alias("v"))
+        .orderBy(F.col("v").desc(), "grp").limit(3).collect()
+    ]
+    assert got == want
+    # growth round must not refresh; the kill round must
+    assert refreshes == 1
+
+
+def test_topk_matches_full_rank_on_replay(spark, sf_smoke, tmp_path):
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+
+    table, _ = entry._replayed_orders(spark, sf_smoke)
+    spend = F.sum(
+        F.expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")
+    )
+    from aws_dms_to_hudi_spark.functions.incremental import maintain_topk
+
+    top, refreshes = maintain_topk(table, "o_custkey", spend, k=10)
+    got = [(r["o_custkey"], r["val"]) for r in top.orderBy("rank").collect()]
+    want = [
+        (r["o_custkey"], r["v"])
+        for r in table.read()
+        .groupBy("o_custkey").agg(spend.alias("v"))
+        .orderBy(F.col("v").desc(), "o_custkey").limit(10).collect()
+    ]
+    assert got == want
+    assert refreshes >= 1  # the delete batch sinks the boundary
