@@ -102,6 +102,8 @@ SMALL_OUTPUT = {
     "q232_ks_drift",
     "q234_pseudonymization",
     "q235_hard_negative_mining",
+    "q240_matryoshka_audit",
+    "q241_incremental_topk",
 }
 
 
