@@ -1273,7 +1273,16 @@ def lsh_audit_sql(
     banding loss), and their intersection. Emits integer counts plus
     floor-ppm precision (verified/candidates: what the verification
     join pays for) and recall (verified/exact: what banding misses).
-    Zero-denominator cases surface as -1, never a crash."""
+    Zero-denominator cases surface as -1, never a crash.
+
+    Scale shape: the exact-pairs side is the inverted-index self-join
+    — co-occurring pairs grow ~|pairs sharing a shingle|, the same
+    inherent exponent as q19 (10x probe: 3.2x wall here, 4.3x for q19;
+    sublinear in wall only because small scale underutilizes cores).
+    That cost is the AUDIT'S POINT — ground truth is the expensive
+    side — and the deployment form bounds it by running the audit on a
+    deterministic doc-id sample, which bounds both relations the same
+    way and leaves precision/recall unbiased."""
     sig_cols = ", ".join(
         f"MIN(({a} * g + {b}) % {P.HASH_P}) AS m{j}"
         for j, (a, b) in enumerate(MINHASH_AB)

@@ -1133,35 +1133,52 @@ ORDER BY vec_id
 """
 
 
-def hard_negative_sql(
-    dialect: str, table: str = "embeddings", anchor_mod: int = 50
-) -> str:
-    """Hard-negative mining for contrastive training (q235): per anchor
-    (a deterministic 1/``anchor_mod`` slice), the most-similar vector
-    with a DIFFERENT label (the hard negative), the most-similar vector
-    with the SAME label (the positive), and the triplet margin — the
-    miner that turns a labeled embedding corpus into triplet/InfoNCE
-    training pairs (Schroff et al. FaceNet semi-hard mining; the
-    label-aware complement of q22's unlabeled top-k).
+HARD_NEG_ANCHORS = 50  # target anchor COUNT — constant at every scale
 
-    Exact brute force over anchors × corpus with the anchor side
-    broadcast (anchors are a fixed fraction, corpus side streams — the
-    same shape as q170's recall audit); both rankings come from ONE
-    scored relation via a (anchor, same-label) row_number, so the
-    corpus is scanned once. At 100 TB the candidate set would come from
-    the LSH/IVF index (q23/q24) and this statement ranks candidates;
-    the ranking arithmetic is the shared fold-form cosine, bit-equal
-    across engines, rounded only at the output edge."""
+
+def hard_negative_sql(
+    dialect: str, table: str = "embeddings",
+    n_anchors: int = HARD_NEG_ANCHORS,
+) -> str:
+    """Hard-negative mining for contrastive training (q235): per anchor,
+    the most-similar vector with a DIFFERENT label (the hard negative),
+    the most-similar vector with the SAME label (the positive), and the
+    triplet margin — the miner that turns a labeled embedding corpus
+    into triplet/InfoNCE training pairs (Schroff et al. FaceNet
+    semi-hard mining; the label-aware complement of q22's unlabeled
+    top-k).
+
+    The anchor slice is a deterministic hash-free modulus whose divisor
+    is DERIVED FROM THE CORPUS SIZE (``vec_id % (n DIV n_anchors) = 0``),
+    so the anchor COUNT stays ~``n_anchors`` at every scale and the
+    anchors × corpus work grows LINEARLY with the corpus — a fixed
+    modulus would grow anchors with the data and turn the miner
+    quadratic (the 10x probe measured exactly that, 8.2x wall, before
+    this rule). Exact brute force with the anchor side broadcast; both
+    rankings come from ONE scored relation via a (anchor, same-label)
+    row_number, so the corpus is scanned once. At 100 TB the candidate
+    set would come from the LSH/IVF index (q23/q24) and this statement
+    ranks candidates; the ranking arithmetic is the shared fold-form
+    cosine, bit-equal across engines, rounded only at the output edge."""
     return f"""
 WITH n2 AS (
   SELECT vec_id, label, embedding,
          {P.norm('embedding', DIM, dialect)} AS nrm
   FROM {table}
 ),
+amod AS (
+  -- portable INTEGER division (Spark DIV / DuckDB //): bare '/' is
+  -- double division and CAST(double AS BIGINT) truncates in Spark but
+  -- rounds in DuckDB — the q200-family trap
+  SELECT CASE WHEN COUNT(*) >= {n_anchors}
+              THEN {P.int_div('COUNT(*)', str(n_anchors), dialect)}
+              ELSE CAST(1 AS BIGINT) END AS m
+  FROM n2
+),
 a AS (
   SELECT vec_id AS q_id, label AS q_label, embedding AS q_emb,
          nrm AS q_nrm
-  FROM n2 WHERE vec_id % {anchor_mod} = 0
+  FROM n2 CROSS JOIN amod WHERE vec_id % amod.m = 0
 ),
 scored AS (
   SELECT /*+ BROADCAST(a) */ a.q_id, a.q_label,
