@@ -1023,3 +1023,51 @@ JOIN via_raw r ON m.c_mktsegment = r.c_mktsegment
 CROSS JOIN audit a
 GROUP BY m.c_mktsegment
 ORDER BY m.c_mktsegment"""
+
+
+def augment_dropout_sql(
+    dialect: str,
+    table: str = "documents",
+    th_table: str | None = None,
+    variants: int = 2,
+    drop_mod: int = 10,
+) -> str:
+    """Deterministic data augmentation by token dropout (q243, the EDA
+    random-deletion op of Wei & Zou 1901.11196 made reproducible):
+    ``variants`` augmented copies per document, variant v dropping
+    exactly the tokens where ``(h + pos + v) % drop_mod = 0`` — a
+    pure expression over the shared token-hash stream, so the SAME
+    augmented dataset materializes on any cluster layout, any retry,
+    any engine (RNG-based augmentation can't be audited or resumed;
+    this can). Emits per-(doc, variant) the kept-token count and an
+    order-sensitive checksum (Σ h·rank over surviving positions — a
+    token swap or drop anywhere changes it), so the gate pins content
+    AND order, not just counts.
+
+    Shape at 100 TB: the dropout predicate and variant fan-out are
+    per-row expressions off the cached tokhash artifact (constant
+    ``variants``x row growth, no joins); the rank is a per-(doc,
+    variant) window — partitions bounded by document length, the same
+    class as every tokenizer stage."""
+    from .dedup import th_cte
+
+    vs = " UNION ALL ".join(f"SELECT {v} AS v" for v in range(variants))
+    return f"""
+WITH {th_cte(dialect, table, th_table)},
+aug AS (
+  SELECT t.doc_id, t.pos, t.h, vs.v
+  FROM th t CROSS JOIN ({vs}) vs
+  WHERE (t.h + t.pos + vs.v) % {drop_mod} <> 0
+),
+ranked AS (
+  SELECT doc_id, v, h,
+         row_number() OVER (PARTITION BY doc_id, v ORDER BY pos) AS r
+  FROM aug
+)
+SELECT doc_id,
+       CAST(v AS BIGINT) AS variant,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(h * r) AS BIGINT) AS order_checksum
+FROM ranked
+GROUP BY doc_id, v
+ORDER BY doc_id, variant"""

@@ -1334,3 +1334,49 @@ SELECT CAST(n_exact AS BIGINT) AS n_exact,
             ELSE floor(n_verified * 1000000 / n_exact) END AS BIGINT)
          AS recall_ppm
 FROM counts"""
+
+
+def novelty_curve_sql(
+    dialect: str,
+    table: str = "documents",
+    n_batches: int = 4,
+    th_table: str | None = None,
+    inv_tables: tuple[str, str] | None = None,
+) -> str:
+    """Corpus novelty / saturation curve (q242): the documents arrive
+    as ``n_batches`` ingest batches (doc_id mod — the fixture's arrival
+    proxy); per batch, how many of its distinct shingles were never
+    seen in ANY earlier batch. This is the Heaps-law readout that
+    justifies (or kills) further crawling of a source: a new_ppm curve
+    collapsing toward 0 means the next 10 TB of this source buys almost
+    no new content — measured BEFORE paying to dedup it.
+
+    Two map-side-combinable hash aggregates over the shared inverted
+    index (first-seen batch per shingle = one MIN; per-batch distinct +
+    novel counts = one conditional aggregate off the join back) — no
+    window, no self-join, linear in index size at any scale. Integer
+    floor-ppm output."""
+    return f"""
+WITH {_inv_cte(dialect, table, None, th_table, inv_tables)},
+tagged AS (SELECT doc_id % {n_batches} AS b, g FROM inv),
+firstseen AS (SELECT g, MIN(b) AS fb FROM tagged GROUP BY g),
+per AS (
+  SELECT t.b,
+         COUNT(DISTINCT t.g) AS n_shingles,
+         COUNT(DISTINCT CASE WHEN f.fb = t.b THEN t.g END) AS n_new
+  FROM tagged t JOIN firstseen f ON t.g = f.g
+  GROUP BY t.b
+),
+docs AS (
+  -- from the index's sizes relation (docs contributing >=1 shingle),
+  -- so the statement needs only the shared inv/sizes artifacts
+  SELECT doc_id % {n_batches} AS b, COUNT(*) AS n_docs
+  FROM sizes GROUP BY 1
+)
+SELECT p.b AS batch,
+       CAST(d.n_docs AS BIGINT) AS n_docs,
+       CAST(p.n_shingles AS BIGINT) AS n_shingles,
+       CAST(p.n_new AS BIGINT) AS n_new,
+       CAST(floor(p.n_new * 1000000 / p.n_shingles) AS BIGINT) AS new_ppm
+FROM per p JOIN docs d ON p.b = d.b
+ORDER BY batch"""

@@ -534,3 +534,64 @@ SELECT s.split, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM sp s LEFT JOIN leak l ON s.split = l.split
 GROUP BY s.split
 ORDER BY s.split"""
+
+
+def exact_quota_sample_sql(
+    dialect: str, table: str = "documents", num: int = 2, den: int = 10
+) -> str:
+    """Exact-count stratified sampling via largest-remainder (Hamilton)
+    apportionment (q244): per-stratum allocations a_i with
+    Σa_i EXACTLY equal to the corpus target floor(N·num/den) — the
+    survey-sampling contract that q36's hash-threshold sampler cannot
+    give (its stratum sizes are binomial around the target; eval sets
+    and paid-labeling budgets need exact counts).
+
+    All-integer apportionment: base_i = (n_i·num) DIV den and the
+    remainder ranking uses (n_i·num) MOD den — the fractional parts
+    never materialize as floats, so no engine can disagree. Row
+    selection inside each stratum is the deterministic portable-hash
+    rank (same randomness family as the q32 splits), so the SAMPLE
+    ITSELF is reproducible, not just its size; per-stratum windows are
+    language-partitioned (bounded), and the allocation relation is
+    strata-sized driver math done relationally."""
+    from . import portable as P
+
+    h = P.rolling_hash(
+        f"CAST(doc_id AS {'STRING' if dialect == 'spark' else 'VARCHAR'})",
+        dialect,
+    )
+    b = P.int_div("(n * {num})".format(num=num), str(den), dialect)
+    t = P.int_div("(nt * {num})".format(num=num), str(den), dialect)
+    return f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM {table} GROUP BY lang),
+tot AS (SELECT SUM(n) AS nt FROM counts),
+base AS (
+  SELECT lang, n, {b} AS b, (n * {num}) % {den} AS frac FROM counts
+),
+sb AS (SELECT SUM(b) AS sb FROM base),
+tgt AS (SELECT {t} AS t FROM tot),
+ranked AS (
+  SELECT lang, n, b,
+         row_number() OVER (ORDER BY frac DESC, lang) AS rr
+  FROM base
+),
+alloc AS (
+  SELECT r.lang, r.n,
+         r.b + CASE WHEN r.rr <= g.t - s.sb THEN 1 ELSE 0 END AS a
+  FROM ranked r CROSS JOIN sb s CROSS JOIN tgt g
+),
+sel AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY {h}, doc_id) AS hr
+  FROM {table}
+)
+SELECT a.lang,
+       CAST(a.n AS BIGINT) AS n_total,
+       CAST(a.a AS BIGINT) AS allocation,
+       CAST(COUNT(s.doc_id) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(SUM(s.doc_id), 0) AS BIGINT) AS id_checksum
+FROM alloc a
+LEFT JOIN sel s ON s.lang = a.lang AND s.hr <= a.a
+GROUP BY a.lang, a.n, a.a
+ORDER BY a.lang"""

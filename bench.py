@@ -104,6 +104,9 @@ SMALL_OUTPUT = {
     "q235_hard_negative_mining",
     "q240_matryoshka_audit",
     "q241_incremental_topk",
+    "q242_novelty_curve",
+    "q243_augment_dropout",
+    "q244_exact_quota_sample",
 }
 
 

@@ -113,3 +113,32 @@ def test_domain_cap_small_domains_kept_whole(spark):
     counts = {r["domain"]: r["n"] for r in
               out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
     assert counts == {"tiny": 3, "big": 10}
+
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_view(spark, sf_correct):
+    spark.read.parquet(
+        f"{sf_correct}/documents.parquet"
+    ).createOrReplaceTempView("qs_documents")
+    return "qs_documents"
+
+
+def test_exact_quota_sample_sums_to_target(spark, docs_view):
+    """Largest-remainder apportionment: per-stratum allocations sum
+    EXACTLY to floor(N * 20%), every allocation is filled, and the
+    sample is deterministic across runs."""
+    from aws_dms_to_hudi_spark.functions.sampling import (
+        exact_quota_sample_sql,
+    )
+
+    sql = exact_quota_sample_sql("spark", table=docs_view)
+    rows = spark.sql(sql).collect()
+    n_total = sum(r["n_total"] for r in rows)
+    assert sum(r["allocation"] for r in rows) == n_total * 2 // 10
+    for r in rows:
+        assert r["n_sampled"] == r["allocation"]
+    again = spark.sql(sql).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in again]

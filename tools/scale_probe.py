@@ -116,6 +116,8 @@ PROBE_QUERIES = [
     "q234_pseudonymization", "q235_hard_negative_mining",
     "q236_occ_multi_writer", "q237_phash_visual_dedup",
     "q238_lsh_recall_audit", "q239_write_audit_publish",
+    "q242_novelty_curve", "q243_augment_dropout",
+    "q244_exact_quota_sample",
 ]
 
 VOW = "aeiou"
