@@ -6565,6 +6565,31 @@ def q244_exact_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_sampling.exact_quota_sample_sql("spark", table=v))
 
 
+def q245_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit forensics (features.benford_audit_sql): the
+    fabricated-data / unit-mixup screen run per snapshot beside the
+    PSI/KS drift gates. First digit from the cent-integer STRING (never
+    per-row log10 — boundary ULPs could flip digits); expected shares
+    are 9 lns frozen to DECIMAL; one map-side-combinable aggregate."""
+    v = _view(spark, sf_dir, "orders", "q245")
+    return spark.sql(fn_feat.benford_audit_sql("spark", orders=v))
+
+
+def q246_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa over the NB confusion matrix (text.nb_kappa_sql):
+    chance-corrected agreement — the governance bar for letting a
+    classifier ROUTE data, immune to the accuracy-flattering label
+    skew. Integer diagonal/margin sums; the three ppm stats are the
+    pinned floor(double/double) pattern. Shares q209's materialized
+    model artifacts."""
+    v = _view(spark, sf_dir, "documents", "q246")
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    model = fn_text.naive_bayes_model_views(spark, v, th, cache_key=sf_dir)
+    return spark.sql(fn_text.nb_kappa_sql("spark", table=v, model=model))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -6836,6 +6861,8 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q242_novelty_curve": q242_novelty_curve,
         "q243_augment_dropout": q243_augment_dropout,
         "q244_exact_quota_sample": q244_exact_quota_sample,
+        "q245_benford_audit": q245_benford_audit,
+        "q246_classifier_kappa": q246_classifier_kappa,
     }
 
 
@@ -7764,4 +7791,6 @@ def oracle_sql() -> dict[str, str]:
         "q242_novelty_curve": fn_dedup.novelty_curve_sql("duckdb"),
         "q243_augment_dropout": fn_curation.augment_dropout_sql("duckdb"),
         "q244_exact_quota_sample": fn_sampling.exact_quota_sample_sql("duckdb"),
+        "q245_benford_audit": fn_feat.benford_audit_sql("duckdb"),
+        "q246_classifier_kappa": fn_text.nb_kappa_sql("duckdb"),
     }

@@ -341,3 +341,38 @@ SELECT t.n_a, t.n_b,
             * 1000000 / (t.n_a * t.n_b)) AS BIGINT) AS d_ppm
 FROM r CROSS JOIN t
 GROUP BY t.n_a, t.n_b"""
+
+
+def benford_audit_sql(dialect: str, orders: str = "orders") -> str:
+    """Benford first-digit audit (q245, Newcomb–Benford law): the
+    data-forensics screen for fabricated or unit-mangled numeric
+    columns — natural multi-magnitude amounts follow
+    P(d) = log10(1 + 1/d); a flat or spiked digit histogram flags
+    synthetic injection, currency-unit mixups, or truncation bugs
+    upstream. Run per snapshot next to the PSI/KS drift gates.
+
+    Exactness: the first significant digit comes from the CENT-integer
+    rendered as a string (never floor(log10(x)) per row — a libm call
+    whose boundary ULPs could flip a digit); expected shares are ONE
+    ln per digit (9 total), frozen to DECIMAL(18,12) before the ppm
+    floor. One map-side-combinable aggregate; the digit histogram is
+    9 rows on any corpus."""
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+WITH cents AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+  FROM {orders} WHERE o_totalprice > 0
+),
+digits AS (
+  SELECT CAST(substr(CAST(c AS {s}), 1, 1) AS BIGINT) AS d FROM cents
+),
+hist AS (SELECT d, COUNT(*) AS n FROM digits GROUP BY d),
+tot AS (SELECT SUM(n) AS nt FROM hist)
+SELECT h.d AS digit,
+       CAST(h.n AS BIGINT) AS n_obs,
+       CAST(floor(h.n * 1000000 / t.nt) AS BIGINT) AS obs_ppm,
+       CAST(floor(CAST(ln(1.0 + 1.0 / h.d) / ln(10.0)
+                       AS DECIMAL(18,12)) * 1000000) AS BIGINT)
+         AS benford_ppm
+FROM hist h CROSS JOIN tot t
+ORDER BY digit"""

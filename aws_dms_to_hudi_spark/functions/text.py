@@ -576,3 +576,47 @@ SELECT margin_band, CAST(COUNT(*) AS BIGINT) AS n_docs,
 FROM banded
 GROUP BY margin_band
 ORDER BY margin_band"""
+
+
+def nb_kappa_sql(
+    dialect: str,
+    table: str = "documents",
+    th_table: str | None = None,
+    model: dict[str, str] | None = None,
+) -> str:
+    """Cohen's kappa over the NB classifier's confusion matrix (q246) —
+    chance-corrected agreement, the governance metric that decides
+    whether a classifier is good enough to ROUTE data (raw accuracy
+    flatters under skewed label priors; kappa = (p_o − p_e)/(1 − p_e)
+    discounts exactly the agreement the priors give for free).
+
+    Integer-exact until the last step: diagonal and margin products are
+    BIGINT sums over the (langs × langs) confusion relation; the three
+    reported statistics are floor(double/double) ppm — the pinned
+    identical-IEEE-division pattern (numerators ≤ N²·10⁶ ≈ 2.5e13 at
+    sf0.1, exact in doubles; the DECIMAL(38) upgrade applies past
+    N ≈ 9·10⁷ docs, same envelope note as chi²). Cost: the confusion
+    matrix itself (one classifier pass) + aggregates over its ≤|langs|²
+    rows."""
+    cm = naive_bayes_confusion_sql(dialect, table, th_table, model)
+    return f"""
+WITH cm AS ({cm}),
+tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cm),
+diag AS (
+  SELECT CAST(SUM(CASE WHEN actual_lang = pred_lang THEN n_docs
+                       ELSE 0 END) AS BIGINT) AS d
+  FROM cm
+),
+rmarg AS (SELECT actual_lang AS l, SUM(n_docs) AS rn FROM cm GROUP BY 1),
+cmarg AS (SELECT pred_lang AS l, SUM(n_docs) AS cn FROM cm GROUP BY 1),
+pe AS (
+  SELECT CAST(SUM(r.rn * c.cn) AS BIGINT) AS pn
+  FROM rmarg r JOIN cmarg c ON r.l = c.l
+)
+SELECT t.n AS n_docs,
+       d.d AS n_agree,
+       CAST(floor(d.d * 1000000 / t.n) AS BIGINT) AS po_ppm,
+       CAST(floor(pe.pn * 1000000 / (t.n * t.n)) AS BIGINT) AS pe_ppm,
+       CAST(floor((d.d * t.n - pe.pn) * 1000000 / (t.n * t.n - pe.pn))
+            AS BIGINT) AS kappa_ppm
+FROM tot t CROSS JOIN diag d CROSS JOIN pe"""

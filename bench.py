@@ -107,6 +107,8 @@ SMALL_OUTPUT = {
     "q242_novelty_curve",
     "q243_augment_dropout",
     "q244_exact_quota_sample",
+    "q245_benford_audit",
+    "q246_classifier_kappa",
 }
 
 
