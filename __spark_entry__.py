@@ -6593,24 +6593,31 @@ def q246_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
-    # this dict. Rotate deterministically per round: entries that have
-    # not yet appeared in any CORRECTNESS_r*.json lead. After r4 the
-    # cross-round driver-verified union is q01-q149, so this round the
-    # never-verified block q150-q227 leads (first 50 = q150-q199; the
-    # remaining 28 sit at positions 51-78 so the r6 rotation is a no-op
-    # reorder); everything driver-green moves behind. NEW gates added
-    # this round go strictly at the END of _canonical_queries() so the
-    # window is untouched. The full set is unchanged — pytest and bench
-    # run everything.
-    # tests/test_entry_contract.py::test_driver_window_rotation asserts
-    # the first-50 prefix against the committed CORRECTNESS_r*.json
-    # union so a rotation mistake fails CI instead of costing a round.
-    def num(n: str) -> int:
-        return int(n.split("_", 1)[0].lstrip("q"))
+    # this dict, so the ordering rotates: entries that have never
+    # appeared in ANY committed CORRECTNESS_r*.json lead (in canonical
+    # ascending order), everything already driver-checked moves behind.
+    # Since r5 the rotation is SELF-MAINTAINING — computed from the
+    # committed result files at call time, exactly the way the tripwire
+    # (tests/test_entry_contract.py::test_driver_window_rotation)
+    # computes its expectation — so a new round's window advances the
+    # moment the previous round's CORRECTNESS file lands, and the
+    # stale-window failure mode (one full round of wasted driver slots)
+    # is structurally gone. New gates still append at the END of
+    # _canonical_queries(): they join the never-verified lead in
+    # numeric order automatically. The full set is unchanged — pytest
+    # and bench run everything.
+    seen: set[str] = set()
+    for p in sorted(Path(__file__).resolve().parent.glob(
+            "CORRECTNESS_r*.json")):
+        try:
+            import json as _json
 
-    lead = [n for n in base if 150 <= num(n) <= 227]
-    seen = set(lead)
-    return {n: base[n] for n in lead + [m for m in base if m not in seen]}
+            seen |= set(_json.loads(p.read_text()))
+        except Exception:  # unreadable round file: ignore, stay stale
+            continue
+    lead = [n for n in base if n not in seen]
+    rest = [n for n in base if n in seen]
+    return {n: base[n] for n in lead + rest}
 
 
 def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
