@@ -143,6 +143,98 @@ class ConcurrentWriteConflict(RuntimeError):
     snapshot."""
 
 
+class LockProvider:
+    """Commit-lock contract (Hudi ``hoodie.write.lock.provider`` analog).
+
+    ``lock(table)`` returns a context manager granting exclusive rights
+    to the manifest-write critical section of one table — held for
+    microseconds (a latest-commit read plus one manifest rename), never
+    across data writes. EVERY manifest-writing path acquires it (serial
+    upsert/compact/cluster/restore as well as OCC ``commit_staged``),
+    matching Hudi's requirement that all writers AND table services go
+    through the lock provider when multi-writer is possible.
+
+    The bundled :class:`FileLockProvider` uses ``O_CREAT|O_EXCL``, which
+    is atomic on POSIX local filesystems and NFSv4 — but NOT on S3-class
+    object stores (S3 has no atomic create-if-absent usable this way).
+    Deployments whose table root is an object store must inject a
+    coordination-service provider (ZooKeeper, DynamoDB, JDBC — the same
+    external lock providers Hudi mandates there) via
+    ``CuratedTable(..., lock_provider=...)``.
+    """
+
+    def lock(self, table: "CuratedTable"):
+        raise NotImplementedError
+
+
+class FileLockProvider(LockProvider):
+    """O_CREAT|O_EXCL lockfile inside the table's ``_commits`` dir, with
+    bounded retry and stale-lock recovery: the holder's pid/timestamp is
+    written into the lockfile, and a lock older than ``stale_after``
+    seconds (the critical section is microseconds; a lock that old means
+    the holder died between create and the ``finally`` unlink) is broken
+    by an atomic rename — exactly one contender wins the rename, so two
+    breakers never free two different generations of the lock."""
+
+    def __init__(self, timeout: float = 30.0, stale_after: float = 15.0):
+        self.timeout = timeout
+        self.stale_after = stale_after
+
+    def lock(self, table: "CuratedTable"):
+        import contextlib
+        import time as _time
+
+        path = table.root / COMMITS_DIR / "_commit.lock"
+        stale_after = self.stale_after
+        timeout = self.timeout
+
+        @contextlib.contextmanager
+        def _lock():
+            deadline = _time.monotonic() + timeout
+            while True:
+                try:
+                    fd = os.open(
+                        path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                    )
+                    break
+                except FileExistsError:
+                    try:
+                        age = _time.time() - path.stat().st_mtime
+                    except FileNotFoundError:
+                        continue  # freed between open and stat: retry now
+                    if age > stale_after:
+                        # break the stale lock: rename-then-unlink is
+                        # atomic, so concurrent breakers race on the
+                        # rename and exactly one clears it
+                        grave = path.with_suffix(f".stale.{os.getpid()}")
+                        with contextlib.suppress(
+                            FileNotFoundError, OSError
+                        ):
+                            os.rename(path, grave)
+                            os.unlink(grave)
+                        continue
+                    if _time.monotonic() > deadline:
+                        raise TimeoutError(
+                            f"{table.config.name}: commit lock held too "
+                            f"long (see holder in {path})"
+                        )
+                    _time.sleep(0.01)
+            try:
+                os.write(
+                    fd,
+                    json.dumps(
+                        {"pid": os.getpid(), "ts": _time.time()}
+                    ).encode(),
+                )
+                yield
+            finally:
+                os.close(fd)
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(path)
+
+        return _lock()
+
+
 @dataclass
 class StagedCommit:
     """Phase-1 output of an OCC write (prepare_upsert): everything the
@@ -159,10 +251,17 @@ class StagedCommit:
 class CuratedTable:
     """One keyed, versioned table in the curated lake."""
 
-    def __init__(self, spark: SparkSession, root: str | Path, config: TableConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str | Path,
+        config: TableConfig,
+        lock_provider: LockProvider | None = None,
+    ):
         self.spark = spark
         self.root = Path(root)
         self.config = config
+        self.lock_provider = lock_provider or FileLockProvider()
         (self.root / COMMITS_DIR).mkdir(parents=True, exist_ok=True)
 
     # ---------- physical layout ----------
@@ -286,13 +385,36 @@ class CuratedTable:
         c = self.latest_commit()
         return c.checkpoint if c else {}
 
-    def _write_commit(self, commit: Commit) -> None:
-        """Atomic commit point: temp file + rename within _commits/."""
+    def _write_commit(self, commit: Commit, *, _locked: bool = False) -> None:
+        """Atomic commit point: temp file + rename within _commits/.
+
+        EVERY manifest-writing path serializes here under the commit
+        lock — Hudi requires the lock provider for all writers and table
+        services when multi-writer is possible, not only the
+        conflict-checked OCC path. If another writer landed the same
+        version after this writer's snapshot (two callers both computed
+        ``latest.version + 1``), the write raises
+        :class:`ConcurrentWriteConflict` instead of silently
+        ``os.replace``-ing the earlier manifest away (a lost update);
+        the caller must recompute from the new snapshot.
+        ``commit_staged`` already holds the lock around its conflict
+        check and passes ``_locked=True``.
+        """
+        if not _locked:
+            with self._occ_lock():
+                return self._write_commit(commit, _locked=True)
         cdir = self.root / COMMITS_DIR
+        target = cdir / f"{commit.version:08d}.json"
+        if target.exists():
+            raise ConcurrentWriteConflict(
+                f"{self.config.name}: version {commit.version} was "
+                "committed by another writer after this writer's "
+                "snapshot; recompute from the new snapshot"
+            )
         fd, tmp = tempfile.mkstemp(dir=cdir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             f.write(commit.to_json())
-        os.replace(tmp, cdir / f"{commit.version:08d}.json")
+        os.replace(tmp, target)
 
     # ---------- read path ----------
 
@@ -843,9 +965,14 @@ class CuratedTable:
             live_dirs.update(_version_of(d) for d in c.data.values())
             live_dirs.update(_version_of(d) for d in c.deltas)
             live_dirs.update(_version_of(d) for d in c.changelog)
+            if c.cdc_dir:
+                live_dirs.add(_version_of(c.cdc_dir))
         removed = []
         for c in old:
-            for d in [*c.data.values(), *c.deltas, *c.changelog]:
+            # cdc before-image dirs age out with their commits too —
+            # otherwise *_cdcbefore dirs grow without bound
+            extra = [c.cdc_dir] if c.cdc_dir else []
+            for d in [*c.data.values(), *c.deltas, *c.changelog, *extra]:
                 ver = _version_of(d)
                 target = self.root / ver
                 if ver not in live_dirs and target.exists():
@@ -987,6 +1114,14 @@ class CuratedTable:
         incremental run re-consumes the undone source files. As in Hudi,
         a restore does not emit a changelog — downstream incremental
         consumers positioned past the target must full-refresh.
+
+        Tables with a record-level index rebuild it from the restored
+        snapshot: the live index reflects post-target writes (a key
+        deleted after the target carries a tombstone that would make
+        point_lookup miss a key the restore brought back to life — a
+        false negative the final semi-join cannot repair). A rebuild is
+        one O(table) index bulk-load — the same cost class as the
+        restore-triggered full refresh downstream consumers already pay.
         """
         target = self._commit_at(version)
         if target is None:
@@ -1004,6 +1139,14 @@ class CuratedTable:
             col_stats=target.col_stats,
         )
         self._write_commit(commit)
+        if self.config.record_index:
+            rli_dir = self.root / RLI_DIR
+            if rli_dir.exists():
+                shutil.rmtree(rli_dir)
+            self._rli_table = None
+            snap = self.read(version=commit.version)
+            if snap is not None:
+                self._update_record_index(self._bucketize(snap))
         return commit
 
     # ---------- helpers ----------
@@ -1181,7 +1324,7 @@ class CuratedTable:
                 key_bounds=self._commit_key_bounds(),
                 col_stats=col_stats,
             )
-            self._write_commit(commit)
+            self._write_commit(commit, _locked=True)
             return commit
 
     def read_staged(self, staged: "StagedCommit") -> DataFrame:
@@ -1217,37 +1360,13 @@ class CuratedTable:
                 shutil.rmtree(target)
 
     def _occ_lock(self):
-        """Short-lived exclusive lock for the commit-metadata step:
-        O_CREAT|O_EXCL lockfile with bounded retry — the only serialized
-        section of an OCC write, microseconds of held time."""
-        import contextlib
-        import time as _time
-
-        path = self.root / COMMITS_DIR / "_commit.lock"
-
-        @contextlib.contextmanager
-        def lock():
-            deadline = _time.monotonic() + 30.0
-            while True:
-                try:
-                    fd = os.open(
-                        path, os.O_CREAT | os.O_EXCL | os.O_WRONLY
-                    )
-                    break
-                except FileExistsError:
-                    if _time.monotonic() > deadline:
-                        raise TimeoutError(
-                            f"{self.config.name}: commit lock held too long"
-                        )
-                    _time.sleep(0.01)
-            try:
-                yield
-            finally:
-                os.close(fd)
-                with contextlib.suppress(FileNotFoundError):
-                    os.unlink(path)
-
-        return lock()
+        """Short-lived exclusive lock for the commit-metadata step — the
+        only serialized section of any write, microseconds of held time.
+        Delegates to the injected :class:`LockProvider` (default:
+        :class:`FileLockProvider`; object-store deployments must inject
+        a coordination-service provider — see the LockProvider
+        docstring)."""
+        return self.lock_provider.lock(self)
 
     # ---------- record-level index (Hudi RECORD_INDEX analog) ----------
 
@@ -1602,26 +1721,34 @@ def _enc_stat(v: Any) -> list | None:
     return ["s", str(v)]
 
 
-def _stat_value(tagged: list | None) -> Any:
-    if tagged is None:
-        return None
+def _cmp_key(tagged: list) -> tuple[str, Any] | None:
+    """(kind, comparable-value) for a tagged stat, or None when the
+    value must not participate in pruning comparisons. Kinds compare
+    only with themselves: ``num`` (int/float/decimal inter-compare
+    exactly as SQL does), ``str``, and ``ts`` — dates normalized to
+    their midnight timestamp so date-tagged stats and datetime filter
+    values order the way Spark's date==timestamp cast does (a date
+    '1996-01-01' IS timestamp '1996-01-01T00:00:00'; comparing the raw
+    ISO strings tag-blind would instead see the datetime as strictly
+    greater and prune dirs whose rows match). Timezone-suffixed
+    timestamps are un-prunable: their ISO strings don't order
+    lexicographically against naive ones."""
     tag, v = tagged
+    if tag in ("i", "f"):
+        return ("num", v)
     if tag == "n":
         import decimal
 
-        return decimal.Decimal(v)
-    return v
-
-
-def _comparable(a: Any, b: Any) -> bool:
-    """Only same-kind comparisons prune (numeric w/ numeric, str w/
-    str); anything else is conservatively un-prunable."""
-    import decimal
-
-    num = (int, float, decimal.Decimal)
-    if isinstance(a, num) and isinstance(b, num):
-        return True
-    return isinstance(a, str) and isinstance(b, str)
+        return ("num", decimal.Decimal(v))
+    if tag == "s":
+        return ("str", v)
+    if tag == "d":
+        return ("ts", f"{v}T00:00:00")
+    if tag == "t":
+        if "+" in v[10:] or v.endswith("Z"):
+            return None
+        return ("ts", v)
+    return None
 
 
 _PRUNE_OPS = ("=", "<", "<=", ">", ">=")
@@ -1637,16 +1764,21 @@ def _stats_prove_empty(
             raise ValueError(f"unsupported filter op {op!r}")
         if col not in dir_stats:
             continue
-        mn = _stat_value(dir_stats[col][0])
-        mx = _stat_value(dir_stats[col][1])
-        if mn is None or mx is None:
+        mn_t, mx_t = dir_stats[col][0], dir_stats[col][1]
+        if mn_t is None or mx_t is None:
             # stats recorded, no non-null value in the dir: every op
             # here is null-rejecting, so the dir cannot match
             return True
         enc = _enc_stat(val)
-        v = _stat_value(enc)
-        if not _comparable(mn, v):
-            continue
+        kmn, kmx, kv = _cmp_key(mn_t), _cmp_key(mx_t), _cmp_key(enc)
+        if (
+            kmn is None
+            or kmx is None
+            or kv is None
+            or not (kmn[0] == kmx[0] == kv[0])
+        ):
+            continue  # mixed / un-comparable kinds never prune
+        mn, mx, v = kmn[1], kmx[1], kv[1]
         if (
             (op == "=" and (v < mn or v > mx))
             or (op == "<" and mn >= v)

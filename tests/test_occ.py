@@ -196,3 +196,113 @@ def test_vacuum_reclaims_abandoned_stage_only(spark, sf_smoke, tmp_path):
     assert t.vacuum(dry_run=True) == []
     # time travel to v1 still works (its dirs were referenced)
     assert t.read(version=1).count() > 0
+
+
+# ------------------------------------------ lock coverage + lock provider
+
+
+def test_serial_manifest_write_racing_commit_is_conflict_not_lost_update(
+    spark, sf_smoke, tmp_path
+):
+    """Every manifest-writing path (not only commit_staged) detects a
+    version another writer already landed and raises instead of
+    silently os.replace-ing that manifest away — the lost-update hole
+    Hudi closes by requiring the lock provider for ALL writers."""
+    import dataclasses
+
+    t = _table(spark, sf_smoke, tmp_path)
+    latest = t.latest_commit()
+    stale = dataclasses.replace(latest)  # same version: simulates a
+    # writer that computed latest.version before another commit landed
+    before = latest.to_json()
+    with pytest.raises(ConcurrentWriteConflict, match="another writer"):
+        t._write_commit(stale)
+    # the existing manifest is untouched
+    assert t.latest_commit().to_json() == before
+
+
+def test_stale_commit_lock_is_broken(spark, sf_smoke, tmp_path):
+    """A lock left by a writer killed mid-commit is broken after the
+    staleness bound instead of poisoning the table forever."""
+    import os
+    import time
+
+    t = _table(spark, sf_smoke, tmp_path)
+    lock = t.root / "_commits" / "_commit.lock"
+    lock.write_text('{"pid": 0, "ts": 0}')
+    old = time.time() - 120
+    os.utime(lock, (old, old))
+    a, _ = _b1_halves(spark)
+    c = t.upsert(a)  # breaks the stale lock and commits
+    assert c.version == 2
+    assert not lock.exists()
+
+
+def test_fresh_lock_contention_times_out(spark, sf_smoke, tmp_path):
+    from aws_dms_to_hudi_spark.storage import FileLockProvider
+
+    t = _table(spark, sf_smoke, tmp_path)
+    t.lock_provider = FileLockProvider(timeout=0.2, stale_after=60.0)
+    lock = t.root / "_commits" / "_commit.lock"
+    lock.write_text('{"pid": 0, "ts": 0}')  # fresh mtime: a live holder
+    a, _ = _b1_halves(spark)
+    with pytest.raises(TimeoutError, match="commit lock"):
+        t.upsert(a)
+    lock.unlink()
+
+
+def test_injected_lock_provider_serializes_all_writers(
+    spark, sf_smoke, tmp_path
+):
+    """The provider is injectable (object-store deployments bring their
+    own coordination service) and every manifest write goes through it:
+    bulk_insert, upsert, compact/cluster-class services, restore, and
+    commit_staged."""
+    import contextlib
+
+    from aws_dms_to_hudi_spark.storage import LockProvider
+
+    class CountingProvider(LockProvider):
+        def __init__(self):
+            self.acquired = 0
+            self.held = False
+
+        def lock(self, table):
+            @contextlib.contextmanager
+            def _l():
+                assert not self.held, "lock is not re-entered"
+                self.held = True
+                self.acquired += 1
+                try:
+                    yield
+                finally:
+                    self.held = False
+
+            return _l()
+
+    spark.read.parquet(f"{sf_smoke}/orders.parquet").createOrReplaceTempView(
+        "__occ_orders"
+    )
+    cfg = TableConfig(
+        name="orders_lp",
+        record_key=["o_orderkey"],
+        is_partitioned=True,
+        partition_path="o_year",
+    )
+    prov = CountingProvider()
+    t = CuratedTable(spark, tmp_path / "orders_lp", cfg, lock_provider=prov)
+    b0 = spark.sql(cdc.batch_sql(REC, 0, src="__occ_orders")).withColumn(
+        "o_year", F.year("o_orderdate").cast("int")
+    )
+    t.bulk_insert(b0)
+    assert prov.acquired == 1
+    a, b = _b1_halves(spark)
+    t.upsert(a)
+    assert prov.acquired == 2
+    staged = t.prepare_upsert(b)
+    t.commit_staged(staged)  # lock held across conflict check + write
+    assert prov.acquired == 3
+    t.cluster()
+    assert prov.acquired == 4
+    t.restore(1)
+    assert prov.acquired == 5

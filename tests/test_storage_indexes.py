@@ -311,3 +311,100 @@ def test_cdc_images_rejected_on_mor():
             name="x", record_key=["k"], table_type="MERGE_ON_READ",
             cdc_images=True,
         )
+
+
+# ------------------------------------------- restore × record-level index
+
+
+def test_restore_rebuilds_record_index(spark, sf_smoke, tmp_path):
+    """A key deleted AFTER the restore target is live again after
+    restore; the index must serve it (the pre-fix behavior left the
+    delete's tombstone in the RLI, so point_lookup returned an empty
+    result for a live key — a false negative the final semi-join
+    cannot repair)."""
+    t = _build(spark, sf_smoke, tmp_path, record_index=True)
+    # batch 2 (version 3) deletes key_num % 10 = 7; %20==17 never returns
+    dead = spark.sql(
+        "SELECT DISTINCT o_orderkey FROM __sx_orders WHERE o_orderkey % 20 = 17"
+    )
+    n_dead = dead.count()
+    assert n_dead > 0
+    assert t.point_lookup(dead).count() == 0  # tombstoned while current
+    t.restore(2)  # state after batch 1: the deleted keys are live again
+    got = t.point_lookup(dead)
+    want = t.read().join(dead, "o_orderkey", "left_semi")
+    assert got.count() == want.count() == n_dead
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+# -------------------------------------- stats codec: date×timestamp mixing
+
+
+def test_stats_date_timestamp_boundary_not_pruned():
+    """Date-tagged stats vs datetime filter values order the way
+    Spark's date==timestamp-at-midnight cast does; tag-blind ISO-string
+    comparison saw '1996-01-01T00:00:00' > '1996-01-01' and pruned a
+    dir whose rows match."""
+    from aws_dms_to_hudi_spark.storage import _stats_prove_empty
+
+    stats = {"c": [["d", "1996-01-01"], ["d", "1996-01-01"]]}
+    eq_mid = [("c", "=", datetime.datetime(1996, 1, 1))]
+    assert not _stats_prove_empty(stats, eq_mid)
+    # pruning power is kept: a datetime strictly past the dir's max day
+    assert _stats_prove_empty(
+        stats, [("c", "=", datetime.datetime(1996, 1, 2))]
+    )
+    # and within-day times still cannot match a pure-date dir... but the
+    # codec cannot know the column is date-typed, so >= midnight of the
+    # same day must NOT prune (rows at 1996-01-01 cast to midnight)
+    assert not _stats_prove_empty(
+        stats, [("c", ">=", datetime.datetime(1996, 1, 1))]
+    )
+    assert _stats_prove_empty(
+        stats, [("c", ">", datetime.datetime(1996, 1, 1))]
+    )
+    # mixed kinds (string stats vs datetime filter) never prune
+    s_stats = {"c": [["s", "1996-01-01"], ["s", "1996-01-01"]]}
+    assert not _stats_prove_empty(
+        s_stats, [("c", "=", datetime.datetime(1996, 1, 2))]
+    )
+    # tz-suffixed timestamps are conservatively un-prunable
+    t_stats = {"c": [["t", "1996-01-01T00:00:00+00:00"],
+                     ["t", "1996-01-01T00:00:00+00:00"]]}
+    assert not _stats_prove_empty(
+        t_stats, [("c", "=", datetime.datetime(1997, 1, 1))]
+    )
+
+
+def test_stats_date_filter_on_date_stats_still_prunes():
+    from aws_dms_to_hudi_spark.storage import _stats_prove_empty
+
+    stats = {"c": [["d", "1996-01-01"], ["d", "1996-03-31"]]}
+    assert _stats_prove_empty(stats, [("c", "<", datetime.date(1996, 1, 1))])
+    assert not _stats_prove_empty(
+        stats, [("c", "<=", datetime.date(1996, 1, 1))]
+    )
+    assert _stats_prove_empty(stats, [("c", ">", datetime.date(1996, 3, 31))])
+
+
+# ------------------------------------------------ cdc dir version GC
+
+
+def test_clean_reclaims_cdc_before_image_dirs(spark, sf_smoke, tmp_path):
+    """clean() ages out *_cdcbefore dirs with their commits — before
+    the fix they were never reclaimed and grew without bound."""
+    t = _build(spark, sf_smoke, tmp_path, cdc_images=True)
+    cdc_dirs_before = sorted(
+        p.name for p in t.root.iterdir() if p.name.endswith("_cdcbefore")
+    )
+    assert len(cdc_dirs_before) >= 2  # upserts recorded before-images
+    removed = t.clean(retained_commits=1)
+    live = t.latest_commit()
+    cdc_dirs_after = sorted(
+        p.name for p in t.root.iterdir() if p.name.endswith("_cdcbefore")
+    )
+    # old before-image dirs are gone; the retained commit's (if any) stays
+    keep = {live.cdc_dir} if live.cdc_dir else set()
+    assert set(cdc_dirs_after) == keep
+    assert any(d.endswith("_cdcbefore") for d in removed)
