@@ -53,10 +53,29 @@ from aws_dms_to_hudi_spark.storage import CuratedTable
 DEC = "decimal(18,4)"
 
 
+_T_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return _events(spark, sf_dir)
-    return spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
+    """Base-table DataFrame, memoized per (session, corpus, table).
+
+    ``spark.read.parquet`` costs a driver-side file listing + footer
+    schema read (~0.1s) EVERY call; across a 247-query suite that
+    re-reads the same 10 immutable files hundreds of times, it was the
+    single largest slice of the per-query floor. The memoized DataFrame
+    is just the analyzed plan + file index — pennies of driver memory,
+    and safe because the test corpora never change within a process
+    (the same reason the tokhash/inverted-index views are
+    session-cached). Executor-side scan behavior is identical."""
+    key = (id(spark), sf_dir, name)
+    df = _T_CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(str(Path(sf_dir) / f"{name}.parquet"))
+        _T_CACHE[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1347,7 +1366,7 @@ def q73_two_stage_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     algebra."""
     from aws_dms_to_hudi_spark.operators.skew import two_stage_aggregate
 
-    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    ev = _t(spark, sf_dir, "events").select("event_type", "user_id")
     return (
         two_stage_aggregate(
             ev,
@@ -2563,7 +2582,7 @@ def q226_stream_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _REPLAY_LOCK:
         out = _PATTERN_CACHE.get(key)
         if out is None:
-            ev = _events(spark, sf_dir).select(
+            ev = _t(spark, sf_dir, "events").select(
                 "user_id", "event_id", "ts", "event_type"
             )
             cuts = ev.agg(
@@ -2656,7 +2675,7 @@ def q227_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
     The running max is the two-pass range-bucketed prefix max
     (operators/rank.global_running_max) — never a single-partition
     window; the oracle states the same prefix max as one window."""
-    ev = _events(spark, sf_dir).select(
+    ev = _t(spark, sf_dir, "events").select(
         "event_id", F.col("ts").cast("long").alias("epoch")
     )
     r = rank_ops.global_running_max(
@@ -3500,7 +3519,7 @@ def q127_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _REPLAY_LOCK:
         out = _STATEFUL_CACHE.get(key)
         if out is None:
-            ev = _events(spark, sf_dir).select(
+            ev = _t(spark, sf_dir, "events").select(
                 "event_type", "value", F.pmod("event_id", F.lit(4)).alias("b")
             )
             tmp = Path(tempfile.mkdtemp(prefix="stateful_"))
@@ -4716,7 +4735,7 @@ def q169_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _REPLAY_LOCK:
         out = _STREAM_STATIC_CACHE.get(key)
         if out is None:
-            ev = _events(spark, sf_dir).select(
+            ev = _t(spark, sf_dir, "events").select(
                 "event_id", "user_id", "value",
                 F.pmod("event_id", F.lit(4)).alias("b"),
             )
@@ -4798,7 +4817,7 @@ def q164_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _REPLAY_LOCK:
         out = _SESSION_STREAM_CACHE.get(key)
         if out is None:
-            ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+            ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
             lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
             span = (hi - lo) / 4
             tmp = Path(tempfile.mkdtemp(prefix="sessions_"))
@@ -5155,7 +5174,7 @@ def q135_redelivery_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _REPLAY_LOCK:
         out = _REDELIVERY_CACHE.get(key)
         if out is None:
-            ev = _events(spark, sf_dir).select(
+            ev = _t(spark, sf_dir, "events").select(
                 "event_id", "ts", "event_type",
                 F.pmod("event_id", F.lit(2)).alias("b"),
             )
@@ -5333,7 +5352,7 @@ def q132_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _REPLAY_LOCK:
         out = _SSJOIN_CACHE.get(key)
         if out is None:
-            ev = _events(spark, sf_dir).select(
+            ev = _t(spark, sf_dir, "events").select(
                 "event_id", "ts", "user_id", "event_type",
                 F.pmod("event_id", F.lit(4)).alias("b"),
             )
@@ -6182,7 +6201,7 @@ def q231_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _REPLAY_LOCK:
         out = _SSOUTER_CACHE.get(key)
         if out is None:
-            ev = _events(spark, sf_dir).select(
+            ev = _t(spark, sf_dir, "events").select(
                 "event_id", "ts", "user_id", "event_type"
             ).filter(F.col("event_type").isin("view", "purchase"))
             lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]

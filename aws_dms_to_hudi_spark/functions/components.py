@@ -626,13 +626,20 @@ edges AS {m}(
   SELECT DISTINCT a.pk AS u, b.pk AS v
   FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
 )"""
+    sym_body = """SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v AS src, u AS dst FROM edges"""
+    if dialect == "spark":
+        # One up-front hash distribution by dst; every round's aggregates
+        # then reuse it (see the shuffle-shape note below).
+        sym = (f"sym AS (SELECT src, dst FROM (\n  {sym_body}\n) "
+               "u DISTRIBUTE BY dst)")
+    else:
+        sym = f"sym AS {m}(\n  {sym_body}\n)"
     parts = [
         edges,
-        f"""sym AS {m}(
-  SELECT u AS src, v AS dst FROM edges
-  UNION ALL
-  SELECT v AS src, u AS dst FROM edges
-),
+        sym
+        + f""",
 l0 AS {m}(SELECT DISTINCT src AS node, src AS lbl FROM sym)""",
     ]
     # Plurality-then-min-label argmax WITHOUT a per-node window: encode
@@ -642,10 +649,22 @@ l0 AS {m}(SELECT DISTINCT src AS node, src AS lbl FROM sym)""",
     # any 32-bit id space and counts to 9.2e9 — both checked loudly by
     # the decode going negative, never silently). Two map-side-
     # combinable hash aggregates per round, zero windows.
+    #
+    # Spark shuffle shape: sym is DISTRIBUTE'd BY dst ONCE, and each
+    # round's label relation (O(nodes), tiny next to O(edges)) is
+    # broadcast into the join — a broadcast join preserves the probe
+    # side's partitioning, and HashPartitioning(dst) satisfies the
+    # clustering of BOTH per-round aggregates (GROUP BY dst,lbl and
+    # GROUP BY node=dst), so after the single up-front shuffle every
+    # round is shuffle-free: rounds cost map-side work only. At 100 TB
+    # the label relation outgrows broadcast; drop the hint and the plan
+    # degrades gracefully to one node-keyed shuffle join per round
+    # (the classic Pregel layout), never anything superlinear.
     M = 10**9
+    bcast = "/*+ BROADCAST(l) */ " if dialect == "spark" else ""
     for r in range(1, rounds + 1):
         parts.append(f"""cnt{r} AS {m}(
-  SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+  SELECT {bcast}e.dst AS node, l.lbl, COUNT(*) AS c
   FROM sym e JOIN l{r - 1} l ON e.src = l.node
   GROUP BY e.dst, l.lbl
 ),

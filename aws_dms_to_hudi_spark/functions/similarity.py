@@ -1214,7 +1214,7 @@ MATRYOSHKA_SUB_DIM = 16
 def matryoshka_audit_sql(
     dialect: str,
     table: str = "embeddings",
-    anchor_mod: int = 50,
+    n_anchors: int = HARD_NEG_ANCHORS,
     sub_dim: int = MATRYOSHKA_SUB_DIM,
 ) -> str:
     """Matryoshka / truncated-dimension retrieval audit (q240, Kusupati
@@ -1229,7 +1229,13 @@ def matryoshka_audit_sql(
     sub-dim dot is a prefix of the full fold — no second pass over the
     corpus); two row_numbers over the same scored relation pick the two
     winners. The same shared fold-form arithmetic as every scored stage,
-    bit-equal across engines, rounded only at the output edge."""
+    bit-equal across engines, rounded only at the output edge.
+
+    The anchor slice uses q235's corpus-size-derived modulus
+    (``vec_id % (n DIV n_anchors) = 0``) so the anchor COUNT stays
+    ~``n_anchors`` at every scale and the anchors x corpus work grows
+    LINEARLY — the fixed ``% 50`` rule this replaced grew anchors with
+    the corpus and made the audit quadratic (100x work at 10x data)."""
     full = _pair_cos("a.q_emb", "a.q_nrm", "e.embedding", "e.nrm", dialect)
     sub = (
         f"({P.dot('a.q_emb', 'e.embedding', sub_dim, dialect)}"
@@ -1242,10 +1248,16 @@ WITH n2 AS (
          {P.norm('embedding', sub_dim, dialect)} AS snrm
   FROM {table}
 ),
+amod AS (
+  SELECT CASE WHEN COUNT(*) >= {n_anchors}
+              THEN {P.int_div('COUNT(*)', str(n_anchors), dialect)}
+              ELSE CAST(1 AS BIGINT) END AS m
+  FROM n2
+),
 a AS (
   SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm,
          snrm AS q_snrm
-  FROM n2 WHERE vec_id % {anchor_mod} = 0
+  FROM n2 CROSS JOIN amod WHERE vec_id % amod.m = 0
 ),
 scored AS (
   SELECT /*+ BROADCAST(a) */ a.q_id, e.vec_id AS n_id,

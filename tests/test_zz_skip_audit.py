@@ -11,6 +11,12 @@ ALLOWED = (
     # Spark 4's transformWithStateInPandas Python side needs protobuf,
     # which this container lacks; the gated test activates the moment
     # the dependency exists (tests/test_streaming_windows.py).
+    # PERMANENTLY ENVIRONMENTAL for now (r6 audit): no protobuf wheel
+    # exists anywhere on disk, package installation is prohibited, and
+    # the dependency cannot be shimmed — the pb2 state-server protocol
+    # needs a wire-format-correct protobuf runtime, not a stub. The
+    # same CEP processor semantics ARE covered by the
+    # applyInPandasWithState test directly above the gated one.
     "transformWithStateInPandas requires protobuf",
     # rotation tripwire no-ops on a fresh clone with no driver output
     "no committed CORRECTNESS_r*.json yet",

@@ -118,6 +118,12 @@ PROBE_QUERIES = [
     "q238_lsh_recall_audit", "q239_write_audit_publish",
     "q242_novelty_curve", "q243_augment_dropout",
     "q244_exact_quota_sample",
+    # r6: the four gates the r5 probe skipped — q240 gets the
+    # corpus-derived anchor modulus verified at 10x (the fixed %50 rule
+    # it replaced probed quadratic), q241's incremental refresh must
+    # stay O(changes), q245/q246 are single-agg shapes
+    "q240_matryoshka_audit", "q241_incremental_topk",
+    "q245_benford_audit", "q246_classifier_kappa",
 ]
 
 VOW = "aeiou"
