@@ -6609,6 +6609,47 @@ def q246_classifier_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_text.nb_kappa_sql("spark", table=v, model=model))
 
 
+def q247_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract drift audit between snapshots (features.
+    snapshot_drift_sql): per-column profile deltas — row count, null
+    ppm, exact distinct cardinalities, mean cents — between the orders
+    fixture's natural time split, each with floor-ppm drift magnitude.
+    The contract-shift gate WAP (q239) runs beside the
+    distribution-shape gates (PSI/KS/Benford); six map-side-combinable
+    aggregates over two scans, six rows out at any corpus size."""
+    v = _view(spark, sf_dir, "orders", "q247")
+    return spark.sql(fn_feat.snapshot_drift_sql("spark", orders=v))
+
+
+def q248_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 of each doc vs its same-source predecessor (dedup.
+    rouge2_overlap_sql): clipped multiset-bigram precision/recall/F1 as
+    floor-ppm ints — the carried-over-boilerplate measure and the
+    near-dup threshold-tuning metric. Bigrams come off the shared
+    cached tokhash view; pair generation is lag() over (source,
+    doc_id) — O(N) pairs; at 100 TB pairs swap to the LSH candidate
+    index, scoring statement unchanged."""
+    v = _view(spark, sf_dir, "documents", "q248")
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(
+        fn_dedup.rouge2_overlap_sql("spark", table=v, th_table=th)
+    )
+
+
+def q249_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-frequent heavy hitters over the token stream (text.
+    heavy_hitters_sql): tokens above N/k total occurrences with ppm
+    frequency and deterministic rank — the exact ground truth for the
+    CM-sketch family (q173) and the boilerplate/stopword/BPE-vocab-floor
+    signal. One explode + one map-side-combinable aggregate + broadcast
+    scalar total; integer cross-compare threshold, output bounded at k
+    rows by construction."""
+    v = _view(spark, sf_dir, "documents", "q249")
+    return spark.sql(fn_text.heavy_hitters_sql("spark", table=v))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -6889,6 +6930,9 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q244_exact_quota_sample": q244_exact_quota_sample,
         "q245_benford_audit": q245_benford_audit,
         "q246_classifier_kappa": q246_classifier_kappa,
+        "q247_snapshot_drift": q247_snapshot_drift,
+        "q248_rouge_overlap": q248_rouge_overlap,
+        "q249_heavy_hitters": q249_heavy_hitters,
     }
 
 
@@ -7819,4 +7863,8 @@ def oracle_sql() -> dict[str, str]:
         "q244_exact_quota_sample": fn_sampling.exact_quota_sample_sql("duckdb"),
         "q245_benford_audit": fn_feat.benford_audit_sql("duckdb"),
         "q246_classifier_kappa": fn_text.nb_kappa_sql("duckdb"),
+        # --- r6 additions ---
+        "q247_snapshot_drift": fn_feat.snapshot_drift_sql("duckdb"),
+        "q248_rouge_overlap": fn_dedup.rouge2_overlap_sql("duckdb"),
+        "q249_heavy_hitters": fn_text.heavy_hitters_sql("duckdb"),
     }

@@ -1380,3 +1380,69 @@ SELECT p.b AS batch,
        CAST(floor(p.n_new * 1000000 / p.n_shingles) AS BIGINT) AS new_ppm
 FROM per p JOIN docs d ON p.b = d.b
 ORDER BY batch"""
+
+
+def rouge2_overlap_sql(
+    dialect: str, table: str = "documents", th_table: str | None = None
+) -> str:
+    """ROUGE-2 overlap between snapshot-adjacent documents (q248, Lin
+    2004): clipped-bigram precision / recall / F1 of each document
+    against its predecessor in the same source — the standard
+    quantitative answer to "how much of this page is boilerplate carried
+    over from the last crawl of this site", and the eval metric dedup
+    pipelines report when tuning near-dup thresholds (exact-match dedup
+    misses high-ROUGE partial copies; this measures what survived).
+
+    Semantics: multiset (clipped) bigram counts, exactly ROUGE-N —
+    per pair Σ_g min(c_doc(g), c_ref(g)) over bigram hashes g, with
+    recall = clip/Σc_ref, precision = clip/Σc_doc, F1 = 2·clip/(Σ+Σ).
+    All reported as floor-ppm integers; bigram hashes reuse the
+    shingle machinery's Horner form (h·A + h₊₁ mod P) off the shared
+    token-hash relation (``th_table`` = the cached tokhash view on the
+    Spark side, rebuilt inline by the oracle).
+
+    Scale shape: pair generation is a lag() window over (source,
+    doc_id) — O(N) pairs, never all-pairs; the clipped-overlap join is
+    keyed (pair, bigram-hash), so work is Σ shared bigrams per adjacent
+    pair. At 100 TB the pair source would swap to the candidate index
+    (LSH buckets / same-URL-key), leaving the scoring statement
+    unchanged — candidates in, clipped counts out."""
+    pairs = f"""pairs AS (
+  SELECT doc_id, lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+           AS ref_id
+  FROM {table}
+)"""
+    bigram = f"((h * {SH_A} + lead(h, 1) OVER w) % {P.HASH_P})"
+    return f"""
+WITH {th_cte(dialect, table, th_table)},
+bg AS (
+  SELECT doc_id, {bigram} AS g FROM th
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+bgc AS (
+  SELECT doc_id, g, COUNT(*) AS c FROM bg WHERE g IS NOT NULL
+  GROUP BY doc_id, g
+),
+tot AS (SELECT doc_id, SUM(c) AS t FROM bgc GROUP BY doc_id),
+{pairs},
+clip AS (
+  SELECT p.doc_id, p.ref_id, SUM(LEAST(a.c, b.c)) AS clipped
+  FROM pairs p
+  JOIN bgc a ON a.doc_id = p.doc_id
+  JOIN bgc b ON b.doc_id = p.ref_id AND b.g = a.g
+  GROUP BY p.doc_id, p.ref_id
+)
+SELECT p.doc_id, p.ref_id,
+       CAST(COALESCE(c.clipped, 0) AS BIGINT) AS clipped_bigrams,
+       CAST(floor(COALESCE(c.clipped, 0) * 1000000 / tr.t) AS BIGINT)
+         AS rouge2_recall_ppm,
+       CAST(floor(COALESCE(c.clipped, 0) * 1000000 / td.t) AS BIGINT)
+         AS rouge2_prec_ppm,
+       CAST(floor(COALESCE(c.clipped, 0) * 2000000 / (td.t + tr.t))
+         AS BIGINT) AS rouge2_f1_ppm
+FROM pairs p
+JOIN tot td ON td.doc_id = p.doc_id
+JOIN tot tr ON tr.doc_id = p.ref_id
+LEFT JOIN clip c ON c.doc_id = p.doc_id AND c.ref_id = p.ref_id
+WHERE p.ref_id IS NOT NULL
+ORDER BY p.doc_id"""

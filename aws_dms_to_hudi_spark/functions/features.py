@@ -376,3 +376,77 @@ SELECT h.d AS digit,
          AS benford_ppm
 FROM hist h CROSS JOIN tot t
 ORDER BY digit"""
+
+
+def snapshot_drift_sql(dialect: str, orders: str = "orders") -> str:
+    """Data-contract drift audit between two snapshots (q247): the
+    schema-governance gate a lakehouse runs before PUBLISHING a new
+    snapshot — per-column profile deltas (row count, null rate,
+    distinct cardinality, mean value) between the previous snapshot and
+    the candidate, each with a drift magnitude in ppm of the baseline.
+    Complements the distribution-shape gates (PSI q213-family, KS q232,
+    Benford q245): those detect value-distribution shift inside a
+    column, this one detects CONTRACT shift — a column going sparse, a
+    categorical domain collapsing, a volume cliff — the failure classes
+    write-audit-publish (q239) wants vetoed before the metadata flip.
+
+    Snapshots here are the natural time split of the fixture (orders
+    before/after 1996-01-01); in the engine the two sides would be
+    ``read(version=prev)`` vs ``read_staged(...)`` over the same
+    manifest overlay WAP audits.
+
+    Exactness: every profile stat is an integer (counts, cent-sums,
+    exact COUNT(DISTINCT)); drift_ppm is the pinned
+    floor(1e6·|late−early| / early) pattern, NULL when the baseline is
+    zero (no drift direction to report). One scan per side, six
+    map-side-combinable aggregates, six output rows on any corpus —
+    the 100 TB cost is the two scans WAP already pays."""
+    return f"""
+WITH e AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_tp,
+         COUNT(DISTINCT o_custkey) AS d_cust,
+         COUNT(DISTINCT o_orderstatus) AS d_status,
+         COUNT(DISTINCT o_orderpriority) AS d_prio,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM {orders} WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+),
+l AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_tp,
+         COUNT(DISTINCT o_custkey) AS d_cust,
+         COUNT(DISTINCT o_orderstatus) AS d_status,
+         COUNT(DISTINCT o_orderpriority) AS d_prio,
+         SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM {orders} WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+),
+m AS (
+  SELECT 'n_rows' AS metric, e.n_rows AS early_v, l.n_rows AS late_v
+  FROM e CROSS JOIN l
+  UNION ALL
+  SELECT 'null_ppm_totalprice',
+         CAST(floor(e.null_tp * 1000000 / e.n_rows) AS BIGINT),
+         CAST(floor(l.null_tp * 1000000 / l.n_rows) AS BIGINT)
+  FROM e CROSS JOIN l
+  UNION ALL
+  SELECT 'distinct_custkey', e.d_cust, l.d_cust FROM e CROSS JOIN l
+  UNION ALL
+  SELECT 'distinct_orderstatus', e.d_status, l.d_status
+  FROM e CROSS JOIN l
+  UNION ALL
+  SELECT 'distinct_orderpriority', e.d_prio, l.d_prio
+  FROM e CROSS JOIN l
+  UNION ALL
+  SELECT 'mean_cents',
+         CAST(floor(e.cents / e.n_rows) AS BIGINT),
+         CAST(floor(l.cents / l.n_rows) AS BIGINT)
+  FROM e CROSS JOIN l
+)
+SELECT metric,
+       CAST(early_v AS BIGINT) AS early_v,
+       CAST(late_v AS BIGINT) AS late_v,
+       CASE WHEN early_v > 0 THEN CAST(floor(
+              abs(late_v - early_v) * 1000000 / early_v) AS BIGINT)
+            ELSE CAST(NULL AS BIGINT) END AS drift_ppm
+FROM m
+ORDER BY metric"""

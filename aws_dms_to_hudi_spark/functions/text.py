@@ -620,3 +620,43 @@ SELECT t.n AS n_docs,
        CAST(floor((d.d * t.n - pe.pn) * 1000000 / (t.n * t.n - pe.pn))
             AS BIGINT) AS kappa_ppm
 FROM tot t CROSS JOIN diag d CROSS JOIN pe"""
+
+
+HH_K = 2000  # phi = 1/K: report tokens above 0.05% of the token stream
+
+
+def heavy_hitters_sql(dialect: str, table: str = "documents",
+                      k: int = HH_K) -> str:
+    """Exact phi-frequent heavy hitters over the token stream (q249):
+    every token whose TOTAL occurrence count exceeds N/k of the corpus
+    token stream, with frequency in ppm and a deterministic rank — the
+    exact ground truth the bounded-memory sketches (Misra–Gries /
+    SpaceSaving, and this repo's CM sketch q173) approximate, and the
+    pipeline signal for boilerplate phrases, stopword lists, and
+    tokenizer-vocabulary floors (a BPE vocab should cover every heavy
+    hitter; q184's trainer asserts against exactly this relation).
+
+    Distinct from q35 (document frequency, top-n by docs containing):
+    heavy hitters weigh REPEATS — navigation boilerplate repeated 50x
+    per page dominates this relation long before it tops doc-frequency.
+
+    Shape: one explode + one map-side-combinable (token, count)
+    aggregate + a broadcast scalar total; threshold selection is an
+    integer cross-compare (cnt·k > N, no division). Output is bounded
+    by construction: at most k rows can exceed N/k. Linear at 100 TB
+    — the same single-shuffle profile as a word count."""
+    unnest = ("unnest" if dialect == "duckdb" else "explode")
+    return f"""
+WITH toks AS (
+  SELECT {unnest}({P.tokens('text', dialect)}) AS token FROM {table}
+),
+cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT SUM(c) AS n FROM cnt)
+SELECT c.token,
+       CAST(c.c AS BIGINT) AS occurrences,
+       CAST(floor(c.c * 1000000 / t.n) AS BIGINT) AS freq_ppm,
+       CAST(row_number() OVER (ORDER BY c.c DESC, c.token) AS BIGINT)
+         AS hh_rank
+FROM cnt c CROSS JOIN tot t
+WHERE c.c * {k} > t.n
+ORDER BY hh_rank"""

@@ -109,6 +109,8 @@ SMALL_OUTPUT = {
     "q244_exact_quota_sample",
     "q245_benford_audit",
     "q246_classifier_kappa",
+    "q247_snapshot_drift",
+    "q249_heavy_hitters",
 }
 
 
