@@ -108,9 +108,11 @@ def connected_components_star(
     and small-star's ``min of smaller neighbors`` read directly off the
     orientation. Fixed point = the edge set is a union of stars rooted
     at each component's minimum, detected by an (edge count, order-
-    independent hash checksum) pair going stable; every round is
-    materialized (reliable checkpoint when a checkpoint dir is set) to
-    truncate the iterative lineage."""
+    independent hash checksum) pair going stable; rounds run in FUSED
+    PAIRS — two star rounds chain lazily into one materialize (reliable
+    checkpoint when a checkpoint dir is set) + one signature action, so
+    the per-round job floor is paid half as often; post-fixed-point
+    rounds are exact no-ops, so pair-grain detection is safe."""
     e = materialize(
         edges.select(
             F.greatest(F.col(src), F.col(dst)).alias("u"),
@@ -131,8 +133,7 @@ def connected_components_star(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    sig = _signature(e)
-    for _ in range(max_iter):
+    def _round(e: DataFrame) -> DataFrame:
         # large-star: every node connects its larger neighbors to the
         # minimum of its closed neighborhood. Output (v, m) has v > m.
         und = e.select("u", "v").union(
@@ -152,12 +153,24 @@ def connected_components_star(
         # itself) to the minimum among them. Orientation is preserved.
         smins = e.groupBy("u").agg(F.min("v").alias("m"))
         joined = e.join(smins, "u")
-        e = materialize(
+        return (
             joined.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smins.select("u", F.col("m").alias("v")))
             .distinct()
         )
+
+    sig = _signature(e)
+    for _ in range(max_iter):
+        # TWO rounds per materialize/signature (round fusion): the star
+        # operations chain lazily, so pairing halves the action count —
+        # one checkpoint + one signature agg per pair instead of per
+        # round. Extra rounds past the fixed point are exact no-ops
+        # (a union-of-stars maps to itself under both stars), so
+        # detecting convergence one round late never changes the
+        # result, only costs one cheap no-op pass over the final
+        # star set.
+        e = materialize(_round(_round(e)))
         new_sig = _signature(e)
         if new_sig == sig:
             # stars: every non-root has exactly one edge to its root.
@@ -172,7 +185,8 @@ def connected_components_star(
         sig = new_sig
     raise RuntimeError(
         f"connected_components_star did not converge in {max_iter} "
-        "rounds — far beyond the O(log n) bound; graph input is suspect"
+        "round pairs — far beyond the O(log n) bound; graph input is "
+        "suspect"
     )
 
 
