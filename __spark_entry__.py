@@ -6650,6 +6650,43 @@ def q249_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_text.heavy_hitters_sql("spark", table=v))
 
 
+def q250_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length sizing curve (text.padding_waste_sql): per
+    candidate max_len, docs-truncated / tokens-lost / padding-overhead
+    ppm — pricing the max_len choice q83's packer takes as given. One
+    token-length scan crossed with a 4-row VALUES list; word-count
+    shape, linear at 100 TB."""
+    v = _view(spark, sf_dir, "documents", "q250")
+    return spark.sql(fn_text.padding_waste_sql("spark", table=v))
+
+
+def q251_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup operating curve (dedup.dedup_threshold_curve_sql): pair
+    count + greedy-removal doc count at each candidate Jaccard
+    threshold, off ONE inverted-index co-occurrence pass at the loosest
+    threshold (the q19 index join paid once, thresholds as conditional
+    aggregates over the small pairs relation). The corpus-specific
+    answer to 'what does each threshold delete'."""
+    v = _view(spark, sf_dir, "documents", "q251")
+    inv = fn_dedup.inv_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(
+        fn_dedup.dedup_threshold_curve_sql("spark", table=v, inv_tables=inv)
+    )
+
+
+def q252_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health audit (similarity.
+    embedding_quality_sql): mean/variance per coordinate + a
+    collapsed-dimension flag (variance under 1% of the cross-dim
+    average) — the degeneracy screen run before trusting an embedding
+    column for dedup/ANN. Exact DECIMAL(38,0) integer sums; one explode
+    + one per-dim aggregate, DIM rows out at any corpus size."""
+    v = _view(spark, sf_dir, "embeddings", "q252")
+    return spark.sql(fn_sim.embedding_quality_sql("spark", table=v))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -6933,6 +6970,9 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q247_snapshot_drift": q247_snapshot_drift,
         "q248_rouge_overlap": q248_rouge_overlap,
         "q249_heavy_hitters": q249_heavy_hitters,
+        "q250_padding_waste": q250_padding_waste,
+        "q251_dedup_threshold_curve": q251_dedup_threshold_curve,
+        "q252_embedding_quality": q252_embedding_quality,
     }
 
 
@@ -7867,4 +7907,8 @@ def oracle_sql() -> dict[str, str]:
         "q247_snapshot_drift": fn_feat.snapshot_drift_sql("duckdb"),
         "q248_rouge_overlap": fn_dedup.rouge2_overlap_sql("duckdb"),
         "q249_heavy_hitters": fn_text.heavy_hitters_sql("duckdb"),
+        "q250_padding_waste": fn_text.padding_waste_sql("duckdb"),
+        "q251_dedup_threshold_curve":
+            fn_dedup.dedup_threshold_curve_sql("duckdb"),
+        "q252_embedding_quality": fn_sim.embedding_quality_sql("duckdb"),
     }

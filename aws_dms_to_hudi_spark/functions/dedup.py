@@ -1446,3 +1446,57 @@ JOIN tot tr ON tr.doc_id = p.ref_id
 LEFT JOIN clip c ON c.doc_id = p.doc_id AND c.ref_id = p.ref_id
 WHERE p.ref_id IS NOT NULL
 ORDER BY p.doc_id"""
+
+
+DEDUP_CURVE_T = (30, 40, 50, 60, 70)  # Jaccard thresholds, percent
+
+
+def dedup_threshold_curve_sql(
+    dialect: str,
+    table: str = "documents",
+    max_df: int | None = None,
+    th_table: str | None = None,
+    inv_tables: tuple[str, str] | None = None,
+) -> str:
+    """Dedup operating curve (q251): pair count and greedy-removal doc
+    count at each candidate Jaccard threshold — the measurement that
+    turns "pick 0.5 because the paper did" into a corpus-specific
+    operating point (how much of MY data does each threshold delete?).
+    Run before committing a threshold to the q19/q20 production pass;
+    the removal rule mirrors q19-family greedy keep-lowest-id (a doc is
+    removed iff it is the HIGHER id of some at-or-above-threshold pair).
+
+    One inverted-index co-occurrence pass at the LOOSEST candidate
+    threshold, then every threshold evaluates as a conditional
+    aggregate over the same (small) pairs relation crossed with a
+    5-row thresholds VALUES list — the index join is paid once, not
+    per threshold. Jaccard is one int/int division in DOUBLE, so the
+    >= comparisons are bit-identical across engines (the q19
+    contract). Scale: identical to q19 plus a 5x fan-out of the
+    PAIRS relation only (pairs << corpus by construction)."""
+    base = min(DEDUP_CURVE_T) / 100
+    vals = ", ".join(f"({t})" for t in DEDUP_CURVE_T)
+    return f"""
+WITH {_inv_cte(dialect, table, max_df, th_table, inv_tables)},
+co AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT co.doc_a, co.doc_b, {_JACCARD} AS jaccard
+  FROM co
+  JOIN sizes sa ON co.doc_a = sa.doc_id
+  JOIN sizes sb ON co.doc_b = sb.doc_id
+  WHERE {_JACCARD_PRED} >= {base}
+),
+ts(tp) AS (VALUES {vals})
+SELECT CAST(ts.tp AS BIGINT) AS threshold_pct,
+       CAST(SUM(CASE WHEN p.jaccard >= ts.tp / 100.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT CASE WHEN p.jaccard >= ts.tp / 100.0
+                                THEN p.doc_b END) AS BIGINT)
+         AS n_docs_removed
+FROM pairs p CROSS JOIN ts
+GROUP BY ts.tp
+ORDER BY threshold_pct"""

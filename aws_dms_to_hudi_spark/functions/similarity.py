@@ -1284,3 +1284,49 @@ SELECT q_id,
 FROM r WHERE rf = 1 OR rs = 1
 GROUP BY q_id
 ORDER BY q_id"""
+
+
+def embedding_quality_sql(dialect: str, table: str = "embeddings") -> str:
+    """Per-dimension embedding health audit (q252): mean, variance, and
+    a collapsed-dimension flag for every coordinate — the degeneracy
+    screen run before trusting an embedding column for dedup/ANN
+    (dimensional collapse shows up as near-zero variance dims; a
+    whitening/retrain signal long before recall audits q170/q238 go
+    red). Flag rule: variance below 1% of the cross-dim average — a
+    relative bar, so the audit is insensitive to the embedding's
+    global scale.
+
+    Exactness: coordinates enter as the same 1e7-scaled int64 the
+    centroid family uses; sums and sum-of-squares accumulate in
+    DECIMAL(38,0) (exact, order-independent; int64 would overflow at
+    ~2e4 vectors x (3e7)^2 products). Variance = (n·Σx² − (Σx)²)/n²
+    evaluates on those exact integers, divides once in DOUBLE, and
+    rounds at the edge, so both engines agree bit-for-bit. One explode
+    + one per-dim aggregate + a broadcast scalar average — linear,
+    map-side-combinable, DIM rows out at any corpus size."""
+    dec = "DECIMAL(38,0)"
+    return f"""
+WITH iv AS ({_emb_rows(dialect, table)}),
+d AS (
+  SELECT dim, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS {dec})) AS {dec}) AS sx,
+         CAST(SUM(CAST(x AS {dec}) * x) AS {dec}) AS sxx
+  FROM iv GROUP BY dim
+),
+v AS (
+  SELECT dim, n,
+         CAST(sx AS DOUBLE) / n / {CENTROID_SCALE} AS mean_x,
+         (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / (CAST(n AS DOUBLE) * n)
+           / ({CENTROID_SCALE} * 1.0 * {CENTROID_SCALE}) AS var_x
+  FROM d
+),
+g AS (SELECT SUM(var_x) / COUNT(*) AS avg_var FROM v)
+SELECT v.dim,
+       round(v.mean_x, 6) AS mean_x,
+       round(v.var_x, 6) AS var_x,
+       CAST(CASE WHEN v.var_x * 100.0 < g.avg_var THEN 1 ELSE 0 END
+            AS BIGINT) AS collapsed
+FROM v CROSS JOIN g
+ORDER BY v.dim"""

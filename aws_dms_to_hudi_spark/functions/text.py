@@ -660,3 +660,42 @@ SELECT c.token,
 FROM cnt c CROSS JOIN tot t
 WHERE c.c * {k} > t.n
 ORDER BY hh_rank"""
+
+
+PACK_LENGTHS = (128, 256, 512, 1024)  # candidate context lengths
+
+
+def padding_waste_sql(dialect: str, table: str = "documents",
+                      lengths: tuple = PACK_LENGTHS) -> str:
+    """Context-length sizing curve (q250): for each candidate sequence
+    length L, the three costs a training-batch builder trades off —
+    share of docs truncated, share of corpus tokens lost to
+    truncation, and padding overhead when each doc pads to L — the
+    measurement behind "pick max_len = 512": too short loses text,
+    too long burns compute on pad tokens. Complements q83's packer
+    (which packs a CHOSEN length) by pricing the choice itself.
+
+    One token-length scan crossed with the 4-row lengths VALUES list;
+    all three ppm stats are integer-sum ratios under the pinned
+    floor(double/double) edge. Scale: a projection + one 4-group
+    aggregate — word-count shape, linear at 100 TB."""
+    card = "len" if dialect == "duckdb" else "size"
+    vals = ", ".join(f"({n})" for n in lengths)
+    return f"""
+WITH lens AS (
+  SELECT CAST({card}({P.tokens('text', dialect)}) AS BIGINT) AS n
+  FROM {table}
+),
+ls(l) AS (VALUES {vals})
+SELECT CAST(ls.l AS BIGINT) AS max_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(floor(SUM(CASE WHEN lens.n > ls.l THEN 1 ELSE 0 END)
+                  * 1000000 / COUNT(*)) AS BIGINT) AS docs_truncated_ppm,
+       CAST(floor((SUM(lens.n) - SUM(LEAST(lens.n, ls.l)))
+                  * 1000000 / SUM(lens.n)) AS BIGINT) AS tokens_lost_ppm,
+       CAST(floor(SUM(ls.l - LEAST(lens.n, ls.l))
+                  * 1000000 / (COUNT(*) * ls.l)) AS BIGINT)
+         AS padding_ppm
+FROM lens CROSS JOIN ls
+GROUP BY ls.l
+ORDER BY max_len"""

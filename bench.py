@@ -111,6 +111,9 @@ SMALL_OUTPUT = {
     "q246_classifier_kappa",
     "q247_snapshot_drift",
     "q249_heavy_hitters",
+    "q250_padding_waste",
+    "q251_dedup_threshold_curve",
+    "q252_embedding_quality",
 }
 
 

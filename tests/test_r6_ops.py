@@ -96,3 +96,75 @@ def test_heavy_hitters_exact_threshold_excluded(spark):
         ("c", 9, 450_000, 1),
         ("a", 6, 300_000, 2),
     ]
+
+
+def test_padding_waste_hand_fixture(spark):
+    """Two docs of 3 and 6 tokens at L=4: doc2 truncated (1 of 2 docs
+    -> 500000 ppm), tokens lost = (3+6) - (3+4) = 2 of 9, padding =
+    (4-3)+(4-4) = 1 of 8 slots."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e f")], "doc_id long, text string"
+    )
+    df.createOrReplaceTempView("__r6_pad")
+    rows = {
+        r["max_len"]: r.asDict()
+        for r in spark.sql(
+            fn_text.padding_waste_sql(
+                "spark", table="__r6_pad", lengths=(4, 8)
+            )
+        ).collect()
+    }
+    l4 = rows[4]
+    assert l4["n_docs"] == 2
+    assert l4["docs_truncated_ppm"] == 500_000
+    assert l4["tokens_lost_ppm"] == 222_222       # floor(2e6/9)
+    assert l4["padding_ppm"] == 125_000           # 1/8
+    l8 = rows[8]
+    assert l8["docs_truncated_ppm"] == 0
+    assert l8["tokens_lost_ppm"] == 0
+    assert l8["padding_ppm"] == 437_500           # (5+2)/16
+
+
+def test_dedup_threshold_curve_monotone_and_matches_q19(spark, sf_correct):
+    """Curve counts are non-increasing in the threshold, and the 50%
+    row equals the q19 pair count on the same corpus."""
+    spark.read.parquet(f"{sf_correct}/documents.parquet") \
+        .createOrReplaceTempView("__r6_curve_docs")
+    curve = spark.sql(
+        fn_dedup.dedup_threshold_curve_sql("spark", table="__r6_curve_docs")
+    ).collect()
+    by_t = {r["threshold_pct"]: r for r in curve}
+    ts = sorted(by_t)
+    for a, b in zip(ts, ts[1:]):
+        assert by_t[a]["n_pairs"] >= by_t[b]["n_pairs"]
+        assert by_t[a]["n_docs_removed"] >= by_t[b]["n_docs_removed"]
+    q19_pairs = spark.sql(
+        fn_dedup.ngram_jaccard_sql("spark", table="__r6_curve_docs",
+                                   threshold=0.5)
+    ).count()
+    assert by_t[50]["n_pairs"] == q19_pairs
+
+
+def test_embedding_quality_flags_collapsed_dim(spark):
+    """Four 3-dim vectors where dim 1 is constant (variance 0) while
+    dims 0 and 2 vary: only dim 1 is flagged; means are exact."""
+    from aws_dms_to_hudi_spark.functions import similarity as fn_sim
+
+    rows = [
+        (0, 0, [1.0, 5.0, -2.0]),
+        (1, 0, [2.0, 5.0, 2.0]),
+        (2, 1, [3.0, 5.0, -2.0]),
+        (3, 1, [4.0, 5.0, 2.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label long, embedding array<double>"
+    )
+    df.createOrReplaceTempView("__r6_emb")
+    got = {r["dim"]: r.asDict() for r in spark.sql(
+        fn_sim.embedding_quality_sql("spark", table="__r6_emb")
+    ).collect()}
+    assert [got[d]["collapsed"] for d in (0, 1, 2)] == [0, 1, 0]
+    assert got[0]["mean_x"] == 2.5
+    assert got[1]["mean_x"] == 5.0 and got[1]["var_x"] == 0.0
+    assert got[0]["var_x"] == 1.25   # population variance
+    assert got[2]["var_x"] == 4.0
