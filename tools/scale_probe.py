@@ -124,6 +124,13 @@ PROBE_QUERIES = [
     # stay O(changes), q245/q246 are single-agg shapes
     "q240_matryoshka_audit", "q241_incremental_topk",
     "q245_benford_audit", "q246_classifier_kappa",
+    # r6 batch 2: ROUGE-2 pair scoring (lag-window pairs x bigram
+    # join — the heaviest new shape), threshold curve (one index pass,
+    # 5x pairs-relation fan-out only), embedding per-dim audit
+    # (explode + one aggregate), length curve, heavy hitters, drift
+    "q248_rouge_overlap", "q250_padding_waste",
+    "q251_dedup_threshold_curve", "q252_embedding_quality",
+    "q249_heavy_hitters", "q247_snapshot_drift",
 ]
 
 VOW = "aeiou"
