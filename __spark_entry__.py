@@ -6650,6 +6650,67 @@ def q249_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_text.heavy_hitters_sql("spark", table=v))
 
 
+_DV_CACHE: dict = {}
+
+
+def q253_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion vectors through the real storage path (storage.py
+    delete_keys — Delta Lake DV analog): orders is bulk-loaded
+    partitioned by year, a key set is deleted WITHOUT rewriting any
+    data file (O(deleted) sidecar + unchanged manifest data map), then
+    an upsert re-inserts half the deleted keys at a bumped price — the
+    rewrite gives those partitions new dirs, the old vectors go inert,
+    and re-inserted keys resurrect while never-reinserted deleted keys
+    stay gone (the rewrite merges the DV-applied existing state).
+    Survivors must equal the oracle's complement-plus-reinserts."""
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        table = _DV_CACHE.get(key)
+        if table is None or not table.root.exists():
+            cfg = TableConfig(
+                name="dv_orders",
+                record_key=["o_orderkey"],
+                source_ordering_field="trx_seq",
+                is_partitioned=True,
+                partition_path="o_year",
+                deletion_vectors=True,
+            )
+            tmp = tempfile.mkdtemp(prefix="dvtab_")
+            table = CuratedTable(spark, Path(tmp) / "orders", cfg)
+            base = (
+                _t(spark, sf_dir, "orders")
+                .withColumn("trx_seq", F.lit("00000000"))
+                .withColumn("o_year", F.year("o_orderdate").cast("int"))
+            )
+            table.bulk_insert(base)
+            table.delete_keys(
+                base.filter(F.col("o_orderkey") % 13 == 3)
+                .select("o_orderkey")
+            )
+            resurrect = (
+                base.filter(F.col("o_orderkey") % 26 == 3)
+                .withColumn("trx_seq", F.lit("00000001"))
+                .withColumn(
+                    "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+                )
+            )
+            table.upsert(resurrect)
+            _DV_CACHE[key] = table
+    return table.read().select(*_ORDER_COLS).orderBy("o_orderkey")
+
+
+def _deletion_vector_oracle_sql() -> str:
+    cols = ", ".join(_ORDER_COLS)
+    res_cols = cols.replace(
+        "o_totalprice", "o_totalprice + 1.0 AS o_totalprice"
+    )
+    return f"""
+SELECT {cols} FROM orders WHERE o_orderkey % 13 <> 3
+UNION ALL
+SELECT {res_cols} FROM orders WHERE o_orderkey % 26 = 3
+ORDER BY o_orderkey"""
+
+
 def q250_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-length sizing curve (text.padding_waste_sql): per
     candidate max_len, docs-truncated / tokens-lost / padding-overhead
@@ -6973,6 +7034,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q250_padding_waste": q250_padding_waste,
         "q251_dedup_threshold_curve": q251_dedup_threshold_curve,
         "q252_embedding_quality": q252_embedding_quality,
+        "q253_deletion_vectors": q253_deletion_vectors,
     }
 
 
@@ -7911,4 +7973,5 @@ def oracle_sql() -> dict[str, str]:
         "q251_dedup_threshold_curve":
             fn_dedup.dedup_threshold_curve_sql("duckdb"),
         "q252_embedding_quality": fn_sim.embedding_quality_sql("duckdb"),
+        "q253_deletion_vectors": _deletion_vector_oracle_sql(),
     }

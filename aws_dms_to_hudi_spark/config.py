@@ -92,6 +92,18 @@ class TableConfig:
     # garbage (operators/quarantine.py; the reference's only answer is
     # the Step Function catch-all failure path, emr1.json:124-130).
     quarantine_bad_rows: bool = False
+    # Deletion vectors (beyond-reference; Delta Lake DV analog): deletes
+    # write an O(deleted keys) sidecar of (record key, targeted data
+    # dir) pairs instead of rewriting row files; readers anti-join the
+    # sidecar, and an entry stays effective only while the manifest
+    # still maps its partition to the targeted dir — any rewrite of the
+    # dir (upsert, clustering, insert_overwrite) makes the entry inert,
+    # so re-inserted keys resurrect naturally. Clustering materializes
+    # the deletes and clears the vectors. COW only (a MOR delta already
+    # IS the cheap-delete path); exclusive with record_index and
+    # cdc_images (both would need DV-aware maintenance hooks — use
+    # delete_where, the rewrite-path delete, with those).
+    deletion_vectors: bool = False
 
     def __post_init__(self) -> None:
         if not self.record_key:
@@ -128,6 +140,19 @@ class TableConfig:
                 "(MOR defers the merge, so before-images are unknown at "
                 "write time)"
             )
+        if self.deletion_vectors:
+            if self.table_type != COPY_ON_WRITE:
+                raise ValueError(
+                    f"table {self.name}: deletion_vectors requires "
+                    "COPY_ON_WRITE (a MOR delta already is the "
+                    "cheap-delete path)"
+                )
+            if self.record_index or self.cdc_images:
+                raise ValueError(
+                    f"table {self.name}: deletion_vectors is exclusive "
+                    "with record_index/cdc_images — those need DV-aware "
+                    "maintenance; use delete_where with them"
+                )
 
     @property
     def is_complex_key(self) -> bool:

@@ -93,6 +93,12 @@ class Commit:
     # tables): the stored pre-state of exactly the keys this commit
     # changed. None for commits that changed nothing / non-CDC tables.
     cdc_dir: str | None = None
+    # Active deletion-vector dirs (Delta DV analog): each holds
+    # (record key cols, _dv_rel) rows; an entry is effective only while
+    # ``data`` still maps its partition to exactly ``_dv_rel``, so any
+    # dir rewrite makes it inert. Clustering clears the list (deletes
+    # materialize into the rewritten snapshot).
+    dv: list[str] = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -107,6 +113,7 @@ class Commit:
                 "key_bounds": self.key_bounds,
                 "col_stats": self.col_stats,
                 "cdc_dir": self.cdc_dir,
+                "dv": self.dv,
             },
             indent=1,
         )
@@ -125,6 +132,7 @@ class Commit:
             key_bounds=d.get("key_bounds"),
             col_stats=d.get("col_stats"),
             cdc_dir=d.get("cdc_dir"),
+            dv=d.get("dv", []),
         )
 
 
@@ -468,6 +476,10 @@ class CuratedTable:
                 self.config.record_key,
                 self.config.source_ordering_field,
             )
+        # deletion vectors apply per the COMMIT being read (time travel
+        # sees each version's own vector set), before layout cols drop
+        # (the dir-key expr may need them)
+        base = self._apply_dv(commit, base)
         if base is not None and (
             self.config.num_buckets or self.config.key_range_groups
         ):
@@ -690,6 +702,8 @@ class CuratedTable:
                 if k in prev_dirs
             ]
             existing = self._read_dirs(touched_rels) if touched_rels else None
+            existing = self._apply_dv(prev, existing)  # deleted rows must
+            # not re-merge back from the old dir (DV tables only)
             cdcdir = None
             if cfg.cdc_images:
                 cdcdir = f"{vdir}_cdcbefore"
@@ -710,7 +724,9 @@ class CuratedTable:
                 new_data.pop(_pdir(pcol, v), None)
             new_data.update(self._scan_partition_dirs(vdir))
         else:
-            existing = self._read_dirs(list(prev.data.values()))
+            existing = self._apply_dv(
+                prev, self._read_dirs(list(prev.data.values()))
+            )
             cdcdir = None
             if cfg.cdc_images:
                 cdcdir = f"{vdir}_cdcbefore"
@@ -733,8 +749,107 @@ class CuratedTable:
             key_bounds=self._commit_key_bounds(),
             col_stats=self._assemble_stats(prev, new_data, vdir),
             cdc_dir=cdcdir,
+            dv=list(prev.dv),
         )
         self._update_record_index(batch)
+        self._write_commit(commit)
+        return commit
+
+    # ---------- deletion vectors (Delta Lake DV analog) ----------
+
+    def _dv_key_cond(self, rows, dvd):
+        cond = rows["_cur_rel"] == dvd["_dv_rel"]
+        for k in self.config.record_key:
+            cond = cond & (rows[k] == dvd[k])
+        return cond
+
+    def _dir_map_df(self, commit: Commit):
+        return self.spark.createDataFrame(
+            [(k, rel) for k, rel in commit.data.items()],
+            f"{DIR_KEY_COL} string, _cur_rel string",
+        )
+
+    def _dir_key_expr(self):
+        pcol = self._pcol
+        if pcol is None:
+            return F.lit("")
+        return F.concat(F.lit(f"{pcol}="), F.col(pcol).cast("string"))
+
+    def _apply_dv(self, commit: Commit, df: DataFrame | None):
+        """Anti-join a snapshot against the commit's active deletion
+        vectors. An entry kills a key only while the manifest still maps
+        the key's partition to exactly the dir the entry targeted
+        (``_dv_rel``) — a rewritten dir has a new rel path, so stale
+        entries are inert and a re-inserted key resurrects. Cost: one
+        anti-join keyed (record key, rel dir), O(deleted keys) build
+        side; the dir mapping is a broadcast of the manifest."""
+        if df is None or not commit.dv:
+            return df
+        dvd = self._read_dirs(commit.dv)
+        if dvd is None:
+            return df
+        rows = df.withColumn(DIR_KEY_COL, self._dir_key_expr()).join(
+            F.broadcast(self._dir_map_df(commit)), DIR_KEY_COL
+        )
+        return rows.join(
+            dvd,
+            self._dv_key_cond(rows, dvd),
+            "left_anti",
+        ).drop(DIR_KEY_COL, "_cur_rel")
+
+    def delete_keys(
+        self, keys: DataFrame, checkpoint: dict[str, Any] | None = None
+    ) -> Commit:
+        """Row-level delete WITHOUT rewriting data files (Delta Lake
+        deletion-vector analog; contrast :meth:`delete_where`, the
+        rewrite-path delete): persists an O(deleted keys) sidecar of
+        (record key, targeted data dir) pairs and a manifest whose
+        ``data`` map is UNCHANGED — readers anti-join the sidecar.
+        The targeted dir is resolved through the live snapshot, so
+        entries self-invalidate when any later write rewrites the dir
+        (the re-inserted key resurrects with the new row, exactly the
+        Delta semantics). Clustering materializes outstanding deletes
+        and clears the vectors.
+
+        Emits NO changelog (like restore): downstream incremental
+        consumers don't see DV deletes — pipelines that feed IVM or CDC
+        readers should use :meth:`delete_where`, which pays the rewrite
+        and emits real retractions. Cost at 100 TB: one snapshot
+        semi-join (partition-pruned by the keys' dirs via the final
+        join) + an O(deleted) sidecar write; zero row-file rewrite."""
+        cfg = self.config
+        if not cfg.deletion_vectors:
+            raise ValueError(f"{cfg.name}: deletion_vectors not enabled")
+        prev = self.latest_commit()
+        if prev is None:
+            raise ValueError(f"{cfg.name}: nothing committed yet")
+        version = self._next_version()
+        dvdir = f"v{version:08d}_dv"
+        kcols = list(cfg.record_key)
+        snap = self._read_dirs(list(prev.data.values()))
+        snap = self._apply_dv(prev, snap)  # already-deleted keys: no dup
+        doomed = (
+            snap.join(
+                F.broadcast(keys.select(*kcols).distinct()), kcols, "left_semi"
+            )
+            .withColumn(DIR_KEY_COL, self._dir_key_expr())
+            .join(F.broadcast(self._dir_map_df(prev)), DIR_KEY_COL)
+            .select(*kcols, F.col("_cur_rel").alias("_dv_rel"))
+            .distinct()
+        )
+        doomed.write.mode("overwrite").parquet(str(self.root / dvdir))
+        commit = Commit(
+            version=version,
+            operation="delete_vector",
+            data=dict(prev.data),
+            deltas=list(prev.deltas),
+            checkpoint=checkpoint or dict(prev.checkpoint),
+            parent=prev.version,
+            changelog=[],
+            key_bounds=self._commit_key_bounds(),
+            col_stats=prev.col_stats,
+            dv=[*prev.dv, dvdir],
+        )
         self._write_commit(commit)
         return commit
 
@@ -843,6 +958,7 @@ class CuratedTable:
             changelog=list(fresh.values()),
             key_bounds=self._commit_key_bounds(),
             col_stats=self._assemble_stats(prev, new_data, vdir),
+            dv=list(prev.dv),
         )
         self._write_commit(commit)
         return commit
@@ -967,12 +1083,14 @@ class CuratedTable:
             live_dirs.update(_version_of(d) for d in c.changelog)
             if c.cdc_dir:
                 live_dirs.add(_version_of(c.cdc_dir))
+            live_dirs.update(_version_of(d) for d in c.dv)
         removed = []
         for c in old:
             # cdc before-image dirs age out with their commits too —
             # otherwise *_cdcbefore dirs grow without bound
             extra = [c.cdc_dir] if c.cdc_dir else []
-            for d in [*c.data.values(), *c.deltas, *c.changelog, *extra]:
+            for d in [*c.data.values(), *c.deltas, *c.changelog,
+                      *c.dv, *extra]:
                 ver = _version_of(d)
                 target = self.root / ver
                 if ver not in live_dirs and target.exists():
@@ -1091,6 +1209,7 @@ class CuratedTable:
                 referenced.add(_version_of(d))
             if c.cdc_dir:
                 referenced.add(_version_of(c.cdc_dir))
+            referenced.update(_version_of(d) for d in c.dv)
         orphans = []
         for child in sorted(self.root.iterdir()):
             if not child.is_dir() or child.name.startswith("_"):
@@ -1137,6 +1256,7 @@ class CuratedTable:
             changelog=[],
             key_bounds=self._commit_key_bounds(),
             col_stats=target.col_stats,
+            dv=list(target.dv),
         )
         self._write_commit(commit)
         if self.config.record_index:
@@ -1220,10 +1340,11 @@ class CuratedTable:
         cfg = self.config
         if cfg.table_type == MERGE_ON_READ:
             raise ValueError(f"{cfg.name}: OCC path is COW-only")
-        if cfg.record_index or cfg.cdc_images:
+        if cfg.record_index or cfg.cdc_images or cfg.deletion_vectors:
             raise ValueError(
-                f"{cfg.name}: OCC path excludes record_index/cdc_images "
-                "tables (their index writes would race)"
+                f"{cfg.name}: OCC path excludes record_index/cdc_images/"
+                "deletion_vectors tables (their index/vector writes "
+                "would race)"
             )
         pcol = self._pcol
         if pcol is None:
