@@ -99,6 +99,12 @@ class Commit:
     # dir rewrite makes it inert. Clustering clears the list (deletes
     # materialize into the rewritten snapshot).
     dv: list[str] = field(default_factory=list)
+    # Commit wall-clock (epoch seconds), stamped at manifest write —
+    # what TIMESTAMP-AS-OF time travel resolves against (Delta
+    # ``TIMESTAMP AS OF`` / Hudi ``as.of.instant`` analog). None on
+    # manifests written before the field existed; those resolve as
+    # "older than any stamped commit".
+    ts: float | None = None
 
     def to_json(self) -> str:
         return json.dumps(
@@ -114,6 +120,7 @@ class Commit:
                 "col_stats": self.col_stats,
                 "cdc_dir": self.cdc_dir,
                 "dv": self.dv,
+                "ts": self.ts,
             },
             indent=1,
         )
@@ -133,6 +140,7 @@ class Commit:
             col_stats=d.get("col_stats"),
             cdc_dir=d.get("cdc_dir"),
             dv=d.get("dv", []),
+            ts=d.get("ts"),
         )
 
 
@@ -419,6 +427,10 @@ class CuratedTable:
                 "committed by another writer after this writer's "
                 "snapshot; recompute from the new snapshot"
             )
+        if commit.ts is None:
+            import time as _time
+
+            commit.ts = _time.time()  # TIMESTAMP-AS-OF resolution point
         fd, tmp = tempfile.mkstemp(dir=cdir, suffix=".tmp")
         with os.fdopen(fd, "w") as f:
             f.write(commit.to_json())
@@ -431,6 +443,7 @@ class CuratedTable:
         version: int | None = None,
         read_optimized: bool = False,
         filters: list[tuple[str, str, Any]] | None = None,
+        as_of: float | None = None,
     ) -> DataFrame | None:
         """Current (or historical) state as a DataFrame.
 
@@ -456,6 +469,24 @@ class CuratedTable:
         pruned base row, and the merge must see both); read-optimized
         reads prune freely.
         """
+        if as_of is not None:
+            # TIMESTAMP AS OF (Delta ``TIMESTAMP AS OF`` / Hudi
+            # ``as.of.instant`` analog): newest commit stamped at or
+            # before the instant. Pre-``ts`` manifests resolve as older
+            # than any stamped commit (ts treated as 0).
+            if version is not None:
+                raise ValueError(
+                    f"{self.config.name}: pass version OR as_of, not both"
+                )
+            eligible = [
+                c for c in self.commits() if (c.ts or 0.0) <= as_of
+            ]
+            if not eligible:
+                raise ValueError(
+                    f"{self.config.name}: no commit at or before "
+                    f"as_of={as_of}"
+                )
+            version = max(eligible, key=lambda c: c.version).version
         commit = self._commit_at(version)
         if commit is None:
             return None

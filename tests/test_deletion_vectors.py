@@ -139,3 +139,53 @@ def test_delete_keys_requires_enablement(spark, sf_smoke, tmp_path):
     )
     with pytest.raises(ValueError, match="deletion_vectors not enabled"):
         t.delete_keys(spark.createDataFrame([(1,)], "o_orderkey long"))
+
+
+# ----------------------- TIMESTAMP AS OF time travel -----------------------
+
+
+def test_timestamp_as_of_resolution(spark, sf_smoke, tmp_path):
+    """read(as_of=t) resolves to the newest commit stamped <= t; commits
+    before the ts field existed resolve as older than any stamped one;
+    an instant before every commit raises; version+as_of is rejected."""
+    import json
+
+    cfg = TableConfig(name="asof", record_key=["o_orderkey"])
+    t = CuratedTable(spark, tmp_path / "asof", cfg)
+    base = spark.read.parquet(f"{sf_smoke}/orders.parquet").withColumn(
+        "trx_seq", F.lit("00000000")
+    )
+    t.bulk_insert(base)
+    t.upsert(base.limit(10).withColumn("trx_seq", F.lit("00000001")))
+    t.delete_where("o_totalprice > 300000")
+    commits = t.commits()
+    assert all(c.ts is not None for c in commits)
+    assert [c.ts for c in commits] == sorted(c.ts for c in commits)
+    n_by_version = {c.version: t.read(version=c.version).count()
+                    for c in commits}
+    # exactly at each stamp -> that version; just before -> the previous
+    for c in commits:
+        assert t.read(as_of=c.ts).count() == n_by_version[c.version]
+    assert (
+        t.read(as_of=commits[-1].ts - 1e-4).count()
+        == n_by_version[commits[-2].version]
+    )
+    # far future -> latest; before the first stamp -> error
+    assert t.read(as_of=commits[-1].ts + 3600).count() \
+        == n_by_version[commits[-1].version]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no commit at or before"):
+        t.read(as_of=commits[0].ts - 3600)
+    with _pytest.raises(ValueError, match="version OR as_of"):
+        t.read(version=1, as_of=commits[0].ts)
+    # back-compat: a manifest written before the ts field (ts stripped)
+    # resolves as older than any stamped commit
+    mpath = t.root / "_commits" / "00000001.json"
+    d = json.loads(mpath.read_text())
+    d.pop("ts")
+    mpath.write_text(json.dumps(d))
+    assert t.read(as_of=commits[1].ts).count() \
+        == n_by_version[commits[1].version]
+    assert t.read(as_of=commits[0].ts - 3600).count() \
+        == n_by_version[commits[0].version]  # ts->0: always eligible
