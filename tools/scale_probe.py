@@ -131,6 +131,13 @@ PROBE_QUERIES = [
     "q248_rouge_overlap", "q250_padding_waste",
     "q251_dedup_threshold_curve", "q252_embedding_quality",
     "q249_heavy_hitters", "q247_snapshot_drift",
+    # r6 batch 3: per-node graph metrics on the co-purchase projection —
+    # lcc is triangle-shaped (Θ(Σ d⁺²) intersect element-ops, same
+    # m^1.5 bound as q178), khop frontier joins are degree-bounded,
+    # RA candidates are seeds x two-hop-ball (seed count FIXED, so the
+    # probe should show ~d̄² growth, never corpus-quadratic)
+    "q254_local_clustering", "q255_khop_reachability",
+    "q256_ra_link_prediction",
 ]
 
 VOW = "aeiou"
