@@ -6792,6 +6792,74 @@ def q256_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         fn_comp.ra_link_prediction_sql("spark", edges_table="__q256_edges"))
 
 
+_BOOT_CACHE: dict = {}
+
+
+def q257_bootstrap_onboarding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only bootstrap through the real storage path (storage.
+    bootstrap — Hudi METADATA_ONLY bootstrap / Delta CONVERT analog):
+    a pre-existing hive-partitioned parquet lake is onboarded as the
+    table's FIRST commit with zero data I/O (the manifest references
+    the source dirs by absolute path), then a price-bump upsert and a
+    tombstone upsert run on top — the touched partitions materialize
+    into table-owned dirs while the untouched ones stay external. The
+    final state must equal the oracle's update-plus-complement replay,
+    proving external and owned dirs merge identically."""
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        table = _BOOT_CACHE.get(key)
+        if table is None or not table.root.exists():
+            cfg = TableConfig(
+                name="boot_orders",
+                record_key=["o_orderkey"],
+                source_ordering_field="trx_seq",
+                is_partitioned=True,
+                partition_path="o_orderstatus",
+            )
+            tmp = Path(tempfile.mkdtemp(prefix="boottab_"))
+            base = _t(spark, sf_dir, "orders").withColumn(
+                "trx_seq", F.lit("00000000"))
+            src = tmp / "legacy_lake"
+            base.write.mode("overwrite").partitionBy(
+                "o_orderstatus").parquet(str(src))
+            table = CuratedTable(spark, tmp / "orders", cfg)
+            table.bootstrap(str(src))
+            upd = (
+                base.filter((F.col("o_orderkey") % 13 == 3)
+                            & (F.col("o_orderstatus") == "F"))
+                .withColumn("trx_seq", F.lit("00000001"))
+                .withColumn("o_totalprice",
+                            F.col("o_totalprice") + F.lit(1.0))
+                .withColumn("_hoodie_is_deleted", F.lit(False))
+            )
+            dele = (
+                base.filter((F.col("o_orderkey") % 17 == 5)
+                            & (F.col("o_orderstatus") == "O"))
+                .withColumn("trx_seq", F.lit("00000001"))
+                .withColumn("_hoodie_is_deleted", F.lit(True))
+            )
+            table.upsert(upd.unionByName(dele))
+            _BOOT_CACHE[key] = table
+    return (table.read().select(*_ORDER_COLS, "trx_seq")
+            .orderBy("o_orderkey"))
+
+
+def _bootstrap_oracle_sql() -> str:
+    cols = ", ".join(_ORDER_COLS)
+    upd_cols = cols.replace(
+        "o_totalprice",
+        "CASE WHEN o_orderkey % 13 = 3 AND o_orderstatus = 'F' "
+        "THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice",
+    )
+    return f"""
+SELECT {upd_cols},
+       CASE WHEN o_orderkey % 13 = 3 AND o_orderstatus = 'F'
+            THEN '00000001' ELSE '00000000' END AS trx_seq
+FROM orders
+WHERE NOT (o_orderkey % 17 = 5 AND o_orderstatus = 'O')
+ORDER BY o_orderkey"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -7082,6 +7150,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q254_local_clustering": q254_local_clustering,
         "q255_khop_reachability": q255_khop_reachability,
         "q256_ra_link_prediction": q256_ra_link_prediction,
+        "q257_bootstrap_onboarding": q257_bootstrap_onboarding,
     }
 
 
@@ -8024,4 +8093,5 @@ def oracle_sql() -> dict[str, str]:
         "q254_local_clustering": fn_comp.local_clustering_sql("duckdb"),
         "q255_khop_reachability": fn_comp.khop_reachability_sql("duckdb"),
         "q256_ra_link_prediction": fn_comp.ra_link_prediction_sql("duckdb"),
+        "q257_bootstrap_onboarding": _bootstrap_oracle_sql(),
     }

@@ -592,10 +592,14 @@ class CuratedTable:
             # basePath keeps hive-style partition columns when reading
             # individual partition dirs.
             reader = reader.option("basePath", str(self.root / _version_of(rel_dirs[0])))
-            # Partition dirs from different versions need per-version reads.
+            # Partition dirs from different versions need per-version
+            # reads. Bootstrap entries are absolute external dirs: they
+            # group under the SOURCE root as basePath (and pathlib's
+            # absolute-wins join below resolves them untouched).
             by_version: dict[str, list[str]] = {}
             for d in rel_dirs:
-                by_version.setdefault(_version_of(d), []).append(str(self.root / d))
+                base = _ext_base(d) if _is_external(d) else _version_of(d)
+                by_version.setdefault(base, []).append(str(self.root / d))
             dfs = []
             for ver, ps in by_version.items():
                 dfs.append(
@@ -642,6 +646,94 @@ class CuratedTable:
         n = max(self.spark.sparkContext.defaultParallelism, 1)
         cols = [F.col(pcol)] + [F.col(c) for c in sort_cols]
         return df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+
+    def bootstrap(
+        self, source_dir: str, checkpoint: dict[str, Any] | None = None
+    ) -> Commit:
+        """Metadata-only onboarding of an existing parquet dataset (Hudi
+        METADATA_ONLY bootstrap / Delta ``CONVERT TO DELTA`` analog).
+        The reference's initial state lands via a DMS full load
+        (``README.md:11``, full-load-and-cdc at yaml:295); bootstrap is
+        the migration path for a lake that is ALREADY parquet — onboard
+        without re-landing or rewriting a single data file.
+
+        The commit's data map points at the SOURCE dirs by absolute
+        path: O(partitions) manifest metadata, zero data I/O. Readers
+        union external dirs exactly like owned dirs (time travel, MOR
+        delta merge, DV application, incremental reads all compose);
+        the first rewrite of a partition (upsert / compact / cluster /
+        insert_overwrite) materializes it into a table-owned dir and
+        drops the external ref — Hudi's upsert-materializes-
+        bootstrapped-file-groups behavior, so the table converges to
+        fully-owned as it is written. ``clean()``/``vacuum()`` never
+        touch external dirs (the table does not own them); dropping a
+        bootstrapped table never destroys the source lake.
+
+        Requirements (validated loudly): empty table; the record-key
+        and ordering columns present in the source schema (merges need
+        them — a source without an ordering column should add a
+        constant-low one first); hive-style ``pcol=value`` layout when
+        the table is partitioned; no bucket/key-range layout
+        (bootstrapped files lack the engine's layout columns).
+        """
+        cfg = self.config
+        if self.latest_commit() is not None:
+            raise ValueError(
+                f"{cfg.name}: bootstrap requires an empty table "
+                "(onboarding is the FIRST commit)"
+            )
+        if cfg.num_buckets or cfg.key_range_groups:
+            raise ValueError(
+                f"{cfg.name}: bootstrap is unsupported with bucket/"
+                "key-range layouts — external files lack layout columns"
+            )
+        src = Path(source_dir)
+        if not src.is_dir():
+            raise ValueError(f"{cfg.name}: bootstrap source {src} "
+                             "is not a directory")
+        pcol = self._pcol
+        if pcol is not None:
+            data = {
+                child.name: str(child)
+                for child in sorted(src.iterdir())
+                if child.is_dir() and child.name.startswith(f"{pcol}=")
+            }
+            if not data:
+                raise ValueError(
+                    f"{cfg.name}: bootstrap source {src} has no "
+                    f"hive-style {pcol}=* partition dirs"
+                )
+        else:
+            data = {"": str(src)}
+        df = self._read_dirs(list(data.values()))
+        missing = [
+            c for c in [*cfg.record_key, cfg.source_ordering_field]
+            if c not in df.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"{cfg.name}: bootstrap source lacks required "
+                f"column(s) {missing}"
+            )
+        version = self._next_version()
+        # Record-level index: the bootstrap index build (Hudi writes one
+        # during METADATA_ONLY bootstrap too) — reads key columns only,
+        # the single whole-source scan bootstrap performs, and only when
+        # the table opted into the RLI.
+        self._update_record_index(df)
+        commit = Commit(
+            version=version,
+            operation="bootstrap",
+            data=data,
+            checkpoint=checkpoint or {},
+            parent=None,
+            # the onboarded state IS its own change set (as bulk_insert
+            # does) — incremental readers see the full initial load
+            changelog=list(data.values()),
+            key_bounds=self._commit_key_bounds(),
+        )
+        self._write_commit(commit)
+        return commit
 
     def bulk_insert(
         self, df: DataFrame, checkpoint: dict[str, Any] | None = None
@@ -1122,6 +1214,12 @@ class CuratedTable:
             extra = [c.cdc_dir] if c.cdc_dir else []
             for d in [*c.data.values(), *c.deltas, *c.changelog,
                       *c.dv, *extra]:
+                if _is_external(d):
+                    # bootstrap source dirs: referenced, never owned —
+                    # deleting one would destroy the user's source lake
+                    # (and _version_of("") would resolve to the table
+                    # root itself)
+                    continue
                 ver = _version_of(d)
                 target = self.root / ver
                 if ver not in live_dirs and target.exists():
@@ -1834,6 +1932,20 @@ class CuratedTable:
 def _version_of(rel_dir: str) -> str:
     """'v00000002/l_returnflag=A' -> 'v00000002'."""
     return rel_dir.split("/", 1)[0]
+
+
+def _is_external(d: str) -> bool:
+    """Bootstrap data-map entries are ABSOLUTE source paths (Hudi
+    METADATA_ONLY bootstrap analog — the table references but does not
+    own them); everything the table wrote itself is root-relative."""
+    return d.startswith("/")
+
+
+def _ext_base(d: str) -> str:
+    """Hive basePath for an external partition dir: its parent when the
+    leaf is a pcol=value segment, else the dir itself."""
+    head, _, leaf = d.rpartition("/")
+    return head if "=" in leaf else d
 
 
 def _pdir(pcol: str, value: Any) -> str:

@@ -138,6 +138,9 @@ PROBE_QUERIES = [
     # probe should show ~d̄² growth, never corpus-quadratic)
     "q254_local_clustering", "q255_khop_reachability",
     "q256_ra_link_prediction",
+    # D41 bootstrap gate: onboarding is O(partitions) metadata, so the
+    # probe's growth should track ONLY the upsert batches' rewrite cost
+    "q257_bootstrap_onboarding",
 ]
 
 VOW = "aeiou"
