@@ -882,7 +882,15 @@ def khop_reachability_sql(dialect: str, lineitem: str = "lineitem",
     total order — deterministic on any engine/layout.
 
     Output: one row per seed with its degree and the cumulative reach
-    count at each hop (seed itself counts at every hop: distance 0)."""
+    count at each hop (seed itself counts at every hop: distance 0).
+
+    Plan shape: each node carries the MIN hop at which it first entered
+    the reach set, so ALL per-hop counts come from ONE conditional
+    aggregate over the final relation — every CTE in the chain is
+    referenced exactly once, which matters on Spark (CTEs inline: a
+    per-hop counts CTE would recompute the whole prefix chain per hop,
+    tripling the hop-1 join) and is harmless on DuckDB (MATERIALIZED
+    pins the chain anyway)."""
     m = "MATERIALIZED " if dialect == "duckdb" else ""
     prefix = _edges_prefix(dialect, lineitem, edges_table)
     parts = [f"""{prefix},
@@ -894,30 +902,35 @@ sym AS {m}(
 seeds AS {m}(
   SELECT node AS seed, d FROM deg ORDER BY d DESC, node ASC LIMIT {seeds}
 ),
-reach0 AS {m}(SELECT seed, seed AS node FROM seeds)"""]
+r0 AS {m}(SELECT seed, seed AS node, 0 AS hop FROM seeds)"""]
     for h in range(1, hops + 1):
-        parts.append(f"""reach{h} AS {m}(
-  SELECT r.seed, e.dst AS node
-  FROM reach{h - 1} r JOIN sym e ON e.src = r.node
-  UNION
-  SELECT seed, node FROM reach{h - 1}
+        # Delta-frontier BFS: only nodes FIRST seen at hop h-1 expand —
+        # every older node's neighborhood is already in r{h-1} by
+        # construction (it entered via an edge from the set), so the
+        # restriction is exact and the per-hop join input shrinks to
+        # the new frontier instead of the whole cumulative reach.
+        parts.append(f"""r{h} AS {m}(
+  SELECT seed, node, MIN(hop) AS hop FROM (
+    SELECT r.seed, e.dst AS node, {h} AS hop
+    FROM r{h - 1} r JOIN sym e ON e.src = r.node
+    WHERE r.hop = {h - 1}
+    UNION ALL
+    SELECT seed, node, hop FROM r{h - 1}
+  ) u
+  GROUP BY seed, node
 )""")
-    counts = ",\n".join(
-        f"c{h} AS (SELECT seed, COUNT(*) AS n FROM reach{h} GROUP BY seed)"
-        for h in range(1, hops + 1))
     sel = ",\n       ".join(
-        f"CAST(c{h}.n AS BIGINT) AS reach_{h}" for h in range(1, hops + 1))
-    joins = "\n".join(
-        f"JOIN c{h} ON c{h}.seed = s.seed" for h in range(1, hops + 1))
+        f"CAST(SUM(CASE WHEN r.hop <= {h} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS reach_{h}"
+        for h in range(1, hops + 1))
     body = ",\n".join(parts)
     return f"""
-WITH {body},
-{counts}
-SELECT CAST(s.seed AS BIGINT) AS seed,
-       CAST(s.d AS BIGINT) AS degree,
+WITH {body}
+SELECT CAST(r.seed AS BIGINT) AS seed,
+       CAST(MAX(d.d) AS BIGINT) AS degree,
        {sel}
-FROM seeds s
-{joins}
+FROM r{hops} r JOIN deg d ON d.node = r.seed
+GROUP BY r.seed
 ORDER BY seed"""
 
 
