@@ -1493,7 +1493,7 @@ def q77_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = fn_dedup.minhash_pairs_view(
         spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
-    labels = fn_comp.connected_components_star(spark.table(pv))
+    labels = fn_comp.cc_labels(spark, spark.table(pv), cache_key=sf_dir)
     return (
         labels.groupBy("component")
         .agg(
@@ -2441,7 +2441,7 @@ def q221_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the cross-split pair count and hash-checks the zero."""
     docs = _t(spark, sf_dir, "documents")
     pv = fn_dedup.minhash_pairs_view(spark, docs, cache_key=sf_dir)
-    labels = fn_comp.connected_components_star(spark.table(pv))
+    labels = fn_comp.cc_labels(spark, spark.table(pv), cache_key=sf_dir)
     labels.createOrReplaceTempView("__q221_labels")
     v = _view(spark, sf_dir, "documents", "q221")
     return spark.sql(

@@ -1007,3 +1007,24 @@ SELECT CAST(seed AS BIGINT) AS seed,
 FROM ranked
 WHERE rk <= {top}
 ORDER BY seed, rk"""
+
+
+_CC_CACHE: dict = {}
+
+
+def cc_labels(spark, pairs_df, cache_key: str | None = None,
+              tag: str = "minhash"):
+    """Session-keyed materialized connected-components labels over a
+    pair relation — the star rounds run ONCE per (session, corpus, tag)
+    and every consumer (dup groups q77, leakage-safe split keys q221)
+    reuses the label relation, the same shared-artifact pattern as
+    ``dedup.minhash_pairs_view`` / :func:`copurchase_edges`. Without a
+    ``cache_key`` it degrades to a plain (uncached) run."""
+    key = (id(spark), cache_key, tag)
+    with _EDGE_LOCK:
+        if cache_key is not None and key in _CC_CACHE:
+            return _CC_CACHE[key]
+        labels = materialize(connected_components_star(pairs_df))
+        if cache_key is not None:
+            _CC_CACHE[key] = labels
+        return labels
