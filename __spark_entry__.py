@@ -6860,6 +6860,74 @@ WHERE NOT (o_orderkey % 17 = 5 AND o_orderstatus = 'O')
 ORDER BY o_orderkey"""
 
 
+_SIDX_CACHE: dict = {}
+
+
+def q258_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-index lookup through the real storage path (storage.
+    lookup_by — Hudi 1.0 SECONDARY_INDEX analog): orders carries a
+    value-bucketed index on o_custkey; an upsert moves a key slice to
+    new custkeys (their old index entries go stale), then a probe over
+    the FINAL state's custkey values runs through the index —
+    bucket-pruned index read -> candidate dirs -> value semi-join. The
+    result must equal the oracle's plain value filter over the replayed
+    state exactly: the index prunes, never decides membership."""
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        table = _SIDX_CACHE.get(key)
+        if table is None or not table.root.exists():
+            cfg = TableConfig(
+                name="sidx_orders",
+                record_key=["o_orderkey"],
+                source_ordering_field="trx_seq",
+                is_partitioned=True,
+                partition_path="o_orderstatus",
+                secondary_index="o_custkey",
+            )
+            tmp = Path(tempfile.mkdtemp(prefix="sidxtab_"))
+            table = CuratedTable(spark, tmp / "orders", cfg)
+            base = _t(spark, sf_dir, "orders").withColumn(
+                "trx_seq", F.lit("00000000"))
+            table.bulk_insert(base)
+            table.upsert(
+                base.filter(F.col("o_orderkey") % 53 == 1)
+                .withColumn("o_custkey",
+                            F.col("o_custkey") + F.lit(1_000_000))
+                .withColumn("trx_seq", F.lit("00000001"))
+            )
+            _SIDX_CACHE[key] = table
+    probe = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.when(F.col("o_orderkey") % 53 == 1,
+                   F.col("o_custkey") + F.lit(1_000_000))
+            .otherwise(F.col("o_custkey")).alias("o_custkey"))
+        .where(F.col("o_custkey") % 211 == 7)
+        .distinct()
+    )
+    return (table.lookup_by(probe)
+            .select(*_ORDER_COLS, "trx_seq").orderBy("o_orderkey"))
+
+
+def _secondary_index_oracle_sql() -> str:
+    cols = ", ".join(_ORDER_COLS)
+    moved = cols.replace(
+        "o_custkey",
+        "CASE WHEN o_orderkey % 53 = 1 THEN o_custkey + 1000000 "
+        "ELSE o_custkey END AS o_custkey",
+    )
+    return f"""
+WITH final AS (
+  SELECT {moved},
+         CASE WHEN o_orderkey % 53 = 1
+              THEN '00000001' ELSE '00000000' END AS trx_seq
+  FROM orders
+)
+SELECT * FROM final
+WHERE o_custkey % 211 = 7
+ORDER BY o_orderkey"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -7151,6 +7219,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q255_khop_reachability": q255_khop_reachability,
         "q256_ra_link_prediction": q256_ra_link_prediction,
         "q257_bootstrap_onboarding": q257_bootstrap_onboarding,
+        "q258_secondary_index": q258_secondary_index,
     }
 
 
@@ -8094,4 +8163,5 @@ def oracle_sql() -> dict[str, str]:
         "q255_khop_reachability": fn_comp.khop_reachability_sql("duckdb"),
         "q256_ra_link_prediction": fn_comp.ra_link_prediction_sql("duckdb"),
         "q257_bootstrap_onboarding": _bootstrap_oracle_sql(),
+        "q258_secondary_index": _secondary_index_oracle_sql(),
     }

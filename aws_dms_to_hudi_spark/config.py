@@ -104,6 +104,15 @@ class TableConfig:
     # cdc_images (both would need DV-aware maintenance hooks — use
     # delete_where, the rewrite-path delete, with those).
     deletion_vectors: bool = False
+    # Secondary index (beyond-reference; Hudi 1.0 SECONDARY_INDEX
+    # metadata-partition analog): a value-bucketed index on ONE
+    # non-key column, serving lookup_by(values) with index-pruned dir
+    # scans instead of full-table scans. Maintained O(batch) on every
+    # write; entries over-approximate (a changed/deleted key's old
+    # entry stays as a harmless false positive cleared by the final
+    # value filter) but never miss a current (value, key) pair.
+    # Exclusive with deletion_vectors (same reason as record_index).
+    secondary_index: str | None = None
 
     def __post_init__(self) -> None:
         if not self.record_key:
@@ -147,12 +156,17 @@ class TableConfig:
                     "COPY_ON_WRITE (a MOR delta already is the "
                     "cheap-delete path)"
                 )
-            if self.record_index or self.cdc_images:
+            if self.record_index or self.cdc_images or self.secondary_index:
                 raise ValueError(
                     f"table {self.name}: deletion_vectors is exclusive "
-                    "with record_index/cdc_images — those need DV-aware "
-                    "maintenance; use delete_where with them"
+                    "with record_index/cdc_images/secondary_index — those "
+                    "need DV-aware maintenance; use delete_where with them"
                 )
+        if self.secondary_index and self.secondary_index in self.record_key:
+            raise ValueError(
+                f"table {self.name}: secondary_index on a record-key "
+                "column is redundant — use record_index / point_lookup"
+            )
 
     @property
     def is_complex_key(self) -> bool:
@@ -191,6 +205,7 @@ class TableConfig:
             ],
             record_index=bool(hudi.get("record_index", False)),
             cdc_images=bool(hudi.get("cdc_images", False)),
+            secondary_index=hudi.get("secondary_index") or None,
         )
 
 

@@ -149,6 +149,9 @@ RANGE_COL = "__krange"
 # Record-level index (Hudi RECORD_INDEX metadata-partition analog)
 RLI_DIR = "_index/record_level"
 RLI_BUCKETS = 8
+# Secondary index (Hudi 1.0 SECONDARY_INDEX metadata-partition analog)
+SIDX_DIR = "_index/secondary"
+SIDX_BUCKETS = 8
 DIR_KEY_COL = "_dir_key"
 
 
@@ -721,6 +724,7 @@ class CuratedTable:
         # the single whole-source scan bootstrap performs, and only when
         # the table opted into the RLI.
         self._update_record_index(df)
+        self._update_secondary_index(df)
         commit = Commit(
             version=version,
             operation="bootstrap",
@@ -765,6 +769,7 @@ class CuratedTable:
             out.write.mode("overwrite").parquet(str(self.root / vdir))
             data = {"": vdir}
         self._update_record_index(df)
+        self._update_secondary_index(df)
         commit = Commit(
             version=version,
             operation="bulk_insert",
@@ -875,6 +880,7 @@ class CuratedTable:
             dv=list(prev.dv),
         )
         self._update_record_index(batch)
+        self._update_secondary_index(batch)
         self._write_commit(commit)
         return commit
 
@@ -1072,6 +1078,7 @@ class CuratedTable:
             fresh = {"": vdir}
             new_data = fresh
         self._update_record_index(batch)
+        self._update_secondary_index(batch)
         commit = Commit(
             version=version,
             operation="insert_overwrite",
@@ -1132,6 +1139,7 @@ class CuratedTable:
         # key, which the layout column determines — so compaction/
         # clustering never invalidate them
         self._update_record_index(self._bucketize(deduped))
+        self._update_secondary_index(self._bucketize(deduped))
         commit = Commit(
             version=version,
             operation="delta_commit",
@@ -1396,6 +1404,14 @@ class CuratedTable:
             snap = self.read(version=commit.version)
             if snap is not None:
                 self._update_record_index(self._bucketize(snap))
+        if self.config.secondary_index:
+            # independent of the RLI rebuild: a rebuild_secondary_index
+            # compaction may have dropped entries for pairs that the
+            # restore target still holds (value changed after the
+            # target, compacted away before the restore) — rebuilding
+            # from the restored snapshot restores the never-miss
+            # invariant.
+            self.rebuild_secondary_index()
         return commit
 
     # ---------- helpers ----------
@@ -1743,6 +1759,156 @@ class CuratedTable:
                 BUCKET_COL, RANGE_COL
             )
         out = base.join(F.broadcast(probe), on=kcols, how="left_semi")
+        return out.drop(BUCKET_COL, RANGE_COL)
+
+    # ---------- secondary index (Hudi 1.0 SECONDARY_INDEX analog) ----------
+
+    def _sidx(self) -> "CuratedTable | None":
+        """The secondary-index table — a value-bucketed CuratedTable
+        under ``_index/secondary_<col>``, the same table-as-index
+        pattern as :meth:`_rli`. Rows: (indexed column, record key
+        cols, dir key, ordering field); the bucket id is FORCED to hash
+        the indexed column only (pre-computed by the maintenance and
+        lookup paths), so a value probe knows its buckets without
+        knowing keys. The index over-approximates: a key whose value
+        changed or was deleted leaves its old entry behind as a bounded
+        false positive (cleared by lookup_by's final value filter and
+        the current-dir map), but a current (value, key) pair is never
+        missing — every write path inserts its batch's entries."""
+        col = self.config.secondary_index
+        if not col:
+            return None
+        if getattr(self, "_sidx_table", None) is None:
+            icfg = TableConfig(
+                name=f"{self.config.name}__sidx_{col}",
+                record_key=[col, *self.config.record_key, DIR_KEY_COL],
+                source_ordering_field=self.config.source_ordering_field,
+                num_buckets=SIDX_BUCKETS,
+            )
+            self._sidx_table = CuratedTable(
+                self.spark, self.root / f"{SIDX_DIR}_{col}", icfg
+            )
+        return self._sidx_table
+
+    def _sidx_bucket_expr(self):
+        return F.pmod(
+            F.xxhash64(F.col(self.config.secondary_index)),
+            F.lit(SIDX_BUCKETS),
+        ).cast("int")
+
+    def _update_secondary_index(self, batch: DataFrame) -> None:
+        """Insert the batch's (value, key -> dir key) entries — pure
+        O(batch), no tombstones (stale entries are harmless false
+        positives; :meth:`rebuild_secondary_index` compacts them, the
+        Hudi async-indexer analog). Deleted rows add no entry; NULL
+        values are unindexed (no NULL probe semantics); a partial-
+        update payload without the indexed column introduces no new
+        values, so its merged rows keep their still-valid old entries.
+        """
+        from aws_dms_to_hudi_spark.operators.merge import DELETED_COL
+
+        sidx = self._sidx()
+        if sidx is None:
+            return
+        cfg = self.config
+        col = cfg.secondary_index
+        if col not in batch.columns:
+            return
+        pcol = self._pcol
+        dir_key = (
+            F.concat(F.lit(f"{pcol}="), F.col(pcol).cast("string"))
+            if pcol is not None
+            else F.lit("")
+        )
+        b = batch
+        if DELETED_COL in b.columns:
+            b = b.filter(~F.coalesce(F.col(DELETED_COL), F.lit(False)))
+        entries = b.filter(F.col(col).isNotNull()).select(
+            F.col(col),
+            *cfg.record_key,
+            F.col(cfg.source_ordering_field),
+            dir_key.alias(DIR_KEY_COL),
+            self._sidx_bucket_expr().alias(BUCKET_COL),
+        )
+        sidx.upsert(entries)
+
+    def rebuild_secondary_index(self) -> None:
+        """Compact the index: drop accumulated stale entries by
+        rebuilding from the current snapshot (one O(table) pass — what
+        Hudi's async indexing service does on schedule)."""
+        if not self.config.secondary_index:
+            raise ValueError(
+                f"{self.config.name}: secondary_index not enabled"
+            )
+        idir = self.root / f"{SIDX_DIR}_{self.config.secondary_index}"
+        if idir.exists():
+            shutil.rmtree(idir)
+        self._sidx_table = None
+        snap = self.read()
+        if snap is not None:
+            # read() drops synthetic layout columns; re-attach so the
+            # per-row dir key is computable on bucket/range tables
+            self._update_secondary_index(self._bucketize(snap))
+
+    def lookup_by(self, values: DataFrame) -> DataFrame | None:
+        """Current rows whose indexed column matches any probe value,
+        through the secondary index: probe-bucket-pruned index read ->
+        candidate dir keys (bounded driver-side collect: at most the
+        partition count) -> scan only those dirs -> final value
+        semi-join (which also clears stale entries from changed/deleted
+        keys and layout services). MOR: outstanding deltas are always
+        read and merged. Result equals a full-scan value filter exactly
+        — the index only prunes, never decides membership."""
+        sidx = self._sidx()
+        if sidx is None:
+            raise ValueError(
+                f"{self.config.name}: secondary_index not enabled"
+            )
+        commit = self.latest_commit()
+        if commit is None:
+            return None
+        col = self.config.secondary_index
+        probe = values.select(col).distinct()
+        icommit = sidx.latest_commit()
+        rows_dirs: list[str] = []
+        if icommit is not None:
+            pb = sorted(
+                r[0]
+                for r in probe.select(
+                    self._sidx_bucket_expr().alias("b")
+                ).distinct().collect()
+            )
+            idirs = [
+                icommit.data[k]
+                for k in (f"{BUCKET_COL}={b}" for b in pb)
+                if k in icommit.data
+            ]
+            if idirs:
+                idx = sidx._read_dirs(idirs)
+                hits = idx.join(F.broadcast(probe), on=[col],
+                                how="left_semi")
+                dkeys = sorted(
+                    r[0]
+                    for r in hits.select(DIR_KEY_COL).distinct().collect()
+                )
+                rows_dirs = [
+                    commit.data[k] for k in dkeys if k in commit.data
+                ]
+        base = self._read_dirs(rows_dirs) if rows_dirs else None
+        if commit.deltas:
+            deltas = self._read_dirs(commit.deltas)
+            base = upsert_merge(
+                base,
+                deltas,
+                self.config.record_key,
+                self.config.source_ordering_field,
+            )
+        if base is None:
+            full = self._read_dirs(list(commit.data.values()))
+            return self.spark.createDataFrame([], full.schema).drop(
+                BUCKET_COL, RANGE_COL
+            )
+        out = base.join(F.broadcast(probe), on=[col], how="left_semi")
         return out.drop(BUCKET_COL, RANGE_COL)
 
     # ---------- write-time CDC images (Hudi 0.13 cdc read analog) ----------

@@ -141,6 +141,9 @@ PROBE_QUERIES = [
     # D41 bootstrap gate: onboarding is O(partitions) metadata, so the
     # probe's growth should track ONLY the upsert batches' rewrite cost
     "q257_bootstrap_onboarding",
+    # D42 secondary index: maintenance is O(batch) inserts; the lookup
+    # reads probe-bucket index dirs + candidate data dirs only
+    "q258_secondary_index",
 ]
 
 VOW = "aeiou"
