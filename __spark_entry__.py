@@ -6928,6 +6928,81 @@ WHERE o_custkey % 211 = 7
 ORDER BY o_orderkey"""
 
 
+_MERGE_CACHE: dict = {}
+
+
+def q259_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO through the real storage path (storage.merge_into —
+    Spark SQL / Delta / Hudi MERGE analog): one source batch carries
+    delete rows (op D), conditional updates (op U: SET o_totalprice =
+    t.o_totalprice + s-side constant), and brand-new keys inserted by
+    the NOT MATCHED clause — compiled into one keyed change batch by a
+    single key join and applied by the partition-pruned upsert. Final
+    state must equal the oracle's replay: complement of deletes, bumped
+    updates, appended inserts."""
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        table = _MERGE_CACHE.get(key)
+        if table is None or not table.root.exists():
+            cfg = TableConfig(
+                name="merge_orders",
+                record_key=["o_orderkey"],
+                source_ordering_field="trx_seq",
+                is_partitioned=True,
+                partition_path="o_orderstatus",
+            )
+            tmp = Path(tempfile.mkdtemp(prefix="mergetab_"))
+            table = CuratedTable(spark, tmp / "orders", cfg)
+            base = _t(spark, sf_dir, "orders").withColumn(
+                "trx_seq", F.lit("00000000"))
+            table.bulk_insert(base)
+            nxt = base.withColumn("trx_seq", F.lit("00000001"))
+            src = (
+                nxt.filter(F.col("o_orderkey") % 19 == 2)
+                .withColumn("op", F.lit("D"))
+                .unionByName(
+                    nxt.filter((F.col("o_orderkey") % 23 == 3)
+                               & (F.col("o_orderkey") % 19 != 2))
+                    .withColumn("op", F.lit("U")))
+                .unionByName(
+                    nxt.filter(F.col("o_orderkey") % 97 == 0)
+                    .withColumn("o_orderkey",
+                                F.col("o_orderkey") + F.lit(30_000_000))
+                    .withColumn("op", F.lit("I")))
+            )
+            table.merge_into(
+                src,
+                when_matched_update={
+                    "o_totalprice": "t.o_totalprice + 100.0D"
+                },
+                when_matched_update_condition="s.op = 'U'",
+                when_matched_delete_condition="s.op = 'D'",
+                when_not_matched_insert=True,
+            )
+            _MERGE_CACHE[key] = table
+    return (table.read().select(*_ORDER_COLS, "trx_seq")
+            .orderBy("o_orderkey"))
+
+
+def _merge_into_oracle_sql() -> str:
+    cols = ", ".join(_ORDER_COLS)
+    upd = cols.replace(
+        "o_totalprice",
+        "CASE WHEN o_orderkey % 23 = 3 AND o_orderkey % 19 <> 2 "
+        "THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice",
+    )
+    ins = cols.replace("o_orderkey", "o_orderkey + 30000000 AS o_orderkey")
+    return f"""
+SELECT {upd},
+       CASE WHEN o_orderkey % 23 = 3 AND o_orderkey % 19 <> 2
+            THEN '00000001' ELSE '00000000' END AS trx_seq
+FROM orders WHERE o_orderkey % 19 <> 2
+UNION ALL
+SELECT {ins}, '00000001' AS trx_seq
+FROM orders WHERE o_orderkey % 97 = 0
+ORDER BY o_orderkey"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -7220,6 +7295,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q256_ra_link_prediction": q256_ra_link_prediction,
         "q257_bootstrap_onboarding": q257_bootstrap_onboarding,
         "q258_secondary_index": q258_secondary_index,
+        "q259_merge_into": q259_merge_into,
     }
 
 
@@ -8164,4 +8240,5 @@ def oracle_sql() -> dict[str, str]:
         "q256_ra_link_prediction": fn_comp.ra_link_prediction_sql("duckdb"),
         "q257_bootstrap_onboarding": _bootstrap_oracle_sql(),
         "q258_secondary_index": _secondary_index_oracle_sql(),
+        "q259_merge_into": _merge_into_oracle_sql(),
     }

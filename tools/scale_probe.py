@@ -144,6 +144,9 @@ PROBE_QUERIES = [
     # D42 secondary index: maintenance is O(batch) inserts; the lookup
     # reads probe-bucket index dirs + candidate data dirs only
     "q258_secondary_index",
+    # D43 MERGE INTO: one key join + partition-pruned upsert — cost
+    # must track the source batch, not the table
+    "q259_merge_into",
 ]
 
 VOW = "aeiou"
