@@ -7003,6 +7003,69 @@ FROM orders WHERE o_orderkey % 97 = 0
 ORDER BY o_orderkey"""
 
 
+_EVOLVE_CACHE: dict = {}
+
+
+def q260_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution through the real storage path (storage.
+    evolve_partitioning — Iceberg partition-evolution analog via its
+    rewrite path): orders is bulk-loaded partitioned by o_orderstatus,
+    upserted, EVOLVED to an o_orderpriority layout (one clustering-
+    class rewrite; the returned handle carries the new spec; the stale
+    handle refuses writes), then upserted again under the new spec with
+    partition pruning intact. Final state must equal the oracle's
+    two-batch replay — the spec change must be invisible to content."""
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        table = _EVOLVE_CACHE.get(key)
+        if table is None or not table.root.exists():
+            cfg = TableConfig(
+                name="evolve_orders",
+                record_key=["o_orderkey"],
+                source_ordering_field="trx_seq",
+                is_partitioned=True,
+                partition_path="o_orderstatus",
+            )
+            tmp = Path(tempfile.mkdtemp(prefix="evtab_"))
+            table = CuratedTable(spark, tmp / "orders", cfg)
+            base = _t(spark, sf_dir, "orders").withColumn(
+                "trx_seq", F.lit("00000000"))
+            table.bulk_insert(base)
+            table.upsert(
+                base.filter(F.col("o_orderkey") % 31 == 4)
+                .withColumn("o_totalprice",
+                            F.col("o_totalprice") + F.lit(1.0))
+                .withColumn("trx_seq", F.lit("00000001"))
+            )
+            table = table.evolve_partitioning("o_orderpriority")
+            table.upsert(
+                base.filter(F.col("o_orderkey") % 37 == 5)
+                .withColumn("o_totalprice",
+                            F.col("o_totalprice") + F.lit(2.0))
+                .withColumn("trx_seq", F.lit("00000002"))
+            )
+            _EVOLVE_CACHE[key] = table
+    return (table.read().select(*_ORDER_COLS, "trx_seq")
+            .orderBy("o_orderkey"))
+
+
+def _partition_evolution_oracle_sql() -> str:
+    cols = ", ".join(_ORDER_COLS)
+    upd = cols.replace(
+        "o_totalprice",
+        "CASE WHEN o_orderkey % 37 = 5 THEN o_totalprice + 2.0 "
+        "WHEN o_orderkey % 31 = 4 THEN o_totalprice + 1.0 "
+        "ELSE o_totalprice END AS o_totalprice",
+    )
+    return f"""
+SELECT {upd},
+       CASE WHEN o_orderkey % 37 = 5 THEN '00000002'
+            WHEN o_orderkey % 31 = 4 THEN '00000001'
+            ELSE '00000000' END AS trx_seq
+FROM orders
+ORDER BY o_orderkey"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -7296,6 +7359,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q257_bootstrap_onboarding": q257_bootstrap_onboarding,
         "q258_secondary_index": q258_secondary_index,
         "q259_merge_into": q259_merge_into,
+        "q260_partition_evolution": q260_partition_evolution,
     }
 
 
@@ -8241,4 +8305,5 @@ def oracle_sql() -> dict[str, str]:
         "q257_bootstrap_onboarding": _bootstrap_oracle_sql(),
         "q258_secondary_index": _secondary_index_oracle_sql(),
         "q259_merge_into": _merge_into_oracle_sql(),
+        "q260_partition_evolution": _partition_evolution_oracle_sql(),
     }

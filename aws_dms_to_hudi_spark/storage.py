@@ -591,7 +591,14 @@ class CuratedTable:
             return None
         paths = [str(self.root / d) for d in rel_dirs]
         reader = self.spark.read
-        if self._pcol is not None:
+        # The layout is self-describing: hive-style partition dirs carry
+        # a `col=value` leaf. Branching on the DIRS rather than the
+        # configured partition column keeps reads correct across
+        # partition evolution (a version written under an older spec
+        # parses its own partition column from its own dir names) and
+        # sends plain dirs (MOR deltas, changelogs) down the simple
+        # multi-path scan.
+        if any("=" in d.rsplit("/", 1)[-1] for d in rel_dirs):
             # basePath keeps hive-style partition columns when reading
             # individual partition dirs.
             reader = reader.option("basePath", str(self.root / _version_of(rel_dirs[0])))
@@ -785,6 +792,129 @@ class CuratedTable:
         self._write_commit(commit)
         return commit
 
+    def _check_spec(self, prev: "Commit | None") -> None:
+        """Write-time partition-spec guard: every existing data-map key
+        must parse under THIS handle's layout (``pcol=value`` leaf, or
+        ``""`` for unpartitioned). After :meth:`evolve_partitioning`
+        the manifest keys carry the new spec, so a stale handle opened
+        with the pre-evolution config fails loudly here instead of
+        silently mis-pruning touched partitions (reads stay
+        spec-agnostic — each version's dirs parse their own layout)."""
+        if prev is None:
+            return
+        pcol = self._pcol
+        for k in prev.data:
+            ok = (k == "") if pcol is None else k.startswith(f"{pcol}=")
+            if not ok:
+                have = k.split("=", 1)[0] if "=" in k else "unpartitioned"
+                raise ValueError(
+                    f"{self.config.name}: table layout on disk is "
+                    f"{have!r} but this handle is configured for "
+                    f"{pcol!r} — the partitioning evolved; use the "
+                    "handle evolve_partitioning returned (or reopen "
+                    "with the evolved spec)"
+                )
+
+    def evolve_partitioning(
+        self,
+        new_partition_path: str | None,
+        checkpoint: dict[str, Any] | None = None,
+    ) -> "CuratedTable":
+        """Partition-spec evolution (Iceberg partition-evolution
+        analog, realized through its rewrite path): rewrite the current
+        snapshot under a NEW partition column — or to an unpartitioned
+        layout — in one clustering-class commit, and return a NEW
+        handle bound to the evolved spec. The old handle stays readable
+        (reads parse each version's own dir layout) but refuses further
+        writes via the spec guard.
+
+        Unlike Iceberg's metadata-only spec change, this engine's
+        pruning unit is the partition DIR, so evolution pays one table
+        rewrite up front and every later upsert prunes under the new
+        spec — the 100 TB trade is rewrite-once versus forever losing
+        partition pruning on pre-evolution files (Iceberg tables in
+        practice schedule exactly this rewrite as compaction).
+
+        Outstanding MOR deltas and deletion vectors materialize into
+        the rewritten snapshot (same as clustering). Record-level and
+        secondary indexes are rebuilt — their dir keys carry the spec.
+        Bucket/key-range layouts pin their synthetic column and cannot
+        evolve."""
+        import dataclasses
+
+        cfg = self.config
+        if cfg.num_buckets or cfg.key_range_groups:
+            raise ValueError(
+                f"{cfg.name}: bucket/key-range layouts pin their "
+                "synthetic layout column — partition evolution applies "
+                "to plain or hive-partitioned tables"
+            )
+        prev = self.latest_commit()
+        if prev is None:
+            raise ValueError(f"{cfg.name}: nothing to evolve — empty table")
+        self._check_spec(prev)
+        if new_partition_path == (cfg.partition_path
+                                  if cfg.is_partitioned else None):
+            raise ValueError(
+                f"{cfg.name}: already partitioned by "
+                f"{new_partition_path!r}"
+            )
+        df = self.read()
+        if (new_partition_path is not None
+                and new_partition_path not in df.columns):
+            raise ValueError(
+                f"{cfg.name}: partition column {new_partition_path!r} "
+                "not in the table schema"
+            )
+        ncfg = dataclasses.replace(
+            cfg,
+            is_partitioned=new_partition_path is not None,
+            partition_path=new_partition_path,
+        )
+        newt = CuratedTable(self.spark, self.root, ncfg,
+                            lock_provider=self.lock_provider)
+        version = self._next_version()
+        vdir = f"v{version:08d}"
+        if new_partition_path is not None:
+            (
+                newt._partition_sorted(
+                    df, new_partition_path, list(cfg.record_key)
+                )
+                .write.mode("overwrite")
+                .partitionBy(new_partition_path)
+                .parquet(str(self.root / vdir))
+            )
+            data = newt._scan_partition_dirs(vdir)
+        else:
+            df.sortWithinPartitions(*cfg.record_key).write.mode(
+                "overwrite"
+            ).parquet(str(self.root / vdir))
+            data = {"": vdir}
+        commit = Commit(
+            version=version,
+            operation="evolve_partitioning",
+            data=data,
+            deltas=[],  # merged into the rewrite, like compaction
+            checkpoint=checkpoint or prev.checkpoint,
+            parent=prev.version,
+            changelog=[],  # a rewrite changes no rows
+            key_bounds=newt._commit_key_bounds(),
+            col_stats=newt._assemble_stats(None, data, vdir),
+            dv=[],  # materialized by the rewrite, like clustering
+        )
+        newt._write_commit(commit)
+        if cfg.record_index:
+            # dir keys carry the spec: rebuild or point_lookup would
+            # resolve zero candidate dirs and silently miss live keys
+            rli_dir = self.root / RLI_DIR
+            if rli_dir.exists():
+                shutil.rmtree(rli_dir)
+            newt._rli_table = None
+            newt._update_record_index(newt._bucketize(df))
+        if cfg.secondary_index:
+            newt.rebuild_secondary_index()
+        return newt
+
     def merge_into(
         self,
         source: DataFrame,
@@ -925,6 +1055,7 @@ class CuratedTable:
         """
         cfg = self.config
         prev = self.latest_commit()
+        self._check_spec(prev)
         if prev is None:
             return self.bulk_insert(batch, checkpoint)
         version = self._next_version()
@@ -1079,6 +1210,7 @@ class CuratedTable:
         if not cfg.deletion_vectors:
             raise ValueError(f"{cfg.name}: deletion_vectors not enabled")
         prev = self.latest_commit()
+        self._check_spec(prev)
         if prev is None:
             raise ValueError(f"{cfg.name}: nothing committed yet")
         version = self._next_version()
@@ -1165,6 +1297,7 @@ class CuratedTable:
         overwrite lands on the compacted snapshot — same visible state,
         cost = one compaction brought forward."""
         prev = self.latest_commit()
+        self._check_spec(prev)
         if prev is None:
             return self.bulk_insert(batch, checkpoint)
         if prev.deltas:
@@ -1291,6 +1424,7 @@ class CuratedTable:
     def compact(self) -> Commit | None:
         """MOR inline compaction (D12): fold deltas into a new base snapshot."""
         prev = self.latest_commit()
+        self._check_spec(prev)
         if prev is None or not prev.deltas:
             return None
         merged = self.read()  # drops any bucket col; recomputed on write
@@ -1405,6 +1539,7 @@ class CuratedTable:
         prev = self.latest_commit()
         if prev is None:
             return None
+        self._check_spec(prev)
         df = self.read()  # drops any bucket col; recomputed on write
         version = self._next_version()
         vdir = f"v{version:08d}"
@@ -1627,6 +1762,7 @@ class CuratedTable:
                 "bucket/range) — unpartitioned writers always conflict"
             )
         prev = self.latest_commit()
+        self._check_spec(prev)
         if prev is None:
             raise ValueError(f"{cfg.name}: bulk_insert first")
         token = uuid.uuid4().hex[:8]

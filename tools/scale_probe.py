@@ -147,6 +147,10 @@ PROBE_QUERIES = [
     # D43 MERGE INTO: one key join + partition-pruned upsert — cost
     # must track the source batch, not the table
     "q259_merge_into",
+    # D44 partition evolution: the evolve rewrite is O(table) by
+    # design (the documented trade); the post-evolve upsert must still
+    # prune to touched partitions under the NEW spec
+    "q260_partition_evolution",
 ]
 
 VOW = "aeiou"
