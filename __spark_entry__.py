@@ -2786,7 +2786,7 @@ def q192_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = _view(spark, sf_dir, "documents", "q184")
         _BPE_CACHE[key] = fn_bpe.bpe_train(spark, v).collect()
     v = _view(spark, sf_dir, "documents", "q192")
-    return fn_bpe.bpe_encode(spark, v, _BPE_CACHE[key])
+    return fn_bpe.bpe_encode(spark, v, _BPE_CACHE[key], cache_key=sf_dir)
 
 
 def q185_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7066,6 +7066,23 @@ FROM orders
 ORDER BY o_orderkey"""
 
 
+def q261_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detokenization-fidelity audit (bpe.bpe_roundtrip): decode the
+    encoded corpus — symbols concatenated in position order, words
+    joined in word order — and compare per-doc against the tokenizer's
+    own normalization. BPE merges are concatenative, so every doc must
+    round-trip exactly; q192's char-conservation check is blind to
+    reordering, this is not. Shares q184's trained merges and the
+    session-cached encoded symbol table with q192."""
+    key = (id(spark), sf_dir)
+    if key not in _BPE_CACHE:
+        v = _view(spark, sf_dir, "documents", "q184")
+        _BPE_CACHE[key] = fn_bpe.bpe_train(spark, v).collect()
+    v = _view(spark, sf_dir, "documents", "q261")
+    return fn_bpe.bpe_roundtrip(spark, v, _BPE_CACHE[key],
+                                cache_key=sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -7360,6 +7377,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q258_secondary_index": q258_secondary_index,
         "q259_merge_into": q259_merge_into,
         "q260_partition_evolution": q260_partition_evolution,
+        "q261_bpe_roundtrip": q261_bpe_roundtrip,
     }
 
 
@@ -8306,4 +8324,5 @@ def oracle_sql() -> dict[str, str]:
         "q258_secondary_index": _secondary_index_oracle_sql(),
         "q259_merge_into": _merge_into_oracle_sql(),
         "q260_partition_evolution": _partition_evolution_oracle_sql(),
+        "q261_bpe_roundtrip": fn_bpe.bpe_roundtrip_oracle_sql(),
     }

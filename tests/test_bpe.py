@@ -224,3 +224,38 @@ def test_encode_conserves_chars(spark):
         norm = re.sub(r"\s+", " ", t.strip().lower())
         expect = sum(len(w) for w in norm.split(" ") if w)
         assert got[doc_id] == expect
+
+
+def test_roundtrip_exact_on_adversarial_runs(spark):
+    """Decode(encode(x)) must equal the tokenizer normalization of x for
+    EVERY doc — including runs of one symbol (greedy self-pair parity),
+    multi-space whitespace, and words that merge to single tokens."""
+    rows = [
+        # docs 0/1 are in the training hash-sample (doc_id % 10 < 2) and
+        # carry enough pair mass for all 4 rounds; 2-4 are encode-only
+        (0, "the thermal theory there other ether aaaa abab"),
+        (1, "aaaa aaa aa a theory the the abab"),
+        (2, "  The   quick  brown "),  # whitespace normalization
+        (3, "abababab abab"),          # overlapping ab-ab merges
+        (4, "zzz"),                    # single word, run merge
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).createOrReplaceTempView("__bpe_rt_docs")
+    merges = bpe.bpe_train(spark, "__bpe_rt_docs", rounds=4).collect()
+    got = sorted(
+        tuple(r) for r in bpe.bpe_roundtrip(
+            spark, "__bpe_rt_docs", merges, rounds=4
+        ).collect()
+    )
+    assert [r[0] for r in got] == [0, 1, 2, 3, 4]
+    assert all(r[2] == 1 for r in got), got  # every doc round-trips
+    # and the DuckDB oracle agrees end-to-end on the same fixture
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracle = sorted(tuple(r) for r in con.execute(
+        bpe.bpe_roundtrip_oracle_sql(rounds=4)).fetchall())
+    assert got == oracle

@@ -151,6 +151,9 @@ PROBE_QUERIES = [
     # design (the documented trade); the post-evolve upsert must still
     # prune to touched partitions under the NEW spec
     "q260_partition_evolution",
+    # BPE round-trip: shares the cached encoded symbol table with q192;
+    # the decode aggregates are document-bounded
+    "q261_bpe_roundtrip",
 ]
 
 VOW = "aeiou"
