@@ -7003,7 +7003,7 @@ FROM orders WHERE o_orderkey % 97 = 0
 ORDER BY o_orderkey"""
 
 
-_EVOLVE_CACHE: dict = {}
+_PSPEC_CACHE: dict = {}
 
 
 def q260_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7017,7 +7017,7 @@ def q260_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-batch replay — the spec change must be invisible to content."""
     key = (id(spark), sf_dir)
     with _REPLAY_LOCK:
-        table = _EVOLVE_CACHE.get(key)
+        table = _PSPEC_CACHE.get(key)
         if table is None or not table.root.exists():
             cfg = TableConfig(
                 name="evolve_orders",
@@ -7044,7 +7044,7 @@ def q260_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("o_totalprice") + F.lit(2.0))
                 .withColumn("trx_seq", F.lit("00000002"))
             )
-            _EVOLVE_CACHE[key] = table
+            _PSPEC_CACHE[key] = table
     return (table.read().select(*_ORDER_COLS, "trx_seq")
             .orderBy("o_orderkey"))
 
@@ -7081,6 +7081,20 @@ def q261_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _view(spark, sf_dir, "documents", "q261")
     return fn_bpe.bpe_roundtrip(spark, v, _BPE_CACHE[key],
                                 cache_key=sf_dir)
+
+
+def q262_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source shingle contamination matrix (dedup.
+    source_overlap_sql): per source pair, shared distinct 3-token
+    shingles + exact set Jaccard in ppm — the between-sources
+    complement of per-doc dedup, run before trusting mixture weights
+    (q122/q206 assume sources are independent evidence). Pair counts
+    come from a shingle-grouped self-join (fan-out ≤ source count),
+    never doc x doc; zero-overlap pairs surface explicitly. Shares the
+    cached inverted index with q19/q166/q251."""
+    v = _view(spark, sf_dir, "documents", "q262")
+    return spark.sql(fn_dedup.source_overlap_sql(
+        "spark", table=v, inv_tables=_inv(spark, sf_dir)))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -7378,6 +7392,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q259_merge_into": q259_merge_into,
         "q260_partition_evolution": q260_partition_evolution,
         "q261_bpe_roundtrip": q261_bpe_roundtrip,
+        "q262_source_overlap": q262_source_overlap,
     }
 
 
@@ -8325,4 +8340,5 @@ def oracle_sql() -> dict[str, str]:
         "q259_merge_into": _merge_into_oracle_sql(),
         "q260_partition_evolution": _partition_evolution_oracle_sql(),
         "q261_bpe_roundtrip": fn_bpe.bpe_roundtrip_oracle_sql(),
+        "q262_source_overlap": fn_dedup.source_overlap_sql("duckdb"),
     }

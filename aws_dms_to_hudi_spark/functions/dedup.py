@@ -1500,3 +1500,53 @@ SELECT CAST(ts.tp AS BIGINT) AS threshold_pct,
 FROM pairs p CROSS JOIN ts
 GROUP BY ts.tp
 ORDER BY threshold_pct"""
+
+
+def source_overlap_sql(
+    dialect: str, table: str = "documents",
+    inv_tables: tuple | None = None,
+) -> str:
+    """Cross-source n-gram contamination matrix: for every PAIR of
+    sources, the count of distinct 3-token shingles they share and the
+    exact Jaccard (ppm) between their shingle SETS — the corpus-level
+    complement of per-doc dedup. Detects template reuse, crawl overlap,
+    and benchmark bleed BETWEEN sources before mixture weights are set
+    (the q122/q206 mixtures assume sources are independent evidence; a
+    high off-diagonal here says they are not).
+
+    Shapes: the shared inverted index collapses to distinct
+    (source, shingle) rows — corpus-linear — then the pair counts come
+    from a self-join GROUPED BY SHINGLE whose fan-out per shingle is
+    bounded by the source count (a small constant), never doc x doc;
+    the final matrix is |sources|² rows built from one LEFT JOIN so
+    zero-overlap pairs surface explicitly instead of silently missing.
+    """
+    from . import portable as P
+
+    prefix = _inv_cte(dialect, table, None, inv_tables=inv_tables)
+    jac = P.int_div(
+        "1000000 * COALESCE(i.n_shared, 0)",
+        "(sa.n + sb.n - COALESCE(i.n_shared, 0))",
+        dialect,
+    )
+    return f"""
+WITH {prefix},
+ssh AS (
+  SELECT DISTINCT d.source AS src, v.g
+  FROM inv v JOIN {table} d ON d.doc_id = v.doc_id
+),
+ssizes AS (SELECT src, COUNT(*) AS n FROM ssh GROUP BY src),
+inter AS (
+  SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared
+  FROM ssh a JOIN ssh b ON a.g = b.g AND a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT sa.src AS src_a, sb.src AS src_b,
+       CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(sa.n AS BIGINT) AS n_shingles_a,
+       CAST(sb.n AS BIGINT) AS n_shingles_b,
+       CAST({jac} AS BIGINT) AS jaccard_ppm
+FROM ssizes sa
+JOIN ssizes sb ON sa.src < sb.src
+LEFT JOIN inter i ON i.src_a = sa.src AND i.src_b = sb.src
+ORDER BY src_a, src_b"""

@@ -915,6 +915,70 @@ class CuratedTable:
             newt.rebuild_secondary_index()
         return newt
 
+    def clone_to(
+        self, dest_root: str | Path, version: int | None = None
+    ) -> "CuratedTable":
+        """Zero-copy shallow clone (Delta ``SHALLOW CLONE`` analog):
+        create a NEW table at ``dest_root`` whose first commit
+        references this table's data (and outstanding MOR delta) dirs
+        at ``version`` by ABSOLUTE path — the bootstrap machinery in
+        reverse, O(partitions) metadata and no data I/O. The clone
+        diverges copy-on-write: its writes materialize touched
+        partitions into clone-owned dirs (exactly like a bootstrapped
+        table), and the source is never written through a clone.
+
+        Delta's operational caveat carries over verbatim and is NOT
+        softened here: ``clean()``/``vacuum()`` on the SOURCE can
+        delete dirs a clone still references — clones are for
+        experiments and dev branches over a maintenance-quiesced
+        source. Column stats carry over (re-keyed to the absolute
+        dirs) so data skipping keeps working; key bounds carry (the
+        layout contract). Snapshots with ACTIVE deletion vectors are
+        rejected (a DV entry is dir-identity-scoped and would go inert
+        under the clone's re-keyed data map, resurrecting deleted
+        rows) — cluster first, which materializes the deletes. Tables
+        configured with record/secondary indexes or CDC images are
+        rejected too: those metadata trees live under the SOURCE root;
+        clone with a plain config and rebuild on the clone."""
+        cfg = self.config
+        if cfg.record_index or cfg.secondary_index or cfg.cdc_images:
+            raise ValueError(
+                f"{cfg.name}: shallow clone of index/CDC-image tables "
+                "is unsupported — their metadata trees live under the "
+                "source root; clone with a plain config and rebuild"
+            )
+        src = self._commit_at(version)
+        if src is None:
+            raise ValueError(f"{cfg.name}: nothing to clone — empty table")
+        if src.dv:
+            raise ValueError(
+                f"{cfg.name}: snapshot v{src.version} has active "
+                "deletion vectors — cluster() first (it materializes "
+                "the deletes), then clone"
+            )
+
+        def _abs(d: str) -> str:
+            return d if _is_external(d) else str(self.root / d)
+
+        clone = CuratedTable(self.spark, dest_root, cfg,
+                             lock_provider=self.lock_provider)
+        commit = Commit(
+            version=1,
+            operation="clone",
+            data={k: _abs(d) for k, d in src.data.items()},
+            deltas=[_abs(d) for d in src.deltas],
+            checkpoint=dict(src.checkpoint),
+            parent=None,
+            changelog=[],
+            key_bounds=src.key_bounds,
+            col_stats=(
+                {_abs(d): dict(s) for d, s in src.col_stats.items()}
+                if src.col_stats else None
+            ),
+        )
+        clone._write_commit(commit)
+        return clone
+
     def merge_into(
         self,
         source: DataFrame,

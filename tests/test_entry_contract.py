@@ -61,3 +61,19 @@ def test_driver_window_rotation():
     )
     if len(never) > 50:
         assert window == never[:50]
+
+
+def test_no_duplicate_module_level_names():
+    """Module-level fixture caches must be singly defined: a second
+    `_NAME = {}` rebinds the first, silently fusing two gates' caches
+    (the q96/q260 _EVOLVE_CACHE collision served one gate the other's
+    table). Parse the entry source and fail on any duplicate."""
+    import re
+    from pathlib import Path
+
+    src = (Path(__file__).resolve().parent.parent
+           / "__spark_entry__.py").read_text()
+    names = re.findall(r"^(_[A-Z][A-Z_0-9]*)(?:\s*:[^=\n]+)?\s*= ",
+                       src, re.M)
+    dupes = sorted({n for n in names if names.count(n) > 1})
+    assert not dupes, f"duplicate module-level definitions: {dupes}"

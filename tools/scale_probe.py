@@ -154,6 +154,9 @@ PROBE_QUERIES = [
     # BPE round-trip: shares the cached encoded symbol table with q192;
     # the decode aggregates are document-bounded
     "q261_bpe_roundtrip",
+    # cross-source contamination matrix: shingle-grouped self-join with
+    # fan-out bounded by the source count — must stay corpus-linear
+    "q262_source_overlap",
 ]
 
 VOW = "aeiou"
