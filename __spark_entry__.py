@@ -2852,7 +2852,7 @@ def q190_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT name_a AS doc_a, name_b AS doc_b FROM ("
         + fn_dedup.snm_pairs_sql("spark", table=v) + ")"
     )
-    labels = fn_comp.connected_components_star(pairs)
+    labels = fn_comp.cc_labels(spark, pairs, cache_key=sf_dir, tag="snm")
     labels.createOrReplaceTempView("__q190_lbl")
     return spark.sql(
         fn_dedup.golden_record_sql("spark", part=v, labels="__q190_lbl")
@@ -6763,17 +6763,17 @@ def q254_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q255_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bounded-depth BFS blast radius (components.khop_reachability_sql):
-    cumulative reach counts at 1/2/3 hops from the 8 highest-degree
-    nodes — unrolled Pregel-style frontier expansion, one node-keyed
-    equi-join + UNION dedup per hop, no recursive CTE. Reach relations
-    are bounded by seeds x nodes; at 100 TB each hop checkpoints like
-    the connected-components rounds. Shares the cached edge build."""
+    """Bounded-depth BFS blast radius (components.khop_reachability,
+    oracle khop_reachability_sql): cumulative reach counts at 1/2/3
+    hops from the 8 highest-degree nodes. The Spark path materializes
+    each hop's MIN-hop reach relation explicitly (every hop is
+    referenced by the next frontier join AND the cumulative union, and
+    Spark inlines CTEs — the one-statement form re-computes each prior
+    hop twice, a 2^hops blowup); per hop: one broadcast join from the
+    delta frontier + one MIN-hop aggregate, the checkpointed Pregel
+    layout. Shares the cached sym/deg relations with q256."""
     li = _view(spark, sf_dir, "lineitem", "q255")
-    edges = fn_comp.copurchase_edges(spark, li, cache_key=sf_dir)
-    edges.createOrReplaceTempView("__q255_edges")
-    return spark.sql(
-        fn_comp.khop_reachability_sql("spark", edges_table="__q255_edges"))
+    return fn_comp.khop_reachability(spark, li, cache_key=sf_dir)
 
 
 def q256_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6786,10 +6786,12 @@ def q256_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     window partitions per seed over two-hop-ball-bounded sets. Shares
     the cached edge build."""
     li = _view(spark, sf_dir, "lineitem", "q256")
-    edges = fn_comp.copurchase_edges(spark, li, cache_key=sf_dir)
-    edges.createOrReplaceTempView("__q256_edges")
+    sym, deg = fn_comp.copurchase_sym_deg(spark, li, cache_key=sf_dir)
+    sym.createOrReplaceTempView("__q256_sym")
+    deg.createOrReplaceTempView("__q256_deg")
     return spark.sql(
-        fn_comp.ra_link_prediction_sql("spark", edges_table="__q256_edges"))
+        fn_comp.ra_link_prediction_sql(
+            "spark", sym_table="__q256_sym", deg_table="__q256_deg"))
 
 
 _BOOT_CACHE: dict = {}

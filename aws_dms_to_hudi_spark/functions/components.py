@@ -544,25 +544,8 @@ def triangle_count(spark, lineitem: str, cache_key: str | None = None):
     are materialized once (Spark inlines CTE/DataFrame reuse)."""
     from pyspark.sql import functions as F
 
-    from .dedup import materialize
-
     edges = copurchase_edges(spark, lineitem, cache_key)
-    deg = materialize(
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
-    lower = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    oriented = materialize(
-        edges
-        .join(deg.select(F.col("node").alias("u"),
-                         F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("node").alias("v"),
-                         F.col("d").alias("dv")), "v")
-        .select(F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
-                F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t")))
-    adj = materialize(
-        oriented.groupBy("s").agg(F.sort_array(F.collect_list("t")).alias("nb")))
+    deg, oriented, adj = oriented_adj(spark, lineitem, cache_key)
     # The per-edge (nb_s, t) pairs come from exploding adj — narrow, no
     # join, already co-located with nb_s — so exactly ONE array-carrying
     # shuffle remains (keyed by t). That join is planned from the
@@ -809,26 +792,8 @@ def local_clustering(spark, lineitem: str, cache_key: str | None = None,
     sort)."""
     from pyspark.sql import functions as F
 
-    from .dedup import materialize
-
     edges = copurchase_edges(spark, lineitem, cache_key)
-    deg = materialize(
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
-    lower = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    oriented = (
-        edges
-        .join(deg.select(F.col("node").alias("u"),
-                         F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("node").alias("v"),
-                         F.col("d").alias("dv")), "v")
-        .select(F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
-                F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t")))
-    adj = materialize(
-        oriented.groupBy("s").agg(
-            F.sort_array(F.collect_list("t")).alias("nb")))
+    deg, _oriented, adj = oriented_adj(spark, lineitem, cache_key)
     adj_t = adj.select(F.col("s").alias("t"), F.col("nb").alias("nb_t"))
     if edges.count() > 4_000_000:
         adj_t = adj_t.hint("shuffle_hash")
@@ -940,7 +905,9 @@ RA_TOP = 10
 
 def ra_link_prediction_sql(dialect: str, lineitem: str = "lineitem",
                            seeds: int = RA_SEEDS, top: int = RA_TOP,
-                           edges_table: str | None = None) -> str:
+                           edges_table: str | None = None,
+                           sym_table: str | None = None,
+                           deg_table: str | None = None) -> str:
     """Resource-Allocation link prediction (Zhou, Lü & Zhang, EPJ B 71,
     2009 — the integer-exact member of the Adamic–Adar family): for a
     seed set of query nodes, score every non-adjacent candidate v by
@@ -962,14 +929,23 @@ def ra_link_prediction_sql(dialect: str, lineitem: str = "lineitem",
 
     ra = P.int_div("1000000", "n.dnb", dialect)
     m = "MATERIALIZED " if dialect == "duckdb" else ""
-    prefix = _edges_prefix(dialect, lineitem, edges_table)
-    return f"""
-WITH {prefix},
+    if sym_table is not None and deg_table is not None:
+        # Spark path: sym and deg are MATERIALIZED session-cached views
+        # (components.copurchase_sym_deg) — sym is referenced three
+        # times below and deg twice, and Spark inlines CTEs, so reading
+        # the pinned relations avoids re-deriving the edge build per
+        # reference (DuckDB pins via MATERIALIZED instead).
+        prefix = (f"sym AS (SELECT src, dst FROM {sym_table}),\n"
+                  f"deg AS (SELECT node, d FROM {deg_table})")
+    else:
+        prefix = f"""{_edges_prefix(dialect, lineitem, edges_table)},
 sym AS {m}(
   SELECT u AS src, v AS dst FROM edges
   UNION ALL
   SELECT v AS src, u AS dst FROM edges
-),
+)"""
+    return f"""
+WITH {prefix},
 seeds AS {m}(
   SELECT node AS seed FROM deg ORDER BY d DESC, node ASC LIMIT {seeds}
 ),
@@ -1028,3 +1004,117 @@ def cc_labels(spark, pairs_df, cache_key: str | None = None,
         if cache_key is not None:
             _CC_CACHE[key] = labels
         return labels
+
+
+_SYMDEG_CACHE: dict = {}
+
+
+def copurchase_sym_deg(spark, lineitem: str, cache_key: str | None = None):
+    """Materialized symmetrized edge list ``(src, dst)`` and degree
+    relation ``(node, d)`` for the co-purchase graph — shared by the
+    seeded traversal operators (k-hop reachability, RA link
+    prediction), built once per (session, corpus) on top of
+    :func:`copurchase_edges`."""
+    from pyspark.sql import functions as F
+
+    key = (id(spark), cache_key)
+    with _EDGE_LOCK:
+        if cache_key is not None and key in _SYMDEG_CACHE:
+            return _SYMDEG_CACHE[key]
+    edges = copurchase_edges(spark, lineitem, cache_key)
+    sym = materialize(
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(edges.select(F.col("v").alias("src"),
+                               F.col("u").alias("dst"))))
+    deg = materialize(
+        sym.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("d")))
+    with _EDGE_LOCK:
+        if cache_key is not None:
+            _SYMDEG_CACHE[key] = (sym, deg)
+    return sym, deg
+
+
+def khop_reachability(spark, lineitem: str, cache_key: str | None = None,
+                      seeds: int = KHOP_SEEDS, hops: int = KHOP_HOPS):
+    """Spark driver for bounded-depth BFS — same output contract as
+    :func:`khop_reachability_sql` (which DuckDB runs as the oracle:
+    MATERIALIZED pins each hop there), but each hop's reach relation is
+    explicitly materialized. The one-statement form is wrong for Spark:
+    every hop CTE is referenced twice (the frontier join AND the
+    cumulative union), and Spark inlines CTEs, so hop h re-computes
+    hop h-1 twice — a 2^hops plan blowup the materialization removes
+    (8.5s -> ~1.5s at sf0.1). Per hop: one broadcast join from the
+    delta frontier + one MIN-hop aggregate, exactly the checkpointed
+    Pregel layout the CC rounds use."""
+    from pyspark.sql import functions as F
+
+    sym, deg = copurchase_sym_deg(spark, lineitem, cache_key)
+    seed_rel = (deg.orderBy(F.col("d").desc(), F.col("node").asc())
+                .limit(seeds).select(F.col("node").alias("seed"), "d"))
+    r = materialize(
+        seed_rel.select("seed", F.col("seed").alias("node"),
+                        F.lit(0).alias("hop")))
+    for h in range(1, hops + 1):
+        frontier = r.filter(F.col("hop") == h - 1)
+        nxt = (F.broadcast(frontier)
+               .join(sym, frontier["node"] == sym["src"])
+               .select("seed", F.col("dst").alias("node"),
+                       F.lit(h).alias("hop")))
+        r = materialize(
+            r.unionByName(nxt).groupBy("seed", "node")
+            .agg(F.min("hop").alias("hop")))
+    counts = [
+        F.sum(F.when(F.col("hop") <= h, 1).otherwise(0))
+        .cast("long").alias(f"reach_{h}")
+        for h in range(1, hops + 1)
+    ]
+    return (r.groupBy("seed")
+            .agg(*counts)
+            .join(deg.select(F.col("node").alias("seed"),
+                             F.col("d").cast("long").alias("degree")),
+                  "seed")
+            .select(F.col("seed").cast("long").alias("seed"), "degree",
+                    *[f"reach_{h}" for h in range(1, hops + 1)])
+            .orderBy("seed"))
+
+
+_ADJ_CACHE: dict = {}
+
+
+def oriented_adj(spark, lineitem: str, cache_key: str | None = None):
+    """Materialized (deg, oriented, adj) for the degree-ordered
+    co-purchase graph — the shared build behind the triangle family
+    (global count q178, per-node clustering q254): deg is the degree
+    relation, oriented the (degree,id)-oriented edge list, adj each
+    node's SORTED out-neighbor array. Built once per (session, corpus)
+    on top of :func:`copurchase_edges`."""
+    from pyspark.sql import functions as F
+
+    key = (id(spark), cache_key)
+    with _EDGE_LOCK:
+        if cache_key is not None and key in _ADJ_CACHE:
+            return _ADJ_CACHE[key]
+    edges = copurchase_edges(spark, lineitem, cache_key)
+    deg = materialize(
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    lower = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = (
+        edges
+        .join(deg.select(F.col("node").alias("u"),
+                         F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"),
+                         F.col("d").alias("dv")), "v")
+        .select(F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+                F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t")))
+    adj = materialize(
+        oriented.groupBy("s").agg(
+            F.sort_array(F.collect_list("t")).alias("nb")))
+    out = (deg, oriented, adj)
+    with _EDGE_LOCK:
+        if cache_key is not None:
+            _ADJ_CACHE[key] = out
+    return out

@@ -93,3 +93,11 @@ def test_lcc_zero_triangle_node_included(spark):
     got = [tuple(r) for r in
            fn_comp.local_clustering(spark, "__g_path").collect()]
     assert got == [(11, 2, 0, 0)]
+
+
+def test_khop_dataframe_path_matches_sql(spark, graph_view):
+    """The materialized DataFrame BFS (what the entry runs) must equal
+    the one-statement SQL form on the hand-counted fixture."""
+    got = [tuple(r) for r in
+           fn_comp.khop_reachability(spark, graph_view).collect()]
+    assert got == KHOP_EXPECT
