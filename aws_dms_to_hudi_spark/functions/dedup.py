@@ -1529,6 +1529,12 @@ def source_overlap_sql(
         "(sa.n + sb.n - COALESCE(i.n_shared, 0))",
         dialect,
     )
+    # The matrix join has no equi-key (src < src); unhinted, Spark plans
+    # a CartesianProduct. Broadcasting the |sources|-row side makes it a
+    # BroadcastNestedLoopJoin — the right physical plan for a tiny×tiny
+    # inequality join at any corpus size (the matrix is |sources|² rows
+    # by construction). DuckDB reads the hint as a comment.
+    bcast = "/*+ BROADCAST(sa) */ " if dialect == "spark" else ""
     return f"""
 WITH {prefix},
 ssh AS (
@@ -1541,7 +1547,7 @@ inter AS (
   FROM ssh a JOIN ssh b ON a.g = b.g AND a.src < b.src
   GROUP BY a.src, b.src
 )
-SELECT sa.src AS src_a, sb.src AS src_b,
+SELECT {bcast}sa.src AS src_a, sb.src AS src_b,
        CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared,
        CAST(sa.n AS BIGINT) AS n_shingles_a,
        CAST(sb.n AS BIGINT) AS n_shingles_b,
