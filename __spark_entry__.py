@@ -2263,11 +2263,11 @@ def q210_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows. Shares the cached copurchase_edges build with triangle
     counting and k-core."""
     li = _view(spark, sf_dir, "lineitem", "q210")
-    edges = fn_comp.copurchase_edges(spark, li, cache_key=sf_dir)
-    edges.createOrReplaceTempView("__q210_edges")
-    return spark.sql(
-        fn_comp.label_propagation_sql("spark", edges_table="__q210_edges")
-    )
+    labels = fn_comp.lpa_labels(spark, li, cache_key=sf_dir)
+    return (labels.groupBy("lbl")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+            .select(F.col("lbl").alias("community"), "n_members")
+            .orderBy("community"))
 
 
 def q211_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7099,6 +7099,41 @@ def q262_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark", table=v, inv_tables=_inv(spark, sf_dir)))
 
 
+def q263_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity audit of q210's LPA communities (components.
+    modularity_sql): per community, internal edges / degree mass /
+    Q-contribution in ppm — the quality score that says whether the
+    community structure fed to canonical-selection and leakage audits
+    is real or random. Integer-exact via two-stage floor division
+    (int64-safe to m ≈ 4.6e12 edges). The label relation is consumed
+    three times, so the Spark path reads the session-cached
+    materialized labels (components.lpa_labels) + the cached edge
+    view; DuckDB pins the inline chain with MATERIALIZED."""
+    li = _view(spark, sf_dir, "lineitem", "q263")
+    edges = fn_comp.copurchase_edges(spark, li, cache_key=sf_dir)
+    edges.createOrReplaceTempView("__q263_edges")
+    labels = fn_comp.lpa_labels(spark, li, cache_key=sf_dir)
+    labels.createOrReplaceTempView("__q263_lab")
+    return spark.sql(fn_comp.modularity_sql(
+        "spark", edges_table="__q263_edges", labels_table="__q263_lab"))
+
+
+def q264_personalized_pagerank(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Personalized PageRank from the top-degree seed set (components.
+    ppr_sql, Haveliwala 2002): seeded-importance, completing the seeded
+    trio with k-hop reach (q255) and RA link prediction (q256). Sparse
+    support (restart mass only at seeds; each round widens by one hop),
+    fixed-point int64 with the loud a-priori overflow bound, every
+    round CTE referenced once. Reads the cached sym/deg views."""
+    li = _view(spark, sf_dir, "lineitem", "q264")
+    sym, deg = fn_comp.copurchase_sym_deg(spark, li, cache_key=sf_dir)
+    sym.createOrReplaceTempView("__q264_sym")
+    deg.createOrReplaceTempView("__q264_deg")
+    return spark.sql(fn_comp.ppr_sql(
+        "spark", sym_table="__q264_sym", deg_table="__q264_deg"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -7395,6 +7430,8 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q260_partition_evolution": q260_partition_evolution,
         "q261_bpe_roundtrip": q261_bpe_roundtrip,
         "q262_source_overlap": q262_source_overlap,
+        "q263_modularity": q263_modularity,
+        "q264_personalized_pagerank": q264_personalized_pagerank,
     }
 
 
@@ -8343,4 +8380,6 @@ def oracle_sql() -> dict[str, str]:
         "q260_partition_evolution": _partition_evolution_oracle_sql(),
         "q261_bpe_roundtrip": fn_bpe.bpe_roundtrip_oracle_sql(),
         "q262_source_overlap": fn_dedup.source_overlap_sql("duckdb"),
+        "q263_modularity": fn_comp.modularity_sql("duckdb"),
+        "q264_personalized_pagerank": fn_comp.ppr_sql("duckdb"),
     }

@@ -609,6 +609,41 @@ def label_propagation_sql(
 
     Output: per-community member counts (community = converged label).
     """
+    body, fin = _lpa_chain(dialect, lineitem, rounds, edges_table)
+    return f"""
+WITH {body}
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM {fin}
+GROUP BY lbl
+ORDER BY community"""
+
+
+def lpa_labels_sql(
+    dialect: str,
+    lineitem: str = "lineitem",
+    rounds: int = LPA_ROUNDS,
+    edges_table: str | None = None,
+) -> str:
+    """The raw (node, lbl) label relation after exactly ``rounds`` LPA
+    rounds — the shared artifact the modularity audit consumes (the
+    Spark entry materializes it once; the single-statement form would
+    be re-derived per reference since Spark inlines CTEs)."""
+    body, fin = _lpa_chain(dialect, lineitem, rounds, edges_table)
+    return f"""
+WITH {body}
+SELECT node, lbl FROM {fin}"""
+
+
+def _lpa_chain(
+    dialect: str,
+    lineitem: str,
+    rounds: int,
+    edges_table: str | None,
+) -> tuple[str, str]:
+    """The LPA CTE chain (edges → sym → l0 → … → l{rounds}); returns
+    (WITH-body, final label relation name). Every CTE is referenced
+    exactly once by its successor, so the chain is safe to inline on
+    Spark."""
     # DuckDB inlines CTEs referenced more than once, recomputing the
     # edge build per round; MATERIALIZED pins each round's relation.
     # Spark has no such keyword (Catalyst reuses exchange subtrees).
@@ -672,13 +707,7 @@ l{r} AS {m}(
   FROM cnt{r}
   GROUP BY node
 )""")
-    body = ",\n".join(parts)
-    return f"""
-WITH {body}
-SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
-FROM l{rounds}
-GROUP BY lbl
-ORDER BY community"""
+    return ",\n".join(parts), f"l{rounds}"
 
 
 LCC_TOP = 100
@@ -1118,3 +1147,178 @@ def oriented_adj(spark, lineitem: str, cache_key: str | None = None):
         if cache_key is not None:
             _ADJ_CACHE[key] = out
     return out
+
+
+def modularity_sql(
+    dialect: str,
+    lineitem: str = "lineitem",
+    rounds: int = LPA_ROUNDS,
+    edges_table: str | None = None,
+    labels_table: str | None = None,
+) -> str:
+    """Newman modularity audit of the LPA communities (Newman & Girvan
+    2004): per community c, its internal edge count e_c, degree mass
+    deg_c, and contribution Q_c = e_c/m − (deg_c/2m)² in ppm — the
+    quality score that says whether the community structure q210 feeds
+    to canonical-selection/leakage audits is real or noise (Q near 0 =
+    partition no better than random).
+
+    Integer-exact in ppm via two-stage floor division; the probability
+    term is computed as ``((10⁶·deg_c) DIV 2m · deg_c) DIV 2m`` so the
+    largest intermediate is 10⁶·deg_c ≤ 10⁶·2m — int64-safe to
+    m ≈ 4.6·10¹² edges (documented bound, far past a 100 TB basket
+    graph). Same two floors on both engines: bit-identical.
+
+    ``labels_table`` (Spark path): the label relation is consumed three
+    times below (both endpoint joins + the degree mass), and Spark
+    inlines CTEs — the entry materializes :func:`lpa_labels_sql` once
+    and passes the pinned view; DuckDB instead pins the inline chain
+    with MATERIALIZED."""
+    from . import portable as P
+
+    m = "MATERIALIZED " if dialect == "duckdb" else ""
+    if labels_table is not None and edges_table is not None:
+        body = f"""edges AS (SELECT u, v FROM {edges_table}),
+lab AS (SELECT node, lbl FROM {labels_table})"""
+    else:
+        chain, fin = _lpa_chain(dialect, lineitem, rounds, edges_table)
+        body = f"""{chain},
+lab AS {m}(SELECT node, lbl FROM {fin})"""
+    e_term = P.int_div("1000000 * COALESCE(ei.e_in, 0)", "mm.m", dialect)
+    p_half = P.int_div("1000000 * ds.deg_sum", "(2 * mm.m)", dialect)
+    p_term = P.int_div(f"({p_half}) * ds.deg_sum", "(2 * mm.m)", dialect)
+    return f"""
+WITH {body},
+deg AS {m}(
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges) n
+  GROUP BY node
+),
+ein AS {m}(
+  SELECT la.lbl AS community, COUNT(*) AS e_in
+  FROM edges e
+  JOIN lab la ON la.node = e.u
+  JOIN lab lb ON lb.node = e.v AND lb.lbl = la.lbl
+  GROUP BY la.lbl
+),
+dsum AS {m}(
+  SELECT la.lbl AS community, SUM(d.d) AS deg_sum,
+         COUNT(*) AS n_members
+  FROM lab la JOIN deg d ON d.node = la.node
+  GROUP BY la.lbl
+),
+mm AS (SELECT COUNT(*) AS m FROM edges)
+SELECT CAST(ds.community AS BIGINT) AS community,
+       CAST(ds.n_members AS BIGINT) AS n_members,
+       CAST(COALESCE(ei.e_in, 0) AS BIGINT) AS e_in,
+       CAST(ds.deg_sum AS BIGINT) AS deg_sum,
+       CAST(({e_term}) - ({p_term}) AS BIGINT) AS q_contrib_ppm
+FROM dsum ds
+LEFT JOIN ein ei ON ei.community = ds.community
+CROSS JOIN mm
+ORDER BY community"""
+
+
+PPR_ITERS = 3
+PPR_TOP = 100
+
+
+def ppr_sql(dialect: str, lineitem: str = "lineitem",
+            seeds: int = KHOP_SEEDS, iters: int = PPR_ITERS,
+            top: int = PPR_TOP,
+            sym_table: str | None = None,
+            deg_table: str | None = None) -> str:
+    """Personalized PageRank from the ``seeds`` highest-degree nodes
+    (Haveliwala 2002; the random walk restarts AT THE SEED SET instead
+    of uniformly) — the seeded-importance member of the seeded trio
+    next to k-hop reach (q255) and RA link prediction (q256): "which
+    records matter most relative to THESE query nodes", the relevance
+    propagation primitive for graph-shaped curation.
+
+    Same fixed-point int64 arithmetic as :func:`pagerank_sql` (floor
+    division, a-priori overflow bound checked loudly per round), but
+    the support stays SPARSE: v₀ carries mass only at the seeds, each
+    round expands it by one hop (inflow aggregate UNION ALL the seed
+    restart mass, then one SUM per node) — at 100 TB with a handful of
+    seeds the walk never touches most of the graph, which is exactly
+    PPR's advantage over global PageRank. Every round CTE is
+    referenced once by its successor (Spark-inline-safe); sym/deg come
+    from the pinned session-cached views on Spark, MATERIALIZED CTEs
+    on DuckDB."""
+    m = "MATERIALIZED " if dialect == "duckdb" else ""
+    if sym_table is not None and deg_table is not None:
+        prefix = (f"sym AS (SELECT src, dst FROM {sym_table}),\n"
+                  f"deg AS (SELECT node, d FROM {deg_table})")
+    else:
+        prefix = f"""{_edges_prefix(dialect, lineitem, None)},
+sym AS {m}(
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v AS src, u AS dst FROM edges
+)"""
+    idiv = (lambda a, b: f"({a} div {b})") if dialect == "spark" else (
+        lambda a, b: f"({a} // {b})")
+    restart = idiv(f"15 * {PR_SCALE}", "100")
+    lim = idiv("9223372036854775807", "(85 * bb.mx)")
+    if dialect == "spark":
+        guard = (lambda v: f"(CASE WHEN {v} <= {lim} THEN CAST({v} AS "
+                 f"BIGINT) ELSE CAST(assert_true({v} <= {lim},"
+                 f" 'ppr int64 overflow bound') AS BIGINT) END)")
+    else:
+        guard = (lambda v: f"(CASE WHEN {v} <= {lim} THEN CAST({v} AS "
+                 f"BIGINT) ELSE CAST(error('ppr int64 overflow bound')"
+                 f" AS BIGINT) END)")
+    parts = [f"""{prefix},
+seeds AS {m}(
+  SELECT node AS seed FROM deg ORDER BY d DESC, node ASC LIMIT {seeds}
+),
+bound AS (SELECT MAX(d) AS mx FROM deg),
+v0 AS {m}(SELECT seed AS node, CAST({PR_SCALE} AS BIGINT) AS v
+          FROM seeds)"""]
+    for k in range(1, iters + 1):
+        inflow = idiv(f"85 * SUM({idiv('vp.v', 'dg.d')})", "100")
+        parts.append(f"""i{k} AS {m}(
+  SELECT e.dst AS node, {inflow} AS v
+  FROM sym e
+  JOIN v{k - 1} vp ON vp.node = e.src
+  JOIN deg dg ON dg.node = e.src
+  GROUP BY e.dst
+),
+v{k} AS {m}(
+  SELECT node, {guard("SUM(v)")} AS v
+  FROM (SELECT node, v FROM i{k}
+        UNION ALL
+        SELECT seed AS node, {restart} AS v FROM seeds) u
+  CROSS JOIN bound bb
+  GROUP BY node, bb.mx
+)""")
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT CAST(node AS BIGINT) AS node, CAST(v AS BIGINT) AS score
+FROM v{iters}
+ORDER BY score DESC, node ASC
+LIMIT {top}"""
+
+
+_LPA_CACHE: dict = {}
+
+
+def lpa_labels(spark, lineitem: str, cache_key: str | None = None,
+               rounds: int = LPA_ROUNDS):
+    """Materialized LPA label relation, once per (session, corpus) —
+    consumed three times by the modularity audit (both endpoint joins +
+    the degree mass), so pinning it matters on Spark (CTEs inline)."""
+    key = (id(spark), cache_key, rounds)
+    with _EDGE_LOCK:
+        if cache_key is not None and key in _LPA_CACHE:
+            return _LPA_CACHE[key]
+    edges = copurchase_edges(spark, lineitem, cache_key)
+    view = f"__lpa_edges_{abs(hash(key)) % 10**8}"
+    edges.createOrReplaceTempView(view)
+    labels = materialize(
+        spark.sql(lpa_labels_sql("spark", rounds=rounds, edges_table=view)))
+    with _EDGE_LOCK:
+        if cache_key is not None:
+            _LPA_CACHE[key] = labels
+    return labels

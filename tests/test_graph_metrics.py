@@ -101,3 +101,45 @@ def test_khop_dataframe_path_matches_sql(spark, graph_view):
     got = [tuple(r) for r in
            fn_comp.khop_reachability(spark, graph_view).collect()]
     assert got == KHOP_EXPECT
+
+
+TRI2_ROWS = [(100, p) for p in (1, 2, 3)] + [(200, p) for p in (10, 11, 12)]
+
+
+def test_modularity_two_disjoint_triangles(spark):
+    """Two disjoint triangles: LPA converges to one community each
+    (labels 1 and 10); each contributes e/m − (deg/2m)² =
+    3/6 − (6/12)² = 0.25 → 250000 ppm, total Q = 0.5."""
+    expect = [(1, 3, 3, 6, 250_000), (10, 3, 3, 6, 250_000)]
+    spark.createDataFrame(TRI2_ROWS, SCHEMA).createOrReplaceTempView(
+        "__g_tri2")
+    got = [tuple(r) for r in spark.sql(
+        fn_comp.modularity_sql("spark", lineitem="__g_tri2")).collect()]
+    assert got == expect
+    assert _duck2().execute(
+        fn_comp.modularity_sql("duckdb")).fetchall() == expect
+
+
+def _duck2():
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem (l_orderkey BIGINT, l_partkey BIGINT)")
+    con.executemany("INSERT INTO lineitem VALUES (?, ?)", TRI2_ROWS)
+    return con
+
+
+def test_ppr_stays_in_seed_component_and_matches_oracle(spark):
+    """Seeded at node 1 (two disjoint triangles): the walk never
+    reaches the other component, node 1 keeps the max score (it alone
+    collects restart mass every round), and the fixed-point integer
+    chain is bit-identical across engines."""
+    spark.createDataFrame(TRI2_ROWS, SCHEMA).createOrReplaceTempView(
+        "__g_tri2b")
+    got = [tuple(r) for r in spark.sql(
+        fn_comp.ppr_sql("spark", lineitem="__g_tri2b", seeds=1)).collect()]
+    assert {r[0] for r in got} == {1, 2, 3}  # support = seed component
+    assert max(got, key=lambda r: r[1])[0] == 1
+    oracle = _duck2().execute(fn_comp.ppr_sql("duckdb", seeds=1)).fetchall()
+    assert got == [tuple(r) for r in oracle]

@@ -157,6 +157,9 @@ PROBE_QUERIES = [
     # cross-source contamination matrix: shingle-grouped self-join with
     # fan-out bounded by the source count — must stay corpus-linear
     "q262_source_overlap",
+    # modularity: edges x labels joins, label artifact shared; PPR:
+    # sparse-support rounds — both node/edge-linear per round
+    "q263_modularity", "q264_personalized_pagerank",
 ]
 
 VOW = "aeiou"
