@@ -7134,6 +7134,20 @@ def q264_personalized_pagerank(spark: SparkSession, sf_dir: str
         "spark", sym_table="__q264_sym", deg_table="__q264_deg"))
 
 
+def q265_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence band (features.bootstrap_ci_sql,
+    Efron 1979 / Chamandy et al.'s Poisson-ized massive-data form):
+    per order status, the mean order value in cents with the
+    [2nd-smallest, 2nd-largest]-of-32-replicates band. Each replicate
+    weights every row Poisson(1) drawn deterministically from the
+    portable row hash under a per-replicate affine rehash — 2·32
+    map-side-combinable SUMs in ONE data pass, no resampled rows, no
+    explode; the 32 replicate means unpivot to a tiny relation for the
+    rank band. Integer floor-div means: bit-identical cross-engine."""
+    v = _view(spark, sf_dir, "orders", "q265")
+    return spark.sql(fn_feat.bootstrap_ci_sql("spark", orders=v))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -7432,6 +7446,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q262_source_overlap": q262_source_overlap,
         "q263_modularity": q263_modularity,
         "q264_personalized_pagerank": q264_personalized_pagerank,
+        "q265_bootstrap_ci": q265_bootstrap_ci,
     }
 
 
@@ -8382,4 +8397,5 @@ def oracle_sql() -> dict[str, str]:
         "q262_source_overlap": fn_dedup.source_overlap_sql("duckdb"),
         "q263_modularity": fn_comp.modularity_sql("duckdb"),
         "q264_personalized_pagerank": fn_comp.ppr_sql("duckdb"),
+        "q265_bootstrap_ci": fn_feat.bootstrap_ci_sql("duckdb"),
     }

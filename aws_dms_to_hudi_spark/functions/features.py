@@ -450,3 +450,108 @@ SELECT metric,
             ELSE CAST(NULL AS BIGINT) END AS drift_ppm
 FROM m
 ORDER BY metric"""
+
+
+BOOT_B = 32
+# Poisson(1) inverse-CDF thresholds over [0, HASH_P): floor(CDF(k)·P)
+# for k = 0..5; a draw past the last threshold clips to 6 (P ≈ 1e-4 —
+# the clip biases the weight mean by < 1e-4, far inside the band).
+_POIS_T = (790015083, 1580030167, 1975037709,
+           2106706890, 2139624185, 2146207644)
+
+
+def bootstrap_ci_sql(dialect: str, orders: str = "orders",
+                     b: int = BOOT_B) -> str:
+    """Poisson-bootstrap confidence band for a grouped metric (mean
+    order value in cents per order status) — the eval primitive behind
+    "is model/cohort A actually better than B" calls (Efron 1979;
+    Poisson-ized per Chamandy et al., "Estimating Uncertainty for
+    Massive Data Streams", the form used at terabyte scale precisely
+    because it needs NO resampled rows).
+
+    Each replicate r gives every row a Poisson(1) weight drawn
+    deterministically from the portable row hash under a per-replicate
+    affine rehash (distinct multipliers — an additive-only shift
+    leaves the draws correlated and collapses the band), via the
+    inverse-CDF ladder over the integer thresholds above. Replicates
+    materialize as a LATERAL row explosion (B rows per input row, ONE
+    weight ladder) rather than 2·B wide conditional aggregates: the
+    wide-aggregate single-pass form is beautiful on paper but its
+    ~130-expression HashAggregate falls out of whole-stage codegen
+    into interpreted eval (measured 13 s vs ~1 s at sf0.1); the
+    exploded form costs a B× row pass that stays fully code-generated
+    and map-side-combines to |groups|·B rows. The band is rank-based:
+    [2nd smallest, 2nd largest] of B = 32 replicate means — the
+    central 15/16 replicate band, reported as such rather than dressed
+    up as an asymptotic CI. All arithmetic is integer (floor-div
+    means): bit-identical across engines.
+
+    The h relation is referenced twice (draws + totals); its per-row
+    work is two affine maps, so re-derivation under Spark's CTE
+    inlining is immaterial (DuckDB pins it anyway)."""
+    from . import portable as P
+
+    # Two-round multiplicative-congruential row hash on the integer
+    # key: each round is a bijective affine map mod P, so the draws are
+    # equidistributed (quasi-Monte-Carlo flavor — if anything, lower
+    # variance than iid) while staying pure int64 codegen arithmetic.
+    # The per-character string fold used elsewhere for TEXT keys cost
+    # ~3 s here (interpreted higher-order fold) for no statistical
+    # gain on a numeric key. (key%P)·A < 2^62: overflow-safe.
+    h0 = (f"((((o_orderkey % {P.HASH_P}) * 1103515245 + 12345) "
+          f"% {P.HASH_P}) * 784588716 % {P.HASH_P})")
+    cents = "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"
+    m = "MATERIALIZED " if dialect == "duckdb" else ""
+    h_cte = f"""h AS {m}(
+  SELECT o_orderstatus AS grp, {cents} AS cents, {h0} AS h0
+  FROM {orders}
+)"""
+    # replicate constants as a 32-row broadcast relation: inlining them
+    # as array literals indexed per row compiled into a huge generated
+    # method (first-call Janino compile alone ~10 s); the tiny VALUES
+    # relation keeps the per-row expression small and codegen-fast.
+    # The h x consts join is a deliberate 32-row fan-out: broadcast
+    # nested-loop, never a CartesianProduct.
+    vals = ", ".join(
+        f"({r}, {pow(1000003, r + 1, P.HASH_P)}, "
+        f"{(999983 * r + 12345) % P.HASH_P})"
+        for r in range(b))
+    consts = (f"consts AS (SELECT * FROM (VALUES {vals}) "
+              "AS t(r, ar, br))")
+    bcast = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
+    hb = f"((h0 * c.ar + c.br) % {P.HASH_P})"
+    ladder = " ".join(
+        f"WHEN hb < {t} THEN {k}" for k, t in enumerate(_POIS_T))
+    mr = "MATERIALIZED " if dialect == "duckdb" else ""
+    mean_r = P.int_div("SUM(w * cents)", "GREATEST(SUM(w), 1)", dialect)
+    mean_all = P.int_div("t.sum_all", "t.n_all", dialect)
+    return f"""
+WITH {h_cte},
+{consts},
+drawn AS {mr}(
+  SELECT grp, cents, r,
+         (CASE {ladder} ELSE 6 END) AS w
+  FROM (SELECT {bcast}grp, cents, c.r AS r, {hb} AS hb
+        FROM h CROSS JOIN consts c) x
+),
+means AS {mr}(
+  SELECT grp, r, {mean_r} AS m
+  FROM drawn GROUP BY grp, r
+),
+ranked AS (
+  SELECT grp, m,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY m, r) AS rk
+  FROM means
+),
+tot AS (SELECT grp, SUM(cents) AS sum_all, COUNT(*) AS n_all
+        FROM h GROUP BY grp)
+SELECT t.grp AS o_orderstatus,
+       CAST(t.n_all AS BIGINT) AS n_orders,
+       CAST({mean_all} AS BIGINT) AS mean_cents,
+       CAST(MAX(CASE WHEN rk.rk = 2 THEN rk.m END) AS BIGINT)
+         AS boot_lo_cents,
+       CAST(MAX(CASE WHEN rk.rk = {b - 1} THEN rk.m END) AS BIGINT)
+         AS boot_hi_cents
+FROM tot t JOIN ranked rk ON rk.grp = t.grp
+GROUP BY t.grp, t.n_all, t.sum_all
+ORDER BY o_orderstatus"""

@@ -254,3 +254,31 @@ def test_ks_cross_sample_ties(spark):
     r = _ks(spark, rows)
     # F_A(1)=3/5, F_B(1)=1 -> |3*3 - 5*3|=6; at 2: |5*3-3*5|=0
     assert (r["n_a"], r["n_b"], r["d_num"]) == (5, 3, 6)
+
+
+def test_bootstrap_ci_band_properties(spark):
+    """Poisson-bootstrap band: the full-data mean lies inside the
+    [2nd-smallest, 2nd-largest]-of-32 replicate band, the band has
+    positive width on non-degenerate data, and both engines agree
+    bit-for-bit (integer floor-div means)."""
+    import duckdb
+
+    rows = [(k, "A" if k % 2 == 0 else "B", 100.0 + (k % 37))
+            for k in range(1, 401)]
+    schema = "o_orderkey long, o_orderstatus string, o_totalprice double"
+    spark.createDataFrame(rows, schema).createOrReplaceTempView(
+        "__boot_orders")
+    got = [tuple(r) for r in spark.sql(
+        ff.bootstrap_ci_sql("spark", orders="__boot_orders")
+    ).collect()]
+    assert [r[0] for r in got] == ["A", "B"]
+    for _, n, mean, lo, hi in got:
+        assert n == 200
+        assert lo <= mean <= hi
+        assert lo < hi
+    con = duckdb.connect()
+    con.execute("CREATE TABLE orders (o_orderkey BIGINT, "
+                "o_orderstatus VARCHAR, o_totalprice DOUBLE)")
+    con.executemany("INSERT INTO orders VALUES (?, ?, ?)", rows)
+    assert got == [tuple(r) for r in con.execute(
+        ff.bootstrap_ci_sql("duckdb")).fetchall()]

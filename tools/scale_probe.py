@@ -160,6 +160,9 @@ PROBE_QUERIES = [
     # modularity: edges x labels joins, label artifact shared; PPR:
     # sparse-support rounds — both node/edge-linear per round
     "q263_modularity", "q264_personalized_pagerank",
+    # Poisson bootstrap: one 32x broadcast fan-out pass, group-keyed
+    # aggregates — must track the corpus linearly
+    "q265_bootstrap_ci",
 ]
 
 VOW = "aeiou"
