@@ -7140,10 +7140,14 @@ def q265_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     per order status, the mean order value in cents with the
     [2nd-smallest, 2nd-largest]-of-32-replicates band. Each replicate
     weights every row Poisson(1) drawn deterministically from the
-    portable row hash under a per-replicate affine rehash — 2·32
-    map-side-combinable SUMs in ONE data pass, no resampled rows, no
-    explode; the 32 replicate means unpivot to a tiny relation for the
-    rank band. Integer floor-div means: bit-identical cross-engine."""
+    portable row hash under a per-replicate affine rehash — NO
+    resampled rows; the replicates materialize as a broadcast 32×
+    LATERAL row fan-out that stays inside whole-stage codegen and
+    map-side-combines to |groups|·32 rows (the wide 2·32-aggregate
+    one-pass form was measured at 13 s — its ~130-expression
+    HashAggregate falls out of codegen — and rejected, see
+    features.bootstrap_ci_sql). Integer floor-div means:
+    bit-identical cross-engine."""
     v = _view(spark, sf_dir, "orders", "q265")
     return spark.sql(fn_feat.bootstrap_ci_sql("spark", orders=v))
 

@@ -308,8 +308,12 @@ def _encoded_symbols(spark, docs_view, merges, rounds=BPE_ROUNDS,
     tokenizer inference (q192) and the round-trip fidelity audit
     (q261): with ``cache_key`` the O(batches) merge passes run once per
     (session, corpus), the same memoization pattern as the token-index
-    and edge-list caches."""
-    key = (id(spark), cache_key, rounds)
+    and edge-list caches. The key digests the merge table too, so a
+    different trained tokenizer under the same cache_key never reads
+    another tokenizer's encoded symbols."""
+    merges_fp = __import__("hashlib").md5(
+        repr(list(merges)).encode()).hexdigest()
+    key = (id(spark), cache_key, rounds, merges_fp)
     with _ENC_LOCK:
         if cache_key is not None and key in _ENC_CACHE:
             return _ENC_CACHE[key]

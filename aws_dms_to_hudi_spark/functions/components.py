@@ -1024,8 +1024,15 @@ def cc_labels(spark, pairs_df, cache_key: str | None = None,
     and every consumer (dup groups q77, leakage-safe split keys q221)
     reuses the label relation, the same shared-artifact pattern as
     ``dedup.minhash_pairs_view`` / :func:`copurchase_edges`. Without a
-    ``cache_key`` it degrades to a plain (uncached) run."""
-    key = (id(spark), cache_key, tag)
+    ``cache_key`` it degrades to a plain (uncached) run. The key
+    includes the analyzed-plan semanticHash of ``pairs_df``, so two
+    different pair relations under the same (cache_key, tag) get
+    distinct label relations instead of silently sharing one."""
+    try:
+        plan_fp = pairs_df._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:  # plan not hashable (e.g. local-relation quirk)
+        plan_fp = None
+    key = (id(spark), cache_key, tag, plan_fp)
     with _EDGE_LOCK:
         if cache_key is not None and key in _CC_CACHE:
             return _CC_CACHE[key]

@@ -714,6 +714,16 @@ class CuratedTable:
                     f"hive-style {pcol}=* partition dirs"
                 )
         else:
+            if "=" in src.name:
+                # _read_dirs routes any dir whose leaf contains '=' down
+                # the hive-partitioned reader, which would infer a bogus
+                # partition column from the source dir's own name (e.g.
+                # /data/run=3). Reject up front — rename the source dir.
+                raise ValueError(
+                    f"{cfg.name}: unpartitioned bootstrap source leaf "
+                    f"'{src.name}' contains '=' and would be misread as "
+                    "a hive partition dir; rename the source directory"
+                )
             data = {"": str(src)}
         df = self._read_dirs(list(data.values()))
         missing = [
