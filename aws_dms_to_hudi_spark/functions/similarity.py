@@ -941,7 +941,8 @@ WITH c0 AS (
   SELECT m, vec_id AS c, j, x FROM {iv} WHERE vec_id < {PQ_K}
 ),
 adist0 AS (
-  SELECT i.vec_id, i.m, c0.c, SUM((i.x - c0.x) * (i.x - c0.x)) AS d
+  SELECT /*+ BROADCAST(c0) */
+         i.vec_id, i.m, c0.c, SUM((i.x - c0.x) * (i.x - c0.x)) AS d
   FROM {iv} i JOIN c0 ON i.m = c0.m AND i.j = c0.j
   GROUP BY i.vec_id, i.m, c0.c
 ),
@@ -954,7 +955,8 @@ c1sum AS (
   FROM {iv} i JOIN assign0 a ON i.vec_id = a.vec_id AND i.m = a.m
   GROUP BY i.m, a.c, i.j
 )
-SELECT c0.m, c0.c, c0.j, COALESCE(c1sum.x, c0.x) AS x
+SELECT /*+ BROADCAST(c1sum) */ c0.m, c0.c, c0.j,
+       COALESCE(c1sum.x, c0.x) AS x
 FROM c0 LEFT JOIN c1sum
   ON c0.m = c1sum.m AND c0.c = c1sum.c AND c0.j = c1sum.j
 """
@@ -964,7 +966,8 @@ def _pq_main_sql(iv: str, c1: str, num_queries: int, k: int) -> str:
     """Encode + ADC search over materialized iv / c1 relations."""
     return f"""
 WITH adist1 AS (
-  SELECT i.vec_id, i.m, c.c, SUM((i.x - c.x) * (i.x - c.x)) AS d
+  SELECT /*+ BROADCAST(c) */
+         i.vec_id, i.m, c.c, SUM((i.x - c.x) * (i.x - c.x)) AS d
   FROM {iv} i JOIN {c1} c ON i.m = c.m AND i.j = c.j
   GROUP BY i.vec_id, i.m, c.c
 ),
@@ -973,13 +976,15 @@ codes AS (
   FROM adist1 GROUP BY vec_id, m
 ),
 dtab AS (
-  SELECT q.vec_id AS q_id, q.m, c.c, SUM((q.x - c.x) * (q.x - c.x)) AS d
+  SELECT /*+ BROADCAST(c) */
+         q.vec_id AS q_id, q.m, c.c, SUM((q.x - c.x) * (q.x - c.x)) AS d
   FROM {iv} q JOIN {c1} c ON q.m = c.m AND q.j = c.j
   WHERE q.vec_id < {num_queries}
   GROUP BY q.vec_id, q.m, c.c
 ),
 adc AS (
-  SELECT dt.q_id, co.vec_id AS neighbor_id, SUM(dt.d) AS adc_dist
+  SELECT /*+ BROADCAST(dt) */
+         dt.q_id, co.vec_id AS neighbor_id, SUM(dt.d) AS adc_dist
   FROM codes co
   JOIN dtab dt ON co.m = dt.m AND co.c = dt.c
   WHERE co.vec_id <> dt.q_id
@@ -1027,7 +1032,14 @@ def pq_adc_sql(dialect: str, table: str = "embeddings",
     The iv / c1 relations are each referenced several times — DuckDB
     materializes CTEs, Spark inlines them, so the engine side
     (:func:`pq_adc`) materializes both and runs the same texts over
-    the cached views."""
+    the cached views. The codebook / distance-table join sides carry
+    explicit BROADCAST hints (comment syntax — DuckDB ignores them):
+    checkpointed artifacts expose no size stats, and without the hint
+    the CBO was observed broadcasting the N·DIM exploded side instead,
+    which collapses join parallelism to the 1024-row codebook's
+    partition count and probed 7.8x at 10x data; hinted, every
+    assignment is a map-side join over the exploded relation's full
+    width (probe re-measured ~linear)."""
     iv = _pq_iv_sql(dialect, table)
     c1 = _pq_c1_sql(dialect, "iv")
     main = _pq_main_sql("iv", "c1", num_queries, k)
@@ -1035,7 +1047,7 @@ def pq_adc_sql(dialect: str, table: str = "embeddings",
     c1_body = c1.strip()
     assert c1_body.startswith("WITH ")
     c1_inner = c1_body[len("WITH "):]
-    c1_select_at = c1_inner.rindex("SELECT c0.m")
+    c1_select_at = c1_inner.rindex("SELECT /*+ BROADCAST(c1sum) */ c0.m")
     main_body = main.strip()
     assert main_body.startswith("WITH ")
     return (

@@ -453,7 +453,12 @@ def _nb_chain_tail(head: str) -> str:
   -- DECIMAL(8,0), so occ·(lnp−lnz) is an EXACT decimal product
   -- (precision 28 < 38) on both engines — never the precision-loss
   -- rounding path (the q200 hazard)
-  SELECT t.doc_id, l.lang,
+  -- lp is |langs|x|vocab| and lz |langs| rows — broadcast both (hint
+  -- is a comment to DuckDB): without it the CBO shuffle-joins dtc on
+  -- the token hash, whose distinct-key count is the VOCAB size — a
+  -- few dozen keys at any corpus scale, i.e. a skew-bound shuffle
+  -- that probed 5.1x at 10x data; broadcast keeps scoring map-side
+  SELECT /*+ BROADCAST(l, z) */ t.doc_id, l.lang,
          SUM(CAST(t.occ AS DECIMAL(8,0)) * (l.lnp - z.lnz)) AS s
   FROM dtc t
   JOIN lp l ON t.h = l.h

@@ -157,6 +157,10 @@ PROBE_QUERIES = [
     # cross-source contamination matrix: shingle-grouped self-join with
     # fan-out bounded by the source count — must stay corpus-linear
     "q262_source_overlap",
+    # D39 deletion vectors: the DV write is O(matched keys) metadata and
+    # the merge-on-read apply is an anti-join against the DV relation —
+    # cost must track the deleted-key batch, not the table
+    "q253_deletion_vectors",
     # modularity: edges x labels joins, label artifact shared; PPR:
     # sparse-support rounds — both node/edge-linear per round
     "q263_modularity", "q264_personalized_pagerank",
@@ -225,10 +229,21 @@ def gen(spark) -> None:
     print("events", u.count())
 
 
-def run(spark) -> None:
+def run(spark, only: list[str] | None = None) -> None:
+    """Probe PROBE_QUERIES (or just ``only``) at sf0.1 vs the 10x set.
+
+    With ``only``, the fresh measurements MERGE into the existing
+    scale_probe_results.json (totals recomputed over the union) so a
+    targeted re-probe of a fixed operator doesn't drop the rest of the
+    table."""
     import __spark_entry__ as entry_mod
 
     q = entry_mod.queries()
+    probe_list = [n for n in PROBE_QUERIES if not only or n in only]
+    if only:
+        missing = [n for n in only if n not in PROBE_QUERIES]
+        if missing:
+            raise SystemExit(f"not in PROBE_QUERIES: {missing}")
 
     def one(name, sf):
         best = 9e9
@@ -246,28 +261,33 @@ def run(spark) -> None:
     tot1 = tot10 = 0.0
     rows = {}
     meas = {}
-    for name in PROBE_QUERIES:
+    for name in probe_list:
         meas[name] = [one(name, SRC), one(name, OUT)]
     # The virtualized host shows minute-scale I/O-throttle bursts that
     # can poison both back-to-back runs of a query (in EITHER scale's
     # favor). Re-measure outlier ratios once at the end — min with the
     # earlier numbers — so a burst must span the whole probe to survive.
-    for name in PROBE_QUERIES:
+    for name in probe_list:
         a, b = meas[name]
         r = b / max(a, 0.01)
         if r > 6 or r < 0.5:
             meas[name] = [min(a, one(name, SRC)), min(b, one(name, OUT))]
-    for name in PROBE_QUERIES:
+    for name in probe_list:
         a, b = meas[name]
-        tot1 += a
-        tot10 += b
         rows[name] = {"sf0_1": round(a, 2), "x10": round(b, 2),
                       "ratio": round(b / max(a, 0.01), 1)}
         print(f"{name:32s} {a:7.2f} {b:7.2f} {b / max(a, 0.01):6.1f}x")
-    print(f"{'TOTAL':32s} {tot1:7.2f} {tot10:7.2f} {tot10 / tot1:6.1f}x")
     import json
     import pathlib
     dest = pathlib.Path(__file__).parent / "scale_probe_results.json"
+    if only and dest.exists():
+        prev = json.loads(dest.read_text()).get("queries", {})
+        prev.update(rows)
+        rows = prev
+    for r in rows.values():
+        tot1 += r["sf0_1"]
+        tot10 += r["x10"]
+    print(f"{'TOTAL':32s} {tot1:7.2f} {tot10:7.2f} {tot10 / tot1:6.1f}x")
     dest.write_text(json.dumps(
         {"total_sf0_1": round(tot1, 2), "total_x10": round(tot10, 2),
          "total_ratio": round(tot10 / tot1, 2), "queries": rows}, indent=1))
@@ -372,4 +392,7 @@ if __name__ == "__main__":
 
     mode = sys.argv[1] if len(sys.argv) > 1 else "run"
     s = get_spark("scale-probe")
-    {"gen": gen, "run": run, "ann": ann}[mode](s)
+    if mode == "run" and len(sys.argv) > 2:
+        run(s, only=sys.argv[2:])
+    else:
+        {"gen": gen, "run": run, "ann": ann}[mode](s)
