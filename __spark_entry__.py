@@ -3994,7 +3994,10 @@ def _weighted_percentile_prep_sql(lineitem: str = "lineitem",
     and runs only the main text over it."""
     b = n_buckets
     return f"""
-  SELECT w.rf, w.v, w.wt, st.tw,
+  -- st is |groups| (3) rows: broadcast it (comment to DuckDB) — a CBO
+  -- shuffle join on rf would funnel every row through 3 keys
+  SELECT /*+ BROADCAST(st) */
+         w.rf, w.v, w.wt, st.tw,
          CASE WHEN st.hi = st.lo THEN 0
               ELSE least({b - 1},
                    CAST(floor((w.v - st.lo) / (st.hi - st.lo) * {b})
@@ -4035,7 +4038,8 @@ tb AS (
 cand AS (
   -- before_w = prefix weight of all earlier (possibly sparse) buckets:
   -- the candidate bucket's own bp row carries it as upto_w - bw
-  SELECT w.rf, tb.num, tb.den, w.v, w.wt, w.tw,
+  SELECT /*+ BROADCAST(tb, bpx) */
+         w.rf, tb.num, tb.den, w.v, w.wt, w.tw,
          bpx.upto_w - bpx.bw AS before_w
   FROM {wb} w
   JOIN tb ON w.rf = tb.rf AND w.bk = tb.bk

@@ -318,16 +318,14 @@ def triangle_count_sql(dialect: str, lineitem: str = "lineitem") -> str:
     clustering coefficient 3·Δ/wedges in ppm.
 
     Scale shape (probe-measured, tools/scale_probe_results.json q178
-    ~7x wall at 10x data): exact triangle counting is Θ(m^{3/2}) in the
-    worst case — with the degree orientation the oriented-wedge count
-    is Σ outdeg² ≤ m·√m, and the 10x probe grows the co-purchase
-    graph's edge count ~10x, so ~10^1.5/√10 ≈ 10x-bounded work with
-    the measured 7x consistent with the m√m exponent, NOT a plan
-    defect: no exact algorithm beats the wedge bound, and the
-    orientation already removes the hub-skew cliff (max per-node
-    fan-out outdeg ≤ O(√m) regardless of raw degree). Sub-m√m needs
-    approximation (wedge sampling / degree-thresholded counting),
-    which trades the bit-exact cross-engine gate away."""
+    2.0x wall at 10x data once the Spark driver's adjacency broadcast
+    range covers both scales): exact triangle counting is Θ(m^{3/2})
+    in the worst case — with the degree orientation the oriented-wedge
+    count is Σ outdeg² ≤ m·√m, and the orientation removes the
+    hub-skew cliff (max per-node fan-out outdeg ≤ O(√m) regardless of
+    raw degree). No exact algorithm beats the wedge bound; sub-m√m
+    needs approximation (wedge sampling / degree-thresholded
+    counting), which trades the bit-exact cross-engine gate away."""
     from . import portable as P
 
     lower = "(du.d < dv.d) OR (du.d = dv.d AND e.u < e.v)"
@@ -547,15 +545,22 @@ def triangle_count(spark, lineitem: str, cache_key: str | None = None):
     edges = copurchase_edges(spark, lineitem, cache_key)
     deg, oriented, adj = oriented_adj(spark, lineitem, cache_key)
     # The per-edge (nb_s, t) pairs come from exploding adj — narrow, no
-    # join, already co-located with nb_s — so exactly ONE array-carrying
-    # shuffle remains (keyed by t). That join is planned from the
-    # measured edge count: small graphs broadcast adj (AQE default);
-    # past the broadcast range a SHUFFLE_HASH hint skips sort-merge's
-    # sort of the exploded side (12M rows x 60-int arrays at the 10x
-    # probe — the sort was 67s -> 24s of the wedge pass). Total wedge
-    # work is inherent: Θ(Σ d⁺²) intersect element-ops.
+    # join, already co-located with nb_s — so the only heavy relation
+    # is the exploded side (Σ d⁺ copies of N⁺, i.e. Θ(Σ d⁺²) array
+    # elements). Plan the closing join from the measured edge count:
+    # the adjacency side is m array elements total, so it BROADCASTS
+    # far past AQE's default guess — up to ~16M edges (~128MB of
+    # longs) the explicit broadcast keeps the exploded side entirely
+    # unshuffled and the plan class CONTINUOUS across the 10x probe
+    # (the old 4M cutoff flipped 10x runs onto a shuffle of the
+    # exploded arrays that sf0.1 never paid — probed 14x for what is
+    # linear work). Past the broadcast range, SHUFFLE_HASH skips
+    # sort-merge's sort of the exploded side (measured 67s -> 24s at
+    # the 10x probe when this path was the default).
     adj_t = adj.select(F.col("s").alias("t"), F.col("nb").alias("nb_t"))
-    if edges.count() > 4_000_000:
+    if edges.count() <= 16_000_000:
+        adj_t = F.broadcast(adj_t)
+    else:
         adj_t = adj_t.hint("shuffle_hash")
     tri = (adj.select(F.col("nb").alias("nb_s"), F.explode("nb").alias("t"))
            .join(adj_t, "t")
@@ -823,8 +828,14 @@ def local_clustering(spark, lineitem: str, cache_key: str | None = None,
 
     edges = copurchase_edges(spark, lineitem, cache_key)
     deg, _oriented, adj = oriented_adj(spark, lineitem, cache_key)
+    # Same plan rule as triangle_count: the adjacency side is m array
+    # elements total — broadcast it up to ~16M edges so the exploded
+    # Θ(Σ d⁺²) side never shuffles; past that, SHUFFLE_HASH avoids
+    # sorting the exploded arrays.
     adj_t = adj.select(F.col("s").alias("t"), F.col("nb").alias("nb_t"))
-    if edges.count() > 4_000_000:
+    if edges.count() <= 16_000_000:
+        adj_t = F.broadcast(adj_t)
+    else:
         adj_t = adj_t.hint("shuffle_hash")
     closed = materialize(
         adj.select(F.col("s"), F.col("nb").alias("nb_s"),

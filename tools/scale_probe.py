@@ -238,6 +238,17 @@ def run(spark, only: list[str] | None = None) -> None:
     table."""
     import __spark_entry__ as entry_mod
 
+    # Same idle guard as bench.py: the r6 probe table carried several
+    # load-contaminated ratios (q210 recorded 5.8x; an idle re-measure
+    # reads 1.1x) — a probe ratio is only meaningful when neither
+    # scale's runs shared the machine with another workload.
+    sys.path.insert(0, str(__import__("pathlib").Path(
+        __file__).resolve().parent.parent))
+    import bench as _bench
+
+    if not _bench.wait_for_idle():
+        print("scale_probe: machine still loaded; ratios will be "
+              "unreliable", file=sys.stderr)
     q = entry_mod.queries()
     probe_list = [n for n in PROBE_QUERIES if not only or n in only]
     if only:
