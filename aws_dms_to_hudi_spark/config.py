@@ -113,6 +113,20 @@ class TableConfig:
     # value filter) but never miss a current (value, key) pair.
     # Exclusive with deletion_vectors (same reason as record_index).
     secondary_index: str | None = None
+    # Bloom key index (beyond-reference; Hudi BLOOM index / metadata
+    # bloom_filters partition analog): one bloom filter of the record
+    # keys PER DATA DIR, built once when a dir first appears in a
+    # commit (dir content is immutable, so carried-forward dirs reuse
+    # their filter — maintenance is O(dirs written), like column
+    # stats). bloom_lookup(keys) tests the probe set against each
+    # dir's filter driver-side and scans only maybe-containing dirs;
+    # the final exact semi-join clears false positives, and a filter
+    # can never under-approximate its dir's keys. Cheaper than the
+    # record-level index (no index table, no per-key entries) at the
+    # cost of probabilistic pruning. Exclusive with deletion_vectors
+    # (bloom_lookup reads dirs directly; DV anti-joins would need a
+    # DV-aware read hook — use record_index's point_lookup there).
+    bloom_index: bool = False
 
     def __post_init__(self) -> None:
         if not self.record_key:
@@ -156,11 +170,13 @@ class TableConfig:
                     "COPY_ON_WRITE (a MOR delta already is the "
                     "cheap-delete path)"
                 )
-            if self.record_index or self.cdc_images or self.secondary_index:
+            if (self.record_index or self.cdc_images
+                    or self.secondary_index or self.bloom_index):
                 raise ValueError(
                     f"table {self.name}: deletion_vectors is exclusive "
-                    "with record_index/cdc_images/secondary_index — those "
-                    "need DV-aware maintenance; use delete_where with them"
+                    "with record_index/cdc_images/secondary_index/"
+                    "bloom_index — those need DV-aware maintenance; "
+                    "use delete_where with them"
                 )
         if self.secondary_index and self.secondary_index in self.record_key:
             raise ValueError(

@@ -470,3 +470,82 @@ FROM f{rounds}
 GROUP BY doc_id
 ORDER BY doc_id"""
     )
+
+
+VOCAB_SIZES = (8, 16, 32, 64)
+
+
+def _vocab_coverage_tail(enc: str) -> str:
+    """Dialect-neutral finalizer over an encoded symbol relation
+    ``enc(doc_id, s, ...)``: rank symbols by corpus occurrence count
+    (ties to the lexically smaller symbol) and report, per candidate
+    vocab size V, how much of the token stream the top-V symbols
+    cover. All-integer except the pinned floor(double/double) ppm —
+    totals < 10^7 occurrences x 10^6 stay exact in doubles."""
+    vs = " UNION ALL ".join(
+        f"SELECT {v} AS v" for v in VOCAB_SIZES
+    )
+    return f"""
+cnt AS (SELECT s, COUNT(*) AS c FROM {enc} GROUP BY s),
+tot AS (SELECT SUM(c) AS n, COUNT(*) AS nsym FROM cnt),
+rk AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, s) AS r FROM cnt
+),
+vsizes AS ({vs})
+SELECT CAST(vsizes.v AS BIGINT) AS vocab_size,
+       CAST(SUM(CASE WHEN rk.r <= vsizes.v THEN rk.c ELSE 0 END)
+            AS BIGINT) AS covered_occurrences,
+       CAST(floor(SUM(CASE WHEN rk.r <= vsizes.v THEN rk.c ELSE 0 END)
+                  * 1000000.0 / MAX(t.n)) AS BIGINT) AS coverage_ppm,
+       CAST(MAX(t.nsym) AS BIGINT) AS n_symbols
+FROM rk CROSS JOIN vsizes CROSS JOIN tot t
+GROUP BY vsizes.v
+ORDER BY vocab_size"""
+
+
+def vocab_coverage(
+    spark: "SparkSession",
+    docs_view: str,
+    merges: list,
+    rounds: int = BPE_ROUNDS,
+    cache_key=None,
+) -> "DataFrame":
+    """Tokenizer vocabulary sizing curve (q268): for each candidate
+    vocab size V, the share of the encoded token stream covered by the
+    top-V symbols by frequency — the measurement behind "is a V-entry
+    vocab enough", the sizing sibling of the context-length curve
+    (q250). A production tokenizer ships its vocab truncated to the
+    knee of exactly this curve; symbols past it fall back to finer
+    pieces. Shares the session-cached encoded symbol table with
+    q192/q261 (:func:`_encoded_symbols`), so the marginal cost is one
+    (symbol, count) aggregate — word-count shape, linear at 100 TB —
+    plus a |symbols|-row rank window and a 4-row fan-out."""
+    sym = _encoded_symbols(spark, docs_view, merges, rounds,
+                           cache_key=cache_key)
+    view = f"__bpe_cov_{abs(hash((id(spark), cache_key, rounds))) % 10**8}"
+    sym.createOrReplaceTempView(view)
+    return spark.sql("WITH " + _vocab_coverage_tail(view).lstrip())
+
+
+def vocab_coverage_oracle_sql(
+    table: str = "documents", rounds: int = BPE_ROUNDS
+) -> str:
+    """DuckDB-only unrolled oracle: trains the merges inline (identical
+    to :func:`bpe_oracle_sql`), encodes the full corpus, then applies
+    the shared coverage finalizer to the final symbol relation."""
+    parts = [
+        f"s0 AS MATERIALIZED ({symbols0_sql('duckdb', table)})",
+        f"f0 AS MATERIALIZED ({symbols0_sql('duckdb', table, sample=False)})",
+    ]
+    for r in range(rounds):
+        _lead_cte(parts, f"s{r}", f"l{r}")
+        parts.append(
+            f"b{r} AS MATERIALIZED (SELECT s AS a, nxt AS b, COUNT(*) AS n "
+            f"FROM l{r} WHERE nxt IS NOT NULL GROUP BY s, nxt "
+            f"ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        _apply_cte(parts, f"l{r}", f"b{r}", str(r), f"s{r + 1}")
+        _lead_cte(parts, f"f{r}", f"fl{r}")
+        _apply_cte(parts, f"fl{r}", f"b{r}", f"e{r}", f"f{r + 1}")
+    return ("WITH " + ",\n".join(parts) + ","
+            + _vocab_coverage_tail(f"f{rounds}"))

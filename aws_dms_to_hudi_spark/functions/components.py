@@ -1035,21 +1035,35 @@ def cc_labels(spark, pairs_df, cache_key: str | None = None,
     and every consumer (dup groups q77, leakage-safe split keys q221)
     reuses the label relation, the same shared-artifact pattern as
     ``dedup.minhash_pairs_view`` / :func:`copurchase_edges`. Without a
-    ``cache_key`` it degrades to a plain (uncached) run. The key
-    includes the analyzed-plan semanticHash of ``pairs_df``, so two
-    different pair relations under the same (cache_key, tag) get
-    distinct label relations instead of silently sharing one."""
-    try:
-        plan_fp = pairs_df._jdf.queryExecution().analyzed().semanticHash()
-    except Exception:  # plan not hashable (e.g. local-relation quirk)
-        plan_fp = None
-    key = (id(spark), cache_key, tag, plan_fp)
+    ``cache_key`` it degrades to a plain (uncached) run.
+
+    CONTRACT: ``tag`` must uniquely name the PAIR SOURCE under the
+    given cache_key — callers computing labels over a different pair
+    relation must pass a different tag (q77/q221 share the minhash
+    pairs under the default tag; q190 passes tag='snm'). A plan
+    fingerprint cannot enforce this mechanically: both semanticHash
+    and the canonicalized plan string were measured UNSTABLE across
+    rebuilds of the byte-identical query (expression-id leakage), so
+    fingerprint-keying silently rebuilt the labels every call — the
+    star rounds re-ran per consumer (q190 bench 0.5s -> 5.2s). The
+    cache verifies the pair schema on every hit as a cheap misuse
+    tripwire."""
+    schema_fp = tuple((f.name, f.dataType.simpleString())
+                      for f in pairs_df.schema.fields)
+    key = (id(spark), cache_key, tag)
     with _EDGE_LOCK:
         if cache_key is not None and key in _CC_CACHE:
-            return _CC_CACHE[key]
+            labels, cached_fp = _CC_CACHE[key]
+            if cached_fp != schema_fp:
+                raise ValueError(
+                    f"cc_labels tag {tag!r} reused for a pair relation "
+                    f"with a different schema ({cached_fp} vs "
+                    f"{schema_fp}) — pass a distinct tag per pair source"
+                )
+            return labels
         labels = materialize(connected_components_star(pairs_df))
         if cache_key is not None:
-            _CC_CACHE[key] = labels
+            _CC_CACHE[key] = (labels, schema_fp)
         return labels
 
 

@@ -1071,3 +1071,85 @@ SELECT doc_id,
 FROM ranked
 GROUP BY doc_id, v
 ORDER BY doc_id, variant"""
+
+
+PII_PATTERNS = (
+    # (type, portable regex — RE2-safe AND java.util.regex-safe: no
+    # backreferences, no lookaround; literal dots as [.] classes so the
+    # pattern survives BOTH engines' string-literal escape rules with
+    # zero backslashes in the SQL text)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}"),
+    ("ipv4", "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"),
+    ("ssn", "[0-9]{3}-[0-9]{2}-[0-9]{4}"),
+)
+
+
+def pii_scan_sql(dialect: str, table: str = "documents") -> str:
+    """PII detection scan (q267): per (source, pii_type), how many
+    documents contain at least one match and how many total matches —
+    the inventory that drives scrub-before-train decisions (the
+    detection side of q234's pseudonymization; cf. the PII filtering
+    stages in CCNet/RefinedWeb/Dolma pipelines, which regex-scan for
+    emails/phones/IPs before release).
+
+    The synthetic corpus carries no organic PII, so the scan runs over
+    a deterministically AUGMENTED text: docs at fixed doc_id residues
+    get an email / phone / IPv4 / SSN-shaped token appended — built
+    with the same integer-derived digits in both dialects, making the
+    expected counts non-trivial and hash-checkable (a scan gate that
+    only ever reports zero proves nothing). The augmentation is the
+    fixture; the OPERATOR is the (type x source) regex-count aggregate.
+
+    Portability: patterns avoid every RE2/java.util.regex divergence
+    (no lookaround, no backreferences, no \\b — DuckDB's RE2 treats \\b
+    as backspace in some quoting layers); counting is
+    ``regexp_count`` on Spark and ``len(regexp_extract_all(...))`` on
+    DuckDB — both count non-overlapping leftmost matches. SSN-shaped
+    and phone-shaped strings intersect, and both engines agree because
+    the patterns are anchored only by their own shape.
+
+    Scale: one projection + one (source, type) x corpus aggregate per
+    pattern, unioned — 4 map-side-combinable passes over the text (or
+    one pass of 8 counters after Catalyst's common-subexpression
+    collapse), no joins, no shuffle beyond the |sources x types|-row
+    aggregate. 100 TB shape = word count."""
+    digits = "CAST(10000 + (doc_id % 8999) AS " + (
+        "VARCHAR" if dialect == "duckdb" else "STRING") + ")"
+    octet = "CAST(1 + (doc_id % 254) AS " + (
+        "VARCHAR" if dialect == "duckdb" else "STRING") + ")"
+    aug = f"""
+  SELECT source, doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' mail u' || CAST(doc_id AS {"VARCHAR" if dialect == "duckdb" else "STRING"}) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' call 555-201-' || substr({digits}, 2, 4)
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' host 10.0.' || {octet} || '.' || {octet}
+                 ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' id 078-05-' || substr({digits}, 2, 4)
+                 ELSE '' END AS text
+  FROM {table}"""
+    if dialect == "duckdb":
+        def cnt(pat):
+            return f"len(regexp_extract_all(text, '{pat}'))"
+    else:
+        def cnt(pat):
+            return f"regexp_count(text, '{pat}')"
+    arms = " UNION ALL ".join(
+        f"SELECT source, '{name}' AS pii_type, {cnt(pat)} AS c FROM aug"
+        for name, pat in PII_PATTERNS
+    )
+    return f"""
+WITH aug AS ({aug}),
+hits AS ({arms})
+SELECT source, pii_type,
+       CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(SUM(c) AS BIGINT) AS n_hits
+FROM hits
+GROUP BY source, pii_type
+ORDER BY source, pii_type"""

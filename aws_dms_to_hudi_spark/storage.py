@@ -154,6 +154,10 @@ SIDX_DIR = "_index/secondary"
 SIDX_BUCKETS = 8
 DIR_KEY_COL = "_dir_key"
 
+BLOOM_DIR = "_index/bloom"
+BLOOM_BITS = 1 << 17  # bits per dir filter (16 KiB bitmap)
+BLOOM_K = 5  # hash functions; fpp ~ (1 - e^(-kn/m))^k
+
 
 class ConcurrentWriteConflict(RuntimeError):
     """Two OCC writers touched overlapping file groups (Hudi
@@ -421,7 +425,14 @@ class CuratedTable:
         """
         if not _locked:
             with self._occ_lock():
-                return self._write_commit(commit, _locked=True)
+                self._write_commit(commit, _locked=True)
+            # Bloom maintenance runs OUTSIDE the commit lock: it is a
+            # per-new-dir Spark job, idempotent per dir (filters are
+            # keyed by dir path and dirs are immutable), so holding the
+            # lock through it would only serialize other writers.
+            if self.config.bloom_index:
+                self._update_bloom_index(commit)
+            return
         cdir = self.root / COMMITS_DIR
         target = cdir / f"{commit.version:08d}.json"
         if target.exists():
@@ -1570,6 +1581,17 @@ class CuratedTable:
                 if ver not in live_dirs and target.exists():
                     shutil.rmtree(target)
                     removed.append(ver)
+        # bloom filters of GC'd dirs are orphans — each file records its
+        # dir path, so the sweep is O(filters), no hash inversion needed
+        bdir = self.root / BLOOM_DIR
+        if self.config.bloom_index and bdir.exists():
+            for bf in bdir.glob("*.json"):
+                try:
+                    rel = json.loads(bf.read_text()).get("rel", "")
+                except (OSError, ValueError):
+                    continue
+                if rel and not (self.root / rel).exists():
+                    bf.unlink(missing_ok=True)
         return removed
 
     def archive(self, keep_min: int = 10, keep_max: int = 15) -> int:
@@ -2249,6 +2271,140 @@ class CuratedTable:
             )
         out = base.join(F.broadcast(probe), on=[col], how="left_semi")
         return out.drop(BUCKET_COL, RANGE_COL)
+
+    # ---------- bloom key index (Hudi BLOOM / metadata bloom_filters) ----
+
+    def _bloom_positions(self, df: DataFrame) -> DataFrame:
+        """(pos) — the BLOOM_K bit positions of every key in ``df``,
+        via seeded xxhash64 over the record-key columns. Computed in
+        Spark on BOTH the build and probe paths so the two sides share
+        one hash implementation exactly."""
+        kcols = [F.col(c) for c in self.config.record_key]
+        return df.select(
+            F.explode(F.array(*[
+                F.pmod(F.xxhash64(*kcols, F.lit(i)), F.lit(BLOOM_BITS))
+                .cast("long")
+                for i in range(BLOOM_K)
+            ])).alias("pos")
+        )
+
+    def _bloom_path(self, rel: str) -> Path:
+        import hashlib
+
+        return (self.root / BLOOM_DIR
+                / (hashlib.md5(rel.encode()).hexdigest() + ".json"))
+
+    def _update_bloom_index(self, commit: "Commit") -> None:
+        """Build the per-dir key blooms this commit introduced. Dir
+        content is immutable after commit, so a dir that already has a
+        filter is skipped — maintenance cost is one key-column scan of
+        each NEWLY WRITTEN dir, O(dirs written) like column stats. The
+        bitmap aggregates executor-side to <= BLOOM_BITS/64 words
+        (``bit_or`` over 64-bit lanes), so the driver collect is
+        bounded by the filter size, never the row count."""
+        bdir = self.root / BLOOM_DIR
+        bdir.mkdir(parents=True, exist_ok=True)
+        for rel in commit.data.values():
+            path = self._bloom_path(rel)
+            if path.exists() or not (self.root / rel).exists():
+                continue
+            pos = self._bloom_positions(self._read_dirs([rel]))
+            words = (
+                pos.groupBy((F.col("pos") / 64).cast("long").alias("w"))
+                .agg(F.expr(
+                    "bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))"
+                ).alias("bits"))
+                .collect()
+            )
+            fd, tmp = tempfile.mkstemp(dir=bdir, suffix=".tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(
+                    {"rel": rel, "bits": BLOOM_BITS, "k": BLOOM_K,
+                     "words": {str(r["w"]): r["bits"] for r in words}},
+                    f,
+                )
+            os.replace(tmp, path)
+
+    def bloom_lookup(self, keys: DataFrame) -> DataFrame | None:
+        """Point lookup through the per-dir key blooms: hash the probe
+        keys once (one tiny Spark job — same seeded xxhash64 as the
+        build side), test every data dir's filter driver-side (bit
+        tests against <= dirs x BLOOM_K x |probe| positions, microsec
+        work), scan only maybe-containing dirs, and clear bloom false
+        positives with an exact key semi-join. MOR deltas are always
+        read and merged (a delta may carry any key). A filter never
+        under-approximates its dir, so the result equals a full-scan
+        semi-join exactly."""
+        if not self.config.bloom_index:
+            raise ValueError(f"{self.config.name}: bloom_index not enabled")
+        commit = self.latest_commit()
+        if commit is None:
+            return None
+        kcols = list(self.config.record_key)
+        probe = keys.select(*kcols).distinct()
+        # ensure filters exist even for dirs written before the flag
+        # flipped on (the async-indexer backfill path)
+        self._update_bloom_index(commit)
+        probe_pos = [r["pos"] for r in self._bloom_positions(probe)
+                     .collect()]
+        # per probe key, its BLOOM_K consecutive positions
+        key_pos = [probe_pos[i:i + BLOOM_K]
+                   for i in range(0, len(probe_pos), BLOOM_K)]
+        rows_dirs = []
+        for rel in commit.data.values():
+            path = self._bloom_path(rel)
+            if not path.exists():  # dir vanished under clean(): scan it
+                rows_dirs.append(rel)
+                continue
+            blob = json.loads(path.read_text())
+            words = {int(w): int(b) for w, b in blob["words"].items()}
+            hit = any(
+                all(words.get(p // 64, 0) >> (p % 64) & 1 for p in kp)
+                for kp in key_pos
+            )
+            if hit:
+                rows_dirs.append(rel)
+        base = self._read_dirs(rows_dirs) if rows_dirs else None
+        if commit.deltas:
+            deltas = self._read_dirs(commit.deltas)
+            base = upsert_merge(
+                base, deltas, kcols, self.config.source_ordering_field
+            )
+        if base is None:
+            full = self._read_dirs(list(commit.data.values()))
+            return self.spark.createDataFrame([], full.schema).drop(
+                BUCKET_COL, RANGE_COL
+            )
+        out = base.join(F.broadcast(probe), on=kcols, how="left_semi")
+        return out.drop(BUCKET_COL, RANGE_COL)
+
+    def bloom_pruning_report(self, keys: DataFrame) -> dict:
+        """Pruning diagnostics for a probe set: how many data dirs the
+        filters admitted vs the total — the observability hook the
+        pruning tests pin."""
+        if not self.config.bloom_index:
+            raise ValueError(f"{self.config.name}: bloom_index not enabled")
+        commit = self.latest_commit()
+        if commit is None:
+            return {"total_dirs": 0, "scanned_dirs": 0}
+        self._update_bloom_index(commit)
+        probe = keys.select(*self.config.record_key).distinct()
+        probe_pos = [r["pos"] for r in self._bloom_positions(probe)
+                     .collect()]
+        key_pos = [probe_pos[i:i + BLOOM_K]
+                   for i in range(0, len(probe_pos), BLOOM_K)]
+        scanned = 0
+        for rel in commit.data.values():
+            path = self._bloom_path(rel)
+            if not path.exists():
+                scanned += 1
+                continue
+            blob = json.loads(path.read_text())
+            words = {int(w): int(b) for w, b in blob["words"].items()}
+            if any(all(words.get(p // 64, 0) >> (p % 64) & 1 for p in kp)
+                   for kp in key_pos):
+                scanned += 1
+        return {"total_dirs": len(commit.data), "scanned_dirs": scanned}
 
     # ---------- write-time CDC images (Hudi 0.13 cdc read analog) ----------
 
