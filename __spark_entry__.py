@@ -3921,18 +3921,25 @@ allpts AS (
   SELECT event_type, t, CAST(NULL AS DOUBLE), 1 FROM grid
 ),
 braced AS (
+  -- ORDER BY includes value as the final tiebreak: events can share a
+  -- timestamp, and (t, isgrid) alone leaves last_value's pick among
+  -- tied event rows to partition layout (caught when the cached base
+  -- tables changed scan order). With value in the key the ordering
+  -- is total over distinct rows, so pv/nv are layout-independent and
+  -- engine-identical: at a tied instant the max value brackets both
+  -- sides.
   SELECT event_type, t, isgrid,
          {lastnn('value')} OVER (
-           PARTITION BY event_type ORDER BY t, isgrid
+           PARTITION BY event_type ORDER BY t, isgrid, value
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
          {lastnn(tq)} OVER (
-           PARTITION BY event_type ORDER BY t, isgrid
+           PARTITION BY event_type ORDER BY t, isgrid, value
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
          {lastnn('value')} OVER (
-           PARTITION BY event_type ORDER BY t DESC, isgrid
+           PARTITION BY event_type ORDER BY t DESC, isgrid, value
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
          {lastnn(tq)} OVER (
-           PARTITION BY event_type ORDER BY t DESC, isgrid
+           PARTITION BY event_type ORDER BY t DESC, isgrid, value
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nt
   FROM allpts
 )
@@ -7278,6 +7285,22 @@ def q268_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q269_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN index (similarity.ivfpq — Jégou et al.
+    TPAMI 2011 §V, the FAISS IndexIVFPQ billion-scale layout): coarse
+    inverted lists + residual product quantization + per-list query
+    distance tables + list-pruned ADC top-k. Completes the ANN family
+    axis product: pruning (LSH q23 / IVF q34) x compression (SQ8 q125
+    / PQ q171) -> the composite production layout. Integer-exact,
+    every small join side hint-broadcast; the Spark path materializes
+    the train-side artifacts once per corpus (they ARE the persisted
+    index). The view name carries the corpus identity because those
+    artifacts cache per (session, view)."""
+    v = _view(spark, sf_dir, "embeddings",
+              f"q269_{abs(hash(sf_dir)) % 10**6}")
+    return fn_sim.ivfpq(spark, v)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -7580,6 +7603,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q266_bloom_index_lookup": q266_bloom_index_lookup,
         "q267_pii_scan": q267_pii_scan,
         "q268_vocab_coverage": q268_vocab_coverage,
+        "q269_ivfpq_ann": q269_ivfpq_ann,
     }
 
 
@@ -8534,4 +8558,5 @@ def oracle_sql() -> dict[str, str]:
         "q266_bloom_index_lookup": _bloom_lookup_oracle_sql(),
         "q267_pii_scan": fn_curation.pii_scan_sql("duckdb"),
         "q268_vocab_coverage": fn_bpe.vocab_coverage_oracle_sql(),
+        "q269_ivfpq_ann": fn_sim.ivfpq_sql("duckdb"),
     }

@@ -1342,3 +1342,201 @@ SELECT v.dim,
             AS BIGINT) AS collapsed
 FROM v CROSS JOIN g
 ORDER BY v.dim"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ (FAISS IndexIVFPQ analog): coarse inverted lists + residual PQ
+# ---------------------------------------------------------------------------
+
+IVFPQ_NLIST = 8    # coarse lists (k-means cells)
+IVFPQ_NPROBE = 3   # lists a query visits
+
+
+def _ivfpq_coarse_sql(iv: str) -> str:
+    return (f"SELECT vec_id AS c, m, j, x FROM {iv} "
+            f"WHERE vec_id < {IVFPQ_NLIST}")
+
+
+def _ivfpq_cdist_sql(iv: str, coarse: str) -> str:
+    """(vec_id, c, d): integer L2 of every vector to every coarse
+    centroid — corpus x NLIST rows via a hint-broadcast map-side join
+    over the exploded relation."""
+    return f"""
+SELECT /*+ BROADCAST(c0) */
+       i.vec_id, c0.c, SUM((i.x - c0.x) * (i.x - c0.x)) AS d
+FROM {iv} i JOIN {coarse} c0 ON i.m = c0.m AND i.j = c0.j
+GROUP BY i.vec_id, c0.c"""
+
+
+def _ivfpq_assign_sql(cdist: str) -> str:
+    return (f"SELECT vec_id, MIN(d * {IVFPQ_NLIST} + c) % {IVFPQ_NLIST} "
+            f"AS c FROM {cdist} GROUP BY vec_id")
+
+
+def _ivfpq_res_sql(iv: str, assign: str, coarse: str) -> str:
+    """Residual relation (vec_id, m, j, x): each vector minus its own
+    list centroid — the relation the PQ codebook trains on (Jégou
+    §V: residual quantization concentrates the energy the coarse
+    quantizer already explained)."""
+    return f"""
+SELECT /*+ BROADCAST(c0) */
+       i.vec_id, i.m, i.j, i.x - c0.x AS x
+FROM {iv} i
+JOIN {assign} a ON i.vec_id = a.vec_id
+JOIN {coarse} c0 ON a.c = c0.c AND i.m = c0.m AND i.j = c0.j"""
+
+
+def _ivfpq_codes_sql(res: str, c1: str) -> str:
+    return f"""
+SELECT vec_id, m, MIN(d * {PQ_K} + c) % {PQ_K} AS c
+FROM (
+  SELECT /*+ BROADCAST(cb) */
+         r.vec_id, r.m, cb.c, SUM((r.x - cb.x) * (r.x - cb.x)) AS d
+  FROM {res} r JOIN {c1} cb ON r.m = cb.m AND r.j = cb.j
+  GROUP BY r.vec_id, r.m, cb.c
+) ad GROUP BY vec_id, m"""
+
+
+def _ivfpq_tail_sql(iv: str, coarse: str, cdist: str, c1: str,
+                    codes: str, assign: str,
+                    num_queries: int, k: int) -> str:
+    """Query-side chain (probe lists -> per-list residual distance
+    tables -> list-pruned ADC -> top-k). Every CTE is referenced
+    exactly once, so the same text is Spark-inline-safe over
+    materialized views AND DuckDB-safe inside the folded oracle."""
+    return f"""
+qprobe AS (
+  SELECT vec_id AS q_id, c FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM {cdist} WHERE vec_id < {num_queries}
+  ) p WHERE rn <= {IVFPQ_NPROBE}
+),
+qres AS (
+  SELECT /*+ BROADCAST(qp, c0) */
+         qp.q_id, qp.c, i.m, i.j, i.x - c0.x AS x
+  FROM {iv} i
+  JOIN qprobe qp ON i.vec_id = qp.q_id
+  JOIN {coarse} c0 ON qp.c = c0.c AND i.m = c0.m AND i.j = c0.j
+),
+dtab AS (
+  SELECT /*+ BROADCAST(cb) */
+         q.q_id, q.c, q.m, cb.c AS code,
+         SUM((q.x - cb.x) * (q.x - cb.x)) AS d
+  FROM qres q JOIN {c1} cb ON q.m = cb.m AND q.j = cb.j
+  GROUP BY q.q_id, q.c, q.m, cb.c
+),
+adc AS (
+  SELECT /*+ BROADCAST(dt) */
+         dt.q_id, co.vec_id AS neighbor_id, SUM(dt.d) AS adc_dist
+  FROM {codes} co
+  JOIN {assign} a ON co.vec_id = a.vec_id
+  JOIN dtab dt ON dt.c = a.c AND dt.m = co.m AND dt.code = co.c
+  WHERE co.vec_id <> dt.q_id
+  GROUP BY dt.q_id, co.vec_id
+),
+ranked AS (
+  SELECT q_id, neighbor_id, adc_dist,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY adc_dist, neighbor_id) AS rnk
+  FROM adc
+)
+SELECT q_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id,
+       CAST(adc_dist AS BIGINT) AS adc_dist
+FROM ranked WHERE rnk <= {k}
+ORDER BY q_id, rnk"""
+
+
+def _pq_c1_chain(dialect: str, iv: str) -> str:
+    """The PQ codebook-refinement CTEs of :func:`_pq_c1_sql` as a
+    WITH-fragment ending in ``c1`` — reused by the IVF-PQ oracle over
+    the RESIDUAL relation."""
+    body = _pq_c1_sql(dialect, iv).strip()
+    assert body.startswith("WITH ")
+    inner = body[len("WITH "):]
+    at = inner.rindex("SELECT /*+ BROADCAST(c1sum) */ c0.m")
+    m = "MATERIALIZED " if dialect == "duckdb" else ""
+    return (inner[:at].rstrip().rstrip(",")
+            + f",\nc1 AS {m}({inner[at:]})")
+
+
+def ivfpq_sql(dialect: str, table: str = "embeddings",
+              num_queries: int = 5, k: int = 3) -> str:
+    """IVF-PQ composite index (Jégou et al. TPAMI 2011 §V — the FAISS
+    ``IndexIVFPQ``, THE standard billion-scale ANN layout): a coarse
+    quantizer partitions the corpus into ``IVFPQ_NLIST`` inverted
+    lists; each vector stores only the PQ code of its RESIDUAL from
+    its list centroid; a query visits its ``IVFPQ_NPROBE`` nearest
+    lists and scans codes with a per-list asymmetric distance table
+    built from the query's residual w.r.t. THAT list's centroid.
+    Combines q34's inverted-file pruning with q171's code
+    compression: scan cost drops by nprobe/nlist AND each visited
+    code costs M table lookups instead of a float dot product.
+
+    Integer-exact end to end (scaled int64 coordinates, argmins as
+    MIN(d*K + c), truncating-mean recenter) — bit-identical across
+    engines. Every small relation (coarse centroids, PQ codebook,
+    query distance tables, probe lists) carries an explicit BROADCAST
+    hint (comments to DuckDB): the q171 lesson — these joins' key
+    spaces are tiny (m x j = 64, lists = 8), so an unhinted CBO
+    shuffle collapses parallelism onto a handful of keys.
+
+    Scale shape: assignment and coding are map-side joins over the
+    exploded relation with immediate partial aggregation (linear, no
+    all-pairs); the ADC join meets only codes in probed lists (the
+    dt.c = a.c conjunct IS the inverted-list pruning); at 100 TB the
+    codes+assign relation is the persisted index — M bytes per vector
+    plus a list id. The train-side relations are each multi-
+    referenced, so the Spark entry (:func:`ivfpq`) materializes them
+    as views (DuckDB pins them with MATERIALIZED in this folded
+    text)."""
+    m = "MATERIALIZED " if dialect == "duckdb" else ""
+    parts = [
+        f"iv AS {m}({_pq_iv_sql(dialect, table)})",
+        f"coarse AS {m}({_ivfpq_coarse_sql('iv')})",
+        f"cdist AS {m}({_ivfpq_cdist_sql('iv', 'coarse')})",
+        f"assign AS {m}({_ivfpq_assign_sql('cdist')})",
+        f"res AS {m}({_ivfpq_res_sql('iv', 'assign', 'coarse')})",
+        _pq_c1_chain(dialect, "res"),
+        f"codes AS {m}({_ivfpq_codes_sql('res', 'c1')})",
+    ]
+    return ("WITH " + ",\n".join(parts) + ","
+            + _ivfpq_tail_sql("iv", "coarse", "cdist", "c1", "codes",
+                              "assign", num_queries, k))
+
+
+_IVFPQ_LOCK = __import__("threading").Lock()
+_IVFPQ_CACHE: dict = {}
+
+
+def ivfpq(spark, table: str, num_queries: int = 5, k: int = 3):
+    """Engine-side IVF-PQ: materialize the multi-referenced train-side
+    artifacts ONCE per (session, corpus) — exploded coords, coarse
+    centroids, coarse distances, list assignment, residuals, PQ
+    codebook, codes; together they ARE the persisted index — then run
+    the single-reference query tail over the cached views (the
+    :func:`pq_adc` pattern, composed)."""
+    from .dedup import materialize
+
+    key = (id(spark), table)
+    with _IVFPQ_LOCK:
+        views = _IVFPQ_CACHE.get(key)
+        if views is None:
+            tag = abs(hash(key)) % 10**8
+
+            def mk(name, sql_text):
+                v = f"__ivfpq_{name}_{tag}"
+                materialize(spark.sql(sql_text)).createOrReplaceTempView(v)
+                return v
+
+            ivv = mk("iv", _pq_iv_sql("spark", table))
+            coarse = mk("coarse", _ivfpq_coarse_sql(ivv))
+            cdist = mk("cdist", _ivfpq_cdist_sql(ivv, coarse))
+            assign = mk("assign", _ivfpq_assign_sql(cdist))
+            res = mk("res", _ivfpq_res_sql(ivv, assign, coarse))
+            c1 = mk("c1", _pq_c1_sql("spark", res))
+            codes = mk("codes", _ivfpq_codes_sql(res, c1))
+            views = (ivv, coarse, cdist, c1, codes, assign)
+            _IVFPQ_CACHE[key] = views
+    return spark.sql(
+        "WITH " + _ivfpq_tail_sql(*views, num_queries, k).lstrip())

@@ -8,6 +8,10 @@ Reference pins: the reference delegates indexing entirely to Hudi
 (`src/lambdas/launch_hudi/handler.py:139-152` launches DeltaStreamer,
 whose default upsert index IS the bloom index); this is the read-side
 analog rebuilt on the engine's own manifest format.
+
+The replayed fixture table is built ONCE per module (7 CDC batches);
+the one mutating test runs last and re-checks the invariants it
+perturbs itself.
 """
 
 import json
@@ -19,8 +23,6 @@ from aws_dms_to_hudi_spark import cdc
 from aws_dms_to_hudi_spark.config import TableConfig
 from aws_dms_to_hudi_spark.storage import BLOOM_K, CuratedTable
 
-from tests.util import assert_same, duck_con
-
 REC = cdc.RECIPES["orders"]
 
 
@@ -28,8 +30,9 @@ def _month(col="o_orderdate"):
     return F.substring(F.col(col).cast("string"), 1, 7)
 
 
-def _build(spark, sf_dir, tmp_path, **cfg_kw):
-    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+@pytest.fixture(scope="module")
+def btable(spark, sf_smoke, tmp_path_factory):
+    spark.read.parquet(f"{sf_smoke}/orders.parquet").createOrReplaceTempView(
         "__bx_orders"
     )
     cfg = TableConfig(
@@ -38,9 +41,10 @@ def _build(spark, sf_dir, tmp_path, **cfg_kw):
         is_partitioned=True,
         partition_path="o_month",
         bloom_index=True,
-        **cfg_kw,
     )
-    t = CuratedTable(spark, tmp_path / "orders_bx", cfg)
+    t = CuratedTable(
+        spark, tmp_path_factory.mktemp("bloomix") / "orders_bx", cfg
+    )
     for b in range(cdc.N_BATCHES):
         batch = spark.sql(
             cdc.batch_sql(REC, b, src="__bx_orders")
@@ -49,66 +53,76 @@ def _build(spark, sf_dir, tmp_path, **cfg_kw):
     return t
 
 
-def test_lookup_equals_full_scan_filter(spark, sf_smoke, tmp_path):
-    t = _build(spark, sf_smoke, tmp_path)
-    snap = t.read()
+def test_lookup_equals_full_scan_filter(spark, btable):
+    snap = btable.read()
     probe_keys = [r[0] for r in snap.select("o_orderkey").distinct()
                   .orderBy("o_orderkey").limit(7).collect()]
     probe = spark.createDataFrame(
         [(k,) for k in probe_keys], "o_orderkey long")
-    got = t.bloom_lookup(probe).orderBy("o_orderkey", "trx_seq").collect()
+    got = btable.bloom_lookup(probe).orderBy(
+        "o_orderkey", "trx_seq").collect()
     want = (snap.where(F.col("o_orderkey").isin(probe_keys))
             .orderBy("o_orderkey", "trx_seq").collect())
     assert got == want and len(got) == len(probe_keys)
 
 
-def test_absent_keys_return_nothing(spark, sf_smoke, tmp_path):
-    t = _build(spark, sf_smoke, tmp_path)
+def test_absent_keys_return_nothing(spark, btable):
     probe = spark.createDataFrame(
         [(10**12 + i,) for i in range(5)], "o_orderkey long")
-    assert t.bloom_lookup(probe).count() == 0
+    assert btable.bloom_lookup(probe).count() == 0
 
 
-def test_pruning_is_selective(spark, sf_smoke, tmp_path):
+def test_pruning_is_selective(spark, btable):
     """A single-key probe must NOT admit every dir — with 16 KiB
     filters and the smoke corpus's per-dir key counts, the fp rate is
     well under 50%, so scanning all dirs means the filters are not
     wired in."""
-    t = _build(spark, sf_smoke, tmp_path)
-    one = t.read().select("o_orderkey").orderBy("o_orderkey").limit(1)
-    rep = t.bloom_pruning_report(one)
+    one = btable.read().select("o_orderkey").orderBy("o_orderkey").limit(1)
+    rep = btable.bloom_pruning_report(one)
     assert rep["total_dirs"] > 1
     assert rep["scanned_dirs"] < rep["total_dirs"]
     assert rep["scanned_dirs"] >= 1
 
 
-def test_filters_built_once_per_dir(spark, sf_smoke, tmp_path):
-    """Carried-forward dirs keep their filter file byte-for-byte: a
-    later commit must only add filters for dirs it wrote."""
-    t = _build(spark, sf_smoke, tmp_path)
-    c = t.latest_commit()
-    stamps = {
-        rel: t._bloom_path(rel).stat().st_mtime_ns
-        for rel in c.data.values()
-    }
-    # a fresh upsert touching one partition
-    snap = t.read()
-    batch = (snap.orderBy("o_orderkey").limit(3)
-             .withColumn("trx_seq", F.concat(F.col("trx_seq"), F.lit("z"))))
-    t.upsert(batch)
-    c2 = t.latest_commit()
-    for rel, old in stamps.items():
-        if rel in set(c2.data.values()):  # carried forward
-            assert t._bloom_path(rel).stat().st_mtime_ns == old
-
-
-def test_no_false_negatives_exhaustive(spark, sf_smoke, tmp_path):
+def test_no_false_negatives_exhaustive(spark, btable):
     """Every live key must route to its dir: bloom_lookup over ALL keys
     returns the full snapshot."""
-    t = _build(spark, sf_smoke, tmp_path)
-    snap = t.read()
-    got = t.bloom_lookup(snap.select("o_orderkey").distinct())
+    snap = btable.read()
+    got = btable.bloom_lookup(snap.select("o_orderkey").distinct())
     assert got.count() == snap.count()
+
+
+def test_filter_file_format_is_bounded(spark, btable):
+    """The on-disk filter is a sparse word map bounded by the bitmap
+    size, never by the row count."""
+    c = btable.latest_commit()
+    rel = next(iter(c.data.values()))
+    blob = json.loads(btable._bloom_path(rel).read_text())
+    assert blob["rel"] == rel and blob["k"] == BLOOM_K
+    assert len(blob["words"]) <= blob["bits"] // 64
+
+
+def test_zz_filters_built_once_per_dir(spark, btable):
+    """Carried-forward dirs keep their filter file byte-for-byte: a
+    later commit must only add filters for dirs it wrote. Runs last
+    (zz): it mutates the shared table."""
+    c = btable.latest_commit()
+    stamps = {
+        rel: btable._bloom_path(rel).stat().st_mtime_ns
+        for rel in c.data.values()
+    }
+    snap = btable.read()
+    batch = (snap.orderBy("o_orderkey").limit(3)
+             .withColumn("trx_seq", F.concat(F.col("trx_seq"), F.lit("z"))))
+    btable.upsert(batch)
+    c2 = btable.latest_commit()
+    for rel, old in stamps.items():
+        if rel in set(c2.data.values()):  # carried forward
+            assert btable._bloom_path(rel).stat().st_mtime_ns == old
+    # post-mutation: lookup still exact over the new snapshot
+    snap2 = btable.read()
+    got = btable.bloom_lookup(snap2.select("o_orderkey").distinct())
+    assert got.count() == snap2.count()
 
 
 def test_backfill_on_preexisting_dirs(spark, sf_smoke, tmp_path):
@@ -142,14 +156,3 @@ def test_validations(spark, tmp_path):
     probe = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError, match="bloom_index not enabled"):
         t.bloom_lookup(probe)
-
-
-def test_filter_file_format_is_bounded(spark, sf_smoke, tmp_path):
-    """The on-disk filter is a sparse word map bounded by the bitmap
-    size, never by the row count."""
-    t = _build(spark, sf_smoke, tmp_path)
-    c = t.latest_commit()
-    rel = next(iter(c.data.values()))
-    blob = json.loads(t._bloom_path(rel).read_text())
-    assert blob["rel"] == rel and blob["k"] == BLOOM_K
-    assert len(blob["words"]) <= blob["bits"] // 64

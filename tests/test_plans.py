@@ -20,10 +20,32 @@ def _plan(spark, sf, name):
 
 
 def test_q01_filter_and_projection_pushdown(spark, sf_correct):
+    """Default path: base tables under the size gate serve from the
+    columnar cache — the scan must still show filter pushdown (batch
+    pruning conditions on the InMemoryTableScan) and column pruning
+    (only the 3 referenced columns in the scan output)."""
     plan = _plan(spark, sf_correct, "q01_scan_projection")
-    assert "PushedFilters: [IsNotNull(l_discount), GreaterThan(l_discount,0.05)" in plan
-    # column pruning: only the 3 referenced columns reach the scan
-    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_discount:double>" in plan
+    assert "InMemoryTableScan" in plan
+    assert "l_discount" in plan and "0.05" in plan
+    import re
+
+    m = re.search(r"InMemoryTableScan \[([^\]]*)\]", plan)
+    cols = {c.split("#")[0].strip() for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_quantity", "l_discount"}
+
+
+def test_q01_parquet_pushdown_past_cache_gate(spark, sf_correct,
+                                              monkeypatch):
+    """Above the cache size gate (a 100 TB fact table), the same query
+    must plan as a plain parquet scan with filters and projection
+    pushed to the source — the path a real cluster takes."""
+    monkeypatch.setattr(entry_mod, "_CACHE_MAX_BYTES", 0)
+    monkeypatch.setattr(entry_mod, "_T_CACHE", {})
+    plan = _plan(spark, sf_correct, "q01_scan_projection")
+    assert ("PushedFilters: [IsNotNull(l_discount), "
+            "GreaterThan(l_discount,0.05)") in plan
+    assert ("ReadSchema: struct<l_orderkey:bigint,l_quantity:double,"
+            "l_discount:double>") in plan
 
 
 def test_q04_dims_broadcast(spark, sf_correct):
@@ -128,7 +150,13 @@ def test_q60_posexplode_single_shuffle_topk(spark, sf_correct):
     plan = _plan(spark, sf_correct, "q60_posexplode_tokens")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange hashpartitioning") == 1
-    assert "ReadSchema: struct<text:string>" in plan  # only text scanned
+    # only text reaches the (cached) scan — column pruning holds
+    # through the in-memory relation exactly as through parquet
+    import re
+
+    m = re.search(r"InMemoryTableScan \[([^\]]*)\]", plan)
+    cols = {c.split("#")[0].strip() for c in m.group(1).split(",")}
+    assert cols == {"text"}
 
 
 def test_q61_spine_join_broadcasts_aggregate(spark, sf_correct):

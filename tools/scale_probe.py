@@ -167,6 +167,15 @@ PROBE_QUERIES = [
     # Poisson bootstrap: one 32x broadcast fan-out pass, group-keyed
     # aggregates — must track the corpus linearly
     "q265_bootstrap_ci",
+    # r7: bloom-index lookup (write-path fixture + O(dirs) driver-side
+    # filter tests — cost must track the replay batches), PII scan
+    # (word-count shape), vocab coverage (one aggregate over the
+    # cached encoded symbols + bounded rank)
+    "q266_bloom_index_lookup", "q267_pii_scan", "q268_vocab_coverage",
+    # IVF-PQ: train-side artifacts cached per corpus; the probed cost
+    # is the query tail (per-list distance tables + list-pruned ADC) —
+    # must track corpus x nprobe/nlist, never corpus x nlist
+    "q269_ivfpq_ann",
 ]
 
 VOW = "aeiou"
