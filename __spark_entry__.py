@@ -7301,6 +7301,72 @@ def q269_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fn_sim.ivfpq(spark, v)
 
 
+_LINEAGE_CACHE: dict[tuple[int, str], CuratedTable] = {}
+
+
+def q270_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row lineage (storage row_lineage; Iceberg v3 row-lineage /
+    Hudi _hoodie_commit_time analog): every write stamps the rows it
+    CHANGES with the committing version in a hidden _commit_version
+    metadata column; table services (compaction, clustering,
+    delete_where survivors, partition evolution) rewrite rows WITHOUT
+    re-stamping, so the column answers "which commit last modified
+    this row" through any layout change — the per-row provenance that
+    incremental consumers and audits key on. Gate: full CDC replay on
+    a lineage-enabled table; every surviving row's stamp must equal
+    1 + the batch index of its winning trx_seq (bulk commits v1, each
+    upsert v(b+1)) — the oracle derives exactly that from the
+    batch-stamped replay. Rewrite-survival and patched-keys-only
+    re-stamping pinned in tests/test_row_lineage.py."""
+    from aws_dms_to_hudi_spark.storage import LINEAGE_COL
+
+    rec = cdc.RECIPES["orders"]
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        t = _LINEAGE_CACHE.get(key)
+        if t is None or not t.root.exists():
+            _t(spark, sf_dir, "orders").createOrReplaceTempView(
+                "__lineage_orders_src"
+            )
+            cfg = TableConfig(
+                name="orders_lineage",
+                record_key=list(rec.key_cols),
+                row_lineage=True,
+            )
+            tmp = tempfile.mkdtemp(prefix="orders_lineage_")
+            t = CuratedTable(spark, Path(tmp) / "orders", cfg)
+            for b in range(cdc.N_BATCHES):
+                batch = spark.sql(
+                    cdc.batch_sql(rec, b, src="__lineage_orders_src")
+                )
+                (t.bulk_insert if b == 0 else t.upsert)(batch)
+            _LINEAGE_CACHE[key] = t
+    return (
+        t.read(include_lineage=True)
+        .select(
+            "o_orderkey", "trx_seq",
+            F.col(LINEAGE_COL).alias("commit_version"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def _row_lineage_oracle_sql() -> str:
+    rec = cdc.RECIPES["orders"]
+    keys = ", ".join(rec.key_cols)
+    union = " UNION ALL ".join(
+        f"(SELECT *, {b} AS __b FROM ({cdc.batch_sql(rec, b)}) s{b})"
+        for b in range(cdc.N_BATCHES)
+    )
+    return f"""
+SELECT {keys}, trx_seq, CAST(__b + 1 AS BIGINT) AS commit_version FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {keys} ORDER BY trx_seq DESC) AS rn
+  FROM ({union}) u
+) r WHERE rn = 1 AND NOT _hoodie_is_deleted
+ORDER BY {keys}"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _canonical_queries()
     # The driver's CORRECTNESS gate records only the FIRST 50 entries of
@@ -7604,6 +7670,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q267_pii_scan": q267_pii_scan,
         "q268_vocab_coverage": q268_vocab_coverage,
         "q269_ivfpq_ann": q269_ivfpq_ann,
+        "q270_row_lineage": q270_row_lineage,
     }
 
 
@@ -8559,4 +8626,5 @@ def oracle_sql() -> dict[str, str]:
         "q267_pii_scan": fn_curation.pii_scan_sql("duckdb"),
         "q268_vocab_coverage": fn_bpe.vocab_coverage_oracle_sql(),
         "q269_ivfpq_ann": fn_sim.ivfpq_sql("duckdb"),
+        "q270_row_lineage": _row_lineage_oracle_sql(),
     }

@@ -127,6 +127,17 @@ class TableConfig:
     # (bloom_lookup reads dirs directly; DV anti-joins would need a
     # DV-aware read hook — use record_index's point_lookup there).
     bloom_index: bool = False
+    # Row lineage (beyond-reference; Iceberg v3 row-lineage analog):
+    # every write path stamps the rows it CHANGES with the committing
+    # version in a `_commit_version` column — bulk rows carry the
+    # initial version, each upsert/partial-update/overwrite stamps its
+    # batch, and table services (compaction, clustering, delete_where
+    # survivors, partition evolution) REWRITE rows without re-stamping,
+    # so the column answers "which commit last modified this row"
+    # through any layout change. read() hides the column unless asked
+    # (include_lineage=True), like Iceberg's metadata columns.
+    # Incompatible with bootstrap (external files lack the column).
+    row_lineage: bool = False
 
     def __post_init__(self) -> None:
         if not self.record_key:

@@ -158,6 +158,8 @@ BLOOM_DIR = "_index/bloom"
 BLOOM_BITS = 1 << 17  # bits per dir filter (16 KiB bitmap)
 BLOOM_K = 5  # hash functions; fpp ~ (1 - e^(-kn/m))^k
 
+LINEAGE_COL = "_commit_version"  # Iceberg v3 row-lineage analog
+
 
 class ConcurrentWriteConflict(RuntimeError):
     """Two OCC writers touched overlapping file groups (Hudi
@@ -458,6 +460,7 @@ class CuratedTable:
         read_optimized: bool = False,
         filters: list[tuple[str, str, Any]] | None = None,
         as_of: float | None = None,
+        include_lineage: bool = False,
     ) -> DataFrame | None:
         """Current (or historical) state as a DataFrame.
 
@@ -532,6 +535,10 @@ class CuratedTable:
         if base is not None and filters:
             for col, op, val in filters:
                 base = base.filter(_filter_expr(col, op, val))
+        if (base is not None and not include_lineage
+                and LINEAGE_COL in base.columns):
+            # metadata column, hidden unless asked (Iceberg-style)
+            base = base.drop(LINEAGE_COL)
         return base
 
     def _prune_stats_dirs(
@@ -708,6 +715,11 @@ class CuratedTable:
                 f"{cfg.name}: bootstrap is unsupported with bucket/"
                 "key-range layouts — external files lack layout columns"
             )
+        if cfg.row_lineage:
+            raise ValueError(
+                f"{cfg.name}: bootstrap is unsupported with row_lineage "
+                "— external files lack the _commit_version column"
+            )
         src = Path(source_dir)
         if not src.is_dir():
             raise ValueError(f"{cfg.name}: bootstrap source {src} "
@@ -780,6 +792,7 @@ class CuratedTable:
         version = self._next_version()
         vdir = f"v{version:08d}"
         cfg = self.config
+        df = self._stamp_lineage(df, version)
         df = precombine(df, cfg.record_key, cfg.source_ordering_field)
         from aws_dms_to_hudi_spark.operators.merge import apply_deletes
 
@@ -812,6 +825,21 @@ class CuratedTable:
         )
         self._write_commit(commit)
         return commit
+
+    def _stamp_lineage(self, batch: DataFrame, version: int) -> DataFrame:
+        """Row lineage (Iceberg v3 analog): stamp the rows this commit
+        CHANGES with the committing version. Pure projection — no
+        shuffle; table services that rewrite unchanged rows never call
+        this, so the stamp survives compaction/clustering/partition
+        evolution and always answers "which commit last modified this
+        row". A batch that already carries the column (e.g. a
+        partial-update resolve that read the current state) is
+        re-stamped: its rows ARE this commit's change set."""
+        if not self.config.row_lineage:
+            return batch
+        return batch.withColumn(
+            LINEAGE_COL, F.lit(version).cast("long")
+        )
 
     def _check_spec(self, prev: "Commit | None") -> None:
         """Write-time partition-spec guard: every existing data-map key
@@ -880,7 +908,7 @@ class CuratedTable:
                 f"{cfg.name}: already partitioned by "
                 f"{new_partition_path!r}"
             )
-        df = self.read()
+        df = self.read(include_lineage=True)  # rewrite: keep stamps
         if (new_partition_path is not None
                 and new_partition_path not in df.columns):
             raise ValueError(
@@ -1153,6 +1181,7 @@ class CuratedTable:
         # it feeds incremental reads, and reading it back for the merge
         # truncates the batch's lineage so the merge plan stays small.
         cldir = f"{vdir}_changelog"
+        batch = self._stamp_lineage(batch, version)
         precombine(batch, cfg.record_key, cfg.source_ordering_field).write.mode(
             "overwrite"
         ).parquet(str(self.root / cldir))
@@ -1350,7 +1379,7 @@ class CuratedTable:
         partitions, nothing else."""
         from aws_dms_to_hudi_spark.operators.merge import DELETED_COL
 
-        cur = self.read()
+        cur = self.read(include_lineage=True)  # survivors keep stamps
         if cur is None:
             raise ValueError(f"{self.config.name}: nothing to delete from")
         doomed = cur.filter(predicate)
@@ -1390,6 +1419,7 @@ class CuratedTable:
         version = self._next_version()
         vdir = f"v{version:08d}"
         cfg = self.config
+        batch = self._stamp_lineage(batch, version)
         batch = precombine(batch, cfg.record_key, cfg.source_ordering_field)
         from aws_dms_to_hudi_spark.operators.merge import apply_deletes
 
@@ -1480,6 +1510,7 @@ class CuratedTable:
         """MOR write path (D12 counterpart): cheap append of a delta log."""
         cfg = self.config
         ddir = f"v{version:08d}_delta"
+        batch = self._stamp_lineage(batch, version)
         deduped = precombine(batch, cfg.record_key, cfg.source_ordering_field)
         deduped.write.mode("overwrite").parquet(str(self.root / ddir))
         # index entries map to the key's (eventual, post-compaction) dir
@@ -1512,7 +1543,7 @@ class CuratedTable:
         self._check_spec(prev)
         if prev is None or not prev.deltas:
             return None
-        merged = self.read()  # drops any bucket col; recomputed on write
+        merged = self.read(include_lineage=True)  # drops any bucket col; lineage kept
         version = self._next_version()
         vdir = f"v{version:08d}"
         cfg = self.config
@@ -1636,7 +1667,7 @@ class CuratedTable:
         if prev is None:
             return None
         self._check_spec(prev)
-        df = self.read()  # drops any bucket col; recomputed on write
+        df = self.read(include_lineage=True)  # drops any bucket col; lineage kept
         version = self._next_version()
         vdir = f"v{version:08d}"
         cfg = self.config

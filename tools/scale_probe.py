@@ -176,6 +176,9 @@ PROBE_QUERIES = [
     # is the query tail (per-list distance tables + list-pruned ADC) —
     # must track corpus x nprobe/nlist, never corpus x nlist
     "q269_ivfpq_ann",
+    # row lineage: write-path fixture replay + one projection read —
+    # the stamp is a per-row literal, cost must track the batches
+    "q270_row_lineage",
 ]
 
 VOW = "aeiou"
