@@ -7351,6 +7351,68 @@ def q270_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q271_governed_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governed read (storage.read_governed; LakeFormation analog —
+    the reference provisions LakeFormation data-access roles over this
+    exact curated lake, templates/aws-dms-to-hudi.yaml:103-115,
+    585-586,653-678): a row filter + column masks enforced INSIDE the
+    engine read path. The row filter shares the column-stats pruning
+    machinery (this gate's 6-month window scans 1 of 7 file groups of
+    the shared q228/q229 fixture before the residual predicate), and
+    the masks are hash (portable keyed surrogate — joins keep working,
+    q234's invariant), typed-NULL redaction, and partial prefix. The
+    oracle applies the identical filter + mask expressions to the
+    replay; mask/filter-overlap rejection is validated in
+    tests/test_governed_read.py."""
+    import datetime as _dt
+
+    t = _indexed_orders(spark, sf_dir)
+    lo = _dt.datetime.fromisoformat(_CS_LO)
+    hi = _dt.datetime.fromisoformat(_CS_HI)
+    got = t.read_governed({
+        "row_filter": [("o_orderdate", ">=", lo), ("o_orderdate", "<", hi)],
+        "masks": {
+            "o_custkey": "hash",
+            "o_totalprice": "null",
+            "o_orderpriority": ("partial", 3),
+        },
+    })
+    return (
+        got.select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderpriority", "trx_seq",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def _governed_read_oracle_sql() -> str:
+    from aws_dms_to_hudi_spark.functions import portable as P
+
+    rec = cdc.RECIPES["orders"]
+
+    def pseud(key: str) -> str:
+        h1 = P.rolling_hash(f"concat('s1:', CAST({key} AS VARCHAR))",
+                            "duckdb")
+        h2 = P.rolling_hash(f"concat('s2:', CAST({key} AS VARCHAR))",
+                            "duckdb")
+        return (f"concat(CAST({h1} AS VARCHAR), '-', "
+                f"CAST({h2} AS VARCHAR))")
+
+    return f"""
+SELECT o_orderkey,
+       {pseud('o_custkey')} AS o_custkey,
+       o_orderstatus,
+       CAST(NULL AS DOUBLE) AS o_totalprice,
+       concat(substring(CAST(o_orderpriority AS VARCHAR), 1, 3), '***')
+         AS o_orderpriority,
+       trx_seq
+FROM ({cdc.replay_sql(rec)}) s
+WHERE o_orderdate >= TIMESTAMP '{_CS_LO}'
+  AND o_orderdate < TIMESTAMP '{_CS_HI}'
+ORDER BY o_orderkey"""
+
+
 def _row_lineage_oracle_sql() -> str:
     rec = cdc.RECIPES["orders"]
     keys = ", ".join(rec.key_cols)
@@ -7671,6 +7733,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q268_vocab_coverage": q268_vocab_coverage,
         "q269_ivfpq_ann": q269_ivfpq_ann,
         "q270_row_lineage": q270_row_lineage,
+        "q271_governed_read": q271_governed_read,
     }
 
 
@@ -8627,4 +8690,5 @@ def oracle_sql() -> dict[str, str]:
         "q268_vocab_coverage": fn_bpe.vocab_coverage_oracle_sql(),
         "q269_ivfpq_ann": fn_sim.ivfpq_sql("duckdb"),
         "q270_row_lineage": _row_lineage_oracle_sql(),
+        "q271_governed_read": _governed_read_oracle_sql(),
     }

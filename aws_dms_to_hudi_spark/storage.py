@@ -541,6 +541,87 @@ class CuratedTable:
             base = base.drop(LINEAGE_COL)
         return base
 
+    def read_governed(
+        self,
+        policy: dict,
+        version: int | None = None,
+        read_optimized: bool = False,
+    ) -> DataFrame | None:
+        """Governed read (D48; LakeFormation analog — the reference
+        provisions LakeFormation data-access roles over exactly this
+        curated lake, ``templates/aws-dms-to-hudi.yaml:103-115,
+        585-586,653-678``; there the enforcement lives in the AWS data
+        plane, here it lives in the engine's read path so ungoverned
+        rows/columns never leave the storage layer).
+
+        ``policy``::
+
+            {"row_filter": [(col, op, val), ...],   # optional
+             "masks": {col: spec, ...}}             # optional
+
+        The row filter uses the same conjunction syntax as
+        ``read(filters=)`` and therefore ALSO drives column-stats dir
+        pruning — governance and data skipping share one machinery; the
+        residual predicate re-applies row-level, so enforcement is
+        exact whether or not stats exist. Mask specs:
+
+        - ``"null"`` — typed NULL (full redaction, schema preserved);
+        - ``"hash"`` — deterministic keyed surrogate via the portable
+          polynomial hash (q234's pseudonym form): the same value maps
+          to the same surrogate in every governed read of every table,
+          so cross-table joins keep working without the raw identifier;
+        - ``("partial", n)`` — first ``n`` chars + ``'***'`` (cast to
+          string first), the prefix-visibility mask for audit UIs.
+
+        Masking a row-filter column is rejected loudly: the filter
+        would otherwise evaluate against already-masked values and
+        silently change the governed row set."""
+        from aws_dms_to_hudi_spark.functions import portable as P
+
+        row_filter = policy.get("row_filter") or []
+        masks = policy.get("masks") or {}
+        bad = sorted(set(masks) & {c for c, _, _ in row_filter})
+        if bad:
+            raise ValueError(
+                f"{self.config.name}: columns {bad} appear in both "
+                "masks and row_filter — filter on the raw value or "
+                "drop the mask"
+            )
+        df = self.read(
+            version=version,
+            read_optimized=read_optimized,
+            filters=row_filter or None,
+        )
+        if df is None:
+            return None
+        types = dict(df.dtypes)
+        for col, spec in masks.items():
+            if col not in types:
+                raise ValueError(
+                    f"{self.config.name}: mask on unknown column {col!r}"
+                )
+            if spec == "null":
+                df = df.withColumn(col, F.lit(None).cast(types[col]))
+            elif spec == "hash":
+                h1 = P.rolling_hash(
+                    f"concat('s1:', CAST({col} AS STRING))", "spark")
+                h2 = P.rolling_hash(
+                    f"concat('s2:', CAST({col} AS STRING))", "spark")
+                df = df.withColumn(col, F.expr(
+                    f"concat(CAST({h1} AS STRING), '-', "
+                    f"CAST({h2} AS STRING))"))
+            elif (isinstance(spec, tuple) and len(spec) == 2
+                    and spec[0] == "partial"):
+                df = df.withColumn(col, F.expr(
+                    f"concat(substring(CAST({col} AS STRING), 1, "
+                    f"{int(spec[1])}), '***')"))
+            else:
+                raise ValueError(
+                    f"{self.config.name}: unknown mask spec {spec!r} "
+                    "for column " + col
+                )
+        return df
+
     def _prune_stats_dirs(
         self, commit: Commit, filters: list[tuple[str, str, Any]]
     ) -> list[str]:

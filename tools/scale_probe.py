@@ -179,6 +179,9 @@ PROBE_QUERIES = [
     # row lineage: write-path fixture replay + one projection read —
     # the stamp is a per-row literal, cost must track the batches
     "q270_row_lineage",
+    # governed read: stats-pruned filtered scan + per-row mask
+    # expressions — must track the fixture batches like q228
+    "q271_governed_read",
 ]
 
 VOW = "aeiou"
