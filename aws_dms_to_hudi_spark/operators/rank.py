@@ -30,6 +30,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Below this measured row count the two-pass machinery's extra driver
+# actions (sketch job + offsets job) cost more than they save: a single
+# task sorts a few million narrow rows comfortably, so the operators
+# take the plain-window path — SAME exact output, one job. This is the
+# AQE philosophy applied to the operator: plan from the measured size,
+# keep the scale path for when it matters. The count that drives the
+# choice is itself the cheapest possible job (aggregates to one row)
+# and replaces the count/offset pass of the two-pass form.
+RANK_SMALL_INPUT = 2_000_000
+
 
 def _bucket_expr(col: Column, cuts: list[float]) -> Column:
     """#{c in cuts : value > c} — monotone, ties share a bucket; NULLs
@@ -63,6 +73,15 @@ def global_row_number(
     literal column too (it falls out of the count pass for free, saving
     callers a separate COUNT(*) job).
     """
+    total = df.count()
+    if total <= RANK_SMALL_INPUT:
+        w = Window.orderBy(
+            *[F.col(c).asc_nulls_first() for c in order_cols]
+        )
+        out = df.withColumn(out_col, F.row_number().over(w).cast("long"))
+        if total_col is not None:
+            out = out.withColumn(total_col, F.lit(total).cast("long"))
+        return out
     c1 = F.col(order_cols[0])
     qs = [i / num_buckets for i in range(1, num_buckets)]
     # accuracy only shapes bucket BALANCE, never correctness of the rank,
@@ -139,6 +158,12 @@ def global_running_sums(
         raise ValueError("value_cols and out_cols must align")
     df = materialize(df)
     c1 = F.col(order_col)
+    if df.count() <= RANK_SMALL_INPUT:
+        w = (Window.orderBy(c1.asc_nulls_first())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        for v, out_col in zip(value_cols, out_cols):
+            df = df.withColumn(out_col, F.sum(v).over(w).cast("long"))
+        return df
     qs = [i / num_buckets for i in range(1, num_buckets)]
     cuts_row = df.select(
         F.percentile_approx(c1, qs, 1_000).alias("cuts")
@@ -214,6 +239,19 @@ def grouped_row_number(
 
     ``group_total_col`` appends each group's total row count (falls out
     of the offset pass for free)."""
+    if df.count() <= RANK_SMALL_INPUT:
+        w = Window.partitionBy(*group_cols).orderBy(
+            *[F.col(c).asc_nulls_first() for c in order_cols]
+        )
+        out = df.withColumn(
+            out_col, F.row_number().over(w).cast("long"))
+        if group_total_col is not None:
+            out = out.withColumn(
+                group_total_col,
+                F.count(F.lit(1)).over(
+                    Window.partitionBy(*group_cols)).cast("long"),
+            )
+        return out
     c1 = F.col(order_cols[0])
     qs = [i / num_buckets for i in range(1, num_buckets)]
     cuts_row = df.select(
@@ -291,6 +329,11 @@ def global_running_max(
 
     df = materialize(df)
     c1 = F.col(order_col)
+    if df.count() <= RANK_SMALL_INPUT:
+        w = (Window.orderBy(c1.asc_nulls_first())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return df.withColumn(
+            out_col, F.max(value_col).over(w).cast("long"))
     qs = [i / num_buckets for i in range(1, num_buckets)]
     cuts_row = df.select(
         F.percentile_approx(c1, qs, 1_000).alias("cuts")

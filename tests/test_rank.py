@@ -8,6 +8,39 @@ from pyspark.sql import functions as F
 from aws_dms_to_hudi_spark.operators import rank as R
 
 
+@pytest.fixture(autouse=True)
+def force_two_pass(monkeypatch):
+    """The operators take a plain-window fast path under
+    RANK_SMALL_INPUT rows (measured-size planning); these tests exist
+    to pin the TWO-PASS machinery, so force it regardless of fixture
+    size. test_small_input_fast_path covers the other branch."""
+    monkeypatch.setattr(R, "RANK_SMALL_INPUT", 0)
+
+
+def test_small_input_fast_path(spark, monkeypatch):
+    """Default threshold: a small input takes the plain-window branch
+    and must produce the identical rank relation."""
+    monkeypatch.setattr(R, "RANK_SMALL_INPUT", 2_000_000)
+    df = spark.range(500).select(
+        (F.col("id") * 37 % 101).cast("double").alias("v"),
+        F.col("id").alias("k"),
+    )
+    got = R.global_row_number(df, ["v", "k"], total_col="__n")
+    ref = _ref(spark, df, ["v", "k"])
+    assert sorted(map(tuple, got.select("v", "k", "__rn").collect())) == \
+        sorted(map(tuple, ref.select("v", "k", "__rn").collect()))
+    assert got.select("__n").first()[0] == 500
+    gg = R.grouped_row_number(
+        df.withColumn("g", F.col("k") % 3), ["g"], ["v", "k"],
+        group_total_col="__gn")
+    wref = Window.partitionBy("g").orderBy(
+        F.col("v").asc_nulls_first(), F.col("k").asc_nulls_first())
+    rr = (df.withColumn("g", F.col("k") % 3)
+          .withColumn("__rn", F.row_number().over(wref)))
+    assert sorted(map(tuple, gg.select("g", "k", "__rn").collect())) == \
+        sorted(map(tuple, rr.select("g", "k", "__rn").collect()))
+
+
 def _ref(spark, df, order_cols):
     w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in order_cols])
     return df.withColumn("__rn", F.row_number().over(w))
