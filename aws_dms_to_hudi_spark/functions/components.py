@@ -837,6 +837,13 @@ def local_clustering(spark, lineitem: str, cache_key: str | None = None,
         adj_t = F.broadcast(adj_t)
     else:
         adj_t = adj_t.hint("shuffle_hash")
+    # Materialize-then-three-projections, MEASURED against the
+    # one-pass struct-array emission (explode(concat(array(structs),
+    # transform(cm, ...)))): the higher-order transform is interpreted
+    # per element outside whole-stage codegen and re-building the
+    # credit structs cost more than the checkpoint it saved (probe
+    # 2.6x -> 3.0x, sf0.1 1.9s -> 2.4s) — rejected; the persisted
+    # closed relation reads back three times as cheap columnar scans.
     closed = materialize(
         adj.select(F.col("s"), F.col("nb").alias("nb_s"),
                    F.explode("nb").alias("t"))
