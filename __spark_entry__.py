@@ -95,11 +95,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # row groups, already scan-parallel) stays a plain pushdown
         # scan; only small hot tables are pinned.
         try:
-            fsize = sum(
-                p.stat().st_size
-                for p in [Path(sf_dir) / f"{name}.parquet"]
+            backing = [
+                p for p in [Path(sf_dir) / f"{name}.parquet"]
                 if p.exists()
-            )
+            ]
+            # fail CLOSED when no backing file matched (derived/unknown
+            # tables): unknown size must not default to "pin it"
+            fsize = (sum(p.stat().st_size for p in backing)
+                     if backing else 1 << 60)
         except OSError:
             fsize = 1 << 60
         if fsize <= _CACHE_MAX_BYTES:

@@ -72,7 +72,16 @@ def global_row_number(
     If ``total_col`` is given, the total row count is appended as a
     literal column too (it falls out of the count pass for free, saving
     callers a separate COUNT(*) job).
+
+    The input is materialized before the size-probe count: both
+    branches re-read it at least twice more (window, or sketch +
+    offsets + window), and callers pass derived relations that would
+    otherwise recompute per action — exactly the at-scale regime this
+    operator exists for.
     """
+    from ..functions.dedup import materialize
+
+    df = materialize(df)
     total = df.count()
     if total <= RANK_SMALL_INPUT:
         w = Window.orderBy(
@@ -94,7 +103,8 @@ def global_row_number(
     b = df.withColumn("__gb", _bucket_expr(c1, cuts))
     counts = {r["__gb"]: r["cnt"] for r in
               b.groupBy("__gb").agg(F.count("*").alias("cnt")).collect()}
-    total = sum(counts.values())
+    # the probe count and the bucket-count sum agree by construction;
+    # keep the already-paid probe total rather than re-deriving it
     offsets: dict[int, int] = {}
     acc = 0
     for k in sorted(counts):
@@ -238,7 +248,11 @@ def grouped_row_number(
     num_buckets`` rows, bounded by construction.
 
     ``group_total_col`` appends each group's total row count (falls out
-    of the offset pass for free)."""
+    of the offset pass for free). Materialized before the size probe
+    for the same reason as :func:`global_row_number`."""
+    from ..functions.dedup import materialize
+
+    df = materialize(df)
     if df.count() <= RANK_SMALL_INPUT:
         w = Window.partitionBy(*group_cols).orderBy(
             *[F.col(c).asc_nulls_first() for c in order_cols]

@@ -1957,11 +1957,14 @@ class CuratedTable:
         cfg = self.config
         if cfg.table_type == MERGE_ON_READ:
             raise ValueError(f"{cfg.name}: OCC path is COW-only")
-        if cfg.record_index or cfg.cdc_images or cfg.deletion_vectors:
+        if (cfg.record_index or cfg.cdc_images or cfg.deletion_vectors
+                or cfg.row_lineage):
             raise ValueError(
                 f"{cfg.name}: OCC path excludes record_index/cdc_images/"
-                "deletion_vectors tables (their index/vector writes "
-                "would race)"
+                "deletion_vectors/row_lineage tables (index/vector "
+                "writes would race, and the lineage stamp needs the "
+                "commit version, which is unknown until commit_staged "
+                "serializes — staging would write NULL stamps)"
             )
         pcol = self._pcol
         if pcol is None:
@@ -2229,10 +2232,12 @@ class CuratedTable:
         if base is None:
             full = self._read_dirs(list(commit.data.values()))
             return self.spark.createDataFrame([], full.schema).drop(
-                BUCKET_COL, RANGE_COL
+                BUCKET_COL, RANGE_COL, LINEAGE_COL
             )
         out = base.join(F.broadcast(probe), on=kcols, how="left_semi")
-        return out.drop(BUCKET_COL, RANGE_COL)
+        # hidden metadata stays hidden: lookups mirror read()'s
+        # include_lineage=False default
+        return out.drop(BUCKET_COL, RANGE_COL, LINEAGE_COL)
 
     # ---------- secondary index (Hudi 1.0 SECONDARY_INDEX analog) ----------
 
@@ -2379,25 +2384,27 @@ class CuratedTable:
         if base is None:
             full = self._read_dirs(list(commit.data.values()))
             return self.spark.createDataFrame([], full.schema).drop(
-                BUCKET_COL, RANGE_COL
+                BUCKET_COL, RANGE_COL, LINEAGE_COL
             )
         out = base.join(F.broadcast(probe), on=[col], how="left_semi")
-        return out.drop(BUCKET_COL, RANGE_COL)
+        return out.drop(BUCKET_COL, RANGE_COL, LINEAGE_COL)
 
     # ---------- bloom key index (Hudi BLOOM / metadata bloom_filters) ----
 
     def _bloom_positions(self, df: DataFrame) -> DataFrame:
-        """(pos) — the BLOOM_K bit positions of every key in ``df``,
-        via seeded xxhash64 over the record-key columns. Computed in
-        Spark on BOTH the build and probe paths so the two sides share
-        one hash implementation exactly."""
+        """(pos) — one row per key in ``df``, the key's BLOOM_K bit
+        positions as an ARRAY, via seeded xxhash64 over the record-key
+        columns. Computed in Spark on BOTH the build and probe paths so
+        the two sides share one hash implementation exactly. Keeping a
+        key's positions in one array row (instead of exploding) means
+        probe-side grouping never depends on collect() row order."""
         kcols = [F.col(c) for c in self.config.record_key]
         return df.select(
-            F.explode(F.array(*[
+            F.array(*[
                 F.pmod(F.xxhash64(*kcols, F.lit(i)), F.lit(BLOOM_BITS))
                 .cast("long")
                 for i in range(BLOOM_K)
-            ])).alias("pos")
+            ]).alias("pos")
         )
 
     def _bloom_path(self, rel: str) -> Path:
@@ -2420,7 +2427,9 @@ class CuratedTable:
             path = self._bloom_path(rel)
             if path.exists() or not (self.root / rel).exists():
                 continue
-            pos = self._bloom_positions(self._read_dirs([rel]))
+            pos = self._bloom_positions(self._read_dirs([rel])).select(
+                F.explode("pos").alias("pos")
+            )
             words = (
                 pos.groupBy((F.col("pos") / 64).cast("long").alias("w"))
                 .agg(F.expr(
@@ -2457,11 +2466,10 @@ class CuratedTable:
         # ensure filters exist even for dirs written before the flag
         # flipped on (the async-indexer backfill path)
         self._update_bloom_index(commit)
-        probe_pos = [r["pos"] for r in self._bloom_positions(probe)
-                     .collect()]
-        # per probe key, its BLOOM_K consecutive positions
-        key_pos = [probe_pos[i:i + BLOOM_K]
-                   for i in range(0, len(probe_pos), BLOOM_K)]
+        # one array row per probe key — grouping is explicit, not an
+        # artifact of explode/collect row order
+        key_pos = [r["pos"] for r in self._bloom_positions(probe)
+                   .collect()]
         rows_dirs = []
         for rel in commit.data.values():
             path = self._bloom_path(rel)
@@ -2485,10 +2493,10 @@ class CuratedTable:
         if base is None:
             full = self._read_dirs(list(commit.data.values()))
             return self.spark.createDataFrame([], full.schema).drop(
-                BUCKET_COL, RANGE_COL
+                BUCKET_COL, RANGE_COL, LINEAGE_COL
             )
         out = base.join(F.broadcast(probe), on=kcols, how="left_semi")
-        return out.drop(BUCKET_COL, RANGE_COL)
+        return out.drop(BUCKET_COL, RANGE_COL, LINEAGE_COL)
 
     def bloom_pruning_report(self, keys: DataFrame) -> dict:
         """Pruning diagnostics for a probe set: how many data dirs the
@@ -2501,10 +2509,8 @@ class CuratedTable:
             return {"total_dirs": 0, "scanned_dirs": 0}
         self._update_bloom_index(commit)
         probe = keys.select(*self.config.record_key).distinct()
-        probe_pos = [r["pos"] for r in self._bloom_positions(probe)
-                     .collect()]
-        key_pos = [probe_pos[i:i + BLOOM_K]
-                   for i in range(0, len(probe_pos), BLOOM_K)]
+        key_pos = [r["pos"] for r in self._bloom_positions(probe)
+                   .collect()]
         scanned = 0
         for rel in commit.data.values():
             path = self._bloom_path(rel)

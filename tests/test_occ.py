@@ -116,6 +116,17 @@ def test_occ_rejects_unpartitioned_and_mor(spark, sf_smoke, tmp_path):
     mor = CuratedTable(spark, tmp_path / "mor", mcfg)
     with pytest.raises(ValueError, match="COW-only"):
         mor.prepare_upsert(spark.range(1).selectExpr("id AS o_orderkey"))
+    # row_lineage is excluded: the lineage stamp needs the commit
+    # version, which OCC only learns at commit_staged — staging would
+    # write NULL stamps and silently break the every-write-stamps
+    # invariant.
+    lcfg = TableConfig(
+        name="lin", record_key=["o_orderkey"], row_lineage=True,
+        is_partitioned=True, partition_path="o_year",
+    )
+    lin = CuratedTable(spark, tmp_path / "lin", lcfg)
+    with pytest.raises(ValueError, match="row_lineage"):
+        lin.prepare_upsert(spark.range(1).selectExpr("id AS o_orderkey"))
 
 
 def test_occ_carries_col_stats_across_rebase(spark, sf_smoke, tmp_path):

@@ -114,3 +114,18 @@ def test_bootstrap_rejected(spark, sf_smoke, tmp_path):
     t = CuratedTable(spark, tmp_path / "rlboot", cfg)
     with pytest.raises(ValueError, match="row_lineage"):
         t.bootstrap(str(tmp_path))
+
+
+def test_index_lookups_hide_lineage_like_read(spark, sf_smoke, tmp_path):
+    """point_lookup / bloom_lookup mirror read()'s include_lineage=False
+    default: the hidden _commit_version metadata column must not leak
+    through the index read paths on a lineage-stamped table."""
+    t = _build(spark, sf_smoke, tmp_path / "rlidx",
+               record_index=True, bloom_index=True)
+    keys = t.read().select("o_orderkey").limit(5)
+    got = t.point_lookup(keys)
+    assert LINEAGE_COL not in got.columns
+    assert got.count() == 5
+    got_b = t.bloom_lookup(keys)
+    assert LINEAGE_COL not in got_b.columns
+    assert got_b.count() == 5
