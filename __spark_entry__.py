@@ -95,10 +95,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # row groups, already scan-parallel) stays a plain pushdown
         # scan; only small hot tables are pinned.
         try:
-            backing = [
-                p for p in [Path(sf_dir) / f"{name}.parquet"]
-                if p.exists()
-            ]
+            root = Path(sf_dir) / f"{name}.parquet"
+            if root.is_dir():
+                # Spark-written tables are directories; a dir's own
+                # st_size is the inode (4 KiB), which under-counted the
+                # 10x probe corpora into the pinned path — size the
+                # actual part files.
+                backing = [p for p in root.rglob("*") if p.is_file()]
+            else:
+                backing = [root] if root.exists() else []
             # fail CLOSED when no backing file matched (derived/unknown
             # tables): unknown size must not default to "pin it"
             fsize = (sum(p.stat().st_size for p in backing)
@@ -423,9 +428,25 @@ def _tokhash(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _inv(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Shared persisted shingle inverted index (inv, sizes) views."""
+    """Shared persisted shingle inverted index (inv, sizes) views —
+    df-capped at dedup.DEDUP_MAX_DF, the pair-producing family's
+    operating point (q19/q166/q238/q251; q20/q77/q175 get the same
+    capped index through inv_view's default inside
+    minhash_pairs_view)."""
     return fn_dedup.inv_view(
         spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+
+
+def _inv_uncapped(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """UNCAPPED inverted index for the corpus-linear audits whose
+    semantics count every shingle (q242 novelty, q262 source overlap
+    — their joins never fan out by df², so the stop-shingle cut would
+    only distort the measurement). Cached separately; shares the one
+    tokhash pass with the capped variant."""
+    return fn_dedup.inv_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir,
+        max_df=None,
     )
 
 
@@ -6614,7 +6635,9 @@ def q242_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline checks BEFORE paying to dedup the next slice of a source.
     Two hash aggregates over the shared inverted index, no windows."""
     return spark.sql(
-        fn_dedup.novelty_curve_sql("spark", inv_tables=_inv(spark, sf_dir))
+        fn_dedup.novelty_curve_sql(
+            "spark", inv_tables=_inv_uncapped(spark, sf_dir)
+        )
     )
 
 
@@ -7155,7 +7178,7 @@ def q262_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached inverted index with q19/q166/q251."""
     v = _view(spark, sf_dir, "documents", "q262")
     return spark.sql(fn_dedup.source_overlap_sql(
-        "spark", table=v, inv_tables=_inv(spark, sf_dir)))
+        "spark", table=v, inv_tables=_inv_uncapped(spark, sf_dir)))
 
 
 def q263_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7430,6 +7453,35 @@ SELECT {keys}, trx_seq, CAST(__b + 1 AS BIGINT) AS commit_version FROM (
   FROM ({union}) u
 ) r WHERE rn = 1 AND NOT _hoodie_is_deleted
 ORDER BY {keys}"""
+
+
+# Gates whose per-call cost is the ENGINE WRITE / commit-replay path
+# (multi-commit parquet writes, streaming micro-batch ingest, or
+# O(commits) maintenance over the replay fixture) rather than query
+# evaluation. Their DuckDB oracles replay the same state IN MEMORY, so
+# per-query ratio-vs-oracle is meaningless for them by construction —
+# bench.py uses this set to emit a read-only/write-gate split so the
+# headline ratio is computed over comparable work. Kept next to the
+# query definitions (the ground truth) rather than in bench.py.
+WRITE_GATES = frozenset({
+    # storage write paths: per-call table build / mutation / services
+    "q15_bulk_insert_parity", "q93_mor_compaction", "q94_cluster_zorder",
+    "q95_clean_archive", "q96_schema_evolution", "q103_savepoint_restore",
+    "q109_key_range_groups", "q167_predicate_delete",
+    "q168_mor_read_optimized", "q208_schema_evolution",
+    "q212_partial_update", "q222_insert_overwrite",
+    "q236_occ_multi_writer", "q239_write_audit_publish",
+    "q253_deletion_vectors", "q257_bootstrap_onboarding",
+    "q258_secondary_index", "q259_merge_into", "q260_partition_evolution",
+    "q270_row_lineage",
+    # streaming ingest gates: a real availableNow stream per call
+    "q92_streaming_ingest", "q127_stream_stateful",
+    "q132_stream_interval_join", "q135_redelivery_dedup",
+    "q164_stream_session_windows", "q169_stream_static_join",
+    "q226_stream_pattern", "q231_stream_outer_join",
+    # commit-replay-shaped maintenance / metadata over the fixture
+    "q88_incremental_agg", "q104_agg_change_feed", "q202_timeline_audit",
+})
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -8586,10 +8638,13 @@ def oracle_sql() -> dict[str, str]:
         # the oracle is deliberately the PLAIN all-shingles formulation
         # at the same threshold: prefix filtering must not change the
         # result set
+        # index (and df cap) over the FULL corpus, pairing restricted to
+        # the even-doc subset — the same universe the Spark side's
+        # filtered cached views see (ngram_jaccard_sql docstring).
         "q166_prefix_jaccard": fn_dedup.ngram_jaccard_sql(
             "duckdb",
-            table="(SELECT * FROM documents WHERE doc_id % 2 = 0) sub",
             threshold=fn_dedup.PREFIX_JACCARD_T,
+            subset="doc_id % 2 = 0",
         ),
         "q167_predicate_delete": _predicate_delete_oracle_sql(),
         "q168_mor_read_optimized": _mor_read_optimized_oracle_sql(),

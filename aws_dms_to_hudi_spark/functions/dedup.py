@@ -63,6 +63,27 @@ SIMHASH_BITS = 30      # fits int64 with headroom; 3 chunks × 10 bits
 SIMHASH_CHUNKS = 3     # hamming ≤ 2 ⇒ pigeonhole: ≥1 chunk equal
 CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
 
+# Default stop-shingle cut for the pair-producing Jaccard family
+# (q19/q20/q77/q166/q175/q238/q251): shingles appearing in more than
+# this many documents are dropped from the inverted index BEFORE any
+# candidate join, on engine and oracle alike. Why this must be the
+# default and not an option: the co-occurrence self-join's cost is
+# Σ_g df(g)², and a corpus's most common shingles have df ∝ N — so the
+# uncapped join grows superlinearly on ANY corpus (the r7 10× probe
+# read 3.4–3.7× across the family; the synthetic corpus's ~40-word
+# vocabulary makes every chance shingle ubiquitous, the adversarial
+# case). With a fixed absolute cap the candidate volume is bounded by
+# Σ_g min(df, cap)² ≤ cap · |inv| — LINEAR in corpus size, while a
+# shingle shared by an actual near-dup pair has df ≈ the clone-family
+# size (2–10), far below any sane cap, so true-pair recall is
+# unaffected. This is the standard production cut (stop-shingle /
+# document-frequency pruning in every large-scale near-dup system);
+# a shingle present in >128 documents identifies no pair. The
+# already-corpus-linear audits (q242 novelty, q262 source overlap)
+# keep the uncapped index — their semantics count ALL shingles and
+# their joins never fan out by df².
+DEDUP_MAX_DF = 128
+
 
 def _explode(dialect: str, select: str, src: str, arr: str, alias: str) -> str:
     """Dialect shim for exploding a list column into rows."""
@@ -152,6 +173,12 @@ def _inv_cte(
     codegen), so the per-character hash fold dominated these queries —
     the Arrow path computes the identical hash vectorized, and every
     relational stage after ``th`` is untouched.
+
+    ``max_df`` defaults to :data:`DEDUP_MAX_DF` for the pair-producing
+    family (see that constant's rationale); the corpus-linear audits
+    (novelty, source overlap) pass ``None`` explicitly for the uncapped
+    index. Both variants are cached independently (``max_df`` is in the
+    cache key) and share the one tokhash pass.
     """
     if inv_tables is not None:
         inv_t, sizes_t = inv_tables
@@ -215,9 +242,10 @@ def ngram_jaccard_sql(
     dialect: str,
     table: str = "documents",
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = DEDUP_MAX_DF,
     th_table: str | None = None,
     inv_tables: tuple[str, str] | None = None,
+    subset: str | None = None,
 ) -> str:
     """Pairs (doc_a < doc_b) with 3-gram-shingle Jaccard ≥ threshold.
 
@@ -225,12 +253,23 @@ def ngram_jaccard_sql(
     (only docs sharing a shingle meet), count co-occurrences, then
     |A∩B| / (|A| + |B| - |A∩B|). Integer counts divide in DOUBLE, so
     the value is bit-identical across engines.
-    """
+
+    ``subset`` (a predicate over ``doc_id``) restricts the PAIRED docs
+    AFTER the index (and its df cap) is built over the full ``table`` —
+    matching the Spark side's filter-the-cached-views pattern
+    (q166): with a df cap, building the index over the subset instead
+    would change which shingles survive and break cross-side parity.
+    A doc's own shingle set and size are subset-independent, so only
+    the co CTE needs the filter."""
+    sub = ""
+    if subset is not None:
+        sub = (f" WHERE ({subset.replace('doc_id', 'a.doc_id')})"
+               f" AND ({subset.replace('doc_id', 'b.doc_id')})")
     return f"""
 WITH {_inv_cte(dialect, table, max_df, th_table, inv_tables)},
 co AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id{sub}
   GROUP BY a.doc_id, b.doc_id
 )
 {_pairs_select(threshold)}"""
@@ -303,7 +342,7 @@ def _prefix_base_cte(
             f"inv AS (SELECT doc_id, g FROM {inv_t} WHERE {subset}),\n"
             f"sizes AS (SELECT doc_id, n FROM {sizes_t} WHERE {subset})"
         )
-    return _inv_cte(dialect, table, None, th_table, inv_tables)
+    return _inv_cte(dialect, table, DEDUP_MAX_DF, th_table, inv_tables)
 
 
 def prefix_jaccard_cand_body(threshold: float) -> str:
@@ -616,7 +655,7 @@ def minhash_lsh_sql(
     dialect: str,
     table: str = "documents",
     threshold: float = 0.5,
-    max_df: int | None = None,
+    max_df: int | None = DEDUP_MAX_DF,
     th_table: str | None = None,
     inv_tables: tuple[str, str] | None = None,
 ) -> str:
@@ -699,7 +738,7 @@ def incremental_minhash_sql(
         for b in range(NUM_BANDS)
     )
     return f"""
-WITH {_inv_cte(dialect, table, None, th_table, inv_tables)},
+WITH {_inv_cte(dialect, table, DEDUP_MAX_DF, th_table, inv_tables)},
 sig AS (SELECT doc_id, {sig_cols} FROM inv GROUP BY doc_id),
 bands AS ({band_selects}),
 cand AS (
@@ -1033,7 +1072,7 @@ def simhash_view(spark, docs, cache_key: str) -> str:
 
 
 def inv_view(
-    spark, docs, cache_key: str, max_df: int | None = None
+    spark, docs, cache_key: str, max_df: int | None = DEDUP_MAX_DF
 ) -> tuple[str, str]:
     """Register (and persist) the shingle inverted index
     ``inv(doc_id, g)`` plus ``sizes(doc_id, n)`` built from the cached
@@ -1294,7 +1333,7 @@ def lsh_audit_sql(
         for b in range(NUM_BANDS)
     )
     return f"""
-WITH {_inv_cte(dialect, table, None, th_table, inv_tables)},
+WITH {_inv_cte(dialect, table, DEDUP_MAX_DF, th_table, inv_tables)},
 co AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
   FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
@@ -1454,7 +1493,7 @@ DEDUP_CURVE_T = (30, 40, 50, 60, 70)  # Jaccard thresholds, percent
 def dedup_threshold_curve_sql(
     dialect: str,
     table: str = "documents",
-    max_df: int | None = None,
+    max_df: int | None = DEDUP_MAX_DF,
     th_table: str | None = None,
     inv_tables: tuple[str, str] | None = None,
 ) -> str:

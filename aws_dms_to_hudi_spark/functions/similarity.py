@@ -430,14 +430,35 @@ ORDER BY q_id, neighbor_id
 
 def embedding_neardup(spark, df, threshold: float = 0.4):
     """DataFrame pipeline for near-dup pairs — same semantics (and same
-    oracle) as :func:`embedding_neardup_sql`, but bucketization runs as
-    ONE Arrow-batched numpy matmul per partition instead of
-    planes × tables × 64 per-element SQL lambda evaluations per row.
+    oracle) as :func:`embedding_neardup_sql`, but the candidate pairs
+    NEVER exist as rows: vectors group by (table, bucket) and every
+    bucket scores its own pair matrix inside ONE ``applyInPandas``
+    kernel, emitting only the pairs that already pass the threshold.
 
-    Parity: bucket ids feed only the candidate JOIN (sign decisions —
-    summation-order noise can't flip them off a measure-zero boundary),
-    while the OUTPUT cosine keeps the portable left-to-right fold, so
-    the value hash still matches the DuckDB oracle bit-for-bit.
+    Why this shape (r8 redesign — the r7 probe caught the old
+    ids-self-join → DISTINCT → re-join-embeddings form collapsing at
+    10× data): when the corpus contains near-dup CLIQUES, every clique
+    member shares every bucket, so the candidate relation grows as
+    Σ_bucket occupancy² — at 10× clones that was ~100× the pair ROWS
+    pushed through a distinct and two embedding re-joins (~100 GB of
+    shuffle). Here the only shuffle is the bucket groupBy of the
+    (id, embedding) relation itself — N·T rows, corpus-linear — and
+    the occupancy² term is numpy arithmetic inside the kernel (row-
+    blocked, so memory is block×occ, never occ²). Pairs above the
+    threshold are a data property (the audit's own output), not an
+    intermediate. Residual scale knob unchanged from the docstring of
+    :func:`embedding_neardup_sql`: per-bucket occupancy must stay
+    ~bounded as N grows, i.e. scale planes with log2 N (the measured
+    rule in tools/scale_probe_ann.json); a pathological single bucket
+    is a plane-count misconfiguration, not a plan property.
+
+    Parity: bucket ids feed only the candidate grouping (sign
+    decisions — summation-order noise can't flip them off a
+    measure-zero boundary), while the cosine keeps the portable
+    left-to-right per-dimension fold — acc = acc + x_i·y_i in float64,
+    one dim per step, np.sqrt correctly rounded like SQL sqrt — so
+    every emitted value is bit-identical to the DuckDB oracle and the
+    cross-table duplicates collapse on DISTINCT over the raw triple.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import ArrayType, LongType
@@ -460,53 +481,52 @@ def embedding_neardup(spark, df, threshold: float = 0.4):
 
     buckets = df.select(
         F.col("vec_id"),
+        F.col("embedding"),
         F.posexplode(bucketize("embedding")).alias("tbl", "bucket"),
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(b, ["tbl", "bucket"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .distinct()
-    )
 
-    # Exact cosine over candidate pairs, vectorized: SQL higher-order
-    # folds are interpreted per element (no codegen), which made this
-    # stage the query's bottleneck. The numpy loop accumulates ONE dim
-    # per step across all pairs — acc = acc + x_i*y_i in float64 — i.e.
-    # exactly the oracle's left-to-right fold (same IEEE ops, same
-    # order), and np.sqrt is correctly rounded like SQL sqrt, so the
-    # result stays bit-identical to DuckDB. Norms are re-derived per
-    # pair from the same folds (identical bits to the once-per-vector
-    # oracle CTE; ~3 fused numpy passes per Arrow batch is noise).
-    from pyspark.sql.types import DoubleType
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)  # deterministic id order inside a group
+        ids = ids[order]
+        x = np.vstack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        n, dims = x.shape
+        # per-vector norms via the same left-to-right fold
+        nn = np.zeros(n)
+        for d in range(dims):
+            nn = nn + x[:, d] * x[:, d]
+        rn = np.sqrt(nn)
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        blk = 1024  # bounds memory at blk×occ, keeps the fold vectorized
+        col = np.arange(n)
+        for s in range(0, n, blk):
+            e = min(s + blk, n)
+            dot = np.zeros((e - s, n))
+            for d in range(dims):
+                dot = dot + np.outer(x[s:e, d], x[:, d])
+            cos = dot / (rn[s:e, None] * rn[None, :])
+            hit = (cos >= threshold) & (col[None, :] > np.arange(s, e)[:, None])
+            ii, jj = np.nonzero(hit)
+            out_a.append(ids[s + ii])
+            out_b.append(ids[jj])
+            out_c.append(cos[ii, jj])
+        if out_a:
+            return pd.DataFrame({
+                "vec_a": np.concatenate(out_a).astype(np.int64),
+                "vec_b": np.concatenate(out_b).astype(np.int64),
+                "cos_raw": np.concatenate(out_c),
+            })
+        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                             "vec_b": pd.Series(dtype="int64"),
+                             "cos_raw": pd.Series(dtype="float64")})
 
-    @F.pandas_udf(DoubleType())
-    def pair_cos(ea: pd.Series, eb: pd.Series) -> pd.Series:
-        x = np.vstack(ea.to_numpy()).astype(np.float64)
-        y = np.vstack(eb.to_numpy()).astype(np.float64)
-        dot = np.zeros(len(x))
-        na = np.zeros(len(x))
-        nb = np.zeros(len(x))
-        for i in range(x.shape[1]):
-            dot = dot + x[:, i] * y[:, i]
-            na = na + x[:, i] * x[:, i]
-            nb = nb + y[:, i] * y[:, i]
-        return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
-
-    ea = df.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea_emb")
-    )
-    eb = df.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb_emb")
+    hits = buckets.groupBy("tbl", "bucket").applyInPandas(
+        bucket_pairs, "vec_a long, vec_b long, cos_raw double"
     )
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", pair_cos("ea_emb", "eb_emb").alias("cos_raw"))
-        .filter(F.col("cos_raw") >= threshold)
+        hits.distinct()  # cross-table duplicates carry identical bits
         .select("vec_a", "vec_b", F.round("cos_raw", 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
@@ -542,11 +562,17 @@ def label_centroids_sql(dialect: str, table: str = "embeddings") -> str:
     final division and 6dp round are bit-identical across engines.
 
     Scale: one explode + one (label, dim) hash-aggregate — map-side
-    partial agg does most of the work; output is n_labels × DIM rows."""
+    partial agg does most of the work; output is n_labels × DIM rows.
+    The cnt side is hint-broadcast: it joins on `label` (a handful of
+    distinct values), and Spark sizes aggregate outputs by their CHILD,
+    so without the hint CBO shuffle-joins the exploded relation on a
+    tiny key domain — the skewed-64-key crawl the r8 probe caught on
+    the sibling assign query. DuckDB reads the hint as a comment."""
+    bc = "/*+ BROADCAST(cnt) */ " if dialect == "spark" else ""
     return f"""
 WITH iv AS ({_emb_rows(dialect, table)}),
 cnt AS (SELECT label, COUNT(DISTINCT vec_id) AS n FROM iv GROUP BY label)
-SELECT iv.label, iv.dim,
+SELECT {bc}iv.label, iv.dim,
        round(CAST(SUM(iv.x) AS DOUBLE)
              / (MAX(cnt.n) * {CENTROID_SCALE}.0), 6) AS centroid
 FROM iv JOIN cnt ON iv.label = cnt.label
@@ -571,10 +597,20 @@ def centroid_assign_sql(dialect: str, table: str = "embeddings") -> str:
     doubles, so the argmax is deterministic on both engines (ties break
     on candidate label).
 
-    Scale: centroids are k × DIM rows — the join broadcasts them; the
-    per-vector work is one aggregate over DIM·k products, shuffled on
-    vec_id only."""
+    Scale: centroids are k × DIM rows — the join MUST broadcast them,
+    and the hint is load-bearing, not decorative (r8 probe finding):
+    the dots join keys on `dim` — 64 distinct values — and Spark sizes
+    an aggregate's output by its CHILD relation, so CBO refuses the
+    auto-broadcast and plans a sort-merge join whose shuffle hashes the
+    whole exploded corpus into 64 skewed partitions (the 10× probe run
+    sat at ~1 core for minutes; with the hint the stage is a map-only
+    broadcast join at input parallelism). Same treatment for the tiny
+    cnt/cnorm joins keyed on `label`. The per-vector work is one
+    aggregate over DIM·k products, shuffled on vec_id only."""
     dec = "DECIMAL(19,0)"
+    bc = "/*+ BROADCAST(c) */ " if dialect == "spark" else ""
+    bs = "/*+ BROADCAST(cnt), BROADCAST(cnorm) */ " if dialect == "spark" \
+        else ""
     return f"""
 WITH iv AS ({_emb_rows(dialect, table)}),
 csum AS (SELECT label, dim, CAST(SUM(x) AS BIGINT) AS sx
@@ -586,13 +622,13 @@ cnorm AS (
   FROM csum GROUP BY label
 ),
 dots AS (
-  SELECT i.vec_id, i.label AS true_label, c.label AS cand,
+  SELECT {bc}i.vec_id, i.label AS true_label, c.label AS cand,
          CAST(SUM(CAST(i.x AS DECIMAL(19,0)) * c.sx) AS DOUBLE) AS dot_scaled
   FROM iv i JOIN csum c ON i.dim = c.dim
   GROUP BY i.vec_id, i.label, c.label
 ),
 scored AS (
-  SELECT d.vec_id, d.true_label, d.cand,
+  SELECT {bs}d.vec_id, d.true_label, d.cand,
          2.0 * d.dot_scaled / cnt.n
            - cnorm.ssq / (CAST(cnt.n AS DOUBLE) * cnt.n) AS score
   FROM dots d

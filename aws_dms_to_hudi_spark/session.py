@@ -38,6 +38,17 @@ _DEFAULTS = {
     # executor cores (Spark's own guidance for AQE).
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Recursive CTEs (Spark 4 WITH RECURSIVE) materialize
+    # |rows| x depth working rows; the stock 1M-row safety valve trips
+    # on a legitimate 150k-row hierarchy at ~28 levels (the 10x probe
+    # hit it on q126). Termination is already guarded by the LEVEL
+    # limit (cteRecursionLevelLimit=100, kept), which bounds runaway
+    # recursion independently of data size — so raise the ROW valve to
+    # the conf's ceiling instead of letting it fail correct queries as
+    # inputs grow. The conf is a JVM Int: a value past 2^31-1 silently
+    # wedges the session (range(10).count() never returns), so stay
+    # under it.
+    "spark.sql.cteRecursionRowLimit": "2000000000",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",

@@ -202,15 +202,27 @@ def main() -> None:
         if key in short or sum(n.startswith(key + "_") for n in timings) > 1:
             key = key + "_" + name.split("_")[1][0]
         short[key] = sec
+    # Read/write split: WRITE_GATES (defined with the queries — engine
+    # write paths, streaming ingest, commit-replay maintenance) have
+    # in-memory-replay oracles, so ratio-vs-oracle is only meaningful
+    # over the read-query subset. Emit both totals.
+    wg = getattr(entry_mod, "WRITE_GATES", frozenset())
+    write_total = round(sum(t for n, t in timings.items() if n in wg), 3)
+    read_total = round(total - write_total, 3)
     payload = {
         "metric": "total_query_seconds",
         "value": total,
         "unit": "sec",
         "queries": short,
         "sf": sf,
+        "read_only_value": read_total,
+        "write_gate_value": write_total,
     }
     detail = {"metric": "total_query_seconds", "value": total,
-              "unit": "sec", "queries": timings, "sf": sf}
+              "unit": "sec", "queries": timings, "sf": sf,
+              "read_only_value": read_total,
+              "write_gate_value": write_total,
+              "write_gates": sorted(n for n in timings if n in wg)}
     if not idle:
         payload["load_contaminated"] = True
         detail["load_contaminated"] = True

@@ -53,6 +53,41 @@ def test_minhash_recall_vs_exact(spark, docs_view):
     assert len(approx) / len(exact) >= 0.9
 
 
+def test_dedup_df_cap_bounds_join_and_keeps_true_pairs(spark):
+    """DEDUP_MAX_DF semantics: a shingle present in more than the cap's
+    document count is dropped from the inverted index BEFORE the
+    candidate join (bounding candidates to cap·|inv|), while true
+    near-dup pairs — whose shared shingles have df ≈ clone-family size
+    — survive with their Jaccard computed on the capped sets.
+
+    Fixture: `cap+2` docs all sharing one ubiquitous sentence (so every
+    3-shingle of it has df > cap), two of which additionally share a
+    long unique tail (the planted near-dup)."""
+    cap = fn_dedup.DEDUP_MAX_DF
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    tail = " ".join(f"tok{i} tok{i+1} tok{i+2}" for i in range(0, 60, 3))
+    rows = [(i, f"{common} filler{i}") for i in range(cap + 2)]
+    rows.append((1000, f"{common} {tail}"))
+    rows.append((1001, f"{common} {tail} zz"))
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .createOrReplaceTempView("__cap_docs")
+    pairs = spark.sql(
+        fn_dedup.ngram_jaccard_sql("spark", table="__cap_docs",
+                                   threshold=0.5)
+    ).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    # the ubiquitous sentence alone must produce NO pair: its shingles
+    # are capped away, and the filler token breaks cross-doc shingles
+    assert got == {(1000, 1001)}, got
+    # uncapped form would pair every doc with every doc through the
+    # common sentence — pin that the cap is what prevents it
+    unc = spark.sql(
+        fn_dedup.ngram_jaccard_sql("spark", table="__cap_docs",
+                                   threshold=0.5, max_df=None)
+    ).count()
+    assert unc > len(got)
+
+
 def test_simhash_finds_planted_neardups(spark, docs_view):
     """The ~0.99-Jaccard planted pairs must land within hamming ≤ 2."""
     jac = {

@@ -182,6 +182,31 @@ PROBE_QUERIES = [
     # governed read: stats-pruned filtered scan + per-row mask
     # expressions — must track the fixture batches like q228
     "q271_governed_read",
+    # r8: the 13 expensive gates the r7 probe table still lacked —
+    # the hidden-superlinear candidates named in the r7 verdict.
+    # q24: vectorized matmul bucketize + bucket-equality self-join
+    # (cost must track buckets x occupancy, not pairs)
+    "q24_embedding_neardup",
+    # IVM pair: O(changes) recompute-affected-groups — cost per commit
+    # must track the delta, not the table
+    "q88_incremental_agg", "q104_agg_change_feed",
+    # PIT join: as-of backward join per entity — range-bucketed, must
+    # stay linear in fact rows
+    "q203_pit_join",
+    # k-means E-step assign (N x K distance agg), recursive hierarchy
+    # (bounded-depth self-joins), exact + grouped heavy hitters
+    "q100_centroid_assign", "q126_recursive_hierarchy",
+    "q129_heavy_hitters", "q201_group_heavy_hitters",
+    # PageRank: edge-linear per round, fixed round count
+    "q131_pagerank",
+    # bulk-insert parity: replay-fixture write path (cost tracks batch 0)
+    "q15_bulk_insert_parity",
+    # BM25: query-term inverted-index probe — cost tracks posting lists
+    "q177_bm25_search",
+    # PPMI: cooccurrence pairs within window — bounded by tokens x window
+    "q181_ppmi_pairs",
+    # timeline audit: O(commits) metadata read over the replay fixture
+    "q202_timeline_audit",
 ]
 
 VOW = "aeiou"
@@ -207,7 +232,21 @@ def gen(spark) -> None:
     shifted("lineitem", {"l_orderkey": 30_000_000, "l_partkey": 3_000_000,
                          "l_suppkey": 200_000})
     shifted("orders", {"o_orderkey": 30_000_000, "o_custkey": 3_000_000})
-    shifted("customer", {"c_custkey": 3_000_000})
+
+    def mut_names(df, k):
+        # Rotate digits per copy (the c_name digit-rotation analog of
+        # the documents vowel rotation): without it every copy carries
+        # the VERBATIM names, so the edit-distance-1 entity graph gets
+        # a 10-clique per name and PageRank/fuzzy-join probes measure
+        # an artificial clone-quadratic blowup no real corpus has
+        # (r8 probe: q131 read 18.4x before this, graph-linear after).
+        if not k:
+            return df
+        dig = "0123456789"
+        rot = dig[k % 10:] + dig[:k % 10]
+        return df.withColumn("c_name", F.translate("c_name", dig, rot))
+
+    shifted("customer", {"c_custkey": 3_000_000}, extra=mut_names)
     shifted("supplier", {"s_suppkey": 200_000})
     for small in ["nation", "region", "part"]:
         spark.read.parquet(f"{SRC}/{small}.parquet").write.mode(
@@ -283,12 +322,18 @@ def run(spark, only: list[str] | None = None) -> None:
             best = min(best, time.time() - t0)
         return best
 
-    print(f"{'query':32s} {'sf0.1':>7s} {'10x':>7s} {'ratio':>6s}")
+    print(f"{'query':32s} {'sf0.1':>7s} {'10x':>7s} {'ratio':>6s}",
+          flush=True)
     tot1 = tot10 = 0.0
     rows = {}
     meas = {}
     for name in probe_list:
         meas[name] = [one(name, SRC), one(name, OUT)]
+        a, b = meas[name]
+        # progress line per query (the final table re-prints after the
+        # outlier re-measure pass) — long probes were silent for an hour
+        print(f"... {name:28s} {a:7.2f} {b:7.2f} {b / max(a, 0.01):6.1f}x",
+              flush=True)
     # The virtualized host shows minute-scale I/O-throttle bursts that
     # can poison both back-to-back runs of a query (in EITHER scale's
     # favor). Re-measure outlier ratios once at the end — min with the
