@@ -400,24 +400,18 @@ ORDER BY r.col_name, rnk
 """
 
 
-def seasonal_anomaly_sql(
-    dialect: str, events: str = "events", period: int = 168, k: int = 3
+def seasonal_resid_sql(
+    dialect: str, events: str = "events", period: int = 168
 ) -> str:
-    """Seasonal-naive anomaly detection over the hourly event stream —
-    the monitoring op of an ingestion pipeline: expected(hour) =
-    count(hour − one week), residual = actual − expected, and an hour is
-    anomalous when its residual deviates from the per-type median
-    residual by more than ``k``·MAD (the robust band of q196 — one
-    outage hour cannot inflate its own threshold).
-
-    All arithmetic integer-or-0.5-grid: hourly counts are BIGINT (a
-    dense hour grid NULL-fills silent hours to 0, so a dead pipeline is
-    the loudest anomaly, not a missing row); residuals are integer;
-    medians/MADs of integers land on the exact 0.5 grid (doubled into
-    BIGINTs for the gate). The week-lag is an EQUI-join on
-    (type, hour − {period}) — never a lag window, so a single type's
-    series needn't fit one task; the grid explode is constant fan-out
-    per type-bounds row. Output: only the anomalous hours."""
+    """The residual grid of :func:`seasonal_anomaly_sql` as a standalone
+    statement — (event_type, hb, n, expected, r), one row per dense
+    grid hour. Split out so the Spark caller can MATERIALIZE it once:
+    the anomaly statement references the residual relation through
+    med → dev → mad → final, and Spark's CTE inlining re-derived the
+    whole events-scan → grid → self-join chain for every reference
+    (measured ~2.0 s at sf0.1; with the tiny materialized grid —
+    |types|·|hours| rows — the tail is sub-second). DuckDB materializes
+    CTEs natively, so the oracle keeps the single-text form."""
     from . import portable as P
 
     div = lambda a, b: P.int_div(a, b, dialect)  # noqa: E731
@@ -450,13 +444,42 @@ dense AS (
   SELECT g.event_type, g.hb, COALESCE(c.n, 0) AS n
   FROM grid g LEFT JOIN cnt c
     ON g.event_type = c.event_type AND g.hb = c.hb
-),
-resid AS (
-  SELECT a.event_type, a.hb, a.n, b.n AS expected,
-         a.n - b.n AS r
-  FROM dense a JOIN dense b
-    ON a.event_type = b.event_type AND b.hb = a.hb - {period}
-),
+)
+SELECT a.event_type, a.hb, a.n, b.n AS expected, a.n - b.n AS r
+FROM dense a JOIN dense b
+  ON a.event_type = b.event_type AND b.hb = a.hb - {period}
+"""
+
+
+def seasonal_anomaly_sql(
+    dialect: str, events: str = "events", period: int = 168, k: int = 3,
+    resid_table: str | None = None,
+) -> str:
+    """Seasonal-naive anomaly detection over the hourly event stream —
+    the monitoring op of an ingestion pipeline: expected(hour) =
+    count(hour − one week), residual = actual − expected, and an hour is
+    anomalous when its residual deviates from the per-type median
+    residual by more than ``k``·MAD (the robust band of q196 — one
+    outage hour cannot inflate its own threshold).
+
+    All arithmetic integer-or-0.5-grid: hourly counts are BIGINT (a
+    dense hour grid NULL-fills silent hours to 0, so a dead pipeline is
+    the loudest anomaly, not a missing row); residuals are integer;
+    medians/MADs of integers land on the exact 0.5 grid (doubled into
+    BIGINTs for the gate). The week-lag is an EQUI-join on
+    (type, hour − {period}) — never a lag window, so a single type's
+    series needn't fit one task; the grid explode is constant fan-out
+    per type-bounds row. Output: only the anomalous hours.
+
+    ``resid_table`` (Spark side) swaps the residual-grid derivation for
+    a pre-materialized relation — see :func:`seasonal_resid_sql`."""
+    if resid_table is not None:
+        resid = f"resid AS (SELECT * FROM {resid_table})"
+    else:
+        inner = seasonal_resid_sql(dialect, events, period).strip()
+        resid = f"resid AS ({inner})"
+    return f"""
+WITH {resid},
 med AS (SELECT event_type, median(r) AS m FROM resid GROUP BY event_type),
 dev AS (
   SELECT v.event_type, v.hb, v.n, v.expected, v.r,
