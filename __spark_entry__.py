@@ -7470,6 +7470,58 @@ WHERE o_orderdate >= TIMESTAMP '{_CS_LO}'
 ORDER BY o_orderkey"""
 
 
+def q272_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog registers per order-year merged by register-max into
+    the full-period sketch (sketches.hll_sql; Flajolet et al. 2007) —
+    the mergeable distinct counter: O(64) state per group through every
+    partial aggregate, and the merged 'ALL' row is computed from the
+    per-year REGISTERS (never the data). Complements q87 (Spark's
+    built-in Datasketches hll_sketch_agg, whose binary sketch is
+    implementation-specific so only its accuracy band is gated): here
+    the register VALUES, the all-integer estimator, and the build-time-
+    frozen linear-counting table are all engine-portable, so the entire
+    sketch state is hash-verified against the oracle — the merge
+    algebra itself is under test, not just the estimate."""
+    o = _view(spark, sf_dir, "orders", "q272")
+    return spark.sql(fn_sk.hll_sql("spark", orders=o))
+
+
+def q273_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection over the embedding corpus
+    (similarity.kcenter; Gonzalez 1985 / Sener & Savarese 2018) —
+    diversity-aware data pruning: k passes, each an N x 1 distance
+    update against a single broadcast center plus a bounded top-1.
+    Per-round min-dist relations are materialized temp views (Spark
+    would inline the doubly-referenced CTE chain into a 2^k plan);
+    fixed-order DOUBLE folds keep every distance bit-identical to the
+    oracle's single-statement CTE chain."""
+    _t(spark, sf_dir, "embeddings").createOrReplaceTempView("__q273_emb")
+    with _REPLAY_LOCK:
+        return fn_sim.kcenter(spark, "__q273_emb", cache_key=sf_dir)
+
+
+def q274_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample with exact largest-remainder
+    allocation across language strata, filled by ascending uniformized
+    doc_id hash (curation.stratified_sample_sql) — the reproducible
+    WHICH-rows primitive under the q82/q122 mixture weights."""
+    d = _view(spark, sf_dir, "documents", "q274")
+    return spark.sql(fn_curation.stratified_sample_sql("spark", table=d))
+
+
+def q275_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scoring (curation.dsir_sql; Xie et al. NeurIPS
+    2023): hashed-unigram feature log-ratios between the English target
+    slice and the raw corpus, frozen per bucket into DECIMAL (the q200
+    rule), summed exactly per doc, bounded top-k out. Shares the
+    tokenize-once token-hash artifact."""
+    d = _view(spark, sf_dir, "documents", "q275")
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(fn_curation.dsir_sql("spark", table=d, th_table=th))
+
+
 def _row_lineage_oracle_sql() -> str:
     rec = cdc.RECIPES["orders"]
     keys = ", ".join(rec.key_cols)
@@ -7820,6 +7872,10 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q269_ivfpq_ann": q269_ivfpq_ann,
         "q270_row_lineage": q270_row_lineage,
         "q271_governed_read": q271_governed_read,
+        "q272_hll_distinct": q272_hll_distinct,
+        "q273_kcenter_coreset": q273_kcenter_coreset,
+        "q274_stratified_sample": q274_stratified_sample,
+        "q275_dsir_selection": q275_dsir_selection,
     }
 
 
@@ -8780,4 +8836,9 @@ def oracle_sql() -> dict[str, str]:
         "q269_ivfpq_ann": fn_sim.ivfpq_sql("duckdb"),
         "q270_row_lineage": _row_lineage_oracle_sql(),
         "q271_governed_read": _governed_read_oracle_sql(),
+        "q272_hll_distinct": fn_sk.hll_sql("duckdb"),
+        "q273_kcenter_coreset": fn_sim.kcenter_sql("duckdb"),
+        "q274_stratified_sample": fn_curation.stratified_sample_sql(
+            "duckdb"),
+        "q275_dsir_selection": fn_curation.dsir_sql("duckdb"),
     }

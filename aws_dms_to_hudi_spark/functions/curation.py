@@ -1153,3 +1153,148 @@ SELECT source, pii_type,
 FROM hits
 GROUP BY source, pii_type
 ORDER BY source, pii_type"""
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling with exact largest-remainder allocation
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample_sql(
+    dialect: str, table: str = "documents", denom: int = 10
+) -> str:
+    """Deterministic stratified sample of the corpus: a 1/``denom``
+    budget allocated across language strata by the largest-remainder
+    method (exact integer apportionment — Σ quotas == budget, never
+    off-by-one from float rounding), then WITHIN each stratum the
+    quota is filled by ascending uniformized key hash — a sample that
+    any re-run, any engine, and any partitioning reproduces
+    bit-identically. This is the data-mixture primitive that sits
+    under q82/q122's mixture weights: those decide how much of each
+    stratum, this decides (reproducibly) WHICH rows.
+
+    Allocation: base_h = floor(N·c_h / C); the N − Σ base_h leftover
+    units go to the strata with the largest remainders
+    ((N·c_h) mod C, lang tie-break) — Hamilton's method, all BIGINT.
+
+    Selection: rank docs per stratum by (:func:`~.sketches._mix`-ed
+    doc_id hash, doc_id) and keep rank ≤ quota — i.e. a per-stratum
+    bottom-k by hash. At gate scale a per-stratum window expresses it;
+    at 100 TB the identical semantics run as the bounded two-pass
+    grouped top-k of ``operators/rank.grouped_row_number`` (k = quota
+    per stratum — per-partition heap + merge, no global sort), so the
+    operator's scale path is already in the repo.
+
+    Output: the sampled rows (doc_id, lang, in-stratum rank, quota) —
+    hash-gated end-to-end, so allocation AND membership are verified.
+    """
+    from .sketches import _mix
+
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    hv = _mix(P.rolling_hash(f"CAST(doc_id AS {s})", dialect))
+    base = P.int_div("(t.n * c.c)", "t.c_all", dialect)
+    return f"""
+WITH c AS (SELECT lang, COUNT(*) AS c FROM {table} GROUP BY lang),
+t AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS c_all,
+         CAST({P.int_div('SUM(c)', str(denom), dialect)} AS BIGINT) AS n
+  FROM c
+),
+alloc AS (
+  SELECT c.lang, c.c, {base} AS b, (t.n * c.c) % t.c_all AS rem
+  FROM c CROSS JOIN t
+),
+quota AS (
+  SELECT lang, b + CASE WHEN row_number() OVER
+             (ORDER BY rem DESC, lang) <= t.n - SUM(b) OVER ()
+           THEN 1 ELSE 0 END AS q
+  FROM alloc CROSS JOIN t
+),
+rk AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY {hv}, doc_id)
+           AS rk
+  FROM {table}
+)
+SELECT r.doc_id, r.lang, CAST(r.rk AS BIGINT) AS rk,
+       CAST(q.q AS BIGINT) AS quota
+FROM rk r JOIN quota q ON q.lang = r.lang
+WHERE r.rk <= q.q
+ORDER BY r.lang, r.rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection by importance resampling (hashed n-gram features)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_TOPK = 50
+
+
+def dsir_sql(
+    dialect: str,
+    table: str = "documents",
+    th_table: str | None = None,
+    buckets: int = DSIR_BUCKETS,
+    topk: int = DSIR_TOPK,
+) -> str:
+    """DSIR importance scoring (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023
+    arXiv:2302.03169): score every raw document by how much more
+    likely its hashed token features are under the TARGET distribution
+    (here: the English slice, standing in for any curated target set)
+    than under the raw corpus, and keep the top-k. The standard
+    select-like-the-target pass that runs before pretraining mixes.
+
+    Features: the shared token-hash artifact (th) bucketed to
+    ``buckets`` hashed-unigram features — the same hash-and-bucket
+    trick as the paper's hashed n-grams, reusing the tokenize-once
+    relation every other text operator shares. Feature log-ratios
+    w(b) = ln p_tgt(b) − ln p_raw(b) (add-one smoothed) are computed
+    ONCE per bucket and frozen into DECIMAL(18,12) — the q200 rule —
+    so each document's score Σ_occurrences w(bucket) is exact decimal
+    arithmetic, order-independent on any partition layout; the single
+    double rounding happens at output.
+
+    Shape at 100 TB: two bucket-count aggregates (≤ ``buckets`` rows
+    each, map-side combinable), one broadcast-sized join of
+    occurrences against the 256-row weight relation, one per-doc
+    aggregate, and a bounded top-k (TakeOrderedAndProject). Nothing
+    wider than the token stream itself ever shuffles."""
+    from .dedup import th_cte
+
+    d = "DOUBLE"
+    return f"""
+WITH {th_cte(dialect, table, th_table)},
+feat AS (SELECT doc_id, h % {buckets} AS b FROM th),
+raw AS (SELECT b, COUNT(*) AS cr FROM feat GROUP BY b),
+tgt AS (
+  SELECT f.b, COUNT(*) AS ct
+  FROM feat f JOIN {table} dd ON dd.doc_id = f.doc_id
+  WHERE dd.lang = 'en'
+  GROUP BY f.b
+),
+tots AS (
+  SELECT (SELECT CAST(SUM(cr) AS BIGINT) FROM raw) AS r_all,
+         (SELECT CAST(SUM(ct) AS BIGINT) FROM tgt) AS t_all
+),
+w AS (
+  SELECT r.b,
+         CAST(ln(CAST(COALESCE(t.ct, 0) + 1 AS {d})
+                 / CAST(tt.t_all + {buckets} AS {d}))
+              - ln(CAST(r.cr + 1 AS {d})
+                   / CAST(tt.r_all + {buckets} AS {d}))
+              AS DECIMAL(18,12)) AS w
+  FROM raw r LEFT JOIN tgt t ON t.b = r.b CROSS JOIN tots tt
+),
+score AS (
+  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats, SUM(w.w) AS s
+  FROM feat f JOIN w ON w.b = f.b
+  GROUP BY f.doc_id
+)
+SELECT doc_id, n_feats, round(CAST(s AS {d}), 6) AS dsir_score
+FROM score
+ORDER BY s DESC, doc_id
+LIMIT {topk}
+"""

@@ -1576,3 +1576,154 @@ def ivfpq(spark, table: str, num_queries: int = 5, k: int = 3):
             _IVFPQ_CACHE[key] = views
     return spark.sql(
         "WITH " + _ivfpq_tail_sql(*views, num_queries, k).lstrip())
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset selection (Gonzalez greedy, diversity-aware pruning)
+# ---------------------------------------------------------------------------
+
+KC_K = 8
+_KC_CACHE: dict[tuple, tuple] = {}
+
+
+def _kc_d2(a: str, b: str, dialect: str) -> str:
+    """Squared L2 between two embedding columns — fixed left-to-right
+    DOUBLE fold (the q22 cosine convention: identical operation order =
+    bit-identical doubles in both engines)."""
+    diffs = P.transform(
+        P.sequence_1_to(str(DIM), dialect),
+        "i",
+        f"(CAST({P.element(a, 'i', dialect)} AS DOUBLE)"
+        f" - CAST({P.element(b, 'i', dialect)} AS DOUBLE))"
+        f" * (CAST({P.element(a, 'i', dialect)} AS DOUBLE)"
+        f" - CAST({P.element(b, 'i', dialect)} AS DOUBLE))",
+        dialect,
+    )
+    return P.fold(diffs, "CAST(0.0 AS DOUBLE)", "s", "x", "s + x", dialect)
+
+
+def _kc_round_ctes(dialect: str, k: int) -> str:
+    """The c{r}/d{r} CTE chain for rounds 1..k-1 plus the final update
+    d{k-1}'' — shared text between the oracle (DuckDB materializes
+    CTEs, so the double reference of d{r-1} by c{r} AND d{r} costs one
+    evaluation) and the Spark driver loop (which materializes each
+    d{r} as a temp view for the same reason — Spark INLINES
+    single-pass CTEs, and a naive chain would re-derive 2^k plans)."""
+    upd = _kc_d2("e.embedding", "c.embedding", dialect)
+    parts = []
+    for r in range(1, k):
+        parts.append(
+            f"c{r} AS (SELECT e.vec_id, e.embedding, d.bd\n"
+            f"  FROM d{r - 1} d JOIN e ON e.vec_id = d.vec_id\n"
+            f"  ORDER BY d.bd DESC, d.vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"d{r} AS (SELECT d.vec_id, LEAST(d.bd, {upd}) AS bd\n"
+            f"  FROM d{r - 1} d JOIN e ON e.vec_id = d.vec_id\n"
+            f"  CROSS JOIN c{r} c)"
+        )
+    return ",\n".join(parts)
+
+
+def _kc_tail_sql(k: int) -> str:
+    """Output rows: r = selection round, center_id, radius (the chosen
+    point's distance to the already-selected set — 0 for the seed), and
+    a final r = k summary row (center_id −1) carrying the k-center
+    objective: max over the corpus of distance-to-nearest-center."""
+    rows = ["SELECT 0 AS r, vec_id AS center_id, CAST(0.0 AS DOUBLE)"
+            " AS radius FROM c0"]
+    for r in range(1, k):
+        rows.append(
+            f"SELECT {r}, vec_id, round(bd, 6) FROM c{r}"
+        )
+    rows.append(
+        f"SELECT {k}, CAST(-1 AS BIGINT), round(MAX(bd), 6)"
+        f" FROM d{k - 1}"
+    )
+    return "\nUNION ALL\n".join(rows) + "\nORDER BY r"
+
+
+def kcenter_sql(
+    dialect: str, table: str = "embeddings", k: int = KC_K
+) -> str:
+    """Greedy k-center coreset selection over the embedding corpus
+    (Gonzalez 1985's 2-approximation — the diversity-aware data-pruning
+    primitive: pick the point farthest from everything picked so far,
+    k times; 'coverage radius' after k picks bounds how well the
+    coreset represents the corpus, cf. Sener & Savarese ICLR 2018
+    core-set active learning).
+
+    Seed = lowest vec_id (deterministic, same rationale as IVF's seed
+    centroids); each round r: the running min-squared-L2 to the
+    selected set is updated against ONE new center (an N x 1 cross
+    join against a 1-row relation — never N x N), and the next center
+    is the argmax with vec_id tie-break — TakeOrderedAndProject in
+    Spark, a bounded top-1. All distances are fixed-order DOUBLE folds
+    (bit-identical cross-engine); rounding happens only at output.
+
+    Scale shape: k passes over the corpus, each a projection-width
+    scan + one broadcast of a single row — O(k·N·dim) work, O(N)
+    state, no shuffle wider than the top-1. This is exactly how
+    k-center runs on a 1000-executor cluster; the Spark entry
+    materializes each round's N-row min-dist relation to keep the
+    plan linear (see :func:`_kc_round_ctes`)."""
+    seed_d2 = _kc_d2("e.embedding", "c.embedding", dialect)
+    return f"""
+WITH e AS (SELECT vec_id, embedding FROM {table}),
+c0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),
+d0 AS (SELECT e.vec_id, {seed_d2} AS bd FROM e CROSS JOIN c0 c),
+{_kc_round_ctes(dialect, k)}
+{_kc_tail_sql(k)}
+"""
+
+
+def kcenter(spark, table: str, cache_key, k: int = KC_K):
+    """Spark driver for :func:`kcenter_sql`: same CTE text, but each
+    round's N-row min-dist relation is MATERIALIZED as a temp view so
+    c{{r}} (top-1) and d{{r}} (update) both read the computed rows —
+    Spark inlines single-reference CTEs, and the naive k-deep chain
+    with two references per level re-derives an exponential plan (the
+    q216 lesson applied k times). The per-round artifacts are cached
+    per (session, corpus): selection is run once, consumers re-read."""
+    from .dedup import materialize
+
+    key = (id(spark), cache_key, k)
+    views = _KC_CACHE.get(key)
+    if views is None:
+        tag = abs(hash(key)) % 10**8
+        upd = _kc_d2("e.embedding", "c.embedding", "spark")
+        seed_d2 = upd
+        e = f"(SELECT vec_id, embedding FROM {table})"
+
+        def mk(name, sql_text):
+            v = f"__kc_{name}_{tag}"
+            materialize(spark.sql(sql_text)).createOrReplaceTempView(v)
+            return v
+
+        c = [mk("c0", f"SELECT vec_id, embedding FROM {e} e"
+                      " ORDER BY vec_id LIMIT 1")]
+        d = [mk("d0", f"SELECT e.vec_id, {seed_d2} AS bd FROM {e} e"
+                      f" CROSS JOIN {c[0]} c")]
+        for r in range(1, k):
+            c.append(mk(
+                f"c{r}",
+                f"SELECT e.vec_id, e.embedding, d.bd FROM {d[r - 1]} d"
+                f" JOIN {e} e ON e.vec_id = d.vec_id"
+                f" ORDER BY d.bd DESC, d.vec_id LIMIT 1",
+            ))
+            d.append(mk(
+                f"d{r}",
+                f"SELECT d.vec_id, LEAST(d.bd, {upd}) AS bd"
+                f" FROM {d[r - 1]} d JOIN {e} e ON e.vec_id = d.vec_id"
+                f" CROSS JOIN {c[r]} c",
+            ))
+        _KC_CACHE[key] = (tuple(c), tuple(d))
+        views = _KC_CACHE[key]
+    c, d = views
+    rows = ["SELECT 0 AS r, vec_id AS center_id,"
+            f" CAST(0.0 AS DOUBLE) AS radius FROM {c[0]}"]
+    for r in range(1, k):
+        rows.append(f"SELECT {r}, vec_id, round(bd, 6) FROM {c[r]}")
+    rows.append(f"SELECT {k}, CAST(-1 AS BIGINT), round(MAX(bd), 6)"
+                f" FROM {d[k - 1]}")
+    return spark.sql("\nUNION ALL\n".join(rows) + "\nORDER BY r")

@@ -375,3 +375,140 @@ SELECT s.k_a, s.k_b, s.matched, s.tau,
        e.exact_union, e.exact_inter
 FROM stats s CROSS JOIN exact e
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (mergeable register sketch for distinct counting)
+# ---------------------------------------------------------------------------
+
+HLL_M = 64       # registers (p=6); sigma = 1.04/sqrt(64) = 13%
+HLL_WBITS = 25   # hash bits left after bucketing: (2^31-1) div 64 < 2^25
+HLL_ALPHA_NUM = 709   # alpha_64 = 0.709 (Flajolet et al. 2007, fig. 3)
+HLL_ALPHA_DEN = 1000
+
+
+def _shl(one_shifted_by: str, dialect: str) -> str:
+    """Portable ``1 << n`` as BIGINT (Spark spells it shiftleft)."""
+    if dialect == "spark":
+        return f"shiftleft(CAST(1 AS BIGINT), {one_shifted_by})"
+    return f"(CAST(1 AS BIGINT) << ({one_shifted_by}))"
+
+
+def hll_sql(dialect: str, orders: str = "orders") -> str:
+    """HyperLogLog distinct-count registers per order-YEAR, merged by
+    register-max into the full-period sketch — the mergeability
+    property that makes HLL *the* production distinct counter (daily
+    sketches roll up to monthly actives without re-reading a row;
+    Flajolet, Fusy, Gandouet, Meunier 2007).
+
+    Build: every o_custkey is hashed once with the shared portable hash
+    uniformized by :func:`_mix` (same reason as KMV: raw polynomial
+    hashes of short keys are numerically small and would starve the
+    high-rho registers). bucket = h mod 64; the remaining 25 hash bits
+    give rho = 26 − (floor(log2(w)) + 1) (w = 0 ⇒ 26), i.e. the
+    position of the leftmost 1-bit. Registers are MAX(rho) per
+    (year, bucket) — a map-side-combinable aggregate whose state is
+    exactly 64 BIGINTs per group no matter the corpus size. The merged
+    'ALL' sketch is MAX over the per-year registers per bucket —
+    identical to having sketched the union, which is the whole point.
+
+    Estimate, all-integer and engine-portable: with S =
+    Σ_j 2^(26−M_j) over a DENSE 64-bucket grid (empty buckets count
+    2^26), raw = α·m²·2^26 / S computed as
+    (709·4096·2^26) div (1000·S) — numerator ≈ 1.95e14, no overflow.
+    Small-range correction (linear counting, E = m·ln(m/V) for V > 0
+    empty buckets when raw ≤ 5m/2) uses a 64-row VALUES table of
+    round(64·ln(64/V)) frozen at SQL-build time in Python — both
+    engines read the same integer constants, so the branch is exact
+    cross-engine (same trick as the q200 per-type ln freeze, moved to
+    build time because the domain is the fixed [1,64]).
+
+    Gate output: one row per year + the merged row — register facts
+    (filled, Σ registers, a position-weighted register checksum), the
+    integer estimate, and the exact audit count. The pytest asserts
+    the estimate lands within the 3σ band of exact; the driver hashes
+    everything including the registers, so the sketch itself (not just
+    the estimate) is verified bit-identical across engines.
+
+    Shape at 100 TB: registers are O(m) per group through every
+    partial aggregate; the exact audit side is gate-scale only (it is
+    what the sketch replaces). No joins bigger than 64·groups rows.
+    """
+    from . import portable as P
+
+    import math
+
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    hv = _mix(P.rolling_hash(f"CAST(o_custkey AS {s})", dialect))
+    w_of_h = P.int_div("hv", str(HLL_M), dialect)
+    lc_rows = ", ".join(
+        f"({v}, {round(HLL_M * math.log(HLL_M / v))})"
+        for v in range(1, HLL_M + 1)
+    )
+    bucket_rows = ", ".join(f"({j})" for j in range(HLL_M))
+    pow_term = _shl(f"{HLL_WBITS + 1} - m", dialect)
+    raw_est = P.int_div(
+        f"CAST({HLL_ALPHA_NUM * HLL_M * HLL_M} AS BIGINT)"
+        f" * {1 << (HLL_WBITS + 1)}",
+        f"({HLL_ALPHA_DEN} * s)",
+        dialect,
+    )
+    return f"""
+WITH src AS (
+  SELECT substr(CAST(o_orderdate AS {s}), 1, 4) AS grp, o_custkey
+  FROM {orders}
+),
+h AS (SELECT grp, {hv} AS hv FROM src),
+hb AS (
+  SELECT grp, hv % {HLL_M} AS bucket, {w_of_h} AS w FROM h
+),
+rho AS (
+  SELECT grp, bucket,
+         CASE WHEN w = 0 THEN {HLL_WBITS + 1}
+              ELSE {HLL_WBITS + 1} - length(bin(CAST(w AS BIGINT)))
+         END AS r
+  FROM hb
+),
+reg AS (SELECT grp, bucket, MAX(r) AS m FROM rho GROUP BY grp, bucket),
+regall AS (
+  SELECT 'ALL' AS grp, bucket, MAX(m) AS m FROM reg GROUP BY bucket
+),
+regs AS (SELECT * FROM reg UNION ALL SELECT * FROM regall),
+buckets AS (SELECT * FROM (VALUES {bucket_rows}) AS b(bucket)),
+grid AS (
+  SELECT g.grp, b.bucket FROM (SELECT DISTINCT grp FROM regs) g
+  CROSS JOIN buckets b
+),
+dense AS (
+  SELECT grid.grp, grid.bucket, COALESCE(regs.m, 0) AS m
+  FROM grid LEFT JOIN regs
+    ON regs.grp = grid.grp AND regs.bucket = grid.bucket
+),
+stats AS (
+  SELECT grp,
+         CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS filled,
+         CAST(SUM(m) AS BIGINT) AS reg_sum,
+         CAST(SUM(m * (bucket + 1)) AS BIGINT) AS reg_check,
+         CAST(SUM({pow_term}) AS BIGINT) AS s
+  FROM dense GROUP BY grp
+),
+lc AS (SELECT * FROM (VALUES {lc_rows}) AS l(v, est)),
+est AS (
+  SELECT st.grp, st.filled, st.reg_sum, st.reg_check,
+         CAST(CASE WHEN st.filled < {HLL_M}
+                    AND {raw_est} <= {5 * HLL_M // 2}
+                   THEN l.est ELSE {raw_est}
+              END AS BIGINT) AS est_distinct
+  FROM stats st LEFT JOIN lc l ON l.v = {HLL_M} - st.filled
+),
+exact AS (
+  SELECT grp, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+  FROM src GROUP BY grp
+  UNION ALL
+  SELECT 'ALL', CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM src
+)
+SELECT e.grp, e.filled, e.reg_sum, e.reg_check, e.est_distinct,
+       x.exact_distinct
+FROM est e JOIN exact x ON x.grp = e.grp
+ORDER BY e.grp
+"""

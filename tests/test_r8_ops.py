@@ -1,0 +1,78 @@
+"""r8 operators: HLL distinct sketch, k-center coreset, stratified
+sampling, DSIR selection — property assertions the corpus-level oracle
+compare can't express (estimator accuracy bands, greedy monotonicity,
+exact apportionment)."""
+
+import math
+
+import __spark_entry__ as E
+from aws_dms_to_hudi_spark.functions import sketches as fn_sk
+
+
+def test_hll_estimate_within_band(spark, sf_correct):
+    """Every per-year estimate (and the merged row) lands inside the
+    3-sigma HLL band around exact (sigma = 1.04/sqrt(m)); the merged
+    row's registers dominate every per-year register sum."""
+    rows = E.queries()["q272_hll_distinct"](spark, sf_correct).collect()
+    assert {r["grp"] for r in rows} >= {"ALL"}
+    band = 3 * 1.04 / math.sqrt(fn_sk.HLL_M)
+    by_grp = {r["grp"]: r for r in rows}
+    for r in rows:
+        assert abs(r["est_distinct"] - r["exact_distinct"]) <= (
+            band * r["exact_distinct"]
+        ), f"{r['grp']}: est {r['est_distinct']} vs {r['exact_distinct']}"
+        # merged registers are a per-bucket max => reg_sum dominates
+        if r["grp"] != "ALL":
+            assert r["reg_sum"] <= by_grp["ALL"]["reg_sum"]
+    # the union is at least as big as any part (sketch must agree)
+    assert by_grp["ALL"]["exact_distinct"] == max(
+        r["exact_distinct"] for r in rows
+    )
+
+
+def test_kcenter_monotone_and_distinct(spark, sf_correct):
+    """Gonzalez greedy invariants: selection radii are non-increasing
+    (each pick is the farthest remaining point, and min-dists only
+    shrink), centers are distinct, and the final coverage radius is at
+    most the last selection radius."""
+    rows = E.queries()["q273_kcenter_coreset"](spark, sf_correct).collect()
+    sel = [r for r in rows if r["center_id"] >= 0]
+    cov = [r for r in rows if r["center_id"] == -1]
+    assert len(cov) == 1 and len(sel) == len({r["center_id"] for r in sel})
+    radii = [r["radius"] for r in sel[1:]]  # seed row is 0.0
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    assert cov[0]["radius"] <= radii[-1] + 1e-9
+
+
+def test_stratified_sample_exact_allocation(spark, sf_correct):
+    """Largest-remainder apportionment: quotas sum EXACTLY to the
+    budget (count div 10), every stratum takes exactly its quota, and
+    membership is rank <= quota."""
+    df = E.queries()["q274_stratified_sample"](spark, sf_correct)
+    rows = df.collect()
+    total = spark.read.parquet(f"{sf_correct}/documents.parquet").count()
+    assert len(rows) == total // 10
+    per = {}
+    for r in rows:
+        per.setdefault(r["lang"], []).append(r)
+        assert r["rk"] <= r["quota"]
+    for lang, taken in per.items():
+        assert len(taken) == taken[0]["quota"], lang
+    assert sum(t[0]["quota"] for t in per.values()) == total // 10
+
+
+def test_dsir_prefers_target_slice(spark, sf_correct):
+    """The top-k is ordered by score desc and the target (English)
+    slice is overrepresented in it relative to its corpus share — the
+    defining property of importance selection toward a target."""
+    rows = E.queries()["q275_dsir_selection"](spark, sf_correct).collect()
+    scores = [r["dsir_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    docs = spark.read.parquet(f"{sf_correct}/documents.parquet")
+    lang = {
+        r["doc_id"]: r["lang"]
+        for r in docs.select("doc_id", "lang").collect()
+    }
+    top_en = sum(1 for r in rows if lang[r["doc_id"]] == "en") / len(rows)
+    corpus_en = sum(1 for v in lang.values() if v == "en") / len(lang)
+    assert top_en > corpus_en
