@@ -37,15 +37,17 @@ _DEFAULTS = {
     # scale pays nothing. On a real cluster size this ~2-4x over total
     # executor cores (Spark's own guidance for AQE).
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
-    # Coalesce to the advisory partition SIZE (64m default) instead of
-    # padding partition count to fill every core: Spark's own guidance
-    # for busy clusters, and measured -20% on the sf0.1 light-gate
-    # floor (r8: q02 0.59->0.32 s, q04 0.75->0.38, q34 1.11->0.68 —
-    # toy shuffles were being split across 32 tasks whose launch
-    # overhead exceeded their work). At scale partitions hit the 64m
-    # advisory anyway, so heavy stages keep their width (10x probe
-    # total re-verified after the flip).
-    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # parallelismFirst stays at its default (true): an r8 experiment
+    # flipped it to false (coalesce to the 64m advisory SIZE instead of
+    # padding partition count to fill cores) after isolated light-gate
+    # timings showed -20% (q02 0.59->0.32 s) — but the full-suite A/B
+    # reversed the verdict: CPU-dense low-byte shuffle stages (the
+    # graph wedge joins) lost their width and ran ~2x slower (q178
+    # 2.2->4.7 s, q254 2.6->5.4, q256 5.7->9.3), while the light-gate
+    # win did not reproduce under suite conditions (q02 0.68 vs 0.94 —
+    # noise-level). Bytes are the wrong proxy for work when a
+    # partition's cost is join fan-out, not I/O; core-count-first
+    # coalescing is the safer default for mixed workloads.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Recursive CTEs (Spark 4 WITH RECURSIVE) materialize
     # |rows| x depth working rows; the stock 1M-row safety valve trips

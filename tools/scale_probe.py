@@ -207,6 +207,17 @@ PROBE_QUERIES = [
     "q181_ppmi_pairs",
     # timeline audit: O(commits) metadata read over the replay fixture
     "q202_timeline_audit",
+    # r8 new gates. HLL: one hash pass + O(64 x groups) register
+    # aggregates — word-count shape, must be corpus-linear
+    "q272_hll_distinct",
+    # k-center: k rounds of N x 1 broadcast distance updates + bounded
+    # top-1 — must track k x corpus, never corpus^2
+    "q273_kcenter_coreset",
+    # stratified sample: one count agg + per-stratum bottom-k by hash
+    "q274_stratified_sample",
+    # DSIR: two <=256-row bucket aggs + broadcast weight join over the
+    # shared token-hash artifact — token-linear
+    "q275_dsir_selection",
 ]
 
 VOW = "aeiou"
