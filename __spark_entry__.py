@@ -618,22 +618,35 @@ def q39_stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-set / statistical aggregates: exact interpolated
     percentiles, sample stddev, Pearson correlation (rounded to 6dp —
     both engines interpolate identically; accumulation-order noise for
-    corr/stddev is ~1e-12)."""
+    corr/stddev is ~1e-12). Percentiles run the sketch-narrowed
+    two-pass operator (operators/rank.grouped_exact_percentiles) —
+    Spark's ``percentile()`` buffers a group's entire value multiset
+    in one task (1.7 s at sf0.1 through 4 reducers; an OOM, not a
+    plan, at 100 TB). A value-frequency rewrite was measured FIRST and
+    rejected: prices are near-unique, so the (group, value) collapse
+    saved nothing (2.2 s)."""
+    from aws_dms_to_hudi_spark.operators.rank import (
+        grouped_exact_percentiles,
+    )
+
     li = _t(spark, sf_dir, "lineitem")
+    pct = grouped_exact_percentiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.95]
+    )
+    pv = pct.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("p") == 0.5, F.col("value"))).alias("p50r"),
+        F.max(F.when(F.col("p") == 0.95, F.col("value"))).alias("p95r"),
+    )
+    agg = li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_quantity").alias("sd_raw"),
+        F.corr("l_quantity", "l_extendedprice").alias("corr_raw"),
+    )
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            # one buffered-values pass for both percentiles (the array
-            # form); two separate percentile() aggs each re-buffer and
-            # re-sort the whole group — measured 2x the cost
-            F.expr("percentile(l_extendedprice, array(0.5, 0.95))").alias("pct"),
-            F.stddev_samp("l_quantity").alias("sd_raw"),
-            F.corr("l_quantity", "l_extendedprice").alias("corr_raw"),
-        )
+        agg.join(pv, "l_returnflag")
         .select(
             "l_returnflag",
-            F.round(F.col("pct")[0], 6).alias("p50_price"),
-            F.round(F.col("pct")[1], 6).alias("p95_price"),
+            F.round("p50r", 6).alias("p50_price"),
+            F.round("p95r", 6).alias("p95_price"),
             F.round("sd_raw", 6).alias("sd_qty"),
             F.round("corr_raw", 6).alias("corr_qty_price"),
         )

@@ -591,3 +591,4 @@ SELECT n_a, c_a, n_b, c_b,
              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))
            ), 6) AS z_pooled
 FROM wide"""
+

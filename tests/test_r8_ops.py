@@ -76,3 +76,29 @@ def test_dsir_prefers_target_slice(spark, sf_correct):
     top_en = sum(1 for r in rows if lang[r["doc_id"]] == "en") / len(rows)
     corpus_en = sum(1 for v in lang.values() if v == "en") / len(lang)
     assert top_en > corpus_en
+
+
+def test_grouped_exact_percentiles_scale_path(spark, sf_correct):
+    """The sketch-narrowed path (forced by dropping the size gate) must
+    equal the buffered percentile() path exactly — band bracketing plus
+    below-count rank arithmetic reproduces every interpolated value."""
+    import aws_dms_to_hudi_spark.operators.rank as RK
+
+    li = spark.read.parquet(f"{sf_correct}/lineitem.parquet")
+    args = (li, ["l_returnflag"], "l_extendedprice", [0.25, 0.5, 0.95])
+
+    def run():
+        return {
+            (r["l_returnflag"], r["p"]): round(r["value"], 6)
+            for r in RK.grouped_exact_percentiles(*args).collect()
+        }
+
+    small = run()
+    old = RK.RANK_SMALL_INPUT
+    RK.RANK_SMALL_INPUT = 1
+    try:
+        big = run()
+    finally:
+        RK.RANK_SMALL_INPUT = old
+    assert big == small
+    assert len(small) == 3 * li.select("l_returnflag").distinct().count()

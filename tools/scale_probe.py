@@ -218,6 +218,10 @@ PROBE_QUERIES = [
     # DSIR: two <=256-row bucket aggs + broadcast weight join over the
     # shared token-hash artifact — token-linear
     "q275_dsir_selection",
+    # exact grouped percentiles: at 10x the input crosses
+    # RANK_SMALL_INPUT and the probe exercises the sketch-narrowed
+    # two-pass path (band = ~4n/accuracy rows, never a group buffer)
+    "q39_stat_aggregates",
 ]
 
 VOW = "aeiou"
