@@ -7558,6 +7558,20 @@ def q275_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_curation.dsir_sql("spark", table=d, th_table=th))
 
 
+def q276_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperANF neighborhood-function estimation (components.hyperanf;
+    Boldi/Rosa/Vigna WWW 2011): per-node HLL registers of the k-hop
+    ball advanced by register-max merges along edges — O(64) state per
+    node, one edge-linear join per round, where exact k-hop sets
+    explode. Composes the q272 portable-HLL estimator with the shared
+    co-purchase graph artifacts; the gate hash-verifies the register
+    algebra after two rounds plus integer ball-size estimates against
+    exact audits for the top-degree hubs."""
+    li = _view(spark, sf_dir, "lineitem", "q276")
+    with _REPLAY_LOCK:
+        return fn_comp.hyperanf(spark, li, cache_key=sf_dir)
+
+
 def _row_lineage_oracle_sql() -> str:
     rec = cdc.RECIPES["orders"]
     keys = ", ".join(rec.key_cols)
@@ -7912,6 +7926,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q273_kcenter_coreset": q273_kcenter_coreset,
         "q274_stratified_sample": q274_stratified_sample,
         "q275_dsir_selection": q275_dsir_selection,
+        "q276_hyperanf": q276_hyperanf,
     }
 
 
@@ -8877,4 +8892,5 @@ def oracle_sql() -> dict[str, str]:
         "q274_stratified_sample": fn_curation.stratified_sample_sql(
             "duckdb"),
         "q275_dsir_selection": fn_curation.dsir_sql("duckdb"),
+        "q276_hyperanf": fn_comp.hyperanf_sql("duckdb"),
     }

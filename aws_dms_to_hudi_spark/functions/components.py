@@ -1376,3 +1376,167 @@ def lpa_labels(spark, lineitem: str, cache_key: str | None = None,
         if cache_key is not None:
             _LPA_CACHE[key] = labels
     return labels
+
+
+# ---------------------------------------------------------------------------
+# HyperANF — neighborhood-function estimation via HLL register merges
+# ---------------------------------------------------------------------------
+
+ANF_HUBS = 32
+_ANF_CACHE: dict = {}
+
+
+def _anf_r0_sql(dialect: str, deg: str) -> str:
+    """Per-node radius-0 registers: sketch({v}) — one filled bucket per
+    node from the Lehmer-mixed portable hash of the node id."""
+    from . import portable as P
+    from .sketches import HLL_M, _mix, hll_rho_expr
+
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    hv = _mix(P.rolling_hash(f"CAST(node AS {s})", dialect))
+    w = P.int_div("hv", str(HLL_M), dialect)
+    return f"""SELECT node, hv % {HLL_M} AS bucket, {hll_rho_expr()} AS m
+FROM (SELECT node, hv, {w} AS w
+      FROM (SELECT node, {hv} AS hv FROM {deg}) h0) h1"""
+
+
+def _anf_round_sql(prev: str, sym: str) -> str:
+    """One HyperANF round: R_{k+1}(v) = register-max of R_k over
+    N(v) ∪ {v} — an edge × register join + a (node, bucket) MAX
+    aggregate. Register payload per node is capped at HLL_M rows, so
+    the join is bounded by |edges| × min(HLL_M, ball size): the
+    64-registers-per-node ceiling is exactly what makes ANF run where
+    exact neighborhood sets cannot (Boldi, Rosa, Vigna 2011)."""
+    return f"""SELECT v AS node, bucket, MAX(m) AS m FROM (
+  SELECT node AS v, bucket, m FROM {prev}
+  UNION ALL
+  SELECT e.src AS v, r.bucket, r.m
+  FROM {sym} e JOIN {prev} r ON r.node = e.dst
+) u GROUP BY v, bucket"""
+
+
+def _anf_tail_sql(dialect: str, sym: str, deg: str, r1: str, r2: str,
+                  hubs: int) -> str:
+    """Estimate + exact-audit tail over materialized round registers:
+    per-hub ball-size estimates from the r1/r2 registers through the
+    shared HLL estimator (sketches.hll_est_ctes), exact |ball(v,1)| =
+    deg+1 from the degree relation, exact |ball(v,2)| by a hub-bounded
+    two-hop DISTINCT (|hubs| is fixed, so the audit join is seeds × d̄²
+    at any corpus size — the same bound as q256's traversal)."""
+    from .sketches import hll_const_ctes, hll_est_ctes
+
+    return f"""hubs AS (
+  SELECT node FROM {deg} ORDER BY d DESC, node ASC LIMIT {hubs}
+),
+hr1 AS (
+  SELECT r.node AS grp, r.bucket, r.m FROM {r1} r
+  JOIN hubs h ON h.node = r.node
+),
+hr2 AS (
+  SELECT r.node AS grp, r.bucket, r.m FROM {r2} r
+  JOIN hubs h ON h.node = r.node
+),
+{hll_const_ctes()},
+{hll_est_ctes(dialect, "hr1", "e1_")},
+{hll_est_ctes(dialect, "hr2", "e2_")},
+x1 AS (
+  SELECT h.node, CAST(1 + d.d AS BIGINT) AS exact_ball1
+  FROM hubs h JOIN {deg} d ON d.node = h.node
+),
+ball2 AS (
+  SELECT h.node, e2.dst AS b
+  FROM hubs h JOIN {sym} e1 ON e1.src = h.node
+  JOIN {sym} e2 ON e2.src = e1.dst
+  UNION ALL
+  SELECT h.node, e1.dst FROM hubs h JOIN {sym} e1 ON e1.src = h.node
+  UNION ALL
+  SELECT node, node FROM hubs
+),
+x2 AS (
+  SELECT node, CAST(COUNT(DISTINCT b) AS BIGINT) AS exact_ball2
+  FROM ball2 GROUP BY node
+)
+SELECT h.node,
+       e1.est_distinct AS est_ball1, x1.exact_ball1,
+       e2.est_distinct AS est_ball2, x2.exact_ball2,
+       e2.reg_check AS reg_check2
+FROM hubs h
+JOIN e1_est e1 ON e1.grp = h.node
+JOIN e2_est e2 ON e2.grp = h.node
+JOIN x1 ON x1.node = h.node
+JOIN x2 ON x2.node = h.node
+ORDER BY h.node"""
+
+
+def hyperanf_sql(dialect: str, lineitem: str = "lineitem",
+                 edges_table: str | None = None,
+                 hubs: int = ANF_HUBS) -> str:
+    """HyperANF over the co-purchase graph (Boldi, Rosa & Vigna,
+    WWW 2011 — the HLL-register formulation of ANF, Palmer et al.
+    KDD 2002): per-node HyperLogLog registers of the k-hop ball,
+    advanced one radius per round by register-max merges along edges.
+    THE scalable neighborhood-function / effective-diameter primitive:
+    exact k-hop sets explode combinatorially, while register merges
+    keep O(HLL_M) state per node and one edge-linear join per round.
+
+    Composes this module's graph machinery with sketches.py's portable
+    HLL: registers, estimator, and the frozen linear-counting branch
+    are all integer-exact cross-engine, so the gate hash-verifies the
+    REGISTER ALGEBRA after two merge rounds (reg_check2), the integer
+    ball-size estimates, and the exact audits side by side. Output:
+    the ``hubs`` highest-degree nodes with est/exact |ball(v,1)| and
+    |ball(v,2)| (the pytest asserts the HLL accuracy band; exactness
+    across engines is what the driver hashes).
+
+    Oracle form: single statement, rounds as MATERIALIZED CTEs (each
+    round relation is referenced by the next round AND the hub slice;
+    the Spark entry materializes per-round temp views for the same
+    reason — components.hyperanf)."""
+    m = "MATERIALIZED " if dialect == "duckdb" else ""
+    return f"""
+WITH {_edges_prefix(dialect, lineitem, edges_table)},
+sym AS {m}(
+  SELECT u AS src, v AS dst FROM edges
+  UNION ALL
+  SELECT v AS src, u AS dst FROM edges
+),
+r0 AS {m}({_anf_r0_sql(dialect, "deg")}),
+r1 AS {m}({_anf_round_sql("r0", "sym")}),
+r2 AS {m}({_anf_round_sql("r1", "sym")}),
+{_anf_tail_sql(dialect, "sym", "deg", "r1", "r2", hubs)}
+"""
+
+
+def hyperanf(spark, lineitem: str, cache_key=None,
+             hubs: int = ANF_HUBS) -> DataFrame:
+    """Spark driver for :func:`hyperanf_sql`: same round fragments,
+    with each round's register relation MATERIALIZED as a temp view —
+    r_k is read by both r_{k+1} and the hub slice, and Spark inlines
+    multi-referenced CTEs (the kcenter/IVF-PQ artifact pattern).
+    Registers are cached per (session, corpus): the sketch IS the
+    index a production deployment persists alongside the graph."""
+    key = (id(spark), cache_key, hubs)
+    with _EDGE_LOCK:
+        views = _ANF_CACHE.get(key)
+    if views is None:
+        sym, deg = copurchase_sym_deg(spark, lineitem,
+                                      cache_key=cache_key)
+        tag = abs(hash(key)) % 10**8
+        sv, dv = f"__anf_sym_{tag}", f"__anf_deg_{tag}"
+        sym.createOrReplaceTempView(sv)
+        deg.createOrReplaceTempView(dv)
+
+        def mk(name, sql_text):
+            v = f"__anf_{name}_{tag}"
+            materialize(spark.sql(sql_text)).createOrReplaceTempView(v)
+            return v
+
+        r0 = mk("r0", _anf_r0_sql("spark", dv))
+        r1 = mk("r1", _anf_round_sql(r0, sv))
+        r2 = mk("r2", _anf_round_sql(r1, sv))
+        views = (sv, dv, r1, r2)
+        with _EDGE_LOCK:
+            _ANF_CACHE[key] = views
+    sv, dv, r1, r2 = views
+    return spark.sql(
+        "WITH " + _anf_tail_sql("spark", sv, dv, r1, r2, hubs))

@@ -394,6 +394,82 @@ def _shl(one_shifted_by: str, dialect: str) -> str:
     return f"(CAST(1 AS BIGINT) << ({one_shifted_by}))"
 
 
+def hll_const_ctes() -> str:
+    """Shared constant relations for the HLL estimator: the dense
+    64-bucket grid axis and the linear-counting table of
+    round(m·ln(m/V)) integers frozen at SQL-build time in Python —
+    both engines read the same constants, so the small-range branch is
+    exact cross-engine."""
+    import math
+
+    lc_rows = ", ".join(
+        f"({v}, {round(HLL_M * math.log(HLL_M / v))})"
+        for v in range(1, HLL_M + 1)
+    )
+    bucket_rows = ", ".join(f"({j})" for j in range(HLL_M))
+    return (
+        f"hll_buckets AS (SELECT * FROM (VALUES {bucket_rows})"
+        f" AS b(bucket)),\n"
+        f"hll_lc AS (SELECT * FROM (VALUES {lc_rows}) AS l(v, est))"
+    )
+
+
+def hll_rho_expr() -> str:
+    """rho over the post-bucket hash bits column ``w`` — position of
+    the leftmost 1-bit in the {HLL_WBITS}-bit field (w = 0 => field
+    width + 1) via length(bin(w)), identical in both engines."""
+    return (
+        f"CASE WHEN w = 0 THEN {HLL_WBITS + 1}"
+        f" ELSE {HLL_WBITS + 1} - length(bin(CAST(w AS BIGINT))) END"
+    )
+
+
+def hll_est_ctes(dialect: str, regs: str, prefix: str) -> str:
+    """The HLL estimator as a reusable CTE chain over ANY register
+    relation ``regs`` with columns (grp, bucket, m): densify over the
+    64-bucket grid, fold S = SUM(2^(W+1−M_j)), apply the all-integer
+    raw estimate (alpha·m²·2^(W+1)) div (den·S) with the frozen
+    linear-counting branch, and emit
+    ``{prefix}est(grp, filled, reg_sum, reg_check, est_distinct)``.
+    Requires :func:`hll_const_ctes` earlier in the same WITH. Used by
+    hll_sql (per-year + merged sketches) and hyperanf
+    (per-node ball-size registers, components.py)."""
+    from . import portable as P
+
+    pow_term = _shl(f"{HLL_WBITS + 1} - m", dialect)
+    raw_est = P.int_div(
+        f"CAST({HLL_ALPHA_NUM * HLL_M * HLL_M} AS BIGINT)"
+        f" * {1 << (HLL_WBITS + 1)}",
+        f"({HLL_ALPHA_DEN} * s)",
+        dialect,
+    )
+    return f"""{prefix}grid AS (
+  SELECT g.grp, b.bucket FROM (SELECT DISTINCT grp FROM {regs}) g
+  CROSS JOIN hll_buckets b
+),
+{prefix}dense AS (
+  SELECT gr.grp, gr.bucket, COALESCE(r.m, 0) AS m
+  FROM {prefix}grid gr LEFT JOIN {regs} r
+    ON r.grp = gr.grp AND r.bucket = gr.bucket
+),
+{prefix}stats AS (
+  SELECT grp,
+         CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS filled,
+         CAST(SUM(m) AS BIGINT) AS reg_sum,
+         CAST(SUM(m * (bucket + 1)) AS BIGINT) AS reg_check,
+         CAST(SUM({pow_term}) AS BIGINT) AS s
+  FROM {prefix}dense GROUP BY grp
+),
+{prefix}est AS (
+  SELECT st.grp, st.filled, st.reg_sum, st.reg_check,
+         CAST(CASE WHEN st.filled < {HLL_M}
+                    AND {raw_est} <= {5 * HLL_M // 2}
+                   THEN l.est ELSE {raw_est}
+              END AS BIGINT) AS est_distinct
+  FROM {prefix}stats st LEFT JOIN hll_lc l ON l.v = {HLL_M} - st.filled
+)"""
+
+
 def hll_sql(dialect: str, orders: str = "orders") -> str:
     """HyperLogLog distinct-count registers per order-YEAR, merged by
     register-max into the full-period sketch — the mergeability
@@ -436,23 +512,9 @@ def hll_sql(dialect: str, orders: str = "orders") -> str:
     """
     from . import portable as P
 
-    import math
-
     s = "STRING" if dialect == "spark" else "VARCHAR"
     hv = _mix(P.rolling_hash(f"CAST(o_custkey AS {s})", dialect))
     w_of_h = P.int_div("hv", str(HLL_M), dialect)
-    lc_rows = ", ".join(
-        f"({v}, {round(HLL_M * math.log(HLL_M / v))})"
-        for v in range(1, HLL_M + 1)
-    )
-    bucket_rows = ", ".join(f"({j})" for j in range(HLL_M))
-    pow_term = _shl(f"{HLL_WBITS + 1} - m", dialect)
-    raw_est = P.int_div(
-        f"CAST({HLL_ALPHA_NUM * HLL_M * HLL_M} AS BIGINT)"
-        f" * {1 << (HLL_WBITS + 1)}",
-        f"({HLL_ALPHA_DEN} * s)",
-        dialect,
-    )
     return f"""
 WITH src AS (
   SELECT substr(CAST(o_orderdate AS {s}), 1, 4) AS grp, o_custkey
@@ -463,10 +525,7 @@ hb AS (
   SELECT grp, hv % {HLL_M} AS bucket, {w_of_h} AS w FROM h
 ),
 rho AS (
-  SELECT grp, bucket,
-         CASE WHEN w = 0 THEN {HLL_WBITS + 1}
-              ELSE {HLL_WBITS + 1} - length(bin(CAST(w AS BIGINT)))
-         END AS r
+  SELECT grp, bucket, {hll_rho_expr()} AS r
   FROM hb
 ),
 reg AS (SELECT grp, bucket, MAX(r) AS m FROM rho GROUP BY grp, bucket),
@@ -474,33 +533,8 @@ regall AS (
   SELECT 'ALL' AS grp, bucket, MAX(m) AS m FROM reg GROUP BY bucket
 ),
 regs AS (SELECT * FROM reg UNION ALL SELECT * FROM regall),
-buckets AS (SELECT * FROM (VALUES {bucket_rows}) AS b(bucket)),
-grid AS (
-  SELECT g.grp, b.bucket FROM (SELECT DISTINCT grp FROM regs) g
-  CROSS JOIN buckets b
-),
-dense AS (
-  SELECT grid.grp, grid.bucket, COALESCE(regs.m, 0) AS m
-  FROM grid LEFT JOIN regs
-    ON regs.grp = grid.grp AND regs.bucket = grid.bucket
-),
-stats AS (
-  SELECT grp,
-         CAST(SUM(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS filled,
-         CAST(SUM(m) AS BIGINT) AS reg_sum,
-         CAST(SUM(m * (bucket + 1)) AS BIGINT) AS reg_check,
-         CAST(SUM({pow_term}) AS BIGINT) AS s
-  FROM dense GROUP BY grp
-),
-lc AS (SELECT * FROM (VALUES {lc_rows}) AS l(v, est)),
-est AS (
-  SELECT st.grp, st.filled, st.reg_sum, st.reg_check,
-         CAST(CASE WHEN st.filled < {HLL_M}
-                    AND {raw_est} <= {5 * HLL_M // 2}
-                   THEN l.est ELSE {raw_est}
-              END AS BIGINT) AS est_distinct
-  FROM stats st LEFT JOIN lc l ON l.v = {HLL_M} - st.filled
-),
+{hll_const_ctes()},
+{hll_est_ctes(dialect, "regs", "h_")},
 exact AS (
   SELECT grp, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
   FROM src GROUP BY grp
@@ -509,6 +543,6 @@ exact AS (
 )
 SELECT e.grp, e.filled, e.reg_sum, e.reg_check, e.est_distinct,
        x.exact_distinct
-FROM est e JOIN exact x ON x.grp = e.grp
+FROM h_est e JOIN exact x ON x.grp = e.grp
 ORDER BY e.grp
 """

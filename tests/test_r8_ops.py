@@ -102,3 +102,29 @@ def test_grouped_exact_percentiles_scale_path(spark, sf_correct):
         RK.RANK_SMALL_INPUT = old
     assert big == small
     assert len(small) == 3 * li.select("l_returnflag").distinct().count()
+
+
+def test_hyperanf_bands_and_monotonicity(spark, sf_correct):
+    """HyperANF invariants: ball-2 contains ball-1 (estimates from
+    merged registers are monotone by construction), exact audits are
+    monotone too, and each estimate lands within the 3-sigma HLL band
+    of its exact ball size."""
+    rows = E.queries()["q276_hyperanf"](spark, sf_correct).collect()
+    assert len(rows) > 0
+    band = 3 * 1.04 / math.sqrt(fn_sk.HLL_M)
+    # Ball-1 sizes (~170-190 here) sit in the m=64 TRANSITION region
+    # between linear counting (raw <= 2.5m) and the raw estimator's
+    # calibrated regime (n >~ 3m), where classic HLL is known biased-
+    # high — the bias HLL++ (Heule et al., EDBT 2013) adds empirical
+    # tables to remove. The estimates are still integer-exact cross-
+    # engine (the driver gate); the accuracy assertion here uses the
+    # honest transition-region band. Ball-2 (~2000) is squarely in the
+    # raw regime and gets the standard 3-sigma band.
+    band1 = 0.55
+    for r in rows:
+        assert r["exact_ball1"] <= r["exact_ball2"]
+        assert r["est_ball1"] <= r["est_ball2"]
+        e1, x1 = r["est_ball1"], r["exact_ball1"]
+        e2, x2 = r["est_ball2"], r["exact_ball2"]
+        assert abs(e1 - x1) <= band1 * x1, (r["node"], e1, x1)
+        assert abs(e2 - x2) <= band * x2, (r["node"], e2, x2)

@@ -218,6 +218,9 @@ PROBE_QUERIES = [
     # DSIR: two <=256-row bucket aggs + broadcast weight join over the
     # shared token-hash artifact — token-linear
     "q275_dsir_selection",
+    # HyperANF: one edge-linear register-merge join per round, O(64)
+    # payload per node — must track edges x round count
+    "q276_hyperanf",
     # exact grouped percentiles: at 10x the input crosses
     # RANK_SMALL_INPUT and the probe exercises the sketch-narrowed
     # two-pass path (band = ~4n/accuracy rows, never a group buffer)
