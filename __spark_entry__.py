@@ -5980,6 +5980,7 @@ def _mor_read_optimized_oracle_sql() -> str:
 
 
 _CLUSTERED: set[tuple[int, str]] = set()
+_HILBERTED: set = set()
 _GC_CACHE: dict[tuple[int, str], CuratedTable] = {}
 _EVOLVE_CACHE: dict[tuple[int, str], CuratedTable] = {}
 
@@ -7572,6 +7573,32 @@ def q276_hyperanf(spark: SparkSession, sf_dir: str) -> DataFrame:
         return fn_comp.hyperanf(spark, li, cache_key=sf_dir)
 
 
+def q277_hilbert_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15 clustering, Hilbert layout (storage._with_hilbert_key; the
+    Databricks liquid-clustering / stricter-locality alternative to
+    q94's Z-ORDER): rewrite the replayed orders table Hilbert-sorted on
+    (o_orderdate, o_custkey) and prove the rewrite is content-neutral —
+    the clustered read must still hash-match the replay oracle. The
+    curve itself is verified in tests/test_bucketing.py (bijection +
+    Manhattan-adjacency over the full 2^16-cell LUT, both-dimension
+    file pruning); the 2^16-cell cell->position mapping is built
+    vectorized on the driver and broadcast — constant ~1 MB at any
+    corpus scale, never an unrolled 3^bits expression tree (measured:
+    that form stalls Catalyst analysis outright)."""
+    rec = cdc.RECIPES["orders"]
+    table, _versions = _replayed_orders(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        if key not in _HILBERTED:
+            commit = table.cluster(
+                target_partitions=4,
+                hilbert_by=["o_orderdate", "o_custkey"],
+            )
+            assert commit is not None and commit.operation == "clustering"
+            _HILBERTED.add(key)
+    return table.read().select(*rec.columns, "trx_seq")
+
+
 def _row_lineage_oracle_sql() -> str:
     rec = cdc.RECIPES["orders"]
     keys = ", ".join(rec.key_cols)
@@ -7614,6 +7641,7 @@ WRITE_GATES = frozenset({
     "q226_stream_pattern", "q231_stream_outer_join",
     # commit-replay-shaped maintenance / metadata over the fixture
     "q88_incremental_agg", "q104_agg_change_feed", "q202_timeline_audit",
+    "q277_hilbert_cluster",
 })
 
 
@@ -7927,6 +7955,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q274_stratified_sample": q274_stratified_sample,
         "q275_dsir_selection": q275_dsir_selection,
         "q276_hyperanf": q276_hyperanf,
+        "q277_hilbert_cluster": q277_hilbert_cluster,
     }
 
 
@@ -8893,4 +8922,5 @@ def oracle_sql() -> dict[str, str]:
             "duckdb"),
         "q275_dsir_selection": fn_curation.dsir_sql("duckdb"),
         "q276_hyperanf": fn_comp.hyperanf_sql("duckdb"),
+        "q277_hilbert_cluster": cdc.replay_sql(cdc.RECIPES["orders"]),
     }

@@ -1729,6 +1729,7 @@ class CuratedTable:
         self,
         target_partitions: int | None = None,
         zorder_by: list[str] | None = None,
+        hilbert_by: list[str] | None = None,
     ) -> Commit | None:
         """Clustering rewrite (D15, ``clustering.inline`` handler.py:73,81).
 
@@ -1741,9 +1742,15 @@ class CuratedTable:
         Delta/Hudi Z-ORDER analog. A range predicate on ANY z-ordered
         column then touches O(files^(1/d)) of the files (min/max file
         stats prune the rest), where linear sort helps only its leading
-        column. Bucketization is equal-width over the observed min/max
-        (one tiny agg job); all per-row math is JVM bit ops.
+        column. ``hilbert_by`` (exactly 2 columns, mutually exclusive)
+        sorts by the Hilbert curve instead — strictly tighter locality
+        than Morton (no quadrant-boundary jumps), the Databricks
+        liquid-clustering layout. Bucketization is equal-width over the
+        observed min/max (one tiny agg job); all per-row math is JVM
+        bit ops.
         """
+        if zorder_by and hilbert_by:
+            raise ValueError("zorder_by and hilbert_by are exclusive")
         prev = self.latest_commit()
         if prev is None:
             return None
@@ -1756,6 +1763,10 @@ class CuratedTable:
         zcol = "__zorder"
         if zorder_by:
             df = df.withColumn(zcol, self._zorder_key(df, zorder_by))
+            sort_cols = [zcol]
+        elif hilbert_by:
+            df = self._with_hilbert_key(df, hilbert_by, zcol)
+            zorder_by = hilbert_by  # downstream drop/partition logic shared
             sort_cols = [zcol]
         else:
             sort_cols = list(cfg.record_key)
@@ -1890,23 +1901,21 @@ class CuratedTable:
 
     _ZORDER_BITS = 8  # 256 buckets per dimension
 
-    def _zorder_key(self, df: DataFrame, cols: list[str]):
-        """Interleaved-bit (Morton) key over numeric columns.
+    def _dim_buckets(self, df: DataFrame, cols: list[str]) -> list:
+        """Per-dimension equal-width bucket columns in [0, 2^_ZORDER_BITS)
+        — the shared front half of the space-filling-curve keys.
 
-        Each column is scaled into ``2^_ZORDER_BITS`` equal-width buckets
-        between its observed min and max (one small agg job, the only
-        non-per-row work), then bucket bits are interleaved so files
-        cover hyper-rectangles of the value space. Equal-width (not
-        quantile) keeps the mapping a pure expression; heavy skew makes
-        buckets uneven but never incorrect — parquet min/max stats still
-        prune, just less sharply.
-        """
+        Non-numeric dimensions get a numeric surrogate first:
+        timestamps/dates -> epoch seconds (order-preserving), anything
+        else -> a 64-bit hash (no order, but files still cover value
+        clusters, which is what the stat pruning needs). Buckets are
+        equal-width over the observed min/max (one small agg job, the
+        only non-per-row work); equal-width (not quantile) keeps the
+        mapping a pure expression — heavy skew makes buckets uneven but
+        never incorrect, parquet min/max stats still prune, just less
+        sharply."""
         bits = self._ZORDER_BITS
         nb = 1 << bits
-        # Non-numeric dimensions get a numeric surrogate first:
-        # timestamps/dates -> epoch seconds (order-preserving), anything
-        # else -> a 64-bit hash (no order, but files still cover value
-        # clusters, which is what the stat pruning needs).
         dtypes = dict(df.dtypes)
         nums: dict[str, "Column"] = {}
         for c in cols:
@@ -1921,20 +1930,93 @@ class CuratedTable:
             *[F.min(nums[c]).alias(f"mn_{c}") for c in cols],
             *[F.max(nums[c]).alias(f"mx_{c}") for c in cols],
         ).collect()[0]
-        key = F.lit(0).cast("long")
-        for i, c in enumerate(cols):
+        out = []
+        for c in cols:
             mn = float(stats[f"mn_{c}"])
             mx = float(stats[f"mx_{c}"])
             span = (mx - mn) or 1.0
-            bucket = F.least(
-                F.lit(nb - 1),
-                F.floor((nums[c] - F.lit(mn)) / span * nb),
-            ).cast("long")
+            out.append(
+                F.least(
+                    F.lit(nb - 1),
+                    F.floor((nums[c] - F.lit(mn)) / span * nb),
+                ).cast("long")
+            )
+        return out
+
+    def _zorder_key(self, df: DataFrame, cols: list[str]):
+        """Interleaved-bit (Morton) key over numeric columns: bucket
+        bits are interleaved so files cover hyper-rectangles of the
+        value space (buckets from :meth:`_dim_buckets`)."""
+        bits = self._ZORDER_BITS
+        key = F.lit(0).cast("long")
+        for i, bucket in enumerate(self._dim_buckets(df, cols)):
             for b in range(bits):
                 key = key + F.shiftleft(
                     F.shiftright(bucket, b).bitwiseAND(1), b * len(cols) + i
                 )
         return key
+
+    def _with_hilbert_key(
+        self, df: DataFrame, cols: list[str], zcol: str
+    ) -> DataFrame:
+        """Append a Hilbert-curve key over exactly TWO dimensions (the
+        layout of Databricks liquid clustering / the stricter-locality
+        alternative to Z-ORDER): consecutive curve positions are always
+        adjacent cells — Morton order takes long diagonal jumps at
+        quadrant boundaries, so a Hilbert-sorted file covers a tighter
+        value-space rectangle and range scans prune at least as well on
+        both dimensions.
+
+        Implementation: the classic xy2d bit transform is NOT unrolled
+        into Column expressions — the per-level reflect+swap references
+        both running coordinates in three branches, so the expression
+        tree grows ~3^bits and stalls Catalyst analysis (measured: a
+        256×256 grid never finished planning). Instead the full
+        2^bits × 2^bits cell→position mapping is computed VECTORIZED on
+        the driver (numpy, eight array passes, ~65k rows ≈ 1 MB) and
+        broadcast-joined on the bucket pair — constant size at any
+        corpus scale, and the obvious production shape for a pure
+        function of a small domain. Same equal-width bucketization as
+        Z-order (:meth:`_dim_buckets`)."""
+        if len(cols) != 2:
+            raise ValueError(
+                "hilbert_by requires exactly 2 columns (2-D curve); "
+                "use zorder_by for other dimensionalities"
+            )
+        import numpy as np
+
+        bits = self._ZORDER_BITS
+        n = 1 << bits
+        gx, gy = np.meshgrid(
+            np.arange(n, dtype=np.int64),
+            np.arange(n, dtype=np.int64),
+            indexing="ij",
+        )
+        gx, gy = gx.ravel(), gy.ravel()
+        x, y = gx.copy(), gy.copy()
+        d = np.zeros_like(x)
+        s = n // 2
+        while s > 0:
+            rx = ((x & s) > 0).astype(np.int64)
+            ry = ((y & s) > 0).astype(np.int64)
+            d += s * s * ((3 * rx) ^ ry)
+            flip = (ry == 0) & (rx == 1)
+            x2 = np.where(flip, n - 1 - x, x)
+            y2 = np.where(flip, n - 1 - y, y)
+            x, y = np.where(ry == 0, y2, x2), np.where(ry == 0, x2, y2)
+            s //= 2
+        lut = self.spark.createDataFrame(
+            zip(gx.tolist(), gy.tolist(), d.tolist()),
+            "__hx long, __hy long, __hd long",
+        )
+        bx, by = self._dim_buckets(df, cols)
+        return (
+            df.withColumn("__hx", bx)
+            .withColumn("__hy", by)
+            .join(F.broadcast(lut), ["__hx", "__hy"])
+            .withColumn(zcol, F.col("__hd"))
+            .drop("__hx", "__hy", "__hd")
+        )
 
     # ---------- optimistic concurrency control (Hudi OCC analog) ----------
 

@@ -155,3 +155,62 @@ def test_delete_where_rewrites_only_touched_buckets(spark, sf_smoke, table):
     dels = ch.filter(F.col("_hoodie_is_deleted"))
     assert {r["o_orderkey"] for r in dels.select("o_orderkey").collect()} \
         == doomed_keys
+
+
+# ---------------------------------------------------------------------------
+# Hilbert clustering
+# ---------------------------------------------------------------------------
+
+
+def test_hilbert_key_is_bijective_and_adjacent(spark, tmp_path):
+    """The broadcast-LUT transform IS the Hilbert curve: over the full
+    256x256 bucket grid the key is a bijection onto [0, 65536) and
+    every pair of consecutive curve positions is Manhattan-adjacent —
+    the locality property Morton order lacks (Z-order jumps at every
+    quadrant boundary)."""
+    from pyspark.sql import functions as F
+
+    t = CuratedTable(
+        spark, tmp_path / "hk", TableConfig(name="hk", record_key=["k"])
+    )
+    n = 256
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("x"),
+        (F.col("id") / n).cast("long").alias("y"),
+    )
+    rows = t._with_hilbert_key(grid, ["x", "y"], "d").collect()
+    byd = sorted((r["d"], r["x"], r["y"]) for r in rows)
+    assert byd[0][0] == 0 and byd[-1][0] == n * n - 1
+    assert len({d for d, _, _ in byd}) == n * n  # bijection
+    for (_, x0, y0), (_, x1, y1) in zip(byd, byd[1:]):
+        assert abs(x1 - x0) + abs(y1 - y0) == 1  # adjacency
+
+
+def test_hilbert_cluster_prunes_on_both_dimensions(spark, tmp_path):
+    """Same setup as the z-order pruning test: a Hilbert rewrite over
+    (x, y) bounds both coordinates per file at least as tightly."""
+    from pyspark.sql import functions as F
+
+    grid = spark.range(64 * 64).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    cfg = TableConfig(name="hgrid", record_key=["k"])
+    t = CuratedTable(spark, tmp_path / "hgrid", cfg)
+    t.bulk_insert(
+        grid.withColumn(
+            "trx_seq", F.lpad(F.col("k").cast("string"), 8, "0")
+        )
+    )
+    t.cluster(target_partitions=16, hilbert_by=["x", "y"])
+    assert _matching_files(t.read().filter(F.col("x") < 8)) <= 6
+    assert _matching_files(t.read().filter(F.col("y") < 8)) <= 6
+    assert t.read().count() == 64 * 64
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exclusive"):
+        t.cluster(zorder_by=["x"], hilbert_by=["x", "y"])
+    with pytest.raises(ValueError, match="exactly 2"):
+        t.cluster(hilbert_by=["x"])

@@ -218,6 +218,10 @@ PROBE_QUERIES = [
     # DSIR: two <=256-row bucket aggs + broadcast weight join over the
     # shared token-hash artifact — token-linear
     "q275_dsir_selection",
+    # Hilbert clustering: O(table) rewrite like q94/q260 by design —
+    # the probe tracks the rewrite's write throughput; the LUT join
+    # side is a constant 65536-row broadcast at any scale
+    "q277_hilbert_cluster",
     # HyperANF: one edge-linear register-merge join per round, O(64)
     # payload per node — must track edges x round count
     "q276_hyperanf",
