@@ -7599,6 +7599,19 @@ def q277_hilbert_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table.read().select(*rec.columns, "trx_seq")
 
 
+def q278_theta_anotb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch A-not-B difference cardinalities (sketches.
+    theta_anotb_sql; DataSketches AnotB) — completes the bottom-k
+    set-expression algebra next to q174's union/intersection: exclusive
+    membership counted inside the same KMV_K-sample, all-integer
+    estimator, O(k) state; "keys in the change stream but not the
+    dimension" without materializing either set."""
+    o = _view(spark, sf_dir, "orders", "q278")
+    c = _view(spark, sf_dir, "customer", "q278")
+    return spark.sql(
+        fn_sk.theta_anotb_sql("spark", orders=o, customer=c))
+
+
 def _row_lineage_oracle_sql() -> str:
     rec = cdc.RECIPES["orders"]
     keys = ", ".join(rec.key_cols)
@@ -7956,6 +7969,7 @@ def _canonical_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q275_dsir_selection": q275_dsir_selection,
         "q276_hyperanf": q276_hyperanf,
         "q277_hilbert_cluster": q277_hilbert_cluster,
+        "q278_theta_anotb": q278_theta_anotb,
     }
 
 
@@ -8923,4 +8937,5 @@ def oracle_sql() -> dict[str, str]:
         "q275_dsir_selection": fn_curation.dsir_sql("duckdb"),
         "q276_hyperanf": fn_comp.hyperanf_sql("duckdb"),
         "q277_hilbert_cluster": cdc.replay_sql(cdc.RECIPES["orders"]),
+        "q278_theta_anotb": fn_sk.theta_anotb_sql("duckdb"),
     }

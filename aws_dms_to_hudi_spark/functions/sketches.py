@@ -546,3 +546,69 @@ SELECT e.grp, e.filled, e.reg_sum, e.reg_check, e.est_distinct,
 FROM h_est e JOIN exact x ON x.grp = e.grp
 ORDER BY e.grp
 """
+
+
+def theta_anotb_sql(
+    dialect: str, orders: str = "orders", customer: str = "customer"
+) -> str:
+    """Theta-sketch A-not-B: set-DIFFERENCE cardinalities estimated
+    from the same bottom-k sample as :func:`kmv_sql` (the DataSketches
+    ``AnotB`` operation — the third member of the set-expression
+    algebra next to union and intersection, and the one that answers
+    "how many keys are in the change stream but not the dimension"
+    without materializing either set).
+
+    A = distinct ``o_custkey`` of every third order, B = the full
+    customer key set (so A∖B is near-empty and B∖A is the interesting
+    side — both estimates are gated against exact). Method: keep the
+    ``KMV_K`` smallest distinct hashes of A ∪ B with per-set membership
+    flags; the k-sample is a uniform sample of the union, so
+    |A∖B| ≈ (#a_only in sample)·(k−1)·P div (k·τ) — the same
+    all-integer estimator as the intersection, applied to the
+    exclusive-membership counts. One statement, same bounded top-k
+    physical shape as q174; O(k) state end to end."""
+    from . import portable as P
+
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    ha = _mix(P.rolling_hash(f"CAST(o_custkey AS {s})", dialect))
+    hb = _mix(P.rolling_hash(f"CAST(c_custkey AS {s})", dialect))
+
+    def est(cnt: str) -> str:
+        return P.int_div(
+            f"{cnt} * ({KMV_K} - 1) * CAST({P.HASH_P} AS BIGINT)",
+            f"({KMV_K} * tau)",
+            dialect,
+        )
+
+    return f"""
+WITH a AS (
+  SELECT DISTINCT {ha} AS hv FROM {orders} WHERE o_orderkey % 3 = 0
+),
+b AS (SELECT DISTINCT {hb} AS hv FROM {customer}),
+u AS (
+  SELECT hv, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT hv, 1 AS in_a, 0 AS in_b FROM a
+    UNION ALL
+    SELECT hv, 0 AS in_a, 1 AS in_b FROM b
+  ) both_sets
+  GROUP BY hv
+),
+kmin AS (SELECT * FROM u ORDER BY hv LIMIT {KMV_K}),
+stats AS (
+  SELECT CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS a_only,
+         CAST(SUM(in_b * (1 - in_a)) AS BIGINT) AS b_only,
+         CAST(MAX(hv) AS BIGINT) AS tau
+  FROM kmin
+),
+exact AS (
+  SELECT CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS exact_a_not_b,
+         CAST(SUM(in_b * (1 - in_a)) AS BIGINT) AS exact_b_not_a
+  FROM u
+)
+SELECT s.a_only, s.b_only, s.tau,
+       CAST({est('s.a_only')} AS BIGINT) AS est_a_not_b,
+       CAST({est('s.b_only')} AS BIGINT) AS est_b_not_a,
+       e.exact_a_not_b, e.exact_b_not_a
+FROM stats s CROSS JOIN exact e
+"""

@@ -128,3 +128,15 @@ def test_hyperanf_bands_and_monotonicity(spark, sf_correct):
         e2, x2 = r["est_ball2"], r["exact_ball2"]
         assert abs(e1 - x1) <= band1 * x1, (r["node"], e1, x1)
         assert abs(e2 - x2) <= band * x2, (r["node"], e2, x2)
+
+
+def test_theta_anotb_bands(spark, sf_correct):
+    """A is a subset of B by construction, so A-not-B must estimate
+    EXACTLY zero; B-not-A is a small-sample estimate (~k·|B\\A|/|A∪B|
+    sample hits ≈ 11 here, sigma ≈ 30%) asserted within a documented
+    crude band — cross-engine exactness is the driver gate's job."""
+    r = E.queries()["q278_theta_anotb"](spark, sf_correct).collect()[0]
+    assert r["a_only"] == 0 and r["est_a_not_b"] == 0
+    assert r["exact_a_not_b"] == 0
+    ex = r["exact_b_not_a"]
+    assert abs(r["est_b_not_a"] - ex) <= 0.6 * ex + 20

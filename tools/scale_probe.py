@@ -218,6 +218,8 @@ PROBE_QUERIES = [
     # DSIR: two <=256-row bucket aggs + broadcast weight join over the
     # shared token-hash artifact — token-linear
     "q275_dsir_selection",
+    # theta A-not-B: same bounded bottom-k shape as q174
+    "q278_theta_anotb",
     # Hilbert clustering: O(table) rewrite like q94/q260 by design —
     # the probe tracks the rewrite's write throughput; the LUT join
     # side is a constant 65536-row broadcast at any scale
