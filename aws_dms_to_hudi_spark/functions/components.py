@@ -965,6 +965,23 @@ RA_SEEDS = 100
 RA_TOP = 10
 
 
+def _novel_body(dialect: str) -> str:
+    """Known-link removal for :func:`ra_link_prediction_sql` — one
+    semantic shape (anti semi-join of scored candidates against the
+    seed adjacency), two spellings: hinted LEFT ANTI JOIN for Spark,
+    NOT EXISTS for DuckDB (which has no hint syntax and plans the
+    subquery as a hash anti-join on its own)."""
+    if dialect == "duckdb":
+        return """SELECT s.seed, s.cand, s.n_common, s.ra_score_ppm
+  FROM scored s
+  WHERE NOT EXISTS (SELECT 1 FROM nbr e
+                    WHERE e.seed = s.seed AND e.nb = s.cand)"""
+    return """SELECT /*+ BROADCAST(e) */
+         s.seed, s.cand, s.n_common, s.ra_score_ppm
+  FROM scored s LEFT ANTI JOIN nbr e
+    ON e.seed = s.seed AND e.nb = s.cand"""
+
+
 def ra_link_prediction_sql(dialect: str, lineitem: str = "lineitem",
                            seeds: int = RA_SEEDS, top: int = RA_TOP,
                            edges_table: str | None = None,
@@ -1006,19 +1023,29 @@ sym AS {m}(
   UNION ALL
   SELECT v AS src, u AS dst FROM edges
 )"""
+    # Spark join hints (comments to DuckDB's parser, but gated anyway):
+    # deg (|V| rows) and nbr (seeds × d̄ rows) are both orders of
+    # magnitude under the broadcast bar while sym (2|E| rows, a
+    # localCheckpoint with UnknownPartitioning) defeats size
+    # estimation — unhinted, the r8 baseline plan ran THREE full
+    # sym Exchange+Sort+SortMergeJoins (plans/r08/q256_*_before.txt).
+    # Broadcasting the small side of each join streams sym in place:
+    # the only exchange left is the scored aggregation.
+    h_nbr = "/*+ BROADCAST(dc) */ " if dialect != "duckdb" else ""
+    h_sc = "/*+ BROADCAST(n) */ " if dialect != "duckdb" else ""
     return f"""
 WITH {prefix},
 seeds AS {m}(
   SELECT node AS seed FROM deg ORDER BY d DESC, node ASC LIMIT {seeds}
 ),
 nbr AS {m}(
-  SELECT s.seed, e.dst AS nb, dc.d AS dnb
+  SELECT {h_nbr}s.seed, e.dst AS nb, dc.d AS dnb
   FROM seeds s
   JOIN sym e ON e.src = s.seed
   JOIN deg dc ON dc.node = e.dst
 ),
 scored AS {m}(
-  SELECT n.seed, e.dst AS cand,
+  SELECT {h_sc}n.seed, e.dst AS cand,
          COUNT(*) AS n_common,
          SUM({ra}) AS ra_score_ppm
   FROM nbr n JOIN sym e ON e.src = n.nb
@@ -1026,10 +1053,16 @@ scored AS {m}(
   GROUP BY n.seed, e.dst
 ),
 novel AS {m}(
-  SELECT s.seed, s.cand, s.n_common, s.ra_score_ppm
-  FROM scored s
-  WHERE NOT EXISTS (SELECT 1 FROM sym e
-                    WHERE e.src = s.seed AND e.dst = s.cand)
+  -- Known-link removal probes nbr, not sym: the anti-join condition
+  -- pins the probe's src to s.seed, and sym restricted to seed sources
+  -- IS nbr's (seed, nb) pairs (nbr = seeds ⋈ sym on src; dnb tags
+  -- along but existence is unaffected) — same predicate, seeds×d̄-sized
+  -- probe side instead of a third full sym scan/shuffle. Spark gets an
+  -- explicit LEFT ANTI JOIN + broadcast hint (a NOT EXISTS subquery
+  -- cannot be hinted, and nbr's size estimate — behind two broadcast
+  -- joins over a stat-less checkpoint — is unknown to the planner, so
+  -- unhinted it planned Exchange+SortMergeJoin on both sides).
+  {_novel_body(dialect)}
 ),
 ranked AS (
   SELECT seed, cand, n_common, ra_score_ppm,
