@@ -5572,10 +5572,27 @@ def q131_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).localCheckpoint()
             vname = f"__q131_pairs_{abs(hash(key)) % 10**8}"
             pairs.createOrReplaceTempView(vname)
+            # und (symmetrized-dedup'd edges) and deg are each read
+            # multiple times by the unrolled recurrence; materialize
+            # them once beside the pairs (pagerank_sql's und/deg-table
+            # path) instead of letting CTE inlining re-derive the
+            # UNION-dedup and degree exchanges per round.
+            und = spark.sql(
+                f"SELECT doc_a AS a, doc_b AS b FROM {vname} "
+                f"UNION SELECT doc_b, doc_a FROM {vname}"
+            ).localCheckpoint()
+            und.createOrReplaceTempView(vname + "_und")
+            deg = spark.sql(
+                f"SELECT a, COUNT(*) AS d FROM {vname}_und GROUP BY a"
+            ).localCheckpoint()
+            deg.createOrReplaceTempView(vname + "_deg")
             _EDIT1_CACHE[key] = vname
         vname = _EDIT1_CACHE[key]
     return spark.sql(
-        fn_comp.pagerank_sql("spark", f"SELECT doc_a, doc_b FROM {vname}")
+        fn_comp.pagerank_sql(
+            "spark", f"SELECT doc_a, doc_b FROM {vname}",
+            und_table=vname + "_und", deg_table=vname + "_deg",
+        )
     )
 
 

@@ -217,7 +217,9 @@ PR_SCALE = 1_000_000_000_000  # 1e12: score fixed-point; see overflow note
 PR_ITERS = 3
 
 
-def pagerank_sql(dialect: str, pairs_sql: str, top: int = 100) -> str:
+def pagerank_sql(dialect: str, pairs_sql: str, top: int = 100,
+                 und_table: str | None = None,
+                 deg_table: str | None = None) -> str:
     """Integer-exact PageRank over the undirected near-dup pair graph —
     the canonical "importance in the duplicate cluster" signal (pick the
     most-linked member as canonical, audit hub documents).
@@ -260,11 +262,17 @@ def pagerank_sql(dialect: str, pairs_sql: str, top: int = 100) -> str:
                  f" ELSE CAST(error('pagerank int64 overflow bound')"
                  f" AS BIGINT) END)")
     cur = "v0"
+    # Spark: vp (|V| rows of (node, v)) and dg (|V| rows) are tiny next
+    # to the edge list — broadcast them so each round streams und with
+    # no Exchange on the probe side; the only per-round shuffle left is
+    # the GROUP BY u.b aggregation. (DuckDB needs no hints and has no
+    # hint syntax.)
+    h = "/*+ BROADCAST(vp, dg) */ " if dialect == "spark" else ""
     its = []
     for k in range(1, PR_ITERS + 1):
         contrib = idiv("vp.v", "dg.d")
         its.append(f"""v{k} AS (
-  SELECT u.b AS node,
+  SELECT {h}u.b AS node,
          {guard(f"{base} + {idiv(f'85 * SUM({contrib})', '100')}")} AS v
   FROM und u
   JOIN v{k-1} vp ON vp.node = u.a
@@ -275,13 +283,26 @@ def pagerank_sql(dialect: str, pairs_sql: str, top: int = 100) -> str:
         cur = f"v{k}"
     its_sql = ",\n".join(its)
     v0 = guard(f"CAST({PR_SCALE} AS BIGINT)")
-    return f"""
-WITH pairs AS ({pairs_sql}),
+    if und_table is not None and deg_table is not None:
+        # Spark path: und/deg pre-materialized by the caller (session-
+        # cached checkpoints, the q256 sym/deg pattern). und is
+        # referenced once per unrolled round and deg per round + bound,
+        # and Spark INLINES deterministic CTEs — the single-text form
+        # re-derived the UNION-dedup exchange 4x and the degree
+        # aggregate 4x (60-Exchange plan). DuckDB materializes CTEs
+        # natively, so the oracle keeps the single-text form — same
+        # relation either way.
+        prefix = (f"und AS (SELECT a, b FROM {und_table}),\n"
+                  f"deg AS (SELECT a, d FROM {deg_table}),")
+    else:
+        prefix = f"""pairs AS ({pairs_sql}),
 und AS (
   SELECT doc_a AS a, doc_b AS b FROM pairs
   UNION SELECT doc_b, doc_a FROM pairs
 ),
-deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),
+deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY a),"""
+    return f"""
+WITH {prefix}
 bound AS (SELECT MAX(d) AS m FROM deg),
 v0 AS (SELECT a AS node, {v0} AS v FROM deg CROSS JOIN bound bb),
 {its_sql}
