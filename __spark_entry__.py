@@ -130,6 +130,41 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_RID_CACHE: dict[tuple, str] = {}
+
+
+def _rid_view(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """Materialized ``cdc._src_cte`` output (base rows + deterministic
+    ``__rid``) per (session, corpus, table), registered as a temp view
+    for ``batch_sql(..., rid_src=)``.
+
+    Every ``cdc.batch_sql`` text re-derives ``__rid`` — a bucketed
+    row_number window over the full base table — and Spark INLINES
+    deterministic CTEs, so a gate referencing N batch slices pays that
+    window N times (q07's plan carried 5 copies of the same
+    Exchange+Window subtree). ``__rid`` is a pure deterministic function
+    of the immutable fixture table, shared by every CDC gate in the
+    suite: materialize it once per session (localCheckpoint truncates
+    the lineage and keeps executor-local blocks) — the same
+    session-shared-artifact pattern as ``_t`` and the tokhash/edge
+    views. The DuckDB oracle keeps the self-contained CTE text (DuckDB
+    materializes CTEs natively, so it never had the duplication);
+    row-level results are identical by construction."""
+    key = (id(spark), sf_dir, table)
+    name = _RID_CACHE.get(key)
+    if name is None:
+        rec = cdc.RECIPES[table]
+        vbase = f"__rid_base_{table}"
+        _t(spark, sf_dir, table).createOrReplaceTempView(vbase)
+        rid = spark.sql(
+            cdc._src_cte(rec, vbase) + " SELECT * FROM src"
+        ).localCheckpoint()
+        name = f"__rid_{table}"
+        rid.createOrReplaceTempView(name)
+        _RID_CACHE[key] = name
+    return name
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.ts has shipped as either parquet TIMESTAMP(NANOS) (which
     Spark's vectorized reader can only surface as int64 nanos) or plain
@@ -229,9 +264,9 @@ def q05_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q06_cdc_precombine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4 window dedup over the full orders CDC stream."""
     rec = cdc.RECIPES["orders"]
-    base = _t(spark, sf_dir, "orders")
-    base.createOrReplaceTempView("__q06_orders")
-    stream = spark.sql(cdc.stream_sql(rec, src="__q06_orders"))
+    stream = spark.sql(
+        cdc.stream_sql(rec, rid_src=_rid_view(spark, sf_dir, "orders"))
+    )
     winners = precombine(stream, list(rec.key_cols), "trx_seq")
     return winners.select(
         "o_orderkey", "o_totalprice", "trx_seq", "_hoodie_is_deleted"
@@ -242,11 +277,10 @@ def q07_cdc_merge_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D4+D5+D6: sequential per-batch upsert merge of the orders CDC
     stream; final state must equal the naive replay oracle."""
     rec = cdc.RECIPES["orders"]
-    base = _t(spark, sf_dir, "orders")
-    base.createOrReplaceTempView("__q07_orders")
+    rid = _rid_view(spark, sf_dir, "orders")
     state: DataFrame | None = None
     for b in range(cdc.N_BATCHES):
-        batch = spark.sql(cdc.batch_sql(rec, b, src="__q07_orders"))
+        batch = spark.sql(cdc.batch_sql(rec, b, rid_src=rid))
         state = upsert_merge(state, batch, list(rec.key_cols), "trx_seq")
     return state.select(*rec.columns, "trx_seq")
 
@@ -343,9 +377,9 @@ TRANSFORMER_Q13 = (
 def q13_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D10: transformer SQL applied to the incoming batch pre-merge."""
     rec = cdc.RECIPES["lineitem"]
-    base = _t(spark, sf_dir, "lineitem")
-    base.createOrReplaceTempView("__q13_lineitem")
-    batch = spark.sql(cdc.batch_sql(rec, 0, src="__q13_lineitem"))
+    batch = spark.sql(
+        cdc.batch_sql(rec, 0, rid_src=_rid_view(spark, sf_dir, "lineitem"))
+    )
     transformed = apply_transformer_sql(spark, batch, TRANSFORMER_Q13)
     merged = upsert_merge(None, transformed, list(rec.key_cols), "trx_seq")
     return merged.select(*rec.columns, "net", "trx_seq")
@@ -378,9 +412,9 @@ def q15_bulk_insert_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     written is sublinear honest write throughput, not a query-plan
     shape (the bench annotates it write_gate for the same reason)."""
     rec = cdc.RECIPES["lineitem"]
-    base = _t(spark, sf_dir, "lineitem")
-    base.createOrReplaceTempView("__q15_lineitem")
-    batch = spark.sql(cdc.batch_sql(rec, 0, src="__q15_lineitem"))
+    batch = spark.sql(
+        cdc.batch_sql(rec, 0, rid_src=_rid_view(spark, sf_dir, "lineitem"))
+    )
     cfg = TableConfig(
         name="q15_lineitem",
         record_key=list(rec.key_cols),
@@ -1422,8 +1456,9 @@ def q71_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals — the keep-every-version counterpart of the engine's
     keep-latest upsert merge. One window shuffle on the key."""
     rec = cdc.RECIPES["orders"]
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q71_orders")
-    changes = spark.sql(cdc.stream_sql(rec, src="__q71_orders"))
+    changes = spark.sql(
+        cdc.stream_sql(rec, rid_src=_rid_view(spark, sf_dir, "orders"))
+    )
     return (
         op_scd.scd2(changes, keys=list(rec.key_cols))
         .select(
@@ -2068,9 +2103,9 @@ def q180_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the record key; per-key window state is the key's change count,
     never a global sort."""
     rec = cdc.RECIPES["customer"]
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("__scd2_customer")
+    rid = _rid_view(spark, sf_dir, "customer")
     batches = [
-        (b, spark.sql(cdc.batch_sql(rec, b, src="__scd2_customer")))
+        (b, spark.sql(cdc.batch_sql(rec, b, rid_src=rid)))
         for b in range(cdc.N_BATCHES)
     ]
     return fn_incr.scd2_history(
@@ -2121,11 +2156,11 @@ def q203_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the SCD2 window replay + the same interval join."""
     rec_c = cdc.RECIPES["customer"]
     rec_o = cdc.RECIPES["orders"]
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("__pit_customer")
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("__pit_orders")
+    rid_c = _rid_view(spark, sf_dir, "customer")
+    rid_o = _rid_view(spark, sf_dir, "orders")
     dim = fn_incr.scd2_history(
         [
-            (b, spark.sql(cdc.batch_sql(rec_c, b, src="__pit_customer")))
+            (b, spark.sql(cdc.batch_sql(rec_c, b, rid_src=rid_c)))
             for b in range(cdc.N_BATCHES)
         ],
         ["c_custkey"],
@@ -2134,7 +2169,7 @@ def q203_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     facts = None
     for b in range(cdc.N_BATCHES):
         f = (
-            spark.sql(cdc.batch_sql(rec_o, b, src="__pit_orders"))
+            spark.sql(cdc.batch_sql(rec_o, b, rid_src=rid_o))
             .select("o_orderkey", "o_custkey", "trx_seq")
             .withColumn("v", F.lit(b).cast("long"))
         )
@@ -2253,7 +2288,7 @@ def q207_ensemble_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(fn_sampling.ensemble_selection_sql("spark", table=v))
 
 
-def _evo_batch_sqls(src: str) -> list[str]:
+def _evo_batch_sqls(src: str | None, rid_src: str | None = None) -> list[str]:
     """Supplier CDC batches with a mid-stream schema evolution, shared
     verbatim by the Spark replay and the DuckDB oracle: batches 0-1
     carry the pre-DDL schema (s_nationkey INT, s_acctbal FLOAT);
@@ -2262,7 +2297,7 @@ def _evo_batch_sqls(src: str) -> list[str]:
     rec = cdc.RECIPES["supplier"]
     outs = []
     for b in range(cdc.N_BATCHES):
-        inner = cdc.batch_sql(rec, b, src=src)
+        inner = cdc.batch_sql(rec, b, src=src, rid_src=rid_src)
         if b < 2:
             outs.append(
                 "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, "
@@ -2294,11 +2329,11 @@ def q208_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     evolution. One table rewrite per batch, casts codegen-folded — the
     evolved merge costs exactly what an un-evolved one does."""
     rec = cdc.RECIPES["supplier"]
-    src = _view(spark, sf_dir, "supplier", "q209")
+    rid = _rid_view(spark, sf_dir, "supplier")
     cfg = TableConfig(name="evo_supplier", record_key=list(rec.key_cols))
     tmp = tempfile.mkdtemp(prefix="evo_supplier_")
     table = CuratedTable(spark, Path(tmp) / "supplier", cfg)
-    for b, sql in enumerate(_evo_batch_sqls(src)):
+    for b, sql in enumerate(_evo_batch_sqls(None, rid_src=rid)):
         batch = spark.sql(sql)
         table.bulk_insert(batch) if b == 0 else table.upsert(batch)
     return (
@@ -2401,7 +2436,7 @@ def q212_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard naive replay, and any column the patch path forgets to
     carry forward hash-fails."""
     rec = cdc.RECIPES["supplier"]
-    src = _view(spark, sf_dir, "supplier", "q212")
+    rid = _rid_view(spark, sf_dir, "supplier")
     cfg = TableConfig(name="patch_supplier", record_key=list(rec.key_cols))
     tmp = tempfile.mkdtemp(prefix="patch_supplier_")
     table = CuratedTable(spark, Path(tmp) / "supplier", cfg)
@@ -2411,7 +2446,7 @@ def q212_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trx_seq, _hoodie_is_deleted FROM ({inner}) AS sp"
     )
     for b in range(cdc.N_BATCHES):
-        inner = cdc.batch_sql(rec, b, src=src)
+        inner = cdc.batch_sql(rec, b, rid_src=rid)
         if b == 0:
             table.bulk_insert(spark.sql(inner))
         elif b in (1, 2):
@@ -2581,7 +2616,7 @@ def q222_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference. Oracle: originals outside the predicate UNION the
     restatement rows."""
     rec = cdc.RECIPES["supplier"]
-    src = _view(spark, sf_dir, "supplier", "q222")
+    rid = _rid_view(spark, sf_dir, "supplier")
     cfg = TableConfig(
         name="ow_supplier",
         record_key=list(rec.key_cols),
@@ -2590,7 +2625,7 @@ def q222_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tmp = tempfile.mkdtemp(prefix="ow_supplier_")
     table = CuratedTable(spark, Path(tmp) / "supplier", cfg)
-    b0 = cdc.batch_sql(rec, 0, src=src)
+    b0 = cdc.batch_sql(rec, 0, rid_src=rid)
     table.bulk_insert(spark.sql(b0))
     table.insert_overwrite(spark.sql(
         f"SELECT s_suppkey, s_name, s_nationkey, "
@@ -4804,7 +4839,6 @@ def q165_cdc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aws_dms_to_hudi_spark.operators import quarantine as op_q
 
     rec = cdc.RECIPES["orders"]
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("__q165_orders")
     env = spark.sql(
         f"""
 SELECT CASE WHEN _hoodie_is_deleted THEN 'D'
@@ -4812,7 +4846,7 @@ SELECT CASE WHEN _hoodie_is_deleted THEN 'D'
        CASE WHEN o_orderkey % 89 = 3 THEN NULL
             ELSE o_orderkey END AS o_orderkey,
        trx_seq
-FROM ({cdc.stream_sql(rec, src="__q165_orders")}) s
+FROM ({cdc.stream_sql(rec, rid_src=_rid_view(spark, sf_dir, "orders"))}) s
 """
     )
     clean, dlq = op_q.split_quarantine(env, ["o_orderkey"])

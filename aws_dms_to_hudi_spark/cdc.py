@@ -184,40 +184,58 @@ def _src_cte(recipe: CdcRecipe, t: str) -> str:
     )
 
 
-def batch_sql(recipe: CdcRecipe, batch_id: int, src: str | None = None) -> str:
+def batch_sql(
+    recipe: CdcRecipe,
+    batch_id: int,
+    src: str | None = None,
+    rid_src: str | None = None,
+) -> str:
     """SQL producing CDC batch ``batch_id`` from the base table.
 
     Identical text runs on Spark (base table as temp view) and DuckDB
     (base table as registered view). ``src`` overrides the FROM relation
     (used when the base table is registered under a scratch view name).
+
+    ``rid_src`` names a relation that ALREADY carries ``__rid`` (the
+    ``_src_cte`` output, e.g. a caller-materialized view): the CTE is
+    skipped and batches select straight from it. ``__rid`` is a pure
+    deterministic function of the base rows, so the produced rows are
+    identical either way — the option only removes the re-derivation of
+    the row-id window when one text references the source several times
+    on an engine that inlines CTEs (Spark); single-batch texts and the
+    DuckDB oracle keep the self-contained form.
     """
-    t, k = src or recipe.table, recipe.key_num_sql
-    cte = _src_cte(recipe, t)
+    k = recipe.key_num_sql
+    if rid_src is not None:
+        cte, from_rel = "", rid_src
+    else:
+        cte = _src_cte(recipe, src or recipe.table) + " "
+        from_rel = "src"
     if batch_id == 0:
         return (
-            f"{cte} SELECT {_cols(recipe, None)}, {_seq(0)} AS trx_seq, "
-            f"false AS _hoodie_is_deleted FROM src"
+            f"{cte}SELECT {_cols(recipe, None)}, {_seq(0)} AS trx_seq, "
+            f"false AS _hoodie_is_deleted FROM {from_rel}"
         )
     if batch_id == 1:
         first = (
             f"SELECT {_cols(recipe, 1000.0)}, {_seq(1 * _BLOCK)} AS trx_seq, "
-            f"false AS _hoodie_is_deleted FROM src WHERE ({k}) % 10 = 3"
+            f"false AS _hoodie_is_deleted FROM {from_rel} WHERE ({k}) % 10 = 3"
         )
         second = (
             f"SELECT {_cols(recipe, 2222.0)}, "
             f"{_seq(1 * _BLOCK + _BLOCK // 2)} AS trx_seq, "
-            f"false AS _hoodie_is_deleted FROM src WHERE ({k}) % 100 = 3"
+            f"false AS _hoodie_is_deleted FROM {from_rel} WHERE ({k}) % 100 = 3"
         )
-        return f"{cte} {first} UNION ALL {second}"
+        return f"{cte}{first} UNION ALL {second}"
     if batch_id == 2:
         return (
-            f"{cte} SELECT {_cols(recipe, None)}, {_seq(2 * _BLOCK)} AS trx_seq, "
-            f"true AS _hoodie_is_deleted FROM src WHERE ({k}) % 10 = 7"
+            f"{cte}SELECT {_cols(recipe, None)}, {_seq(2 * _BLOCK)} AS trx_seq, "
+            f"true AS _hoodie_is_deleted FROM {from_rel} WHERE ({k}) % 10 = 7"
         )
     if batch_id == 3:
         return (
-            f"{cte} SELECT {_cols(recipe, 5000.0)}, {_seq(3 * _BLOCK)} AS trx_seq, "
-            f"false AS _hoodie_is_deleted FROM src WHERE ({k}) % 20 = 7"
+            f"{cte}SELECT {_cols(recipe, 5000.0)}, {_seq(3 * _BLOCK)} AS trx_seq, "
+            f"false AS _hoodie_is_deleted FROM {from_rel} WHERE ({k}) % 20 = 7"
         )
     raise ValueError(f"batch_id must be 0..{N_BATCHES - 1}")
 
@@ -227,10 +245,11 @@ def stream_sql(
     upto_batch: int = N_BATCHES - 1,
     src: str | None = None,
     from_batch: int = 0,
+    rid_src: str | None = None,
 ) -> str:
     """UNION ALL of batches from_batch..upto_batch — the change log."""
     return " UNION ALL ".join(
-        f"({batch_sql(recipe, b, src=src)})"
+        f"({batch_sql(recipe, b, src=src, rid_src=rid_src)})"
         for b in range(from_batch, upto_batch + 1)
     )
 
