@@ -1479,30 +1479,45 @@ def _anf_tail_sql(dialect: str, sym: str, deg: str, r1: str, r2: str,
     at any corpus size — the same bound as q256's traversal)."""
     from .sketches import hll_const_ctes, hll_est_ctes
 
+    # Spark: every tail relation downstream of the hub slice is tiny —
+    # hubs is LIMIT {hubs} rows, hub registers <= hubs x 64, the
+    # estimator outputs and exact audits are one row per hub — but all
+    # are derived through joins/aggregates the planner cannot size, so
+    # it planned SortMergeJoins and shuffled the 2.4M-row sym edge list
+    # for the two-hop audit. Broadcast the hub-bounded sides so sym is
+    # only ever streamed (guide: broadcast the side that fits; the
+    # q256 seeded-traversal pattern). DuckDB: no hints, none needed.
+    sp = dialect == "spark"
+    bh = "/*+ BROADCAST(h) */ " if sp else ""
+    ba = "/*+ BROADCAST(a) */ " if sp else ""
+    bfin = "/*+ BROADCAST(h, e1, e2, x1, x2) */ " if sp else ""
     return f"""hubs AS (
   SELECT node FROM {deg} ORDER BY d DESC, node ASC LIMIT {hubs}
 ),
 hr1 AS (
-  SELECT r.node AS grp, r.bucket, r.m FROM {r1} r
+  SELECT {bh}r.node AS grp, r.bucket, r.m FROM {r1} r
   JOIN hubs h ON h.node = r.node
 ),
 hr2 AS (
-  SELECT r.node AS grp, r.bucket, r.m FROM {r2} r
+  SELECT {bh}r.node AS grp, r.bucket, r.m FROM {r2} r
   JOIN hubs h ON h.node = r.node
 ),
 {hll_const_ctes()},
 {hll_est_ctes(dialect, "hr1", "e1_")},
 {hll_est_ctes(dialect, "hr2", "e2_")},
 x1 AS (
-  SELECT h.node, CAST(1 + d.d AS BIGINT) AS exact_ball1
+  SELECT {bh}h.node, CAST(1 + d.d AS BIGINT) AS exact_ball1
   FROM hubs h JOIN {deg} d ON d.node = h.node
 ),
-ball2 AS (
-  SELECT h.node, e2.dst AS b
+hub_adj AS (
+  SELECT {bh}h.node, e1.dst
   FROM hubs h JOIN {sym} e1 ON e1.src = h.node
-  JOIN {sym} e2 ON e2.src = e1.dst
+),
+ball2 AS (
+  SELECT {ba}a.node, e2.dst AS b
+  FROM hub_adj a JOIN {sym} e2 ON e2.src = a.dst
   UNION ALL
-  SELECT h.node, e1.dst FROM hubs h JOIN {sym} e1 ON e1.src = h.node
+  SELECT node, dst FROM hub_adj
   UNION ALL
   SELECT node, node FROM hubs
 ),
@@ -1510,7 +1525,7 @@ x2 AS (
   SELECT node, CAST(COUNT(DISTINCT b) AS BIGINT) AS exact_ball2
   FROM ball2 GROUP BY node
 )
-SELECT h.node,
+SELECT {bfin}h.node,
        e1.est_distinct AS est_ball1, x1.exact_ball1,
        e2.est_distinct AS est_ball2, x2.exact_ball2,
        e2.reg_check AS reg_check2

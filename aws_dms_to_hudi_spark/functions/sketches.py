@@ -443,12 +443,19 @@ def hll_est_ctes(dialect: str, regs: str, prefix: str) -> str:
         f"({HLL_ALPHA_DEN} * s)",
         dialect,
     )
+    # Spark: registers are <= |groups| x 64 rows and the grid exactly
+    # |groups| x 64 — tiny, but derived through aggregates the planner
+    # cannot size, so it falls back to SortMergeJoin. Broadcast the
+    # register (right/build) side — the only legal build side of a
+    # LeftOuter BHJ. DuckDB has no hint syntax and needs none. Hints
+    # never change results.
+    br = "/*+ BROADCAST(r) */ " if dialect == "spark" else ""
     return f"""{prefix}grid AS (
   SELECT g.grp, b.bucket FROM (SELECT DISTINCT grp FROM {regs}) g
   CROSS JOIN hll_buckets b
 ),
 {prefix}dense AS (
-  SELECT gr.grp, gr.bucket, COALESCE(r.m, 0) AS m
+  SELECT {br}gr.grp, gr.bucket, COALESCE(r.m, 0) AS m
   FROM {prefix}grid gr LEFT JOIN {regs} r
     ON r.grp = gr.grp AND r.bucket = gr.bucket
 ),
