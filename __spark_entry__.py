@@ -3603,7 +3603,7 @@ def q123_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup cluster-then-dedup semantic deduplication (within-cluster
     exact cosine, min-id canonical keep — functions/similarity.py)."""
     e = _view(spark, sf_dir, "embeddings", "q123")
-    return spark.sql(fn_sim.semdedup_sql("spark", table=e))
+    return fn_sim.semdedup(spark, e)
 
 
 def q124_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -532,6 +532,87 @@ def embedding_neardup(spark, df, threshold: float = 0.4):
     )
 
 
+def semdedup(spark, table: str, tau: float = None, max_cluster: int = None):
+    """DataFrame pipeline for SemDeDup — same semantics (and same
+    oracle) as :func:`semdedup_sql`, but the within-shard pair matrix
+    is scored inside ONE ``applyInPandas`` kernel per (label, shard)
+    group instead of a 100k-row pair join whose cosine ran through
+    Spark's interpreted higher-order-function fold (~64 lambda steps
+    per pair, no codegen — the fold was ~all of the gate's wall time).
+    Vectors cross the Arrow boundary once (N rows); pairs never exist
+    as Spark rows (guide §8: decide with vectorized native code, move
+    the bytes once — the q24 embedding_neardup shape).
+
+    Parity with the DuckDB oracle is bit-exact for the same reason as
+    embedding_neardup: the cosine keeps the portable left-to-right
+    per-dimension fold — acc = acc + x_i·y_i in float64 (float32
+    elements widened first, as the SQL casts each element), one dim
+    per step, np.sqrt/np.divide correctly rounded like SQL — and the
+    keep rule (min smaller-id partner with cos >= tau) is integer
+    arithmetic. Shard assignment (vec_id % ceil(|cluster|/cap)) stays
+    relational, identical text to the SQL form."""
+    from pyspark.sql import functions as F
+
+    if tau is None:
+        tau = SEMDEDUP_TAU
+    if max_cluster is None:
+        max_cluster = SEMDEDUP_CAP
+    labx = spark.sql(f"""
+WITH lab AS (SELECT vec_id, label FROM {table}),
+csz AS (
+  SELECT label,
+         CAST(ceil(COUNT(*) / CAST({max_cluster} AS DOUBLE)) AS BIGINT)
+           AS n_shards
+  FROM lab GROUP BY label
+),
+labx AS (
+  SELECT /*+ BROADCAST(c) */ l.vec_id, l.label,
+         l.vec_id % c.n_shards AS shard
+  FROM lab l JOIN csz c ON l.label = c.label
+)
+SELECT x.vec_id, x.label, x.shard, e.embedding
+FROM labx x JOIN {table} e ON e.vec_id = x.vec_id
+""")
+
+    def shard_dedup(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        ids = pdf["vec_id"].to_numpy()[order]
+        x = np.vstack(pdf["embedding"].to_numpy()[order]).astype(np.float64)
+        n, dims = x.shape
+        nn = np.zeros(n)
+        for d in range(dims):
+            nn = nn + x[:, d] * x[:, d]
+        rn = np.sqrt(nn)
+        canon = np.full(n, -1, dtype=np.int64)
+        if n > 1:
+            ii, jj = np.triu_indices(n, 1)  # i < j in vec_id order
+            dot = np.zeros(len(ii))
+            for d in range(dims):
+                dot = dot + x[ii, d] * x[jj, d]
+            cos = dot / (rn[ii] * rn[jj])
+            hit = cos >= tau
+            if hit.any():
+                dup = pd.DataFrame(
+                    {"j": jj[hit], "keep": ids[ii[hit]]}
+                ).groupby("j")["keep"].min()
+                canon[dup.index.to_numpy()] = dup.to_numpy()
+        return pd.DataFrame({
+            "vec_id": ids,
+            "label": pdf["label"].to_numpy()[order],
+            "canonical_id": pd.array(
+                [None if c < 0 else int(c) for c in canon], dtype="Int64"
+            ),
+            "kept": canon < 0,
+        })
+
+    out = labx.groupBy("label", "shard").applyInPandas(
+        shard_dedup, "vec_id long, label int, canonical_id long, kept boolean"
+    )
+    return out.select("vec_id", "label", "canonical_id", "kept").orderBy(
+        "vec_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # label centroids + nearest-centroid assignment (the k-means E-step)
 # ---------------------------------------------------------------------------

@@ -478,6 +478,23 @@ class TestSemDeDup:
         assert out[2]["kept"]
         assert out[3]["kept"]  # cross-cluster twin survives
 
+        # The Arrow kernel path (r8: per-shard pairwise cosine in
+        # applyInPandas, used by the q123 gate) must agree with the SQL
+        # form row-for-row on the same fixture.
+        import pandas as pd
+
+        sql_df = (
+            spark.sql(fn_sim.semdedup_sql("spark", table="__sd_emb",
+                                          tau=0.9))
+            .toPandas()
+        )
+        arrow_df = fn_sim.semdedup(spark, "__sd_emb", tau=0.9).toPandas()
+        pd.testing.assert_frame_equal(
+            sql_df.reset_index(drop=True),
+            arrow_df.reset_index(drop=True),
+            check_dtype=False,
+        )
+
 
 class TestHeavyHitters:
     def test_exact_on_any_layout(self, spark):
