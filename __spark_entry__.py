@@ -1315,10 +1315,10 @@ def q65_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride-decimation op; only the oracle-replayable projections are
     emitted (the binary column itself stays Spark-side)."""
     media = fn_mm.attach_binary(_t(spark, sf_dir, "documents"))
-    return (
+    return fn_mm.ordered_rows(
         fn_mm.resize_media(media)
-        .select("doc_id", "n_bytes_in", "n_bytes_out", "checksum16")
-        .orderBy("doc_id")
+        .select("doc_id", "n_bytes_in", "n_bytes_out", "checksum16"),
+        "doc_id",
     )
 
 
@@ -1326,10 +1326,10 @@ def q66_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: 1→N generator via mapInPandas, one row
     per evenly-strided frame of each payload."""
     media = fn_mm.attach_binary(_t(spark, sf_dir, "documents"))
-    return (
+    return fn_mm.ordered_rows(
         fn_mm.sample_frames(media)
-        .select("doc_id", "frame_idx", "n_frame_bytes", "first_byte")
-        .orderBy("doc_id", "frame_idx")
+        .select("doc_id", "frame_idx", "n_frame_bytes", "first_byte"),
+        "doc_id", "frame_idx",
     )
 
 
@@ -3837,9 +3837,9 @@ def q137_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus while still exercising the full codec. Beyond-reference
     extension (the reference's RDBMS rows cap LOBs at 32KB and carry no
     media — templates/aws-dms-to-hudi.yaml:437)."""
-    return fn_mm.jpeg_roundtrip_features(
+    return fn_mm.ordered_rows(fn_mm.jpeg_roundtrip_features(
         _t(spark, sf_dir, "documents").filter(F.pmod("doc_id", F.lit(4)) == 1)
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 def q138_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5087,9 +5087,9 @@ def q163_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL oracle replays. 1-in-4 document subset (doc_id%4==3),
     completing the per-format gate family (q25 raw, q137 jpeg, q158
     wav); q176 decodes the codec payload too for MJPEG tracks."""
-    return fn_mm.mp4_roundtrip_features(
+    return fn_mm.ordered_rows(fn_mm.mp4_roundtrip_features(
         _t(spark, sf_dir, "documents").filter(F.pmod("doc_id", F.lit(4)) == 3)
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 def q176_mjpeg_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5107,9 +5107,9 @@ def q176_mjpeg_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     fourcc. Map-only — no shuffle, linear in executors; at 100 TB the
     per-row work is bounded by frame count × frame size, and blobs
     never enter a join or groupBy key."""
-    return fn_mm.mjpeg_roundtrip_features(
+    return fn_mm.ordered_rows(fn_mm.mjpeg_roundtrip_features(
         _t(spark, sf_dir, "documents").filter(F.pmod("doc_id", F.lit(4)) == 2)
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 def q171_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5310,9 +5310,9 @@ def q158_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetically). 1-in-4 document subset, mirroring the q137 JPEG
     gate. Beyond-reference extension — the reference's RDBMS rows carry
     no media (templates/aws-dms-to-hudi.yaml:437)."""
-    return fn_mm.wav_roundtrip_features(
+    return fn_mm.ordered_rows(fn_mm.wav_roundtrip_features(
         _t(spark, sf_dir, "documents").filter(F.pmod("doc_id", F.lit(4)) == 2)
-    ).orderBy("doc_id")
+    ), "doc_id")
 
 
 def q157_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6509,7 +6509,7 @@ def q233_audio_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle; the integer PCM fixture lets the oracle replay the decoded
     samples exactly."""
     docs = _t(spark, sf_dir, "documents").filter("doc_id % 4 = 1")
-    return fn_mm.wav_frame_features(docs).orderBy("doc_id")
+    return fn_mm.ordered_rows(fn_mm.wav_frame_features(docs), "doc_id")
 
 
 def q234_pseudonymization(spark: SparkSession, sf_dir: str) -> DataFrame:

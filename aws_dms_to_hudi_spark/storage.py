@@ -388,14 +388,28 @@ class CuratedTable:
         equals its source batch's precombined size regardless of any
         layout rewrites in between. The loop is bounded by the
         retained timeline length (a handful of manifests), same class
-        as the other bounded driver-side reads."""
+        as the other bounded driver-side reads.
+
+        Counts come from the parquet footers (exact ``num_rows``
+        metadata, what a Spark ``count()`` of the same files returns)
+        instead of one count job per commit: the audit is pure
+        metadata introspection — O(files in the retained timeline)
+        driver-side footer reads, zero cluster jobs — exactly how Hudi
+        serves its commits-metadata table."""
+        import pyarrow.parquet as pq
+
         rows = []
         seq = 0
         for c in sorted(self.commits(), key=lambda c: c.version):
             if not c.changelog:
                 continue
-            df = self._read_dirs(c.changelog)
-            n = 0 if df is None else df.count()
+            n = 0
+            for rel in c.changelog:
+                d = self.root / rel
+                if not d.exists():
+                    continue
+                for p in sorted(d.rglob("*.parquet")):
+                    n += pq.ParquetFile(p).metadata.num_rows
             rows.append((seq, c.operation, int(n)))
             seq += 1
         return self.spark.createDataFrame(
