@@ -4591,7 +4591,11 @@ def q200_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     th = fn_dedup.tokhash_view(
         spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
-    return spark.sql(fn_curation.lm_perplexity_sql("spark", th_table=th))
+    bg = fn_dedup.bigram_rows_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(fn_curation.lm_perplexity_sql(
+        "spark", th_table=th, bg_table=bg))
 
 
 def q150_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6831,11 +6835,11 @@ def q248_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ratio is the token-linear clipped-bigram join leaving the
     fixed floor — sublinear in data, nothing compounds."""
     v = _view(spark, sf_dir, "documents", "q248")
-    th = fn_dedup.tokhash_view(
+    bg = fn_dedup.bigram_rows_view(
         spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
     return spark.sql(
-        fn_dedup.rouge2_overlap_sql("spark", table=v, th_table=th)
+        fn_dedup.rouge2_overlap_sql("spark", table=v, bg_table=bg)
     )
 
 

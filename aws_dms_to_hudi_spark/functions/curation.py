@@ -583,10 +583,25 @@ def ppmi_pairs_sql(dialect: str, table: str = "documents") -> str:
         " / (CAST(pt.n AS DOUBLE) * CAST(ua.n AS DOUBLE)"
         " * CAST(ub.n AS DOUBLE))"
     )
+    if dialect == "spark":
+        # Spark inlines WITH-CTEs: with nt/pt as direct COUNTs, the
+        # tokenize CTE was derived four times and the position
+        # SELF-JOIN twice (once for pc, AGAIN just to count pt). The
+        # scalar totals are exact integer sums of the aggregates
+        # already computed: nt = Σ uni.n, pt = Σ pc.n (pc has no
+        # HAVING) — algebraic identities, so the self-join and the
+        # tokenize run once/twice respectively. DuckDB (the oracle
+        # reference text) materializes CTEs natively and keeps the
+        # direct-count form.
+        nt = "nt AS (SELECT SUM(n) AS n FROM uni)"
+        pt = "pt AS (SELECT SUM(n) AS n FROM pc)"
+    else:
+        nt = "nt AS (SELECT COUNT(*) AS n FROM tok)"
+        pt = "pt AS (SELECT COUNT(*) AS n FROM pairs)"
     return f"""
 WITH tok AS ({rows}),
 uni AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
-nt AS (SELECT COUNT(*) AS n FROM tok),
+{nt},
 pairs AS (
   SELECT CASE WHEN a.t < b.t THEN a.t ELSE b.t END AS tok_a,
          CASE WHEN a.t < b.t THEN b.t ELSE a.t END AS tok_b
@@ -596,7 +611,7 @@ pairs AS (
    AND a.t <> b.t
 ),
 pc AS (SELECT tok_a, tok_b, COUNT(*) AS n FROM pairs GROUP BY tok_a, tok_b),
-pt AS (SELECT COUNT(*) AS n FROM pairs)
+{pt}
 SELECT pc.tok_a, pc.tok_b, CAST(pc.n AS BIGINT) AS n_pairs,
        ROUND(GREATEST(CAST(0 AS DOUBLE), ln({arg})), 6) AS ppmi
 FROM pc
@@ -865,7 +880,8 @@ ORDER BY lang, source"""
 
 
 def lm_perplexity_sql(
-    dialect: str, table: str = "documents", th_table: str | None = None
+    dialect: str, table: str = "documents", th_table: str | None = None,
+    bg_table: str | None = None,
 ) -> str:
     """Per-document bigram-LM negative log-likelihood — the CCNet /
     Gopher "perplexity filter" scored for real (Wenzek et al.
@@ -884,13 +900,21 @@ def lm_perplexity_sql(
     map-side combinable, linear in corpus tokens."""
     from .dedup import th_cte
 
-    return f"""
-WITH {th_cte(dialect, table, th_table)},
-bg AS (
+    if bg_table is not None:
+        # Spark side: bgv is the cached bigram-occurrence artifact
+        # (dedup.bigram_rows_view). CTE inlining re-ran the tokenize+
+        # window derivation per reference (bgv is read three times:
+        # cab, ca, and the per-doc scoring join); th stays for vv.
+        bgv = f"bgv AS (SELECT doc_id, a, b FROM {bg_table})"
+    else:
+        bgv = """bg AS (
   SELECT doc_id, h AS a, lead(h) OVER (PARTITION BY doc_id ORDER BY pos) AS b
   FROM th
 ),
-bgv AS (SELECT doc_id, a, b FROM bg WHERE b IS NOT NULL),
+bgv AS (SELECT doc_id, a, b FROM bg WHERE b IS NOT NULL)"""
+    return f"""
+WITH {th_cte(dialect, table, th_table)},
+{bgv},
 cab AS (SELECT a, b, COUNT(*) AS cab FROM bgv GROUP BY a, b),
 ca AS (SELECT a, COUNT(*) AS ca FROM bgv GROUP BY a),
 vv AS (SELECT COUNT(DISTINCT h) AS v FROM th),

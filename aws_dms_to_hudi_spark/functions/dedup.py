@@ -889,6 +889,7 @@ _WS_RE = re.compile(r"\s+", re.ASCII)
 _TOKHASH_CACHE: dict[tuple[int, str], str] = {}
 _INV_CACHE: dict[tuple[int, str, int | None], tuple[str, str]] = {}
 _SIMHASH_CACHE: dict[tuple[int, str], str] = {}
+_BIGRAM_CACHE: dict[tuple[int, str], str] = {}
 _PAIRS_CACHE: dict[tuple[int, str], str] = {}
 _TOKHASH_LOCK = threading.Lock()
 
@@ -1053,6 +1054,39 @@ def minhash_pairs_view(spark, docs, cache_key: str) -> str:
         df = materialize(spark.sql(sql))  # eager + plan-truncating
         df.createOrReplaceTempView(name)
         _PAIRS_CACHE[key] = name
+        return name
+
+
+def bigram_rows_view(spark, docs, cache_key: str) -> str:
+    """Register (and persist) the consecutive-token-pair relation
+    ``(doc_id, a, b)`` — one row per bigram OCCURRENCE (a = token hash,
+    b = its successor), built from the cached token-hash view with one
+    ``lead()`` window pass. The shared prefix of every bigram-statistic
+    operator (ROUGE-2 overlap q248, bigram-LM perplexity q200): Spark
+    inlines WITH-CTEs, so a query text referencing the bigram rows
+    three or four times re-ran the tokenize+window derivation per
+    reference; consumers scan this one in-memory relation instead. At
+    100 TB this is the persisted n-gram table of an LM-data pipeline —
+    derived once beside the token-hash index it rolls up."""
+    key = (id(spark), cache_key)
+    with _TOKHASH_LOCK:
+        cached = _BIGRAM_CACHE.get(key)
+        if cached is not None:
+            return cached
+    th = tokhash_view(spark, docs, cache_key)
+    sql = f"""
+SELECT doc_id, a, b FROM (
+  SELECT doc_id, h AS a, lead(h) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM {th}
+) WHERE b IS NOT NULL"""
+    with _TOKHASH_LOCK:
+        cached = _BIGRAM_CACHE.get(key)
+        if cached is not None:
+            return cached
+        name = f"__bigrams_{abs(hash(key)) % 10**8}"
+        df = materialize(spark.sql(sql))  # eager + plan-truncating
+        df.createOrReplaceTempView(name)
+        _BIGRAM_CACHE[key] = name
         return name
 
 
@@ -1441,7 +1475,8 @@ ORDER BY batch"""
 
 
 def rouge2_overlap_sql(
-    dialect: str, table: str = "documents", th_table: str | None = None
+    dialect: str, table: str = "documents", th_table: str | None = None,
+    bg_table: str | None = None,
 ) -> str:
     """ROUGE-2 overlap between snapshot-adjacent documents (q248, Lin
     2004): clipped-bigram precision / recall / F1 of each document
@@ -1470,13 +1505,24 @@ def rouge2_overlap_sql(
            AS ref_id
   FROM {table}
 )"""
-    bigram = f"((h * {SH_A} + lead(h, 1) OVER w) % {P.HASH_P})"
-    return f"""
-WITH {th_cte(dialect, table, th_table)},
+    if bg_table is not None:
+        # Spark side: the cached bigram-occurrence artifact replaces the
+        # tokenize+window derivation (which CTE inlining would re-run
+        # once per reference — bgc twice in clip, tot twice in the
+        # tail). g is the identical Horner combine of (a, b); tot =
+        # COUNT(*) per doc over occurrences == SUM(c) over bgc.
+        prefix = f"""
+bg AS (SELECT doc_id, (a * {SH_A} + b) % {P.HASH_P} AS g FROM {bg_table})"""
+    else:
+        bigram = f"((h * {SH_A} + lead(h, 1) OVER w) % {P.HASH_P})"
+        prefix = f"""
+{th_cte(dialect, table, th_table)},
 bg AS (
   SELECT doc_id, {bigram} AS g FROM th
   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-),
+)"""
+    return f"""
+WITH {prefix},
 bgc AS (
   SELECT doc_id, g, COUNT(*) AS c FROM bg WHERE g IS NOT NULL
   GROUP BY doc_id, g
@@ -1593,6 +1639,50 @@ def source_overlap_sql(
     # inequality join at any corpus size (the matrix is |sources|² rows
     # by construction). DuckDB reads the hint as a comment.
     bcast = "/*+ BROADCAST(sa) */ " if dialect == "spark" else ""
+    if dialect == "spark":
+        # Spark inlines WITH-CTEs, so the DISTINCT(src, g) relation —
+        # one index scan + join + distinct shuffle — was derived FOUR
+        # times (ssizes sa/sb + both sides of the inter self-join).
+        # Single-pass form: one grouped collect_set(src) per shingle
+        # (sets bounded by the source count), then ONE generator emits
+        # both the per-source singles and the ordered pairs, and ONE
+        # aggregate counts both — the downstream matrix join touches
+        # only |sources|-sized relations. Identical cells by
+        # construction (collect_set dedups within g exactly like the
+        # DISTINCT; sources are non-NULL in the corpus contract);
+        # proven row-equal against the DuckDB text by the oracle gate.
+        # BROADCAST(d): the planner otherwise broadcasts the
+        # million-row index side of the doc join (ExistingRDD relations
+        # carry no size estimate) and streams the tiny doc table.
+        return f"""
+WITH {prefix},
+gs AS (
+  SELECT /*+ BROADCAST(d) */ v.g, sort_array(collect_set(d.source)) AS ss
+  FROM inv v JOIN {table} d ON d.doc_id = v.doc_id
+  GROUP BY v.g
+),
+cells AS (
+  SELECT t.pr.src_a AS src_a, t.pr.src_b AS src_b, COUNT(*) AS n
+  FROM gs
+  LATERAL VIEW explode(
+    flatten(transform(ss, (a, i) -> concat(
+      array(named_struct('src_a', a, 'src_b', CAST(NULL AS STRING))),
+      transform(slice(ss, i + 2, size(ss)), b -> named_struct('src_a', a, 'src_b', b))
+    )))
+  ) t AS pr
+  GROUP BY t.pr.src_a, t.pr.src_b
+),
+ssizes AS (SELECT src_a AS src, n FROM cells WHERE src_b IS NULL),
+inter AS (SELECT src_a, src_b, n AS n_shared FROM cells WHERE src_b IS NOT NULL)
+SELECT {bcast}sa.src AS src_a, sb.src AS src_b,
+       CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(sa.n AS BIGINT) AS n_shingles_a,
+       CAST(sb.n AS BIGINT) AS n_shingles_b,
+       CAST({jac} AS BIGINT) AS jaccard_ppm
+FROM ssizes sa
+JOIN ssizes sb ON sa.src < sb.src
+LEFT JOIN inter i ON i.src_a = sa.src AND i.src_b = sb.src
+ORDER BY src_a, src_b"""
     return f"""
 WITH {prefix},
 ssh AS (

@@ -140,3 +140,34 @@ def test_theta_anotb_bands(spark, sf_correct):
     assert r["exact_a_not_b"] == 0
     ex = r["exact_b_not_a"]
     assert abs(r["est_b_not_a"] - ex) <= 0.6 * ex + 20
+
+
+def test_bigram_artifact_path_matches_inline(spark):
+    """r8 optimization: the cached bigram-rows artifact path of
+    rouge2_overlap_sql / lm_perplexity_sql must produce rows identical
+    to the self-contained window derivation (the oracle text) —
+    including multiset clipping (repeated bigrams) and the
+    both-docs-need-bigrams inner-join semantics."""
+    from aws_dms_to_hudi_spark.functions import curation as fn_cur
+    from aws_dms_to_hudi_spark.functions import dedup as fn_dedup
+
+    rows = [
+        (1, "a b c a b", "s"),   # repeated bigram (a,b) x2
+        (2, "a b a b", "s"),
+        (3, "x y z", "s"),
+        (4, "solo", "s"),        # 1 token: no bigrams -> excluded pair
+        (5, "p q p q r", "t"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    df.createOrReplaceTempView("__r8_bg")
+    bg = fn_dedup.bigram_rows_view(spark, df, cache_key="__r8_bg_test")
+    for gen, kw in (
+        (fn_dedup.rouge2_overlap_sql, dict(table="__r8_bg")),
+        (fn_cur.lm_perplexity_sql, dict(table="__r8_bg")),
+    ):
+        th = fn_dedup.tokhash_view(spark, df, cache_key="__r8_bg_test")
+        inline = spark.sql(gen("spark", **kw)).collect()
+        art = spark.sql(gen("spark", th_table=th, bg_table=bg, **kw)
+                        ).collect()
+        assert inline == art, gen.__name__
