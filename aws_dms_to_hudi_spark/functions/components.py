@@ -941,6 +941,12 @@ def khop_reachability_sql(dialect: str, lineitem: str = "lineitem",
     pins the chain anyway)."""
     m = "MATERIALIZED " if dialect == "duckdb" else ""
     prefix = _edges_prefix(dialect, lineitem, edges_table)
+    # Spark: the per-hop frontier is seeds×reach-bounded (tiny next to
+    # the edge list) but reaches the join through the unrolled chain,
+    # which the planner cannot size — broadcast it so the symmetrized
+    # edge relation is never shuffled (q131/q264 treatment). DuckDB
+    # reads hints as comments.
+    bc = "/*+ BROADCAST(r) */ " if dialect == "spark" else ""
     parts = [f"""{prefix},
 sym AS {m}(
   SELECT u AS src, v AS dst FROM edges
@@ -959,7 +965,7 @@ r0 AS {m}(SELECT seed, seed AS node, 0 AS hop FROM seeds)"""]
         # the new frontier instead of the whole cumulative reach.
         parts.append(f"""r{h} AS {m}(
   SELECT seed, node, MIN(hop) AS hop FROM (
-    SELECT r.seed, e.dst AS node, {h} AS hop
+    SELECT {bc}r.seed, e.dst AS node, {h} AS hop
     FROM r{h - 1} r JOIN sym e ON e.src = r.node
     WHERE r.hop = {h - 1}
     UNION ALL
@@ -1292,6 +1298,15 @@ lab AS (SELECT node, lbl FROM {labels_table})"""
         chain, fin = _lpa_chain(dialect, lineitem, rounds, edges_table)
         body = f"""{chain},
 lab AS {m}(SELECT node, lbl FROM {fin})"""
+    # Spark: lab (|V| rows, pinned cached view) and deg (|V| rows,
+    # derived through an aggregate the planner cannot size) reach the
+    # edges join as SortMergeJoins that shuffle the edge list — the
+    # same shape the q131/q264 rounds had. Broadcasting the node-sized
+    # sides keeps the edge relation exchange-free. DuckDB reads hints
+    # as comments.
+    bc_lab = "/*+ BROADCAST(la, lb) */ " if dialect == "spark" else ""
+    bc_deg = "/*+ BROADCAST(d) */ " if dialect == "spark" else ""
+    bc_ein = "/*+ BROADCAST(ei) */ " if dialect == "spark" else ""
     e_term = P.int_div("1000000 * COALESCE(ei.e_in, 0)", "mm.m", dialect)
     p_half = P.int_div("1000000 * ds.deg_sum", "(2 * mm.m)", dialect)
     p_term = P.int_div(f"({p_half}) * ds.deg_sum", "(2 * mm.m)", dialect)
@@ -1303,20 +1318,20 @@ deg AS {m}(
   GROUP BY node
 ),
 ein AS {m}(
-  SELECT la.lbl AS community, COUNT(*) AS e_in
+  SELECT {bc_lab}la.lbl AS community, COUNT(*) AS e_in
   FROM edges e
   JOIN lab la ON la.node = e.u
   JOIN lab lb ON lb.node = e.v AND lb.lbl = la.lbl
   GROUP BY la.lbl
 ),
 dsum AS {m}(
-  SELECT la.lbl AS community, SUM(d.d) AS deg_sum,
+  SELECT {bc_deg}la.lbl AS community, SUM(d.d) AS deg_sum,
          COUNT(*) AS n_members
   FROM lab la JOIN deg d ON d.node = la.node
   GROUP BY la.lbl
 ),
 mm AS (SELECT COUNT(*) AS m FROM edges)
-SELECT CAST(ds.community AS BIGINT) AS community,
+SELECT {bc_ein}CAST(ds.community AS BIGINT) AS community,
        CAST(ds.n_members AS BIGINT) AS n_members,
        CAST(COALESCE(ei.e_in, 0) AS BIGINT) AS e_in,
        CAST(ds.deg_sum AS BIGINT) AS deg_sum,
@@ -1383,10 +1398,17 @@ seeds AS {m}(
 bound AS (SELECT MAX(d) AS mx FROM deg),
 v0 AS {m}(SELECT seed AS node, CAST({PR_SCALE} AS BIGINT) AS v
           FROM seeds)"""]
+    # Spark: the per-round support v{k-1} and the degree relation are
+    # |V|-bounded (the edge list is the only large relation), but both
+    # reach the join through aggregates the planner cannot size, so it
+    # planned SortMergeJoins that shuffled the edge list EVERY round.
+    # Broadcasting them keeps sym exchange-free all rounds (the q131
+    # PageRank treatment). DuckDB reads hints as comments.
+    bc = "/*+ BROADCAST(vp, dg) */ " if dialect == "spark" else ""
     for k in range(1, iters + 1):
         inflow = idiv(f"85 * SUM({idiv('vp.v', 'dg.d')})", "100")
         parts.append(f"""i{k} AS {m}(
-  SELECT e.dst AS node, {inflow} AS v
+  SELECT {bc}e.dst AS node, {inflow} AS v
   FROM sym e
   JOIN v{k - 1} vp ON vp.node = e.src
   JOIN deg dg ON dg.node = e.src
