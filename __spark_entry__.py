@@ -2048,7 +2048,12 @@ def q85_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms before any shuffle, idf is ln((N+1)/(df+1)), score summed as
     DECIMAL for order-independence."""
     v = _view(spark, sf_dir, "documents", "q85")
-    return spark.sql(fn_curation.tfidf_search_sql("spark", table=v))
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(
+        fn_curation.tfidf_search_sql("spark", table=v, th_table=th)
+    )
 
 
 def q177_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2059,7 +2064,12 @@ def q177_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sum, 6dp round. At 100 TB the token stream is materialized
     once and the idf relation is broadcast-sized."""
     v = _view(spark, sf_dir, "documents", "q177")
-    return spark.sql(fn_curation.bm25_search_sql("spark", table=v))
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(
+        fn_curation.bm25_search_sql("spark", table=v, th_table=th)
+    )
 
 
 def q178_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:

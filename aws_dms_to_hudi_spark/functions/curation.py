@@ -225,19 +225,33 @@ def tfidf_search_sql(
     table: str = "documents",
     terms: tuple[str, ...] = SEARCH_TERMS,
     k: int = 20,
+    th_table: str | None = None,
 ) -> str:
     """TF-IDF relevance top-k for a fixed term list.
 
     idf = ln((N+1)/(df+1)); score = Σ tf·idf over matched terms,
     accumulated as DECIMAL so partial-aggregation order is irrelevant,
     rounded to 6dp (ln is correctly-rounded libm on both engines — same
-    contract as the math-function family q76)."""
+    contract as the math-function family q76).
+
+    ``th_table`` (Spark side): key term membership / tf / df on the
+    cached token-hash index instead of tokenizing — the output is
+    (doc_id, score), token strings never leave, and CTE inlining's
+    double tokenize (hits feeds tf AND idf) collapses to two scans of
+    the in-memory relation (the q177 BM25 treatment)."""
     toks = P.tokens("text", dialect)
     tok_rows = _explode(dialect, "doc_id", "toked", "toks", "t")
-    term_list = ", ".join(f"'{t}'" for t in terms)
+    if th_table is not None:
+        from .dedup import _pytokhash
+
+        prefix = f"tok AS (SELECT doc_id, h AS t FROM {th_table})"
+        term_list = ", ".join(str(_pytokhash(t)[0]) for t in terms)
+    else:
+        prefix = f"""toked AS (SELECT doc_id, {toks} AS toks FROM {table}),
+tok AS ({tok_rows})"""
+        term_list = ", ".join(f"'{t}'" for t in terms)
     return f"""
-WITH toked AS (SELECT doc_id, {toks} AS toks FROM {table}),
-tok AS ({tok_rows}),
+WITH {prefix},
 hits AS (SELECT doc_id, t FROM tok WHERE t IN ({term_list})),
 tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM hits GROUP BY doc_id, t),
 idf AS (
@@ -485,6 +499,7 @@ def bm25_search_sql(
     table: str = "documents",
     terms: tuple[str, ...] = SEARCH_TERMS,
     k: int = 20,
+    th_table: str | None = None,
 ) -> str:
     """Okapi BM25 relevance top-k for a fixed term list (Robertson &
     Walker; the ranking function behind Lucene/Elasticsearch defaults)
@@ -508,7 +523,24 @@ def bm25_search_sql(
     the |terms|-row idf relation (broadcast-sized)."""
     toks = P.tokens("text", dialect)
     tok_rows = _explode(dialect, "doc_id", "toked", "toks", "t")
-    term_list = ", ".join(f"'{t}'" for t in terms)
+    if th_table is not None:
+        # Spark side: run the whole statement off the cached token-HASH
+        # index (dedup.tokhash_view) — scores never need the token
+        # strings (the output is (doc_id, score)), so term membership,
+        # tf, df and dl all key on the hash, and the five tokenize
+        # re-derivations CTE inlining planned (dl twice via stats,
+        # hits twice) collapse to cheap scans of the one in-memory
+        # relation. Term hashes are computed driver-side with the same
+        # rolling hash (dedup._pytokhash); the oracle keeps the string
+        # text, so the hash path is proven by the hash gate.
+        from .dedup import _pytokhash
+
+        prefix = f"tok AS (SELECT doc_id, h AS t FROM {th_table})"
+        term_list = ", ".join(str(_pytokhash(t)[0]) for t in terms)
+    else:
+        prefix = f"""toked AS (SELECT doc_id, {toks} AS toks FROM {table}),
+tok AS ({tok_rows})"""
+        term_list = ", ".join(f"'{t}'" for t in terms)
     half = "(CAST(5 AS DOUBLE) / 10)"
     k1 = "(CAST(12 AS DOUBLE) / 10)"
     k1p1 = "(CAST(22 AS DOUBLE) / 10)"
@@ -519,8 +551,7 @@ def bm25_search_sql(
     denom = f"({tfd} + {k1} * (({one} - {b}) + {b} * {dl_ratio}))"
     term_score = f"idf.idf * ({tfd} * {k1p1}) / {denom}"
     return f"""
-WITH toked AS (SELECT doc_id, {toks} AS toks FROM {table}),
-tok AS ({tok_rows}),
+WITH {prefix},
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
 stats AS (
   SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, COUNT(*) AS n

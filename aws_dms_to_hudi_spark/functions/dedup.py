@@ -1406,7 +1406,40 @@ cand AS (
   FROM bands a JOIN bands b
     ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 ),
-hits AS (
+{_lsh_audit_tail(dialect)}"""
+
+
+def _lsh_audit_tail(dialect: str) -> str:
+    """Closing relations of :func:`lsh_audit_sql`. Spark inlines CTEs,
+    so the scalar-subquery counts form derived ``exact`` (the co-
+    occurrence join) and ``cand`` (the 4-band self-join over the
+    40-MIN signature aggregate) TWICE each — once for its own count,
+    once inside ``hits``. The Spark text counts all three quantities
+    from ONE full-outer join of the two pair sets (COUNT over the
+    matched/unmatched sides — exactly |exact|, |cand|, |∩|); DuckDB
+    keeps the scalar-subquery reference text (it materializes CTEs
+    natively). Identical output proven by the oracle gate."""
+    if dialect == "spark":
+        return """stats AS (
+  SELECT COUNT(e.doc_a) AS n_exact,
+         COUNT(c.doc_a) AS n_candidates,
+         COUNT(CASE WHEN e.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
+               THEN 1 END) AS n_verified
+  FROM exact e FULL OUTER JOIN cand c
+    ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(n_candidates AS BIGINT) AS n_candidates,
+       CAST(n_verified AS BIGINT) AS n_verified,
+       CAST(n_exact - n_verified AS BIGINT) AS n_missed,
+       CAST(CASE WHEN n_candidates = 0 THEN -1
+            ELSE floor(n_verified * 1000000 / n_candidates) END AS BIGINT)
+         AS precision_ppm,
+       CAST(CASE WHEN n_exact = 0 THEN -1
+            ELSE floor(n_verified * 1000000 / n_exact) END AS BIGINT)
+         AS recall_ppm
+FROM stats"""
+    return """hits AS (
   SELECT c.doc_a FROM cand c
   JOIN exact e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
 ),
