@@ -2981,10 +2981,10 @@ def q188_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-aggregate + per-doc gaps-and-islands merge; linear in corpus
     tokens, documents never pair up. Engine side reuses the cached
     tokenize-once token-hash view (q19/q20/q21/q77/q155 artifact)."""
-    th = fn_dedup.tokhash_view(
+    sp = fn_dedup.shingle_pos_view(
         spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
-    return spark.sql(fn_dedup.dup_span_sql("spark", th_table=th))
+    return spark.sql(fn_dedup.dup_span_sql("spark", shpos_table=sp))
 
 
 def q189_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5275,10 +5275,10 @@ def q155_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-token spans that occur verbatim elsewhere in the corpus
     (arXiv:2107.06499). Engine side reuses the cached token-hash view
     (tokenize-once artifact shared with q19/q20/q21/q77)."""
-    th = fn_dedup.tokhash_view(
+    sp = fn_dedup.shingle_pos_view(
         spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
-    return spark.sql(fn_dedup.repeated_ngram_sql("spark", th_table=th))
+    return spark.sql(fn_dedup.repeated_ngram_sql("spark", shpos_table=sp))
 
 
 def q156_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -412,6 +412,7 @@ def repeated_ngram_sql(
     table: str = "documents",
     n: int = 5,
     th_table: str | None = None,
+    shpos_table: str | None = None,
 ) -> str:
     """Per-document repeated-span profile — the exact-substring dedup
     signal of Lee et al., "Deduplicating Training Data Makes Language
@@ -429,8 +430,16 @@ def repeated_ngram_sql(
     the doc-frequency groupBy; nothing is quadratic because docs never
     pair up (contrast the Jaccard pairs join).
     """
+    if shpos_table is not None:
+        # Spark side: both references of sh (docfreq + the join-back)
+        # re-derived the tokenize+window chain under CTE inlining; the
+        # cached positional-shingle artifact replaces it (its DISTINCT
+        # projection IS shingle_cte's sh — same Horner combine).
+        prefix = f"sh AS (SELECT DISTINCT doc_id, g FROM {shpos_table})"
+    else:
+        prefix = shingle_cte(dialect, table, n, th_table)
     return f"""
-WITH {shingle_cte(dialect, table, n, th_table)},
+WITH {prefix},
 docfreq AS (SELECT g, COUNT(*) AS ndocs FROM sh GROUP BY g)
 SELECT s.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_shingles,
@@ -449,6 +458,7 @@ def dup_span_sql(
     n: int = 5,
     th_table: str | None = None,
     min_docs: int = 2,
+    shpos_table: str | None = None,
 ) -> str:
     """Maximal duplicated-span extraction — the *cut list* half of Lee
     et al. exact-substring dedup (arXiv:2107.06499; the profile half is
@@ -470,13 +480,20 @@ def dup_span_sql(
     g = "h"
     for k in range(1, n):
         g = f"(({g}) * {SH_A} + lead(h, {k}) OVER w) % {P.HASH_P}"
-    return f"""
-WITH {th_cte(dialect, table, th_table)},
+    if shpos_table is not None:
+        # Spark side: shv (docfreq + dup both reference it) came off the
+        # cached positional-shingle artifact instead of re-running the
+        # tokenize+window chain per reference.
+        prefix = f"shv AS (SELECT doc_id, pos, g FROM {shpos_table})"
+    else:
+        prefix = f"""{th_cte(dialect, table, th_table)},
 shp AS (
   SELECT doc_id, pos, {g} AS g FROM th
   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ),
-shv AS (SELECT doc_id, pos, g FROM shp WHERE g IS NOT NULL),
+shv AS (SELECT doc_id, pos, g FROM shp WHERE g IS NOT NULL)"""
+    return f"""
+WITH {prefix},
 docfreq AS (SELECT g, COUNT(DISTINCT doc_id) AS ndocs FROM shv GROUP BY g),
 dup AS (
   SELECT s.doc_id, s.pos FROM shv s
@@ -522,15 +539,30 @@ def paragraph_dedup_sql(
         for j in range(unit)
     )
     term = f"(h * (CASE pos % {unit} {pw} END)) % {P.HASH_P}"
-    return f"""
-WITH {th_cte(dialect, table, th_table)},
-u AS (
-  SELECT doc_id, {idiv} AS unit_idx,
-         SUM({term}) % {P.HASH_P} AS g, COUNT(*) AS nt
-  FROM th GROUP BY doc_id, {idiv}
+    if dialect == "spark":
+        # Spark inlines CTEs, so the three references of fu (kd, ku,
+        # fl) re-derived the block-hash aggregate each time. The keeper
+        # of a block hash is the LEXICOGRAPHIC min of (doc_id,
+        # unit_idx) — one struct-MIN aggregate computes kd and ku
+        # together (struct comparison orders by field: min doc first,
+        # then min unit within it; still map-side combinable, so a hot
+        # boilerplate block never funnels a window partition). fu is
+        # referenced twice, not three times, and one join replaces two.
+        # DuckDB keeps the two-aggregate reference text (it
+        # materializes CTEs natively); identical rows — oracle-gated.
+        keeper = f"""kk AS (
+  SELECT g, MIN(named_struct('d', doc_id, 'u', unit_idx)) AS s
+  FROM fu GROUP BY g
 ),
-fu AS (SELECT doc_id, unit_idx, g FROM u WHERE nt = {unit}),
-kd AS (SELECT g, MIN(doc_id) AS kdoc FROM fu GROUP BY g),
+fl AS (
+  SELECT f.doc_id, f.unit_idx,
+         CASE WHEN kk.s IS NOT NULL THEN 1 ELSE 0 END AS kept
+  FROM fu f
+  LEFT JOIN kk ON f.g = kk.g AND f.doc_id = kk.s.d
+              AND f.unit_idx = kk.s.u
+)"""
+    else:
+        keeper = f"""kd AS (SELECT g, MIN(doc_id) AS kdoc FROM fu GROUP BY g),
 ku AS (
   SELECT f.g, f.doc_id, MIN(f.unit_idx) AS kunit
   FROM fu f JOIN kd ON f.g = kd.g AND f.doc_id = kd.kdoc
@@ -542,7 +574,16 @@ fl AS (
   FROM fu f
   LEFT JOIN ku ON f.g = ku.g AND f.doc_id = ku.doc_id
               AND f.unit_idx = ku.kunit
-)
+)"""
+    return f"""
+WITH {th_cte(dialect, table, th_table)},
+u AS (
+  SELECT doc_id, {idiv} AS unit_idx,
+         SUM({term}) % {P.HASH_P} AS g, COUNT(*) AS nt
+  FROM th GROUP BY doc_id, {idiv}
+),
+fu AS (SELECT doc_id, unit_idx, g FROM u WHERE nt = {unit}),
+{keeper}
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_units,
        CAST(SUM(1 - kept) AS BIGINT) AS n_dup_units,
@@ -890,6 +931,7 @@ _TOKHASH_CACHE: dict[tuple[int, str], str] = {}
 _INV_CACHE: dict[tuple[int, str, int | None], tuple[str, str]] = {}
 _SIMHASH_CACHE: dict[tuple[int, str], str] = {}
 _BIGRAM_CACHE: dict[tuple[int, str], str] = {}
+_SHPOS_CACHE: dict[tuple[int, str, int], str] = {}
 _PAIRS_CACHE: dict[tuple[int, str], str] = {}
 _TOKHASH_LOCK = threading.Lock()
 
@@ -1054,6 +1096,41 @@ def minhash_pairs_view(spark, docs, cache_key: str) -> str:
         df = materialize(spark.sql(sql))  # eager + plan-truncating
         df.createOrReplaceTempView(name)
         _PAIRS_CACHE[key] = name
+        return name
+
+
+def shingle_pos_view(spark, docs, cache_key: str, n: int = 5) -> str:
+    """Register (and persist) the POSITIONAL ``n``-gram shingle relation
+    ``(doc_id, pos, g)`` — every shingle occurrence with its start
+    position, the shared prefix of the exact-substring dedup pair
+    (repeated-span profile q155 reads its DISTINCT projection, cut-list
+    extraction q188 the positions). Spark inlines WITH-CTEs, so each
+    statement re-ran the tokenize+window Horner combine once per
+    reference (docfreq + the join-back); both now scan this one
+    in-memory relation. The Horner form is byte-identical to
+    ``shingle_cte``/``dup_span_sql``'s inline expression."""
+    key = (id(spark), cache_key, n)
+    with _TOKHASH_LOCK:
+        cached = _SHPOS_CACHE.get(key)
+        if cached is not None:
+            return cached
+    th = tokhash_view(spark, docs, cache_key)
+    g = "h"
+    for k in range(1, n):
+        g = f"(({g}) * {SH_A} + lead(h, {k}) OVER w) % {P.HASH_P}"
+    sql = f"""
+SELECT doc_id, pos, g FROM (
+  SELECT doc_id, pos, {g} AS g FROM {th}
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+) WHERE g IS NOT NULL"""
+    with _TOKHASH_LOCK:
+        cached = _SHPOS_CACHE.get(key)
+        if cached is not None:
+            return cached
+        name = f"__shpos{n}_{abs(hash(key)) % 10**8}"
+        df = materialize(spark.sql(sql))  # eager + plan-truncating
+        df.createOrReplaceTempView(name)
+        _SHPOS_CACHE[key] = name
         return name
 
 

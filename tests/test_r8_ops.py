@@ -171,3 +171,46 @@ def test_bigram_artifact_path_matches_inline(spark):
         art = spark.sql(gen("spark", th_table=th, bg_table=bg, **kw)
                         ).collect()
         assert inline == art, gen.__name__
+
+
+def test_shingle_pos_artifact_and_struct_keeper(spark):
+    """r8 optimization: (a) the cached positional-shingle artifact path
+    of repeated_ngram_sql / dup_span_sql matches the inline window
+    derivation; (b) paragraph_dedup's Spark struct-MIN keeper equals
+    the two-aggregate (kd/ku) reference form on a fixture with a
+    shared block where (min doc, min unit) matters."""
+    from aws_dms_to_hudi_spark.functions import dedup as fn_dedup
+
+    blk = "a b c d e f g h"          # one full 8-token block
+    rows = [
+        (1, blk + " " + blk, "s"),    # doc 1 carries the block twice
+        (2, blk + " x y z q w e r t", "s"),
+        (3, "p q r s t u v w", "s"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    df.createOrReplaceTempView("__r8_sp")
+    sp = fn_dedup.shingle_pos_view(spark, df, cache_key="__r8_sp_test")
+    for gen in (fn_dedup.repeated_ngram_sql, fn_dedup.dup_span_sql):
+        inline = spark.sql(gen("spark", table="__r8_sp")).collect()
+        art = spark.sql(gen("spark", table="__r8_sp", shpos_table=sp)
+                        ).collect()
+        assert inline == art, gen.__name__
+    new_sql = fn_dedup.paragraph_dedup_sql("spark", table="__r8_sp")
+    old_keeper = """kd AS (SELECT g, MIN(doc_id) AS kdoc FROM fu GROUP BY g),
+ku AS (
+  SELECT f.g, f.doc_id, MIN(f.unit_idx) AS kunit
+  FROM fu f JOIN kd ON f.g = kd.g AND f.doc_id = kd.kdoc
+  GROUP BY f.g, f.doc_id
+),
+fl AS (
+  SELECT f.doc_id, f.unit_idx,
+         CASE WHEN ku.kunit IS NOT NULL THEN 1 ELSE 0 END AS kept
+  FROM fu f
+  LEFT JOIN ku ON f.g = ku.g AND f.doc_id = ku.doc_id
+              AND f.unit_idx = ku.kunit
+)"""
+    i0 = new_sql.index("kk AS")
+    i1 = new_sql.index("SELECT doc_id,\n       CAST(COUNT(*)")
+    old_sql = new_sql[:i0] + old_keeper + "\n" + new_sql[i1:]
+    assert spark.sql(old_sql).collect() == spark.sql(new_sql).collect()
