@@ -1749,54 +1749,23 @@ def source_overlap_sql(
     # inequality join at any corpus size (the matrix is |sources|² rows
     # by construction). DuckDB reads the hint as a comment.
     bcast = "/*+ BROADCAST(sa) */ " if dialect == "spark" else ""
-    if dialect == "spark":
-        # Spark inlines WITH-CTEs, so the DISTINCT(src, g) relation —
-        # one index scan + join + distinct shuffle — was derived FOUR
-        # times (ssizes sa/sb + both sides of the inter self-join).
-        # Single-pass form: one grouped collect_set(src) per shingle
-        # (sets bounded by the source count), then ONE generator emits
-        # both the per-source singles and the ordered pairs, and ONE
-        # aggregate counts both — the downstream matrix join touches
-        # only |sources|-sized relations. Identical cells by
-        # construction (collect_set dedups within g exactly like the
-        # DISTINCT; sources are non-NULL in the corpus contract);
-        # proven row-equal against the DuckDB text by the oracle gate.
-        # BROADCAST(d): the planner otherwise broadcasts the
-        # million-row index side of the doc join (ExistingRDD relations
-        # carry no size estimate) and streams the tiny doc table.
-        return f"""
-WITH {prefix},
-gs AS (
-  SELECT /*+ BROADCAST(d) */ v.g, sort_array(collect_set(d.source)) AS ss
-  FROM inv v JOIN {table} d ON d.doc_id = v.doc_id
-  GROUP BY v.g
-),
-cells AS (
-  SELECT t.pr.src_a AS src_a, t.pr.src_b AS src_b, COUNT(*) AS n
-  FROM gs
-  LATERAL VIEW explode(
-    flatten(transform(ss, (a, i) -> concat(
-      array(named_struct('src_a', a, 'src_b', CAST(NULL AS STRING))),
-      transform(slice(ss, i + 2, size(ss)), b -> named_struct('src_a', a, 'src_b', b))
-    )))
-  ) t AS pr
-  GROUP BY t.pr.src_a, t.pr.src_b
-),
-ssizes AS (SELECT src_a AS src, n FROM cells WHERE src_b IS NULL),
-inter AS (SELECT src_a, src_b, n AS n_shared FROM cells WHERE src_b IS NOT NULL)
-SELECT {bcast}sa.src AS src_a, sb.src AS src_b,
-       CAST(COALESCE(i.n_shared, 0) AS BIGINT) AS n_shared,
-       CAST(sa.n AS BIGINT) AS n_shingles_a,
-       CAST(sb.n AS BIGINT) AS n_shingles_b,
-       CAST({jac} AS BIGINT) AS jaccard_ppm
-FROM ssizes sa
-JOIN ssizes sb ON sa.src < sb.src
-LEFT JOIN inter i ON i.src_a = sa.src AND i.src_b = sb.src
-ORDER BY src_a, src_b"""
+    # Spark: BROADCAST(d) pins the corpus-small doc-metadata side as
+    # the build (ExistingRDD index relations carry no size estimate,
+    # so the planner was broadcasting the million-row INDEX side and
+    # streaming the doc table — raw join A/B'd 1.14 -> 0.32 s).
+    # An r8 experiment replaced the 4×-derived DISTINCT(src, g)
+    # relation with one collect_set-per-shingle + higher-order-function
+    # pair generator: row-identical and ~even at sf0.1, but a measured
+    # 10× REGRESSION (5.4 -> 23.9 s min at the 10× probe scale — the
+    # interpreted per-element lambda over every shingle's source set
+    # loses badly to the codegen'd self-join). The self-join form
+    # stands; Spark's ReuseExchange already shares the distinct
+    # aggregate's exchange between the self-join sides.
+    bc_d = "/*+ BROADCAST(d) */ " if dialect == "spark" else ""
     return f"""
 WITH {prefix},
 ssh AS (
-  SELECT DISTINCT d.source AS src, v.g
+  SELECT {bc_d}DISTINCT d.source AS src, v.g
   FROM inv v JOIN {table} d ON d.doc_id = v.doc_id
 ),
 ssizes AS (SELECT src, COUNT(*) AS n FROM ssh GROUP BY src),
