@@ -490,7 +490,17 @@ def _inv_uncapped(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
 
 def q19_ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram shingle Jaccard near-dup pairs via inverted-index join."""
+    """3-gram shingle Jaccard near-dup pairs via inverted-index join.
+
+    Probe bound (r8, 2.6x at 10x): the co-occurrence join's pair
+    volume is Σ_g C(df_g, 2), capped by DEDUP_MAX_DF at ≤ cap·|inv| —
+    LINEAR in corpus size once the cap bites (this synthetic corpus's
+    ~40-word vocabulary makes df grow with N until then; a Zipfian
+    corpus's tail df stays O(1)). An r8 experiment replaced the
+    self-join with a per-shingle collect_set + pair-generator — the
+    interpreted lambda lost to this codegen'd join at BOTH scales
+    (measured 1.41 vs 1.62 s sf0.1; the q262 variant of the same idea
+    regressed 4.5x at 10x), so the join form stands."""
     return spark.sql(
         fn_dedup.ngram_jaccard_sql("spark", inv_tables=_inv(spark, sf_dir))
     )
