@@ -2439,9 +2439,19 @@ def q211_grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     both join sides): candidate pairs are bounded by 9*cells*cap^2 —
     constant under densification — and thinned points surface with
     profiled = FALSE. The cap is deterministic, so the capped answer
-    is itself exact cross-engine semantics."""
+    is itself exact cross-engine semantics.
+
+    The participant relation (per-cell cap rank) is materialized once
+    and referenced three times by the join text — Spark's CTE inlining
+    otherwise re-ran the rank window per reference (r8, guide §2.4)."""
     c = _view(spark, sf_dir, "customer", "q211")
-    return spark.sql(fn_spatial.grid_neighbors_sql("spark", customer=c))
+    parts = fn_dedup.materialize(
+        spark.sql(fn_spatial.grid_parts_sql("spark", customer=c))
+    )
+    parts.createOrReplaceTempView("__q211_parts")
+    return spark.sql(fn_spatial.grid_neighbors_sql(
+        "spark", customer=c, parts_table="__q211_parts"
+    ))
 
 
 def q212_partial_update(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3653,10 +3663,10 @@ def q120_rare_bigram_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM rarity filter (the perplexity-filter decision as an
     integer rank statistic) over the shared cached token-hash
     relation."""
-    th = fn_dedup.tokhash_view(
+    bg = fn_dedup.bigram_rows_view(
         spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
-    return spark.sql(fn_curation.rare_bigram_sql("spark", th_table=th))
+    return spark.sql(fn_curation.rare_bigram_sql("spark", bg_table=bg))
 
 
 def q121_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3805,7 +3815,14 @@ def q129_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT t AS token FROM (SELECT {p_tokens('text', 'spark')} AS toks "
         f"FROM {d}) LATERAL VIEW explode(toks) _x AS t"
     )
-    return fn_sk.heavy_hitters(toks)
+    # n_total from the tokenize-once token-hash artifact (one row per
+    # token occurrence, same tokenizer): the stream count is layout-
+    # independent, so this replaces a third full tokenize pass.
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    total = spark.table(th).agg(F.count(F.lit(1)).alias("n_total"))
+    return fn_sk.heavy_hitters(toks, total=total)
 
 
 def q130_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4587,7 +4604,18 @@ def q201_group_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{p_tokens('text', 'spark')} AS toks FROM {d}) "
         "LATERAL VIEW explode(toks) _x AS t"
     )
-    return fn_sk.heavy_hitters_by_group(toks, "lang")
+    # per-lang totals off the tokenize-once artifact (occurrence rows
+    # ⋈ broadcast doc langs): replaces a third full tokenize pass.
+    th = fn_dedup.tokhash_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    totals = (
+        spark.table(th)
+        .join(F.broadcast(_t(spark, sf_dir, "documents")
+                          .select("doc_id", "lang")), "doc_id")
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n_group"))
+    )
+    return fn_sk.heavy_hitters_by_group(toks, "lang", totals=totals)
 
 
 def q202_timeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -335,6 +335,7 @@ def rare_bigram_sql(
     dialect: str,
     table: str = "documents",
     th_table: str | None = None,
+    bg_table: str | None = None,
 ) -> str:
     """Statistical language-model filter without the float hazard of a
     perplexity score: train a corpus bigram table (counts over adjacent
@@ -352,11 +353,27 @@ def rare_bigram_sql(
     token-hash relation). Shape: the corpus bigram table is one hash
     aggregate on g; scoring joins occurrences back on g — at 100 TB the
     count table is vocabulary²-bounded (in practice Zipf-small) and the
-    join is the standard shuffle-on-hash-key; no window, no sort."""
-    from .dedup import shingle_cte
+    join is the standard shuffle-on-hash-key; no window, no sort.
 
+    ``bg_table`` (Spark side, r8 guide §2.4): ``shrows`` is referenced
+    twice (train + score) and Spark inlines CTEs, so the lead()-window
+    shingle chain over the token index ran twice. At n=2 the shingle
+    hash is a pure projection of the cached bigram-occurrence artifact
+    (g = (a·SH_A + b) mod P, by the Horner definition; the artifact
+    already carries exactly the b-IS-NOT-NULL rows), so both references
+    become cheap scans of the in-memory relation — zero windows.
+    Oracle keeps the self-contained chain."""
+    from .dedup import SH_A, shingle_cte
+    from .portable import HASH_P
+
+    if bg_table is not None and dialect == "spark":
+        shingle_src = (
+            f"WITH shrows AS (SELECT doc_id, (a * {SH_A} + b) % {HASH_P} "
+            f"AS g FROM {bg_table})")
+    else:
+        shingle_src = f"WITH {shingle_cte(dialect, table, 2, th_table)}"
     return f"""
-WITH {shingle_cte(dialect, table, 2, th_table)},
+{shingle_src},
 bg AS (SELECT g, COUNT(*) AS cnt FROM shrows WHERE g IS NOT NULL GROUP BY g),
 bstats AS (
   SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n_distinct,
@@ -751,8 +768,18 @@ def dq_audit_sql(
     Scale: referential checks are left joins with the dimension on the
     build side (customer/nation broadcast-sized relative to facts;
     orders⋈lineitem shuffles on the join key); the duplicate-key rule
-    is one hash-agg. All-integer output, engine-identical."""
-    return f"""
+    is one hash-agg. All-integer output, engine-identical.
+
+    Dialect split (r8, guide §2.4): Spark INLINES deterministic CTEs,
+    so the original UNION-ALL tail (3 references each to ``li``/``ord``)
+    re-ran the lineitem⋈orders audit join three times — 35 relation
+    scans / 52 Exchanges in the captured plan. The Spark text instead
+    derives each fused aggregate ONCE (each CTE single-referenced, so
+    inlining is harmless), cross-joins the four 1-row relations, and
+    unpivots with ``stack`` — row-identical output, 1 scan per fact
+    table. DuckDB keeps the UNION-ALL form (it materializes CTEs
+    natively, so the multi-reference is free there)."""
+    ctes = f"""
 WITH li AS (
   SELECT COUNT(*) AS n,
          SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS orphan,
@@ -777,7 +804,36 @@ pdup AS (
   SELECT COUNT(*) AS n,
          SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dups
   FROM (SELECT p_partkey, COUNT(*) AS cnt FROM {part} GROUP BY p_partkey) g
+)"""
+    if dialect == "spark":
+        return f"""
+WITH {ctes.strip().removeprefix("WITH ").rstrip()}
+SELECT rule, violations, n_checked
+FROM (
+  SELECT stack(8,
+    'customer_orphan_nationkey', CAST(cust.orphan AS BIGINT),
+        CAST(cust.n AS BIGINT),
+    'lineitem_ships_within_90d', CAST(li.late AS BIGINT),
+        CAST(li.n AS BIGINT),
+    'lineitem_nonpositive_qty', CAST(li.negqty AS BIGINT),
+        CAST(li.n AS BIGINT),
+    'lineitem_orphan_orderkey', CAST(li.orphan AS BIGINT),
+        CAST(li.n AS BIGINT),
+    'orders_nonpositive_totalprice', CAST(ord.nonpos AS BIGINT),
+        CAST(ord.n AS BIGINT),
+    'orders_null_key', CAST(ord.nullkey AS BIGINT),
+        CAST(ord.n AS BIGINT),
+    'orders_orphan_custkey', CAST(ord.orphan AS BIGINT),
+        CAST(ord.n AS BIGINT),
+    'part_duplicate_pkey', CAST(pdup.dups AS BIGINT),
+        CAST(pdup.n AS BIGINT)
+  ) AS (rule, violations, n_checked)
+  FROM li CROSS JOIN ord CROSS JOIN cust CROSS JOIN pdup
 )
+ORDER BY rule
+"""
+    return f"""
+{ctes.strip()}
 SELECT 'customer_orphan_nationkey' AS rule,
        CAST(cust.orphan AS BIGINT) AS violations,
        CAST(cust.n AS BIGINT) AS n_checked FROM cust

@@ -159,16 +159,45 @@ def chi2_tokens_sql(
     worst-case token. Both engines run ANSI decimal arithmetic here, so
     exceeding the envelope ERRORS identically (never silently wraps);
     past it, shard the statistic per language/source (each shard has
-    its own N) or drop the ppm grid for a banded DOUBLE gate."""
+    its own N) or drop the ppm grid for a banded DOUBLE gate.
+
+    Dialect split (r8, guide §2.4): Spark INLINES deterministic CTEs,
+    so referencing ``pres`` twice (``a_tab`` + ``tcnt``) re-ran the
+    DISTINCT-presence aggregate over the whole token stream. Languages
+    PARTITION docs, so nt(h) = Σ_lang a(lang, h) exactly — the Spark
+    text derives nt with one integer window over the (lang×vocab)-sized
+    ``a_tab`` instead of a second token-stream pass + join. DuckDB
+    keeps the two-aggregate form (it materializes CTEs, so ``pres`` is
+    computed once there either way)."""
     div = ("floor(CAST(CAST(n AS DECIMAL(38,0)) * delta2 * 1000000 "
            "AS DOUBLE) / CAST(margins AS DOUBLE))")
-    return f"""
-WITH {_th(dialect, table, th_table)},
-docs AS (SELECT doc_id, lang FROM {table}),
-pres AS (SELECT DISTINCT doc_id, h FROM th),
-nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
-lcnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl FROM docs
-         GROUP BY lang),
+    if dialect == "spark":
+        chi_src = f"""
+a_tab AS (
+  SELECT d.lang, p.h, CAST(COUNT(*) AS BIGINT) AS a
+  FROM pres p JOIN docs d ON p.doc_id = d.doc_id
+  GROUP BY d.lang, p.h
+),
+awin AS (
+  SELECT lang, h, a,
+         CAST(SUM(a) OVER (PARTITION BY h) AS BIGINT) AS nt
+  FROM a_tab
+),
+chi AS (
+  SELECT t.lang, t.h,
+         {_chi2_delta2(dialect, nt="t.nt")} AS delta2,
+         CAST(t.nt AS DECIMAL(38,0))
+           * CAST(lc.nl AS DECIMAL(38,0))
+           * CAST(nn.n - t.nt AS DECIMAL(38,0))
+           * CAST(nn.n - lc.nl AS DECIMAL(38,0)) AS margins,
+         nn.n
+  FROM awin t
+  JOIN lcnt lc ON t.lang = lc.lang
+  CROSS JOIN nn
+  WHERE t.nt < nn.n AND lc.nl < nn.n
+),"""
+    else:
+        chi_src = f"""
 tcnt AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS nt FROM pres GROUP BY h),
 a_tab AS (
   SELECT d.lang, p.h, CAST(COUNT(*) AS BIGINT) AS a
@@ -188,7 +217,14 @@ chi AS (
   JOIN tcnt tc ON t.h = tc.h
   CROSS JOIN nn
   WHERE tc.nt < nn.n AND lc.nl < nn.n
-),
+),"""
+    return f"""
+WITH {_th(dialect, table, th_table)},
+docs AS (SELECT doc_id, lang FROM {table}),
+pres AS (SELECT DISTINCT doc_id, h FROM th),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+lcnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl FROM docs
+         GROUP BY lang),{chi_src}
 scored AS (
   SELECT lang, h, CAST({div} AS DECIMAL(38,0)) AS chi2_ppm
   FROM chi WHERE margins > 0
@@ -210,12 +246,14 @@ def _th(dialect: str, table: str, th_table: str | None) -> str:
     return th_cte(dialect, table, th_table)
 
 
-def _chi2_delta2(dialect: str) -> str:
+def _chi2_delta2(dialect: str, nt: str = "tc.nt") -> str:
     """(ad − bc)² in exact DECIMAL(38,0); a,b,c,d derived from the
     presence count and the margins: b = nt−a, c = nl−a,
-    d = n−nt−nl+a, so ad − bc = n·a − nt·nl."""
+    d = n−nt−nl+a, so ad − bc = n·a − nt·nl. ``nt`` names the
+    token-presence margin column (join column on DuckDB, window column
+    on Spark — same integer either way)."""
     diff = ("CAST(nn.n AS DECIMAL(38,0)) * CAST(t.a AS DECIMAL(38,0)) "
-            "- CAST(tc.nt AS DECIMAL(38,0)) * CAST(lc.nl AS DECIMAL(38,0))")
+            f"- CAST({nt} AS DECIMAL(38,0)) * CAST(lc.nl AS DECIMAL(38,0))")
     return f"(({diff}) * ({diff}))"
 
 

@@ -37,11 +37,16 @@ from pyspark.sql import functions as F
 HH_K = 50  # counters per partition / strict threshold divisor
 
 
-def _mg_partition(pdfs: Iterator[pd.DataFrame], k: int) -> Iterator[pd.DataFrame]:
-    """Misra-Gries summary of one partition's ``token`` stream."""
-    counters: dict[str, int] = {}
+def _mg_partition(
+    pdfs: Iterator[pd.DataFrame], k: int, col: str = "token"
+) -> Iterator[pd.DataFrame]:
+    """Misra-Gries summary of one partition's ``col`` stream (string
+    tokens or their int64 hash proxies — the algorithm only compares
+    keys for equality, so any injective-enough proxy works; see
+    :func:`heavy_hitters` for why hashing cannot lose a heavy hitter)."""
+    counters: dict = {}
     for pdf in pdfs:
-        for tok, cnt in pdf["token"].value_counts().items():
+        for tok, cnt in pdf[col].value_counts().items():
             if tok in counters:
                 counters[tok] += int(cnt)
             elif len(counters) < k - 1:
@@ -56,26 +61,51 @@ def _mg_partition(pdfs: Iterator[pd.DataFrame], k: int) -> Iterator[pd.DataFrame
                 rem = int(cnt) - dec
                 if rem > 0 and len(counters) < k - 1:
                     counters[tok] = rem
-    yield pd.DataFrame({"token": list(counters)})
+    yield pd.DataFrame({col: pd.Series(list(counters), dtype="int64")
+                        if col == "hh" else list(counters)})
 
 
-def heavy_hitters(tokens: DataFrame, k: int = HH_K) -> DataFrame:
+def heavy_hitters(
+    tokens: DataFrame, k: int = HH_K, total: DataFrame | None = None
+) -> DataFrame:
     """Exact heavy hitters (frequency · k > total) via the two-pass
     MG pattern. ``tokens`` must have a ``token`` string column.
 
     Returns (token, freq, n_total) for every true heavy hitter,
-    deterministically, without a full global aggregate."""
+    deterministically, without a full global aggregate.
+
+    r8 (guide §4.1/§2.3): the sketch pass streams ``xxhash64(token)``
+    int64s through Arrow instead of the token strings — the JVM hashes
+    natively, the Python boundary carries 8 bytes/row, and the MG dict
+    keys are ints. Hashing cannot drop a true heavy hitter: freq(h(t))
+    ≥ freq(t), so every string whose frequency clears the n/k bar has
+    a hash that clears it too and survives the partition summaries
+    (collisions only WIDEN the candidate superset). The verify pass
+    joins on the same JVM-computed hash and counts exact token STRINGS,
+    so false candidates (collisions included) are filtered exactly —
+    the gated output is unchanged on any layout.
+
+    ``total``: optional 1-row (n_total BIGINT) relation. The stream
+    cardinality is layout-independent, so callers that already maintain
+    the tokenize-once token-hash artifact pass COUNT(*) of it instead
+    of paying a third tokenize pass here (q129: same tokenizer as the
+    artifact, an equality every artifact-consumer gate hash-verifies)."""
+    hashed = tokens.select(F.xxhash64("token").alias("hh"))
     cand = (
-        tokens.select("token")
-        .mapInPandas(lambda it: _mg_partition(it, k), "token string")
+        hashed
+        .mapInPandas(lambda it: _mg_partition(it, k, "hh"), "hh long")
         .distinct()
     )
     verified = (
-        tokens.join(F.broadcast(cand), "token")
+        tokens.withColumn("hh", F.xxhash64("token"))
+        .join(F.broadcast(cand), "hh")
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
     )
-    total = tokens.select(F.count("*").alias("n_total"))
+    if total is None:
+        total = tokens.select(F.count("*").alias("n_total"))
+    else:
+        total = total.select(F.col(total.columns[0]).alias("n_total"))
     return (
         verified.crossJoin(F.broadcast(total))
         .filter(F.col("freq") * k > F.col("n_total"))
@@ -115,9 +145,9 @@ def _mg_partition_grouped(
     GROUP — k-1 counters per group inside a single task, so a hot group
     never forces per-group partitioning (the groupBy.applyInPandas
     formulation would funnel each group through one task)."""
-    counters: dict[str, dict[str, int]] = {}
+    counters: dict[str, dict[int, int]] = {}
     for pdf in pdfs:
-        for (g, tok), cnt in pdf.groupby(["grp", "token"]).size().items():
+        for (g, tok), cnt in pdf.groupby(["grp", "hh"]).size().items():
             c = counters.setdefault(g, {})
             if tok in c:
                 c[tok] += int(cnt)
@@ -132,12 +162,14 @@ def _mg_partition_grouped(
                 counters[g] = c2
     yield pd.DataFrame(
         {"grp": [g for g, c in counters.items() for _ in c],
-         "token": [t for c in counters.values() for t in c]}
+         "hh": pd.Series(
+             [t for c in counters.values() for t in c], dtype="int64")}
     )
 
 
 def heavy_hitters_by_group(
-    tokens: DataFrame, group_col: str, k: int = HH_K
+    tokens: DataFrame, group_col: str, k: int = HH_K,
+    totals: DataFrame | None = None,
 ) -> DataFrame:
     """Exact PER-GROUP heavy hitters (freq · k > group total) via the
     same two-pass MG pattern as :func:`heavy_hitters`: per-partition
@@ -145,20 +177,34 @@ def heavy_hitters_by_group(
     frequency above total/k survives that partition's summary, so the
     union covers every global per-group heavy hitter), then one exact
     verify pass restricted to candidates. ``tokens`` needs
-    (group_col, token) columns."""
+    (group_col, token) columns.
+
+    Sketch pass streams (grp, xxhash64(token)) — see
+    :func:`heavy_hitters` for the hash-proxy superset argument; the
+    verify join keys on (grp, hash) and counts exact strings.
+    ``totals``: optional (group_col, n_group) relation from a caller
+    that already maintains the tokenize-once artifact — saves the
+    third tokenize pass; per-group stream counts are layout-free."""
     src = tokens.select(F.col(group_col).alias("grp"), "token")
     cand = (
-        src.mapInPandas(
+        src.select("grp", F.xxhash64("token").alias("hh"))
+        .mapInPandas(
             lambda it: _mg_partition_grouped(it, k),
-            "grp string, token string",
+            "grp string, hh long",
         ).distinct()
     )
     verified = (
-        src.join(F.broadcast(cand), ["grp", "token"])
+        src.withColumn("hh", F.xxhash64("token"))
+        .join(F.broadcast(cand), ["grp", "hh"])
         .groupBy("grp", "token")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    totals = src.groupBy("grp").agg(F.count(F.lit(1)).alias("n_group"))
+    if totals is None:
+        totals = src.groupBy("grp").agg(F.count(F.lit(1)).alias("n_group"))
+    else:
+        totals = totals.select(
+            F.col(totals.columns[0]).alias("grp"),
+            F.col(totals.columns[1]).alias("n_group"))
     return (
         verified.join(F.broadcast(totals), "grp")
         .filter(F.col("freq") * k > F.col("n_group"))

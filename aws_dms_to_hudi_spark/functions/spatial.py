@@ -56,8 +56,42 @@ _AX, _AY = 48_271, 69_621  # Lehmer multipliers (Park-Miller family)
 CELL_CAP = 8
 
 
-def grid_neighbors_sql(
+def grid_parts_sql(
     dialect: str, customer: str = "customer", cell_cap: int | None = CELL_CAP
+) -> str:
+    """The participant relation of :func:`grid_neighbors_sql` alone:
+    (id, x, y, cx, cy) after the per-cell cap rank. Spark consumers
+    materialize this ONCE and pass it back as ``parts_table`` — the
+    neighbor-join text references ``parts`` three times (probe side,
+    build side, profiled-flag join) and Spark inlines CTEs, so the
+    rank window otherwise runs three times (r8, guide §2.4)."""
+    from . import portable as P
+
+    div = lambda a, b: P.int_div(a, b, dialect)  # noqa: E731
+    if cell_cap is None:
+        rank = "SELECT id, x, y, cx, cy FROM cells"
+    else:
+        rank = f"""SELECT id, x, y, cx, cy FROM (
+    SELECT id, x, y, cx, cy,
+           row_number() OVER (PARTITION BY cx, cy ORDER BY id) AS rn
+    FROM cells
+  ) rc WHERE rn <= {int(cell_cap)}"""
+    return f"""
+WITH pts AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CAST((c_custkey * {_AX}) % {SPAN} AS BIGINT) AS x,
+         CAST((c_custkey * {_AY}) % {SPAN} AS BIGINT) AS y
+  FROM {customer}
+),
+cells AS (
+  SELECT id, x, y, {div("x", GRID)} AS cx, {div("y", GRID)} AS cy FROM pts
+)
+{rank}"""
+
+
+def grid_neighbors_sql(
+    dialect: str, customer: str = "customer", cell_cap: int | None = CELL_CAP,
+    parts_table: str | None = None,
 ) -> str:
     """Per-point neighbor count + deterministic nearest neighbor within
     ``RADIUS``, via the 3x3 grid-bucket candidate join.
@@ -71,7 +105,12 @@ def grid_neighbors_sql(
     global window. Points with no neighbor in range surface with
     n_neighbors = 0 and NULL nearest (LEFT JOIN back to the full point
     set), so the empty-neighborhood path is part of the contract;
-    thinned points additionally carry profiled = FALSE."""
+    thinned points additionally carry profiled = FALSE.
+
+    ``parts_table``: a pre-materialized :func:`grid_parts_sql` relation
+    (Spark side) — the text references ``parts`` three times, so
+    passing it avoids re-running the cap-rank window per reference;
+    rows are identical by construction."""
     from . import portable as P
 
     div = lambda a, b: P.int_div(a, b, dialect)  # noqa: E731
@@ -85,7 +124,9 @@ def grid_neighbors_sql(
             "CROSS JOIN (VALUES (-1), (0), (1)) AS ox(dx) "
             "CROSS JOIN (VALUES (-1), (0), (1)) AS oy(dy)"
         )
-    if cell_cap is None:
+    if parts_table is not None:
+        parts_cte = f"parts AS (SELECT id, x, y, cx, cy FROM {parts_table})"
+    elif cell_cap is None:
         parts_cte = "parts AS (SELECT id, x, y, cx, cy FROM cells)"
     else:
         parts_cte = f"""parts AS (
