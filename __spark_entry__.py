@@ -2900,9 +2900,16 @@ def q181_ppmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Church & Hanks association): window-2 position self-join (fan-out
     ≤ 2 per token, co-partitioned on doc_id with the explode — never
     token × token), exact integer pair/unigram/total counts, one ln
-    per reported pair. The phrase-detection / embedding-prep step."""
+    per reported pair. The phrase-detection / embedding-prep step.
+    Token rows come off the session-cached token-string artifact —
+    the text references them three times (r8, guide §2.4)."""
     v = _view(spark, sf_dir, "documents", "q181")
-    return spark.sql(fn_curation.ppmi_pairs_sql("spark", table=v))
+    tr = fn_dedup.token_rows_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
+    return spark.sql(
+        fn_curation.ppmi_pairs_sql("spark", table=v, tok_table=tr)
+    )
 
 
 def q182_canonical_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3808,16 +3815,13 @@ def q129_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     global item with freq·k > n, then one exact verification pass — the
     gated output is the TRUE heavy-hitter set on any cluster layout
     (functions/sketches.py)."""
-    from aws_dms_to_hudi_spark.functions.portable import tokens as p_tokens
-
-    d = _view(spark, sf_dir, "documents", "q129")
-    toks = spark.sql(
-        f"SELECT t AS token FROM (SELECT {p_tokens('text', 'spark')} AS toks "
-        f"FROM {d}) LATERAL VIEW explode(toks) _x AS t"
+    # token occurrences off the session-cached token-string artifact
+    # (sketch + verify each scan it in memory instead of re-running
+    # the regex tokenize per pass); n_total from the token-hash twin.
+    tr = fn_dedup.token_rows_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
-    # n_total from the tokenize-once token-hash artifact (one row per
-    # token occurrence, same tokenizer): the stream count is layout-
-    # independent, so this replaces a third full tokenize pass.
+    toks = spark.table(tr).select(F.col("t").alias("token"))
     th = fn_dedup.tokhash_view(
         spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
@@ -4596,23 +4600,22 @@ def q201_group_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch — a hot language never funnels one task the way a grouped
     applyInPandas would — then one exact verify pass over candidates;
     gated set = the true per-group heavy hitters on any layout."""
-    from aws_dms_to_hudi_spark.functions.portable import tokens as p_tokens
-
-    d = _view(spark, sf_dir, "documents", "q201")
-    toks = spark.sql(
-        f"SELECT lang, t AS token FROM (SELECT lang, "
-        f"{p_tokens('text', 'spark')} AS toks FROM {d}) "
-        "LATERAL VIEW explode(toks) _x AS t"
+    # token occurrences off the session-cached token-string artifact
+    # (⋈ broadcast doc langs); per-lang totals off the token-hash twin
+    # — no regex tokenize anywhere in the gate's own passes.
+    tr = fn_dedup.token_rows_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
-    # per-lang totals off the tokenize-once artifact (occurrence rows
-    # ⋈ broadcast doc langs): replaces a third full tokenize pass.
+    langs = F.broadcast(_t(spark, sf_dir, "documents")
+                        .select("doc_id", "lang"))
+    toks = (spark.table(tr).join(langs, "doc_id")
+            .select("lang", F.col("t").alias("token")))
     th = fn_dedup.tokhash_view(
         spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
     totals = (
         spark.table(th)
-        .join(F.broadcast(_t(spark, sf_dir, "documents")
-                          .select("doc_id", "lang")), "doc_id")
+        .join(langs, "doc_id")
         .groupBy("lang").agg(F.count(F.lit(1)).alias("n_group"))
     )
     return fn_sk.heavy_hitters_by_group(toks, "lang", totals=totals)

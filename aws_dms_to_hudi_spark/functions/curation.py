@@ -601,7 +601,9 @@ PMI_MIN_PAIRS = 5  # noise floor for reported pairs
 PMI_TOP_K = 30
 
 
-def ppmi_pairs_sql(dialect: str, table: str = "documents") -> str:
+def ppmi_pairs_sql(
+    dialect: str, table: str = "documents", tok_table: str | None = None
+) -> str:
     """Positive PMI token co-occurrence (the word2vec/GloVe-era PPMI
     matrix; Church & Hanks association scores): pairs of tokens within
     ``PMI_WINDOW`` positions in a document, scored by
@@ -618,14 +620,25 @@ def ppmi_pairs_sql(dialect: str, table: str = "documents") -> str:
     (join on doc_id + bounded position offset — never token × token),
     unigram counts are one hash-agg, and the final join attaches two
     broadcast-sized marginal relations. At 100 TB the position join
-    shuffles on doc_id, i.e. stays co-partitioned with the explode."""
+    shuffles on doc_id, i.e. stays co-partitioned with the explode.
+
+    ``tok_table`` (Spark side, r8 guide §2.4): ``tok`` is referenced
+    three times (unigram counts + BOTH sides of the position
+    self-join) and Spark inlines CTEs, so the tokenize+posexplode ran
+    three times. Callers materialize the (doc_id, pos, t) relation once
+    and pass the view; every reference becomes an in-memory scan.
+    Oracle keeps the self-contained chain (DuckDB materializes CTEs)."""
     from .dedup import _posexplode
 
     toks = P.tokens("text", dialect)
-    rows = _posexplode(
-        dialect, "doc_id", f"(SELECT doc_id, {toks} AS toks FROM {table}) s",
-        "toks", "pos", "t"
-    )
+    if tok_table is not None and dialect == "spark":
+        rows = f"SELECT doc_id, pos, t FROM {tok_table}"
+    else:
+        rows = _posexplode(
+            dialect, "doc_id",
+            f"(SELECT doc_id, {toks} AS toks FROM {table}) s",
+            "toks", "pos", "t"
+        )
     arg = (
         "(CAST(pc.n AS DOUBLE) * CAST(nt.n AS DOUBLE) * CAST(nt.n AS DOUBLE))"
         " / (CAST(pt.n AS DOUBLE) * CAST(ua.n AS DOUBLE)"

@@ -1073,6 +1073,47 @@ def tokhash_view(spark, docs, cache_key: str, tag: str = "tokhash") -> str:
         return view
 
 
+_TOKROWS_CACHE: dict[tuple, str] = {}
+
+
+def token_rows_view(spark, docs, cache_key: str) -> str:
+    """Register (and persist) the ``(doc_id, pos, t)`` token-STRING
+    relation for ``docs`` — the string twin of :func:`tokhash_view`,
+    for operators whose OUTPUT carries token text (heavy hitters q129/
+    q201, PPMI q181): their texts reference the token stream 2-3 times
+    (sketch + verify, or unigrams + both self-join sides) and Spark
+    inlines CTEs, so each reference re-ran the regex tokenize+explode.
+    Built once per (session, corpus) with the same normalize/split as
+    ``P.tokens`` (so counts and strings agree with the hash artifact),
+    repartitioned by doc_id like its twin, and materialized so every
+    consumer carries a tiny plan. At 100 TB this is the tokenized-
+    corpus relation an LM-data pipeline persists beside its token-hash
+    index (r8, guide §2.4)."""
+    from . import portable as P
+
+    key = (id(spark), cache_key)
+    with _TOKHASH_LOCK:
+        cached = _TOKROWS_CACHE.get(key)
+        if cached is not None:
+            return cached
+        tmp = f"__tokrows_src_{abs(hash(key)) % 10**8}"
+        docs.createOrReplaceTempView(tmp)
+        rows = _posexplode(
+            "spark", "doc_id",
+            f"(SELECT doc_id, {P.tokens('text', 'spark')} AS toks "
+            f"FROM {tmp}) s",
+            "toks", "pos", "t",
+        )
+        df = materialize(
+            spark.sql(rows)
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        )
+        view = f"__tokrows_{abs(hash(key)) % 10**8}"
+        df.createOrReplaceTempView(view)
+        _TOKROWS_CACHE[key] = view
+        return view
+
+
 def minhash_pairs_view(spark, docs, cache_key: str) -> str:
     """Register (and persist) the verified MinHash-LSH near-dup PAIRS
     ``(doc_a, doc_b, jaccard)`` — the artifact both the pair listing
