@@ -102,6 +102,7 @@ PROBE_QUERIES = [
     "q208_schema_evolution", "q212_partial_update",
     "q222_insert_overwrite", "q214_target_encoding",
     "q215_chi2_feature_selection", "q216_seasonal_anomaly",
+    "q183_dq_audit",  # r8: stack-unpivot rewrite — probe the new shape
     "q217_quantile_normalization", "q221_leakage_safe_split",
     # r5: metadata-index storage services (col-stats pruned read, RLI
     # point lookup, CDC-image read, OCC rebase, WAP — all replay-fixture
