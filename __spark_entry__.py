@@ -3113,11 +3113,13 @@ def q195_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     'fast scan'. The query hash derives in-SQL from a 1-row literal
     relation through the same tokenizer/rolling-hash/Horner chain as
     the corpus, then broadcast-joins the positional shingle relation —
-    an index lookup against the shared tokenize-once artifact."""
-    th = fn_dedup.tokhash_view(
+    an index lookup against the shared tokenize-once artifact (the
+    2-word corpus side is a projection of the cached bigram rows —
+    no window; r8, guide §2.4)."""
+    bg = fn_dedup.bigram_rows_view(
         spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
-    return spark.sql(fn_dedup.phrase_search_sql("spark", th_table=th))
+    return spark.sql(fn_dedup.phrase_search_sql("spark", bg_table=bg))
 
 
 def q84_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -598,6 +598,7 @@ def phrase_search_sql(
     table: str = "documents",
     phrase: str = "fast scan",
     th_table: str | None = None,
+    bg_table: str | None = None,
 ) -> str:
     """Exact phrase search over the positional shingle index: every
     (doc_id, pos) where the query phrase occurs verbatim. The phrase's
@@ -609,7 +610,13 @@ def phrase_search_sql(
     with the positional shingle relation materialized (the tokhash
     artifact), a phrase query is one broadcast join of a 1-row hash
     against the index — an index lookup, not a scan of text. N = the
-    phrase's word count, so one operator covers any phrase length."""
+    phrase's word count, so one operator covers any phrase length.
+
+    ``bg_table`` (Spark side, r8 guide §2.4): for a 2-word phrase the
+    positional shingle hash is a pure projection of the cached
+    bigram-occurrence artifact (g = (a·SH_A + b) mod P, pos carried by
+    the artifact), so the corpus side needs no window at all; longer
+    phrases keep the lead()-window chain."""
     import re as _re
 
     words = phrase.split()
@@ -626,12 +633,19 @@ def phrase_search_sql(
     for k in range(1, n):
         g = f"(({g}) * {SH_A} + lead(h, {k}) OVER w) % {P.HASH_P}"
         pg = f"(({pg}) * {SH_A} + lead(h, {k}) OVER w) % {P.HASH_P}"
-    return f"""
+    if bg_table is not None and dialect == "spark" and n == 2:
+        corpus_side = f"""
+WITH shp AS (
+  SELECT doc_id, pos, (a * {SH_A} + b) % {P.HASH_P} AS g FROM {bg_table}
+),"""
+    else:
+        corpus_side = f"""
 WITH {th_cte(dialect, table, th_table)},
 shp AS (
   SELECT doc_id, pos, {g} AS g FROM th
   WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-),
+),"""
+    return f"""{corpus_side}
 {ph_body},
 pgr AS (
   SELECT pos, {pg} AS g FROM pth
@@ -1192,9 +1206,13 @@ def bigram_rows_view(spark, docs, cache_key: str) -> str:
         if cached is not None:
             return cached
     th = tokhash_view(spark, docs, cache_key)
+    # pos rides along (r8): the positional n=2 shingle hash is a pure
+    # projection of (a, b), so the phrase-search index lookup (q195)
+    # reads this relation instead of re-running the lead() window.
     sql = f"""
-SELECT doc_id, a, b FROM (
-  SELECT doc_id, h AS a, lead(h) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+SELECT doc_id, pos, a, b FROM (
+  SELECT doc_id, pos, h AS a,
+         lead(h) OVER (PARTITION BY doc_id ORDER BY pos) AS b
   FROM {th}
 ) WHERE b IS NOT NULL"""
     with _TOKHASH_LOCK:
