@@ -317,13 +317,16 @@ def _encoded_symbols(spark, docs_view, merges, rounds=BPE_ROUNDS,
     with _ENC_LOCK:
         if cache_key is not None and key in _ENC_CACHE:
             return _ENC_CACHE[key]
+        art = "bpe_encoded" if cache_key is not None else None
         sym = materialize(
-            spark.sql(symbols0_sql("spark", docs_view, sample=False))
+            spark.sql(symbols0_sql("spark", docs_view, sample=False)),
+            artifact=art,
         )
         for i, batch in enumerate(plan_merge_batches(merges, rounds)):
             view = f"__bpe_enc_{i}"
             sym.createOrReplaceTempView(view)
-            sym = materialize(spark.sql(merge_batch_sql(view, batch)))
+            sym = materialize(spark.sql(merge_batch_sql(view, batch)),
+                              artifact=art)
         if cache_key is not None:
             _ENC_CACHE[key] = sym
         return sym

@@ -414,18 +414,19 @@ def copurchase_edges(spark, lineitem: str, cache_key: str | None = None):
     with _EDGE_LOCK:
         if cache_key is not None and key in _EDGE_CACHE:
             return _EDGE_CACHE[key]
+        art = "copurchase_edges" if cache_key is not None else None
         items = materialize(
             spark.table(lineitem)
             .select(F.col("l_orderkey").alias("ok"),
                     F.col("l_partkey").alias("pk"))
-            .distinct())
+            .distinct(), artifact=art)
         edges = materialize(
             items.alias("a")
             .join(items.alias("b"),
                   [F.col("a.ok") == F.col("b.ok"),
                    F.col("a.pk") < F.col("b.pk")])
             .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
-            .distinct())
+            .distinct(), artifact=art)
         if cache_key is not None:
             _EDGE_CACHE[key] = edges
         return edges
@@ -1143,7 +1144,9 @@ def cc_labels(spark, pairs_df, cache_key: str | None = None,
                     f"{schema_fp}) — pass a distinct tag per pair source"
                 )
             return labels
-        labels = materialize(connected_components_star(pairs_df))
+        labels = materialize(
+            connected_components_star(pairs_df),
+            artifact="cc_labels" if cache_key is not None else None)
         if cache_key is not None:
             _CC_CACHE[key] = (labels, schema_fp)
         return labels
@@ -1165,13 +1168,14 @@ def copurchase_sym_deg(spark, lineitem: str, cache_key: str | None = None):
         if cache_key is not None and key in _SYMDEG_CACHE:
             return _SYMDEG_CACHE[key]
     edges = copurchase_edges(spark, lineitem, cache_key)
+    art = "copurchase_sym_deg" if cache_key is not None else None
     sym = materialize(
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(edges.select(F.col("v").alias("src"),
-                               F.col("u").alias("dst"))))
+                               F.col("u").alias("dst"))), artifact=art)
     deg = materialize(
         sym.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).alias("d")))
+        .agg(F.count(F.lit(1)).alias("d")), artifact=art)
     with _EDGE_LOCK:
         if cache_key is not None:
             _SYMDEG_CACHE[key] = (sym, deg)
@@ -1238,11 +1242,12 @@ def oriented_adj(spark, lineitem: str, cache_key: str | None = None):
     with _EDGE_LOCK:
         if cache_key is not None and key in _ADJ_CACHE:
             return _ADJ_CACHE[key]
+    art = "oriented_adj" if cache_key is not None else None
     edges = copurchase_edges(spark, lineitem, cache_key)
     deg = materialize(
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("d")), artifact=art)
     lower = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
     oriented = (
@@ -1255,7 +1260,7 @@ def oriented_adj(spark, lineitem: str, cache_key: str | None = None):
                 F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t")))
     adj = materialize(
         oriented.groupBy("s").agg(
-            F.sort_array(F.collect_list("t")).alias("nb")))
+            F.sort_array(F.collect_list("t")).alias("nb")), artifact=art)
     out = (deg, oriented, adj)
     with _EDGE_LOCK:
         if cache_key is not None:
@@ -1447,7 +1452,8 @@ def lpa_labels(spark, lineitem: str, cache_key: str | None = None,
     view = f"__lpa_edges_{abs(hash(key)) % 10**8}"
     edges.createOrReplaceTempView(view)
     labels = materialize(
-        spark.sql(lpa_labels_sql("spark", rounds=rounds, edges_table=view)))
+        spark.sql(lpa_labels_sql("spark", rounds=rounds, edges_table=view)),
+        artifact="lpa_labels" if cache_key is not None else None)
     with _EDGE_LOCK:
         if cache_key is not None:
             _LPA_CACHE[key] = labels
@@ -1619,7 +1625,9 @@ def hyperanf(spark, lineitem: str, cache_key=None,
 
         def mk(name, sql_text):
             v = f"__anf_{name}_{tag}"
-            materialize(spark.sql(sql_text)).createOrReplaceTempView(v)
+            materialize(
+                spark.sql(sql_text), artifact="anf_registers"
+            ).createOrReplaceTempView(v)
             return v
 
         r0 = mk("r0", _anf_r0_sql("spark", dv))

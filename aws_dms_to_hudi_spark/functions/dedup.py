@@ -35,11 +35,14 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
+import contextlib
 import random
 import re
 import threading
 
 from . import portable as P
+
+_NULL_CM = contextlib.nullcontext()
 
 # MinHash permutation constants: h_j(x) = (a_j * x + b_j) mod P.
 # Fixed seed ⇒ stable across runs/engines; baked once at import.
@@ -1014,7 +1017,7 @@ def _batch_tokhash(texts) -> list:
     return [hashes[offs[i]: offs[i + 1]] for i in range(len(norms))]
 
 
-def materialize(df):
+def materialize(df, artifact: str | None = None):
     """Eagerly materialize a shared artifact and truncate its lineage.
 
     Uses RELIABLE ``checkpoint()`` (replicated to the configured
@@ -1026,11 +1029,20 @@ def materialize(df):
     executor loss == driver loss and replication buys nothing).
     Distributed deployments should call
     ``spark.sparkContext.setCheckpointDir(...)`` at session setup.
+
+    ``artifact``: when set, the build's wall time is attributed to
+    :mod:`aws_dms_to_hudi_spark.artifact_time` under that name — pass
+    it ONLY from session-cache-miss paths (one-time builds a min-of-N
+    bench would otherwise hide), never from per-call loop-state
+    materializations, which every timed run pays anyway.
     """
+    from .. import artifact_time
+
     sc = df.sparkSession.sparkContext
-    if sc._jsc.sc().checkpointDir().isDefined():
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint()
+    with artifact_time.building(artifact) if artifact else _NULL_CM:
+        if sc._jsc.sc().checkpointDir().isDefined():
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint()
 
 
 def tokhash_view(spark, docs, cache_key: str, tag: str = "tokhash") -> str:
@@ -1081,7 +1093,7 @@ def tokhash_view(spark, docs, cache_key: str, tag: str = "tokhash") -> str:
         # Materialized (not mere persist): truncates the logical plan to
         # a LogicalRDD so every consumer carries a tiny plan instead of
         # re-analyzing (and shipping) the whole derivation tree.
-        df = materialize(df)
+        df = materialize(df, artifact="tokhash")
         df.createOrReplaceTempView(view)
         _TOKHASH_CACHE[key] = view
         return view
@@ -1120,7 +1132,8 @@ def token_rows_view(spark, docs, cache_key: str) -> str:
         )
         df = materialize(
             spark.sql(rows)
-            .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+            .repartition(spark.sparkContext.defaultParallelism, "doc_id"),
+            artifact="tokrows",
         )
         view = f"__tokrows_{abs(hash(key)) % 10**8}"
         df.createOrReplaceTempView(view)
@@ -1148,7 +1161,7 @@ def minhash_pairs_view(spark, docs, cache_key: str) -> str:
         if cached is not None:
             return cached
         name = f"__mh_pairs_{abs(hash(key)) % 10**8}"
-        df = materialize(spark.sql(sql))  # eager + plan-truncating
+        df = materialize(spark.sql(sql), artifact="minhash_pairs")
         df.createOrReplaceTempView(name)
         _PAIRS_CACHE[key] = name
         return name
@@ -1183,7 +1196,7 @@ SELECT doc_id, pos, g FROM (
         if cached is not None:
             return cached
         name = f"__shpos{n}_{abs(hash(key)) % 10**8}"
-        df = materialize(spark.sql(sql))  # eager + plan-truncating
+        df = materialize(spark.sql(sql), artifact="shingle_pos")
         df.createOrReplaceTempView(name)
         _SHPOS_CACHE[key] = name
         return name
@@ -1220,7 +1233,7 @@ SELECT doc_id, pos, a, b FROM (
         if cached is not None:
             return cached
         name = f"__bigrams_{abs(hash(key)) % 10**8}"
-        df = materialize(spark.sql(sql))  # eager + plan-truncating
+        df = materialize(spark.sql(sql), artifact="bigram")
         df.createOrReplaceTempView(name)
         _BIGRAM_CACHE[key] = name
         return name
@@ -1246,7 +1259,7 @@ def simhash_view(spark, docs, cache_key: str) -> str:
         if cached is not None:
             return cached
         name = f"__simhash_{abs(hash(key)) % 10**8}"
-        df = materialize(spark.sql(sql))  # eager + plan-truncating
+        df = materialize(spark.sql(sql), artifact="simhash")
         df.createOrReplaceTempView(name)
         _SIMHASH_CACHE[key] = name
         return name
@@ -1279,11 +1292,12 @@ def inv_view(
         cached = _INV_CACHE.get(key)
         if cached is not None:
             return cached
-        inv_df = materialize(spark.sql(sql))  # eager + plan-truncating
+        inv_df = materialize(spark.sql(sql), artifact="inv")
         inv_df.createOrReplaceTempView(inv_name)
         sizes_df = materialize(
             spark.table(inv_name).groupBy("doc_id").count()
-            .withColumnRenamed("count", "n")
+            .withColumnRenamed("count", "n"),
+            artifact="inv",
         )
         sizes_df.createOrReplaceTempView(sizes_name)
         _INV_CACHE[key] = (inv_name, sizes_name)

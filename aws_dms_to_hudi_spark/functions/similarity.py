@@ -1191,10 +1191,12 @@ def pq_adc(spark, table: str, num_queries: int = 5, k: int = 3):
         views = _PQ_CACHE.get(key)
         if views is None:
             tag = abs(hash(key)) % 10**8
-            iv = materialize(spark.sql(_pq_iv_sql("spark", table)))
+            iv = materialize(spark.sql(_pq_iv_sql("spark", table)),
+                             artifact="pq_codebook")
             ivv = f"__pq_iv_{tag}"
             iv.createOrReplaceTempView(ivv)
-            c1 = materialize(spark.sql(_pq_c1_sql("spark", ivv)))
+            c1 = materialize(spark.sql(_pq_c1_sql("spark", ivv)),
+                             artifact="pq_codebook")
             c1v = f"__pq_c1_{tag}"
             c1.createOrReplaceTempView(c1v)
             views = (ivv, c1v)
@@ -1643,7 +1645,9 @@ def ivfpq(spark, table: str, num_queries: int = 5, k: int = 3):
 
             def mk(name, sql_text):
                 v = f"__ivfpq_{name}_{tag}"
-                materialize(spark.sql(sql_text)).createOrReplaceTempView(v)
+                materialize(
+                    spark.sql(sql_text), artifact="ivfpq_index"
+                ).createOrReplaceTempView(v)
                 return v
 
             ivv = mk("iv", _pq_iv_sql("spark", table))
@@ -1778,7 +1782,9 @@ def kcenter(spark, table: str, cache_key, k: int = KC_K):
 
         def mk(name, sql_text):
             v = f"__kc_{name}_{tag}"
-            materialize(spark.sql(sql_text)).createOrReplaceTempView(v)
+            materialize(
+                spark.sql(sql_text), artifact="kcenter_coreset"
+            ).createOrReplaceTempView(v)
             return v
 
         c = [mk("c0", f"SELECT vec_id, embedding FROM {e} e"

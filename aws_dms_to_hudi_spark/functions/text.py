@@ -368,7 +368,7 @@ def naive_bayes_model_views(
         dtc = materialize(spark.sql(
             f"SELECT doc_id, h, CAST(COUNT(*) AS BIGINT) AS occ "
             f"FROM {th_table} GROUP BY doc_id, h"
-        ))
+        ), artifact="nb_langid_model")
         n = len(_NB_CACHE)
         names = {"dtc": f"__nb_dtc_{n}", "lp": f"__nb_lp_{n}",
                  "lz": f"__nb_lz_{n}"}
@@ -378,14 +378,16 @@ def naive_bayes_model_views(
 SELECT l.lang, l.h,
        CAST(ln(CAST(l.c + 1 AS DOUBLE) / CAST(t.tot + vv.v AS DOUBLE))
             AS DECIMAL(18,12)) AS lnp
-FROM ltc l JOIN ltot t ON l.lang = t.lang CROSS JOIN vv"""))
+FROM ltc l JOIN ltot t ON l.lang = t.lang CROSS JOIN vv""",
+        ), artifact="nb_langid_model")
         lz = materialize(spark.sql(model + """
 SELECT t.lang,
        CAST(ln(CAST(1 AS DOUBLE) / CAST(t.tot + vv.v AS DOUBLE))
             AS DECIMAL(18,12)) AS lnz,
        CAST(ln(CAST(p.nd AS DOUBLE) / CAST(nn.n AS DOUBLE))
             AS DECIMAL(18,12)) AS lnprior
-FROM ltot t JOIN prior p ON t.lang = p.lang CROSS JOIN vv CROSS JOIN nn"""))
+FROM ltot t JOIN prior p ON t.lang = p.lang CROSS JOIN vv CROSS JOIN nn""",
+        ), artifact="nb_langid_model")
         lp.createOrReplaceTempView(names["lp"])
         lz.createOrReplaceTempView(names["lz"])
         _NB_CACHE[key] = names

@@ -165,50 +165,35 @@ def main() -> None:
     # JVM/codegen warmup on the smallest query so q01 isn't charged for boot.
     force(queries["q01_scan_projection"](spark, sf_dir))
 
-    # min of N runs: first execution pays whole-stage-codegen compilation
-    # and classloading (~1-2 s/plan), which at a real scale factor is noise;
-    # min isolates steady-state query time.
-    #
-    # Steady state REUSES the built DataFrame on repeat runs (prepared-
-    # statement / plan-cache semantics): a fresh build pays Catalyst
-    # optimization + Janino codegen + AQE setup EVERY time (~0.35 s/plan
-    # even fully warmed — new exprIds defeat the codegen source cache),
-    # while re-executing the identical DataFrame is ~0.05 s. Measured
-    # q47: fresh-build+exec 0.39/0.40 s across trials, re-exec 0.045 s —
-    # the delta is pure repeated planning, which production amortizes by
-    # reusing prepared plans and which at a real scale factor is noise
-    # against minutes-long execution. All data-path work (scans,
-    # shuffles, AQE re-planning, codegen'd evaluation) re-runs per
-    # execution; WRITE_GATES rebuild per run — their calls mutate table
-    # state, so each run must replan against it.
+    # min of N runs, each run a FRESH fn(spark, sf_dir) build + execute.
+    # Rebuilding per run is the honest protocol (r8 verdict): re-executing
+    # the same DataFrame object reuses the already-materialized AQE
+    # shuffle query stages (the DAGScheduler skips map stages whose
+    # outputs are registered), so a repeat action on the collect-path
+    # gates timed only the final stage — measurement gaming, not
+    # amortized planning. A fresh build replans and re-runs every stage;
+    # min-of-N then only absorbs first-run codegen/classloading and the
+    # host's minute-scale I/O bursts, never data-path work.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    wg_set = getattr(entry_mod, "WRITE_GATES", frozenset())
     timings: dict[str, float] = {}
-    prepared: dict[str, object] = {}
     for name, fn in queries.items():
         best = float("inf")
-        df = None
         for _ in range(runs):
             t0 = time.time()
-            if df is None or name in wg_set:
-                df = fn(spark, sf_dir)
-            force(df, name)
+            force(fn(spark, sf_dir), name)
             best = min(best, time.time() - t0)
-        prepared[name] = df
         timings[name] = round(best, 3)
 
     # The host (virtualized) shows minute-scale I/O-throttle bursts that
     # can outlast both back-to-back runs of a query and inflate it >10x.
-    # Re-time every query over 1.0s once more at the end — min with the
-    # earlier measurement — so a burst must span the whole bench to
-    # survive into the recorded number. (Still a real measurement: only
-    # ever the min of actual executions.)
+    # Re-time every query over 1.0s once more at the end — a fresh build
+    # again, min with the earlier measurement — so a burst must span the
+    # whole bench to survive into the recorded number. (Still a real
+    # measurement: only ever the min of actual full executions.)
     retry = [n for n, t in timings.items() if t > 1.0]
     for name in retry:
         t0 = time.time()
-        df = (queries[name](spark, sf_dir) if name in wg_set
-              else prepared[name])
-        force(df, name)
+        force(queries[name](spark, sf_dir), name)
         timings[name] = round(min(timings[name], time.time() - t0), 3)
 
     total = round(sum(timings.values()), 3)
@@ -230,6 +215,14 @@ def main() -> None:
     wg = getattr(entry_mod, "WRITE_GATES", frozenset())
     write_total = round(sum(t for n, t in timings.items() if n in wg), 3)
     read_total = round(total - write_total, 3)
+    # One-time session-artifact build cost (token/graph/codebook index
+    # views, CDC __rid, ...): built on first use inside whichever run
+    # triggers them, so min-of-N would hide it. Each build site
+    # attributes its wall time to artifact_time; report the sum beside
+    # the query totals so Spark-vs-oracle ratios can be read honestly
+    # (the DuckDB oracle re-derives these relations per query).
+    from aws_dms_to_hudi_spark import artifact_time
+    artifact_total = round(artifact_time.total(), 3)
     payload = {
         "metric": "total_query_seconds",
         "value": total,
@@ -238,11 +231,14 @@ def main() -> None:
         "sf": sf,
         "read_only_value": read_total,
         "write_gate_value": write_total,
+        "artifact_build_seconds": artifact_total,
     }
     detail = {"metric": "total_query_seconds", "value": total,
               "unit": "sec", "queries": timings, "sf": sf,
               "read_only_value": read_total,
               "write_gate_value": write_total,
+              "artifact_build_seconds": artifact_total,
+              "artifact_build_detail": artifact_time.snapshot(),
               "write_gates": sorted(n for n in timings if n in wg)}
     if not idle:
         payload["load_contaminated"] = True
