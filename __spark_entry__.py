@@ -3804,8 +3804,40 @@ def _hierarchy_rollup_sql(dialect: str, customer: str = "customer") -> str:
     decimal-exact subtree balance. UNION ALL recursion over a strictly
     shrinking key terminates in ~log2(max key) rounds on both engines
     (Spark's recursive CTE supports UNION ALL only — reachability-style
-    UNION-dedup closures stay with the iterative operator, q77)."""
-    div = "(anc div 2)" if dialect == "spark" else "(anc // 2)"
+    UNION-dedup closures stay with the iterative operator, q77).
+
+    DIALECT SPLIT (r9, guide §8 "use what you know the optimizer does
+    not"): the oracle keeps the recursive text; the Spark side computes
+    the chain in CLOSED FORM. The recursion's state is a pure function
+    of the key — after d halvings anc = floor(k / 2^d) = shiftright(k,
+    d) (integer halving composes: floor(floor(k/2)/2) = floor(k/4)) —
+    so the ancestor rows surviving the anc BETWEEN 2 AND 63 filter are
+    exactly {(k, shiftright(k, d), d) : 2 <= shiftright(k, d) <= 63}.
+    Generation condition: the recursion emits the depth-d row iff
+    anc_{d-1} = shiftright(k, d-1) > 1, and shiftright(k, d) >= 2
+    implies shiftright(k, d-1) >= 4 > 1, so every filtered row is
+    generated and (strict halving while >= 2) each (k, anc) pair at
+    most once — identical multiset, proven by the oracle hash at every
+    SF. The recursion's join back to {customer} is dropped with it:
+    chain seeds one row per customer row, so carrying c_acctbal
+    through the explode is the same multiset (no key-uniqueness
+    assumption needed). N x depth working rows (the recursion's
+    inherent 3.4x-at-10x bound, r8) collapse to ~6 filtered explode
+    rows per customer, one scan, one aggregate, zero joins, zero
+    per-level rounds. d <= 62 covers any BIGINT key; the WHERE bounds
+    correctness regardless."""
+    if dialect == "spark":
+        return f"""
+SELECT CAST(shiftright(c_custkey, d) AS BIGINT) AS ancestor,
+       CAST(COUNT(*) AS BIGINT) AS n_desc,
+       CAST(MAX(d) AS BIGINT) AS max_depth,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS subtree_bal
+FROM {customer}
+LATERAL VIEW explode(sequence(0, 62)) t AS d
+WHERE shiftright(c_custkey, d) BETWEEN 2 AND 63
+GROUP BY CAST(shiftright(c_custkey, d) AS BIGINT) ORDER BY ancestor
+"""
+    div = "(anc // 2)"
     return f"""
 WITH RECURSIVE chain(custkey, anc, depth) AS (
   SELECT c_custkey AS custkey, c_custkey AS anc, 0 AS depth FROM {customer}
