@@ -3875,15 +3875,15 @@ def q129_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/sketches.py)."""
     # token occurrences off the session-cached token-string artifact
     # (sketch + verify each scan it in memory instead of re-running
-    # the regex tokenize per pass); n_total from the token-hash twin.
+    # the regex tokenize per pass); n_total from the SAME relation —
+    # counting the token-hash twin instead assumed the pandas-UDF and
+    # SQL tokenizers always agree on token counts (r9 ADVICE; cost is
+    # identical, both are materialized one-row-per-occurrence views).
     tr = fn_dedup.token_rows_view(
         spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
     toks = spark.table(tr).select(F.col("t").alias("token"))
-    th = fn_dedup.tokhash_view(
-        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
-    )
-    total = spark.table(th).agg(F.count(F.lit(1)).alias("n_total"))
+    total = spark.table(tr).agg(F.count(F.lit(1)).alias("n_total"))
     return fn_sk.heavy_hitters(toks, total=total)
 
 
@@ -4659,20 +4659,20 @@ def q201_group_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas would — then one exact verify pass over candidates;
     gated set = the true per-group heavy hitters on any layout."""
     # token occurrences off the session-cached token-string artifact
-    # (⋈ broadcast doc langs); per-lang totals off the token-hash twin
-    # — no regex tokenize anywhere in the gate's own passes.
+    # (⋈ doc langs — NO broadcast hint: the (doc_id, lang) projection
+    # is corpus-cardinality, so forcing it driver-side contradicts the
+    # any-layout/100 TB framing; AQE broadcasts it at this SF on its
+    # own measured size, r9 ADVICE); per-lang totals off the
+    # token-rows artifact itself — the same relation whose rows are
+    # being counted, so no cross-tokenizer agreement is assumed.
     tr = fn_dedup.token_rows_view(
         spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
-    langs = F.broadcast(_t(spark, sf_dir, "documents")
-                        .select("doc_id", "lang"))
+    langs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     toks = (spark.table(tr).join(langs, "doc_id")
             .select("lang", F.col("t").alias("token")))
-    th = fn_dedup.tokhash_view(
-        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
-    )
     totals = (
-        spark.table(th)
+        spark.table(tr)
         .join(langs, "doc_id")
         .groupBy("lang").agg(F.count(F.lit(1)).alias("n_group"))
     )
@@ -5287,8 +5287,13 @@ def q175_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     inv = fn_dedup.inv_view(
         spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
     )
+    sig = fn_dedup.sig_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
     return spark.sql(
-        fn_dedup.incremental_minhash_sql("spark", table=d, inv_tables=inv)
+        fn_dedup.incremental_minhash_sql(
+            "spark", table=d, inv_tables=inv, sig_table=sig
+        )
     )
 
 
@@ -6733,9 +6738,16 @@ def q238_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (what the verification join pays for) and banding recall (what the
     (4 bands × 4 rows) choice misses), as floor-ppm integers. The dedup
     family's mirror of q170's ANN recall audit; reuses the cached
-    inv/sizes artifacts."""
+    inv/sizes artifacts and (r9) the materialized signature artifact —
+    the one-statement form re-ran the 16-MIN signature aggregate 8×
+    through the self-joined bands union (guide §2.4)."""
+    sig = fn_dedup.sig_view(
+        spark, _t(spark, sf_dir, "documents"), cache_key=sf_dir
+    )
     return spark.sql(
-        fn_dedup.lsh_audit_sql("spark", inv_tables=_inv(spark, sf_dir))
+        fn_dedup.lsh_audit_sql(
+            "spark", inv_tables=_inv(spark, sf_dir), sig_table=sig
+        )
     )
 
 
@@ -7441,13 +7453,20 @@ def q264_personalized_pagerank(spark: SparkSession, sf_dir: str
     trio with k-hop reach (q255) and RA link prediction (q256). Sparse
     support (restart mass only at seeds; each round widens by one hop),
     fixed-point int64 with the loud a-priori overflow bound, every
-    round CTE referenced once. Reads the cached sym/deg views."""
+    round CTE referenced once. Reads the cached sym/deg views; the
+    seed set and degree bound (8 rows / 1 int, pure properties of the
+    immutable cached deg artifact) are computed once per (session,
+    corpus) and inlined as literals — as CTEs Spark re-ran the deg
+    TopK sort per seeds reference (×4) and cross-joined a deg MAX
+    into every round (r9, guide §2.4)."""
     li = _view(spark, sf_dir, "lineitem", "q264")
     sym, deg = fn_comp.copurchase_sym_deg(spark, li, cache_key=sf_dir)
     sym.createOrReplaceTempView("__q264_sym")
     deg.createOrReplaceTempView("__q264_deg")
+    seed_vals, max_d = fn_comp.top_deg_meta(spark, li, cache_key=sf_dir)
     return spark.sql(fn_comp.ppr_sql(
-        "spark", sym_table="__q264_sym", deg_table="__q264_deg"))
+        "spark", sym_table="__q264_sym", deg_table="__q264_deg",
+        seed_values=seed_vals, max_d=max_d))
 
 
 def q265_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:

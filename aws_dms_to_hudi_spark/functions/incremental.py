@@ -401,10 +401,17 @@ def maintain_topk(
             .groupBy(group_col)
             .agg(agg.alias("val"))
         )
+        # cache BEFORE the boundary probe: the probe's .first() fills
+        # the cache, and the no-refresh branch then keeps the already-
+        # materialized ranking as the next state — the previous form
+        # re-executed the whole candidate plan a second time per round
+        # (boundary(top) uncached, then boundary(state) after caching),
+        # doubling every round's snapshot lookup (r9, guide §1.2).
         top = rank_of(
             fresh.orderBy(F.col("val").desc(), F.col(group_col)).limit(kb)
-        )
+        ).cache()
         new_kth = boundary(top)
+        prev_state = state
         if (
             new_kth is None
             or threshold is None
@@ -412,10 +419,16 @@ def maintain_topk(
         ):
             # a non-candidate might now belong anywhere in the buffer:
             # one full re-rank, and the threshold re-arms
+            top.unpersist(False)
             state = full_rank(c.version).cache()
+            threshold = boundary(state)
             refreshes += 1
         else:
-            state = top.cache()
-        threshold = boundary(state)
+            state = top
+            threshold = new_kth
+        # the superseded round's buffer is dead state: release it so a
+        # long commit history (or repeated bench runs) cannot pile up
+        # executor storage (the q211 checkpoint-accumulation lesson)
+        prev_state.unpersist(False)
         prev_version = c.version
     return state.filter(F.col("rank") <= k), refreshes

@@ -89,7 +89,15 @@ def heavy_hitters(
     cardinality is layout-independent, so callers that already maintain
     the tokenize-once token-hash artifact pass COUNT(*) of it instead
     of paying a third tokenize pass here (q129: same tokenizer as the
-    artifact, an equality every artifact-consumer gate hash-verifies)."""
+    artifact, an equality every artifact-consumer gate hash-verifies).
+
+    NULL tokens are dropped up front: xxhash64(NULL) is a CONSTANT
+    (the seed), so a NULL-bearing stream would sketch that constant
+    and the verify groupBy could emit a NULL-token row — whereas the
+    pre-r8 string-key join silently dropped NULLs. Unreachable from
+    the tokenizer-derived callers, but this is a general operator
+    (r9 ADVICE)."""
+    tokens = tokens.where(F.col("token").isNotNull())
     hashed = tokens.select(F.xxhash64("token").alias("hh"))
     cand = (
         hashed
@@ -184,8 +192,12 @@ def heavy_hitters_by_group(
     verify join keys on (grp, hash) and counts exact strings.
     ``totals``: optional (group_col, n_group) relation from a caller
     that already maintains the tokenize-once artifact — saves the
-    third tokenize pass; per-group stream counts are layout-free."""
-    src = tokens.select(F.col(group_col).alias("grp"), "token")
+    third tokenize pass; per-group stream counts are layout-free.
+
+    NULL tokens dropped up front — same hash-of-NULL hazard as
+    :func:`heavy_hitters` (r9 ADVICE)."""
+    src = (tokens.where(F.col("token").isNotNull())
+           .select(F.col(group_col).alias("grp"), "token"))
     cand = (
         src.select("grp", F.xxhash64("token").alias("hh"))
         .mapInPandas(

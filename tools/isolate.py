@@ -4,10 +4,11 @@ Usage::
 
     python tools/isolate.py q208 q212 [...]    # substring match on names
 
-Replicates bench.py's protocol (warmup q01, min-of-2 with prepared-
-DataFrame reuse for non-write gates, noop/collect force) for an
-arbitrary subset, printing per-run times so build vs execute cost and
-run-to-run variance are visible — the bench only keeps the min.
+Replicates bench.py's protocol (warmup q01, min-of-N with a FRESH
+fn(spark, sf_dir) build every run — the honest r9 protocol — noop/
+collect force) for an arbitrary subset, printing per-run times so
+build vs execute cost and run-to-run variance are visible — the bench
+only keeps the min.
 """
 
 from __future__ import annotations
@@ -36,12 +37,10 @@ def main() -> None:
         if pats and not any(name.startswith(p) or p in name for p in pats):
             continue
         spark.sparkContext.setJobDescription(name)
-        df = None
         ts = []
         for _ in range(runs):
             t0 = time.time()
-            if df is None or name in wg:
-                df = fn(spark, sf_dir)
+            df = fn(spark, sf_dir)
             t_build = time.time() - t0
             force(df, name)
             ts.append((t_build, time.time() - t0))
