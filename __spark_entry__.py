@@ -2110,7 +2110,9 @@ def q179_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines. Map-side combine collapses the explode x K fanout
     to N x K rows before the only shuffle."""
     v = _view(spark, sf_dir, "embeddings", "q179")
-    return spark.sql(fn_sim.jl_projection_sql("spark", table=v))
+    iv = fn_sim.emb_rows_view(spark, v, cache_key=sf_dir)
+    return spark.sql(fn_sim.jl_projection_sql("spark", table=v,
+                                              iv_table=iv))
 
 
 def q180_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4249,6 +4251,71 @@ def _weighted_percentile_sql(lineitem: str = "lineitem",
     )
 
 
+def _weighted_percentile_spark_sql(lineitem: str = "lineitem",
+                                   n_buckets: int = 1024) -> str:
+    """Spark dialect of :func:`_weighted_percentile_sql` (r9, guide
+    §2.4): the shared text references the row-level ``wb`` relation
+    through FOUR inline chains (bs→bp→{tb, cand-bpx}, stx, cand-w) and
+    Spark re-derives wb (a lineitem scan + stats-aggregate broadcast
+    join) per chain. Two structural moves cut that to TWO chains with
+    no materialization (an eager wb checkpoint was measured SLOWER,
+    see q146's docstring):
+
+    - ``bs`` carries ``MAX(tw)`` (free in the same aggregate — tw is
+      constant per rf), so the threshold relation reads tw from ``bp``
+      instead of the separate ``stx`` wb-rescan;
+    - ``tb`` picks the candidate bucket's own prefix weight with
+      ``min_by(upto_w - bw, bk)`` (bk is unique per rf in bp), so
+      ``cand`` joins only the broadcast tb — the second bp derivation
+      (a full bs+window chain) disappears.
+
+    Same integer threshold arithmetic, same interpolation; the oracle
+    keeps the shared text and the gate hash proves identity."""
+    b = n_buckets
+    return f"""
+WITH wb AS ({_weighted_percentile_prep_sql(lineitem, b)}),
+bs AS (SELECT rf, bk, SUM(wt) AS bw, MAX(tw) AS tw
+       FROM wb GROUP BY rf, bk),
+bp AS (
+  SELECT rf, bk, bw, tw,
+         SUM(bw) OVER (PARTITION BY rf ORDER BY bk
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS upto_w
+  FROM bs
+),
+th AS (SELECT * FROM (VALUES (1, 2), (9, 10)) AS t(num, den)),
+tb AS (
+  SELECT bp.rf, th.num, th.den, MIN(bp.bk) AS bk,
+         min_by(bp.upto_w - bp.bw, bp.bk) AS before_w
+  FROM bp CROSS JOIN th
+  WHERE th.den * bp.upto_w >= th.num * bp.tw
+  GROUP BY bp.rf, th.num, th.den
+),
+cand AS (
+  SELECT /*+ BROADCAST(tb) */
+         w.rf, tb.num, tb.den, w.v, w.wt, w.tw, tb.before_w
+  FROM wb w
+  JOIN tb ON w.rf = tb.rf AND w.bk = tb.bk
+),
+cum AS (
+  SELECT rf, num, den, v, tw,
+         before_w + SUM(wt) OVER (
+           PARTITION BY rf, num, den ORDER BY v, wt
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM cand
+),
+res AS (
+  SELECT rf, num,
+         MIN(CASE WHEN den * cw >= num * tw THEN v END) AS val
+  FROM cum GROUP BY rf, num
+)
+SELECT rf AS l_returnflag,
+       round(MAX(CASE WHEN num = 1 THEN val END), 2) AS wmedian,
+       round(MAX(CASE WHEN num = 9 THEN val END), 2) AS wp90
+FROM res GROUP BY rf ORDER BY rf
+"""
+
+
 def _weighted_percentile_prep_sql(lineitem: str = "lineitem",
                                   n_buckets: int = 1024) -> str:
     """The row-level prep relation wb(rf, v, wt, tw, bk): one scan +
@@ -4336,9 +4403,12 @@ def q146_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2.17s/10.1s vs 1.2s/6-7s) — an eager 6M-row checkpoint write
     costs more than two extra columnar scans, unlike q151/q131 where
     the re-evaluated relation embeds a join/aggregation. Inline is the
-    deliberate choice here."""
+    deliberate choice here; r9 instead cuts the inline chains 4 → 2
+    structurally (:func:`_weighted_percentile_spark_sql` — tw rides
+    the bucket aggregate, min_by picks the target bucket's prefix
+    weight), the oracle keeping the shared text."""
     li = _view(spark, sf_dir, "lineitem", "q146")
-    return spark.sql(_weighted_percentile_sql(li))
+    return spark.sql(_weighted_percentile_spark_sql(li))
 
 
 def _pareto_frontier_sql(customer: str = "customer",
@@ -6000,7 +6070,9 @@ def q99_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (k-means M-step) on integer-exact
     scaled sums — order-independent, so partial aggregation is free."""
     v = _view(spark, sf_dir, "embeddings", "q99")
-    return spark.sql(fn_sim.label_centroids_sql("spark", table=v))
+    iv = fn_sim.emb_rows_view(spark, v, cache_key=sf_dir)
+    return spark.sql(fn_sim.label_centroids_sql("spark", table=v,
+                                                iv_table=iv))
 
 
 def q100_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6008,7 +6080,9 @@ def q100_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid relation, one integer-exact dot per (vector, candidate),
     argmax per vector → label confusion matrix."""
     v = _view(spark, sf_dir, "embeddings", "q100")
-    return spark.sql(fn_sim.centroid_assign_sql("spark", table=v))
+    iv = fn_sim.emb_rows_view(spark, v, cache_key=sf_dir)
+    return spark.sql(fn_sim.centroid_assign_sql("spark", table=v,
+                                                iv_table=iv))
 
 
 def _orders_aggs() -> dict:
@@ -7073,7 +7147,9 @@ def q252_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     column for dedup/ANN. Exact DECIMAL(38,0) integer sums; one explode
     + one per-dim aggregate, DIM rows out at any corpus size."""
     v = _view(spark, sf_dir, "embeddings", "q252")
-    return spark.sql(fn_sim.embedding_quality_sql("spark", table=v))
+    iv = fn_sim.emb_rows_view(spark, v, cache_key=sf_dir)
+    return spark.sql(fn_sim.embedding_quality_sql("spark", table=v,
+                                                  iv_table=iv))
 
 
 def q254_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
