@@ -4666,13 +4666,25 @@ def q187_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated MIN): Spark inlines CTEs, so the engine side
     materializes ps once; supplier/nation/region all broadcast under
     AQE, and the correlated scalar decorrelates to a per-part MIN
-    aggregate joined back — no per-row subquery execution."""
-    ps = fn_dedup.materialize(
-        spark.sql(_min_cost_supplier_ps_sql(_view(spark, sf_dir, "lineitem", "q187")))
-    )
-    ps.createOrReplaceTempView("__q187_ps")
+    aggregate joined back — no per-row subquery execution. r9: ps is
+    session-cached under a per-key view name (a pure index of the
+    immutable lineitem) — the per-call form re-paid the checkpoint
+    every run and its fixed temp-view name was unsafe under
+    concurrent queries (the q211/q216 lesson)."""
+    key = (id(spark), sf_dir)
+    with _REPLAY_LOCK:
+        vname = _Q187_PS_CACHE.get(key)
+        if vname is None:
+            ps = fn_dedup.materialize(
+                spark.sql(_min_cost_supplier_ps_sql(
+                    _view(spark, sf_dir, "lineitem", "q187"))),
+                artifact="q187_ps",
+            )
+            vname = f"__q187_ps_{abs(hash(key)) % 10**8}"
+            ps.createOrReplaceTempView(vname)
+            _Q187_PS_CACHE[key] = vname
     return spark.sql(_min_cost_supplier_select_sql(
-        "__q187_ps",
+        vname,
         _view(spark, sf_dir, "part", "q187"),
         _view(spark, sf_dir, "supplier", "q187"),
         _view(spark, sf_dir, "nation", "q187"),
@@ -4972,6 +4984,7 @@ _PREFIX_CAND_CACHE: dict[tuple[int, str], str] = {}  # -> cand view name
 _GRID_PARTS_CACHE: dict[tuple[int, str], str] = {}  # q211 participant grid
 _RESID_CACHE: dict[tuple[int, str], str] = {}  # q216 residual grid
 _PDELETE_CACHE: dict[tuple[int, str], CuratedTable] = {}
+_Q187_PS_CACHE: dict[tuple[int, str], str] = {}  # q187 ps relation view
 _ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
                "o_orderdate", "o_orderpriority"]
 

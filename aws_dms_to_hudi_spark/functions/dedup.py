@@ -333,7 +333,11 @@ def prefix_jaccard_sql(
     linear ceiling as the plain join. The ratio is that linear term;
     absolute cost stays below the uncapped plain join at every scale,
     and on a real Zipfian corpus the prefix df stays O(1) and the gap
-    widens (Bayardo et al.'s own result). Nothing compounds at 100×:
+    widens (Bayardo et al.'s own result — MEASURED here, r9:
+    ``tools/zipf_probe.py`` generates a deterministic Zipf corpus at
+    1×/10× and runs this exact candidate body; mean prefix-shingle df
+    reads 1.0 at BOTH scales and spurious candidate pairs 0 at both —
+    ``tools/zipf_probe_results.json``). Nothing compounds at 100×:
     the bound is linear by the cap regardless of vocabulary."""
     base = _prefix_base_cte(dialect, table, th_table, inv_tables, subset)
     return (
