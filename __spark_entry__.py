@@ -7510,10 +7510,16 @@ def q262_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q122/q206 assume sources are independent evidence). Pair counts
     come from a shingle-grouped self-join (fan-out ≤ source count),
     never doc x doc; zero-overlap pairs surface explicitly. Shares the
-    cached inverted index with q19/q166/q251."""
+    cached inverted index with q19/q166/q251; r9: the distinct
+    (src, g) relation is a session artifact — the statement references
+    it four times through inlined chains (guide §2.4)."""
     v = _view(spark, sf_dir, "documents", "q262")
+    ssh = fn_dedup.source_shingles_view(
+        spark, _t(spark, sf_dir, "documents"), v, cache_key=sf_dir
+    )
     return spark.sql(fn_dedup.source_overlap_sql(
-        "spark", table=v, inv_tables=_inv_uncapped(spark, sf_dir)))
+        "spark", table=v, inv_tables=_inv_uncapped(spark, sf_dir),
+        ssh_table=ssh))
 
 
 def q263_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1323,6 +1323,36 @@ def inv_view(
 
 
 _SIG_CACHE: dict[tuple[int, str], str] = {}
+_SSH_CACHE: dict[tuple[int, str], str] = {}
+
+
+def source_shingles_view(spark, docs, table: str, cache_key: str) -> str:
+    """Register (and persist) the distinct ``(src, g)`` source-shingle
+    relation over the UNCAPPED inverted index — the per-source shingle
+    set the cross-source contamination matrix (q262) consumes through
+    four inlined references (see :func:`source_overlap_sql`). Same
+    lifetime and accounting as the other corpus indexes."""
+    key = (id(spark), cache_key)
+    with _TOKHASH_LOCK:
+        cached = _SSH_CACHE.get(key)
+        if cached is not None:
+            return cached
+    inv_name, _ = inv_view(spark, docs, cache_key, max_df=None)
+    name = f"__ssh_{abs(hash(key)) % 10**8}"
+    with _TOKHASH_LOCK:
+        cached = _SSH_CACHE.get(key)
+        if cached is not None:
+            return cached
+        df = materialize(
+            spark.sql(
+                f"SELECT /*+ BROADCAST(d) */ DISTINCT d.source AS src, "
+                f"v.g FROM {inv_name} v JOIN {table} d "
+                "ON d.doc_id = v.doc_id"),
+            artifact="q262_source_shingles",
+        )
+        df.createOrReplaceTempView(name)
+        _SSH_CACHE[key] = name
+        return name
 
 
 def sig_view(spark, docs, cache_key: str) -> str:
@@ -1863,6 +1893,7 @@ ORDER BY threshold_pct"""
 def source_overlap_sql(
     dialect: str, table: str = "documents",
     inv_tables: tuple | None = None,
+    ssh_table: str | None = None,
 ) -> str:
     """Cross-source n-gram contamination matrix: for every PAIR of
     sources, the count of distinct 3-token shingles they share and the
@@ -1906,12 +1937,20 @@ def source_overlap_sql(
     # stands; Spark's ReuseExchange already shares the distinct
     # aggregate's exchange between the self-join sides.
     bc_d = "/*+ BROADCAST(d) */ " if dialect == "spark" else ""
-    return f"""
-WITH {prefix},
-ssh AS (
+    # Spark side may read the session-materialized (src, g) relation
+    # (:func:`source_shingles_view`): ssh is referenced four times
+    # through the inlined ssizes/inter chains (ssizes twice as sa/sb,
+    # the inter self-join twice), each re-running the inv ⋈ docs +
+    # DISTINCT derivation (r9, guide §2.4). Oracle keeps the
+    # self-contained text.
+    ssh_body = (f"SELECT src, g FROM {ssh_table}"
+                if ssh_table is not None else f"""
   SELECT {bc_d}DISTINCT d.source AS src, v.g
   FROM inv v JOIN {table} d ON d.doc_id = v.doc_id
-),
+""")
+    return f"""
+WITH {prefix},
+ssh AS ({ssh_body}),
 ssizes AS (SELECT src, COUNT(*) AS n FROM ssh GROUP BY src),
 inter AS (
   SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS n_shared
